@@ -1,0 +1,86 @@
+"""Engine benchmark — the driver's per-round feedback loop.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is forced end-to-end with a noop sink (full computation,
+no driver-side collect). A JVM/catalog warmup query runs first so the
+measured numbers are execution, not session bootstrap.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: one representative per operator family, heaviest first.
+HEADLINE = [
+    "agg_hash_group",
+    "agg_distinct_count",
+    "agg_rollup",
+    "join_hash_equi",
+    "join_broadcast_lookup",
+    "join_asof_event",
+    "window_rank_topn_per_group",
+    "window_running_sum",
+    "sort_limit_topk",
+    "dedup_exact",
+    "dedup_minhash_near",
+    "sim_search_topk",
+    "text_analysis_stats",
+    "text_tfidf_terms",
+]
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from etl_8x8_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    spark = get_spark("bench", cpus=cpus, shuffle_partitions=int(cpus))
+
+    # Warmup: touch the catalog + codegen paths once.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(sf_dir),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,215 @@
+"""Aggregation operators (SURVEY.md §2b "Aggregations").
+
+All pure built-ins: Spark runs every ``groupBy().agg()`` as a partial
+(map-side) hash aggregate followed by a final hash aggregate after a
+shuffle on the grouping keys — the partial combine means the shuffle
+volume is O(groups × partitions), not O(rows), which is what makes
+these safe at 100 TB. Low-cardinality keys (returnflag × linestatus =
+6 groups) shuffle kilobytes no matter the input size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_8x8_spark.functions.parity import (
+    davg,
+    dsum,
+    ensure_utc,
+    oracle_davg,
+    oracle_dsum,
+)
+from etl_8x8_spark.registry import register
+from etl_8x8_spark.sources.readers import load_table
+
+# TPC-H Q1 cutoff, kept as a date-less string so both engines parse it
+# identically as a timestamp literal.
+_Q1_CUTOFF = "1998-09-02 00:00:00"
+
+_AGG_HASH_GROUP_ORACLE = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {oracle_dsum("l_quantity", "sum_qty")},
+  {oracle_dsum("l_extendedprice", "sum_base_price")},
+  {oracle_dsum("l_extendedprice * (1 - l_discount)", "sum_disc_price")},
+  {oracle_dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge")},
+  {oracle_davg("l_quantity", "avg_qty")},
+  {oracle_davg("l_extendedprice", "avg_price")},
+  {oracle_davg("l_discount", "avg_disc")},
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{_Q1_CUTOFF}'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q1_pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H-Q1-shape pricing summary — the engine's flagship query.
+
+    Generalizes the reference's record-level transform pipeline
+    (extract -> validate -> transform -> emit, ``src/handlers.py:67-88``)
+    to a set-oriented scan -> filter -> hash-aggregate. The shipdate
+    filter and the 4-column projection both push into the parquet scan.
+    """
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit(_Q1_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register("agg_hash_group", oracle=_AGG_HASH_GROUP_ORACLE)
+def agg_hash_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped sum/avg/count — partial+final hash aggregate."""
+    ensure_utc(spark)
+    return q1_pricing_summary(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "agg_distinct_count",
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+""",
+)
+def agg_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct per group.
+
+    Spark expands COUNT(DISTINCT) into a two-stage aggregate
+    (partial distinct on (event_type, user_id), then count) — no
+    row-level shuffle of duplicates. For the approximate/sketch path at
+    100 TB see ``agg_approx_distinct`` (HLL, no exact-oracle twin).
+    """
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@register("agg_approx_distinct", oracle=None)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct — the 100 TB path for distinct counts.
+
+    One pass, fixed memory per group, no distinct-expansion shuffle.
+    rsd=0.5% keeps the sketch ~few KB. No DuckDB oracle (different
+    sketch implementation => different estimates); driver does the
+    rows-only check, and tests assert the estimate is within rsd of
+    exact.
+    """
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.005).alias("approx_users"))
+    )
+
+
+_ROLLUP_ORACLE = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  GROUPING(l_returnflag, l_linestatus) AS grp_id,
+  {oracle_dsum("l_quantity", "sum_qty")},
+  COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@register("agg_rollup", oracle=_ROLLUP_ORACLE)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals: (flag, status), (flag), ().
+
+    Spark executes rollup as a single Expand + hash aggregate — one
+    shuffle for all grouping sets, not one job per level.
+    """
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("grp_id"),
+            dsum("l_quantity", "sum_qty"),
+            F.count("*").alias("n_rows"),
+        )
+        .select("l_returnflag", "l_linestatus", "grp_id", "sum_qty", "n_rows")
+    )
+
+
+_CUBE_ORACLE = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  GROUPING(l_returnflag, l_linestatus) AS grp_id,
+  {oracle_dsum("l_extendedprice", "sum_price")},
+  COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@register("agg_cube", oracle=_CUBE_ORACLE)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-tab totals over all 2^k grouping sets."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("grp_id"),
+            dsum("l_extendedprice", "sum_price"),
+            F.count("*").alias("n_rows"),
+        )
+        .select("l_returnflag", "l_linestatus", "grp_id", "sum_price", "n_rows")
+    )
+
+
+@register(
+    "agg_map_collect",
+    oracle="""
+SELECT n_regionkey,
+       to_json(map_from_entries(list_sort(list(struct_pack(k := n_name, v := n_nationkey)))))
+         AS nation_map
+FROM nation
+GROUP BY n_regionkey
+""",
+)
+def agg_map_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key->value map result per group (R11's dict-shaped bulk lookup
+    output, reference ``common/aws_utils/ssm.py:76-101``).
+
+    Entries sorted before map construction so the JSON rendering is
+    deterministic and hash-comparable across engines.
+    """
+    nation = load_table(spark, sf_dir, "nation")
+    return nation.groupBy("n_regionkey").agg(
+        F.to_json(
+            F.map_from_entries(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("n_name").alias("k"),
+                            F.col("n_nationkey").alias("v"),
+                        )
+                    )
+                )
+            )
+        ).alias("nation_map")
+    )

@@ -1,0 +1,74 @@
+"""Query registry — the driver contract's backbone.
+
+Every operator from SURVEY.md §2b registers here as
+``name -> (builder, oracle_sql | None)``. ``__spark_entry__.queries()``
+and ``oracle_sql()`` are thin views over this dict, and the local
+parity harness (tools/verify_queries.py) iterates it directly.
+
+A builder is ``(spark, sf_dir) -> DataFrame``; the oracle is ANSI SQL
+DuckDB runs against the same parquet tables (views: region nation
+customer supplier part orders lineitem events documents embeddings).
+Builders alias every computed column to match the oracle exactly —
+the driver sorts columns by name before hashing values.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryBuilder = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    builder: QueryBuilder
+    oracle: str | None  # None => driver runs the weaker rows-only check
+    doc: str = ""
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+# Modules that register queries on import; one per §2b family.
+_QUERY_MODULES = [
+    "etl_8x8_spark.operators.aggregates",
+    "etl_8x8_spark.operators.record_ops",
+    "etl_8x8_spark.operators.joins",
+    "etl_8x8_spark.operators.windows",
+    "etl_8x8_spark.operators.setops",
+    "etl_8x8_spark.operators.scalar_fns",
+    "etl_8x8_spark.operators.dedup",
+    "etl_8x8_spark.operators.similarity",
+    "etl_8x8_spark.operators.text",
+    "etl_8x8_spark.operators.multimodal",
+    "etl_8x8_spark.sources.scans",
+    "etl_8x8_spark.streaming.streams",
+]
+
+
+def register(
+    name: str, oracle: str | None = None
+) -> Callable[[QueryBuilder], QueryBuilder]:
+    """Decorator: register a query builder under its §2b key."""
+
+    def deco(fn: QueryBuilder) -> QueryBuilder:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query key: {name}")
+        _REGISTRY[name] = QuerySpec(name, fn, oracle, fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+def _load_all() -> None:
+    for mod in _QUERY_MODULES:
+        importlib.import_module(mod)
+
+
+def all_queries() -> dict[str, QuerySpec]:
+    _load_all()
+    return dict(_REGISTRY)

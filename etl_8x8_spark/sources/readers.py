@@ -1,0 +1,83 @@
+"""Source connectors.
+
+Parquet is the primary columnar source: Catalyst pushes predicates and
+projections into the scan (row-group skipping + column pruning), so
+query builders just ``load_table(...).select(...).filter(...)`` and let
+the optimizer move the work into the reader.
+
+CSV / JSON-lines readers always take an explicit schema (never
+``inferSchema`` — a full extra pass over 100 TB) mirroring the
+reference's boundary validation (R14, SURVEY.md §1.3).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_8x8_spark.sources.schemas import TABLE_SCHEMAS
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar scan of one engine table.
+
+    No explicit schema is passed for parquet: the footer is
+    authoritative and self-describing; forcing TABLE_SCHEMAS here would
+    disable vectorized-reader schema evolution. TABLE_SCHEMAS is used
+    for the schemaless formats (csv/json) and for validation in tests.
+
+    ``events.ts`` is physically TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects; it is read as nanos-since-epoch (legacy conf) and
+    floor-converted to a micros TimestampType — the same truncation
+    DuckDB applies when casting TIMESTAMP_NS down.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def read_json_lines(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """Schema-on-read JSON-lines ingest (generalizes R3
+    ``requires_json_payload``, reference ``api_gateway.py:126-137``).
+
+    PERMISSIVE mode with a corrupt-record column = the reference's
+    malformed-JSON -> 415 routing: bad rows land in ``_corrupt_record``
+    instead of failing the job.
+    """
+    full = schema.add("_corrupt_record", T.StringType())
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """Delimited ingest with an explicit schema (inference off)."""
+    return (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .csv(path)
+    )
+
+
+def scratch_dir() -> str:
+    """Writable scratch area for sink round-trips and derived files."""
+    d = os.environ.get("SPARK_GRAFT_SCRATCH", "/root/repo/.scratch")
+    os.makedirs(d, exist_ok=True)
+    return d

@@ -1,0 +1,73 @@
+"""Unit tests for aggregation operators — inline-fixture golden rows,
+the reference's parametrized case-table style
+(tests/src/test_handlers.py:112-130)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from etl_8x8_spark.operators.aggregates import q1_pricing_summary
+
+
+@pytest.fixture(scope="module")
+def tiny_lineitem(spark):
+    rows = [
+        # flag, status, qty, price, disc, tax, shipdate
+        ("A", "F", 10.0, 100.0, 0.10, 0.05, "1995-01-01 00:00:00"),
+        ("A", "F", 20.0, 200.0, 0.00, 0.00, "1995-06-01 00:00:00"),
+        ("N", "O", 5.0, 50.0, 0.50, 0.10, "1996-01-01 00:00:00"),
+        # after the Q1 cutoff — must be filtered out
+        ("N", "O", 99.0, 999.0, 0.00, 0.00, "1999-01-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "l_returnflag string, l_linestatus string, l_quantity double,"
+        " l_extendedprice double, l_discount double, l_tax double,"
+        " l_shipdate string",
+    )
+    return df.withColumn("l_shipdate", df.l_shipdate.cast("timestamp"))
+
+
+def test_q1_groups_and_filter(tiny_lineitem):
+    got = {
+        (r.l_returnflag, r.l_linestatus): r
+        for r in q1_pricing_summary(tiny_lineitem).collect()
+    }
+    assert set(got) == {("A", "F"), ("N", "O")}
+    af = got[("A", "F")]
+    assert af.count_order == 2
+    assert af.sum_qty == 30.0
+    assert af.sum_base_price == 300.0
+    # 100*0.9 + 200*1.0
+    assert af.sum_disc_price == 290.0
+    # 90*1.05 + 200
+    assert af.sum_charge == pytest.approx(294.5)
+    assert af.avg_qty == 15.0
+    no = got[("N", "O")]
+    assert no.count_order == 1  # cutoff row dropped
+    assert no.sum_disc_price == 25.0
+
+
+def test_flagship_runs_on_testdata(spark, sf_dir):
+    from etl_8x8_spark.registry import all_queries
+
+    df = all_queries()["agg_hash_group"].builder(spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {"sum_qty", "avg_price", "count_order"} <= set(df.columns)
+
+
+def test_approx_distinct_within_rsd(spark, sf_dir):
+    from etl_8x8_spark.registry import all_queries
+
+    exact = {
+        r.event_type: r.n_users
+        for r in all_queries()["agg_distinct_count"].builder(spark, sf_dir).collect()
+    }
+    approx = {
+        r.event_type: r.approx_users
+        for r in all_queries()["agg_approx_distinct"].builder(spark, sf_dir).collect()
+    }
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(2, 0.05 * n)
