@@ -1,1 +1,248 @@
-"""Placeholder — filled in as the family is implemented."""
+"""Join operators (SURVEY.md §2b "Joins").
+
+Strategy posture for 100 TB:
+- dim tables (nation/region/bands) are broadcast — zero shuffle of the
+  fact side (generalizes the reference's in-process SSM memo cache,
+  R10, ``common/aws_utils/ssm.py:65-71``: ship the small table to
+  every worker once).
+- fact-fact equi joins shuffle on the join key; AQE picks
+  sort-merge vs shuffled-hash at runtime and splits skewed partitions
+  (``spark.sql.adaptive.skewJoin.enabled``).
+- the as-of join is a union + running last_value over one window —
+  ONE shuffle on (user_id), no join explosion, the scale-correct
+  pattern when per-key event counts are unbounded.
+- the salted-join demo shows the manual skew remedy: replicate the
+  dim side per salt bucket, derive a deterministic salt on the fact
+  side, join on (key, salt).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_8x8_spark.registry import register
+from etl_8x8_spark.sources.readers import load_table
+
+
+@register(
+    "join_broadcast_lookup",
+    oracle="""
+SELECT c_custkey, c_name, n_name, r_name
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+""",
+)
+def join_broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-dim enrichment via broadcast hash join (R10 kv-lookup
+    generalized: reference ``ssm.py:46-73`` memoizes single-key
+    lookups; the engine ships the whole dim to every executor)."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        customer.join(
+            F.broadcast(nation),
+            customer.c_nationkey == nation.n_nationkey,
+            "inner",
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "inner")
+        .select("c_custkey", "c_name", "n_name", "r_name")
+    )
+
+
+@register(
+    "join_hash_equi",
+    oracle="""
+SELECT o_orderkey, o_orderpriority, l_linenumber, l_extendedprice
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+""",
+)
+def join_hash_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-large equi join: both sides shuffle on the key; AQE picks
+    the physical strategy (sort-merge vs shuffled-hash) and coalesces
+    post-shuffle partitions at runtime."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey).select(
+        "o_orderkey", "o_orderpriority", "l_linenumber", "l_extendedprice"
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+SELECT c_custkey, c_mktsegment, o_orderkey, o_totalprice
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+""",
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with no orders."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left"
+    ).select("c_custkey", "c_mktsegment", "o_orderkey", "o_totalprice")
+
+
+@register(
+    "join_semi",
+    oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence filter (left semi): R11's present-keys semantics —
+    bulk lookup returns only keys that exist
+    (reference ``ssm.py:98-99``). No columns from the right side, no
+    row duplication, right side reduced to distinct keys before the
+    probe."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-key detection (left anti): R11's silently-absent keys
+    (reference test semantics at ``tests/.../test_ssm.py:25-30``)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+_BANDS = [
+    ("budget", 0.0, 1000.0),
+    ("mid", 1000.0, 2000.0),
+    ("premium", 2000.0, 10_000_000.0),
+]
+
+_RANGE_ORACLE = """
+WITH bands(band, lo, hi) AS (
+  VALUES ('budget', 0.0, 1000.0),
+         ('mid', 1000.0, 2000.0),
+         ('premium', 2000.0, 10000000.0)
+)
+SELECT p_partkey, p_name, band
+FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+"""
+
+
+@register("join_range_theta", oracle=_RANGE_ORACLE)
+def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range) predicate join: price banding.
+
+    The band table is tiny -> broadcast nested-loop join, which is the
+    right physical plan: every row tests 3 band predicates, no shuffle.
+    A large-large range join would instead bucketize the range key and
+    equi-join on bucket (see SNIPPETS/Spark docs pattern); not needed
+    for a 3-row dim.
+    """
+    part = load_table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(_BANDS, "band string, lo double, hi double")
+    cond = (part.p_retailprice >= bands.lo) & (part.p_retailprice < bands.hi)
+    return part.join(F.broadcast(bands), cond, "inner").select(
+        "p_partkey", "p_name", "band"
+    )
+
+
+_ASOF_ORACLE = """
+SELECT p.event_id AS purchase_id,
+       p.user_id,
+       (SELECT c.event_id FROM events c
+        WHERE c.event_type = 'click' AND c.user_id = p.user_id
+          AND c.ts <= p.ts
+        ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS last_click_id
+FROM events p
+WHERE p.event_type = 'purchase'
+"""
+
+
+@register("join_asof_event", oracle=_ASOF_ORACLE)
+def join_asof_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every purchase event, the latest click by the
+    same user at-or-before the purchase timestamp.
+
+    Implemented as union + running ``last_value(ignoreNulls)`` over a
+    single (user_id, ts) window: one shuffle, linear in events, no
+    per-key join explosion — the pattern that survives 100 TB where a
+    join + row_number would materialize |clicks|x|purchases| pairs per
+    user. Clicks sort before purchases at equal ts so a same-microsecond
+    click is visible to the purchase (matching the oracle's ts <= ts).
+    """
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id"), F.lit(None).cast("long").alias("purchase_id")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(None).cast("long").alias("click_id"), F.col("event_id").alias("purchase_id")
+    )
+    merged = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.col("ts"),
+            # clicks (purchase_id null) first within a timestamp tie
+            F.col("purchase_id").asc_nulls_first(),
+            F.col("click_id"),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        merged.withColumn("last_click_id", F.last("click_id", ignorenulls=True).over(w))
+        .filter(F.col("purchase_id").isNotNull())
+        .select(
+            F.col("purchase_id"),
+            F.col("user_id"),
+            F.col("last_click_id"),
+        )
+    )
+
+
+_SALT_BUCKETS = 8
+
+_SALTED_ORACLE = """
+SELECT e.user_id, e.event_id, c.c_name
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+
+@register("join_salted_skew", oracle=_SALTED_ORACLE)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join: salt the (hot-keyed) fact side, replicate
+    the dim side per salt bucket, join on (key, salt).
+
+    events.user_id is low-cardinality (hot keys by construction), so a
+    plain shuffle join puts each user's rows in one task; salting
+    spreads every key over ``_SALT_BUCKETS`` tasks. Deterministic salt
+    (event_id % buckets) keeps the result reproducible. Result is
+    identical to the unsalted join — which is exactly what the oracle
+    checks. At 100 TB prefer AQE skew-join first; manual salting is for
+    aggregations-after-join or when one key dominates a partition.
+    """
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    salted_fact = events.withColumn(
+        "salt", (F.col("event_id") % _SALT_BUCKETS).cast("int")
+    )
+    salted_dim = customer.crossJoin(
+        spark.range(_SALT_BUCKETS).select(F.col("id").cast("int").alias("salt"))
+    )
+    return salted_fact.join(
+        salted_dim,
+        (salted_fact.user_id == salted_dim.c_custkey)
+        & (salted_fact.salt == salted_dim.salt),
+        "inner",
+    ).select("user_id", "event_id", "c_name")

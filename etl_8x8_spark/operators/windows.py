@@ -1,1 +1,100 @@
-"""Placeholder — filled in as the family is implemented."""
+"""Window-function operators (SURVEY.md §2b "Window functions").
+
+Windows shuffle once on the partition key, then sort within
+partitions; the three operators here share the scale posture: the
+partition key must be high-cardinality enough that one key's rows fit
+in one task (customers/users: yes). All arithmetic inside frames is
+either integer (epoch micros) or decimal-accumulated so the running
+results hash-match DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_8x8_spark.functions.parity import DEC
+from etl_8x8_spark.registry import register
+from etl_8x8_spark.sources.readers import load_table
+
+
+@register(
+    "window_rank_topn_per_group",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, rnk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders
+) WHERE rnk <= 3
+""",
+)
+def window_rank_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer. o_orderkey tiebreak keeps ranks
+    deterministic (SURVEY.md §7 risk register). Spark inserts a
+    partial top-K per partition (WindowGroupLimit) before the shuffle,
+    so only 3 rows per (customer, input-partition) move."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+@register(
+    "window_running_sum",
+    oracle=f"""
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
+              OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS running_spend
+FROM orders
+""",
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-customer spend in order-date order, decimal-
+    accumulated so the prefix sums are exact in both engines."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("running_spend"),
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+SELECT event_id, user_id,
+       epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
+       lead(event_type) OVER w AS next_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap (lag) and next event type (lead).
+
+    Gaps computed on epoch micros (integer) — no timezone rendering,
+    no float drift.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts"))
+    return events.select(
+        "event_id",
+        "user_id",
+        (ts_us - F.lag(ts_us).over(w)).alias("gap_us"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )

@@ -46,6 +46,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = s.astype("datetime64[us]").astype(str)
         elif s.dtype == object:
             df[c] = s.map(_canon_cell)
+    if len(df) == 0 or len(df.columns) == 0:
+        return df.reset_index(drop=True)
     key = df.astype(str).apply(lambda r: "\x1f".join(r.values), axis=1)
     return df.iloc[key.argsort(kind="mergesort").values].reset_index(drop=True)
 
