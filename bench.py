@@ -6,7 +6,11 @@ JSON line: {"metric", "value", "unit", "queries", "sf"}.
 
 Each query is forced end-to-end with a noop sink (full computation,
 no driver-side collect). A JVM/catalog warmup query runs first so the
-measured numbers are execution, not session bootstrap.
+measured numbers are execution, not session bootstrap. Every query
+runs twice and the WARM (second) run is recorded, so per-query numbers
+are comparable across rounds regardless of HEADLINE order or which
+query pays the cold parquet-footer read; cold totals are reported
+separately as "cold_seconds".
 """
 
 from __future__ import annotations
@@ -62,11 +66,17 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()
 
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in names:
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        for run in ("cold", "warm"):
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            elapsed = round(time.time() - t0, 3)
+            if run == "cold":
+                cold[name] = elapsed
+            else:
+                timings[name] = elapsed
 
     total = round(sum(timings.values()), 3)
     print(
@@ -76,6 +86,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "cold_seconds": round(sum(cold.values()), 3),
                 "sf": _sf_from_dir(sf_dir),
             }
         )

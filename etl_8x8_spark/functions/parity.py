@@ -43,14 +43,3 @@ def oracle_davg(expr: str, alias: str) -> str:
         f"CAST(SUM(CAST(({expr}) AS DECIMAL(30,6))) AS DOUBLE)"
         f" / COUNT({expr}) AS {alias}"
     )
-
-
-def ensure_utc(spark) -> None:
-    """Pin the session timezone for timestamp-sensitive builders.
-
-    Spark timestamps are session-TZ-rendered while DuckDB's are
-    UTC-naive; the testdata timestamps are UTC wall-clock. Builders
-    that cast/compare/format timestamps call this so results don't
-    depend on the driver session's inherited zone.
-    """
-    spark.conf.set("spark.sql.session.timeZone", "UTC")

@@ -16,7 +16,6 @@ from pyspark.sql import functions as F
 from etl_8x8_spark.functions.parity import (
     davg,
     dsum,
-    ensure_utc,
     oracle_davg,
     oracle_dsum,
 )
@@ -74,7 +73,6 @@ def q1_pricing_summary(lineitem: DataFrame) -> DataFrame:
 @register("agg_hash_group", oracle=_AGG_HASH_GROUP_ORACLE)
 def agg_hash_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped sum/avg/count — partial+final hash aggregate."""
-    ensure_utc(spark)
     return q1_pricing_summary(load_table(spark, sf_dir, "lineitem"))
 
 

@@ -214,35 +214,57 @@ def join_asof_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SALT_BUCKETS = 8
 
 _SALTED_ORACLE = """
-SELECT e.user_id, e.event_id, c.c_name
-FROM events e JOIN customer c ON e.user_id = c.c_custkey
+SELECT c.user_id,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(CASE WHEN c.ts <= p.ts THEN 1 ELSE 0 END) AS BIGINT) AS n_click_first
+FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+GROUP BY c.user_id
 """
 
 
 @register("join_salted_skew", oracle=_SALTED_ORACLE)
 def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skew-mitigated join: salt the (hot-keyed) fact side, replicate
-    the dim side per salt bucket, join on (key, salt).
+    """Skew-mitigated large-large self-join: clicks ⋈ purchases on the
+    hot ``user_id`` key.
 
-    events.user_id is low-cardinality (hot keys by construction), so a
-    plain shuffle join puts each user's rows in one task; salting
-    spreads every key over ``_SALT_BUCKETS`` tasks. Deterministic salt
-    (event_id % buckets) keeps the result reproducible. Result is
-    identical to the unsalted join — which is exactly what the oracle
-    checks. At 100 TB prefer AQE skew-join first; manual salting is for
-    aggregations-after-join or when one key dominates a partition.
+    Both sides are fact-sized (neither broadcasts at scale) and
+    user_id is low-cardinality, so an unsalted shuffle puts each user's
+    whole pair-explosion in one task. Remedy: salt the bigger side
+    deterministically (clicks, salt = event_id % B) and replicate the
+    smaller side once per salt bucket, then join on (key, salt) — every
+    hot key now spreads over B tasks. Result is identical to the
+    unsalted join, which is exactly what the oracle checks. At 100 TB
+    try AQE skew-join first; manual salting is for when one key
+    dominates even a split partition or the skew survives into a
+    post-join aggregation.
     """
     events = load_table(spark, sf_dir, "events")
-    customer = load_table(spark, sf_dir, "customer")
-    salted_fact = events.withColumn(
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"), F.col("ts").alias("p_ts")
+    )
+    salted_clicks = clicks.withColumn(
         "salt", (F.col("event_id") % _SALT_BUCKETS).cast("int")
     )
-    salted_dim = customer.crossJoin(
+    replicated_purchases = purchases.crossJoin(
         spark.range(_SALT_BUCKETS).select(F.col("id").cast("int").alias("salt"))
     )
-    return salted_fact.join(
-        salted_dim,
-        (salted_fact.user_id == salted_dim.c_custkey)
-        & (salted_fact.salt == salted_dim.salt),
-        "inner",
-    ).select("user_id", "event_id", "c_name")
+    return (
+        salted_clicks.join(
+            replicated_purchases,
+            (salted_clicks.user_id == replicated_purchases.p_user_id)
+            & (salted_clicks.salt == replicated_purchases.salt),
+            "inner",
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.when(F.col("ts") <= F.col("p_ts"), 1).otherwise(0)).alias(
+                "n_click_first"
+            ),
+        )
+    )

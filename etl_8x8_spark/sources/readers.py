@@ -25,6 +25,28 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def pin_session_confs(spark: SparkSession) -> None:
+    """Pin the session confs every engine query depends on.
+
+    This is the ONE sanctioned place the engine mutates the (possibly
+    driver-supplied) session, and the mutation is deliberately
+    persistent rather than save/restored: Spark evaluates these confs
+    lazily (``nanosAsLong`` at parquet schema conversion, the timezone
+    at expression execution), so restoring them before the caller runs
+    its action would silently change semantics mid-plan.
+
+    - ``spark.sql.session.timeZone=UTC``: the testdata timestamps are
+      UTC wall-clock and DuckDB compares naive-UTC; every
+      timestamp-rendering/parsing expression must agree.
+    - ``spark.sql.legacy.parquet.nanosAsLong=true``: ``events.ts`` is
+      physically TIMESTAMP(NANOS), which Spark's reader otherwise
+      rejects; it is read as nanos-since-epoch and floor-converted to
+      micros (the same truncation DuckDB 1.x applies on read).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one engine table.
 
@@ -32,14 +54,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     authoritative and self-describing; forcing TABLE_SCHEMAS here would
     disable vectorized-reader schema evolution. TABLE_SCHEMAS is used
     for the schemaless formats (csv/json) and for validation in tests.
-
-    ``events.ts`` is physically TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects; it is read as nanos-since-epoch (legacy conf) and
-    floor-converted to a micros TimestampType — the same truncation
-    DuckDB applies when casting TIMESTAMP_NS down.
     """
+    pin_session_confs(spark)
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
         return df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))

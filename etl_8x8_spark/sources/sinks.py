@@ -11,6 +11,7 @@ small-files explosion (one file per task per partition value).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def write_parquet_partitioned(
@@ -25,9 +26,21 @@ def write_parquet_partitioned(
     ``repartition(*partition_by)`` co-locates each partition value's
     rows into one task so a 1000-executor write produces
     O(values) files, not O(values × tasks). For very hot partition
-    values raise ``files_per_partition`` to re-split them.
+    values raise ``files_per_partition`` to re-split each value across
+    that many tasks: a deterministic salt column joins the repartition
+    key, so every partition value hashes into up to N distinct tasks
+    (and therefore up to N output files) instead of collapsing the
+    whole write to N total tasks.
     """
-    out = df.repartition(*partition_by)
     if files_per_partition > 1:
-        out = df.repartition(files_per_partition, *partition_by)
+        salt = F.pmod(
+            F.hash(*[F.col(c) for c in df.columns]), F.lit(files_per_partition)
+        )
+        out = (
+            df.withColumn("_salt", salt)
+            .repartition(*partition_by, "_salt")
+            .drop("_salt")
+        )
+    else:
+        out = df.repartition(*partition_by)
     out.write.mode(mode).partitionBy(*partition_by).parquet(path)
