@@ -1,1 +1,464 @@
-"""Placeholder — filled in as the family is implemented."""
+"""Deduplication operators (BASELINE north star; SURVEY.md §2b
+"LLM-data-pipeline extensions").
+
+Five strategies over the ``documents`` table, each a ``queries()``
+entry:
+
+- ``dedup_exact``        — normalize + SHA-256 content hash (oracle)
+- ``dedup_ngram_jaccard`` — exact n-gram Jaccard on blocked candidate
+                            pairs (oracle)
+- ``dedup_minhash_near`` — banded MinHash LSH (rows-only; recall
+                            pytest vs exact Jaccard)
+- ``dedup_simhash``      — 64-bit SimHash with Hamming-band blocking
+                            (rows-only; pytest)
+- ``dedup_embed_cosine`` — embedding-cosine near-dup pairs (oracle)
+
+Scale posture (100 TB): every strategy is hash-partition-friendly —
+exact dedup is one groupBy on the content hash; MinHash/SimHash block
+candidates into O(bands × corpus) bucket joins instead of O(n²)
+all-pairs; the n-gram and cosine variants run on *blocked* candidate
+sets only. Nothing here shuffles raw text more than once.
+
+The corpus is seeded with deterministic near/exact duplicates
+(offset doc_ids) so each strategy has something to find at every scale
+factor; the derivations are inlined in the oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_8x8_spark.functions.vectors import cosine, norm, oracle_dot, oracle_norm
+from etl_8x8_spark.registry import register
+from etl_8x8_spark.sources.readers import load_table
+
+# ---------------------------------------------------------------------------
+# corpus seeding — deterministic duplicate planting
+# ---------------------------------------------------------------------------
+
+_EXACT_OFFSET = 1_000_000  # case/whitespace-variant copies
+_NEAR_OFFSET = 2_000_000  # two-token-appended near copies
+
+# Spark + DuckDB derivations of the same seeded corpus.
+_SEEDED_SQL = f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_EXACT_OFFSET} AS doc_id,
+         upper(text) || '  ' AS text
+  FROM documents WHERE doc_id % 4 = 0
+"""
+
+_NEAR_SQL = f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_NEAR_OFFSET} AS doc_id,
+         text || ' trailing marker' AS text
+  FROM documents WHERE doc_id % 3 = 0
+"""
+
+
+def seeded_exact_corpus(docs: DataFrame) -> DataFrame:
+    """documents ∪ case/whitespace variants of every 4th doc."""
+    variants = docs.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + _EXACT_OFFSET).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit("  ")).alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(variants)
+
+
+def seeded_near_corpus(docs: DataFrame) -> DataFrame:
+    """documents ∪ two-token-appended variants of every 3rd doc."""
+    variants = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + _NEAR_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" trailing marker")).alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(variants)
+
+
+def normalized(text: Column = None):  # type: ignore[assignment]
+    """lower + trim + collapse internal whitespace."""
+    c = F.col("text") if text is None else text
+    return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+
+
+_NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+
+def tokens(col=None):
+    c = normalized(col)
+    return F.split(c, " ")
+
+
+_TOKENS_SQL = f"string_split({_NORM_SQL}, ' ')"
+
+
+def shingles(tok_col: Column, n: int = 3) -> Column:
+    """Word n-gram shingle set (distinct)."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(tok_col) - (n - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(tok_col, i, n)),
+        )
+    )
+
+
+def _shingles_sql(toks: str, n: int = 3) -> str:
+    return (
+        f"list_distinct(list_transform("
+        f"generate_series(1, greatest(len({toks}) - {n - 1}, 1)),"
+        f" i -> array_to_string(({toks})[i:i+{n - 1}], ' ')))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup — normalize + content hash
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+WITH corpus AS ({_SEEDED_SQL}),
+hashed AS (
+  SELECT doc_id, sha256({_NORM_SQL}) AS content_hash FROM corpus
+)
+SELECT content_hash,
+       CAST(COUNT(*) AS BIGINT) AS n_copies,
+       MIN(doc_id) AS keeper_doc_id
+FROM hashed
+GROUP BY content_hash
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact text dedup: normalize -> SHA-256 -> one groupBy on the
+    hash, keeping the lowest doc_id per content group.
+
+    At 100 TB this is the canonical single-shuffle dedup: the map side
+    reduces each document to a 32-byte hash, the shuffle moves
+    O(distinct hashes), and the text itself never moves.
+    """
+    corpus = seeded_exact_corpus(load_table(spark, sf_dir, "documents"))
+    return (
+        corpus.select("doc_id", F.sha2(normalized(), 256).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard dedup — blocked exact similarity (oracle-checkable)
+# ---------------------------------------------------------------------------
+
+_JACCARD_THRESHOLD = 0.7
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH corpus AS ({_NEAR_SQL}),
+sh AS (
+  SELECT doc_id,
+         doc_id % {_NEAR_OFFSET} AS block_key,
+         {_shingles_sql(_TOKENS_SQL)} AS sset
+  FROM corpus
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+             / len(list_distinct(a.sset || b.sset)), 6) AS jaccard
+FROM sh a JOIN sh b
+  ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+      / len(list_distinct(a.sset || b.sset)) >= {_JACCARD_THRESHOLD}
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard over *blocked* candidate pairs.
+
+    Blocking key here is the planted-duplicate family (doc_id modulo
+    the offset) — the stand-in for any domain blocking key (URL host,
+    length bucket, LSH bucket). The point for 100 TB: Jaccard
+    verification only ever runs on candidate pairs produced by a
+    blocking join, never all-pairs.
+    """
+    corpus = seeded_near_corpus(load_table(spark, sf_dir, "documents"))
+    sh = corpus.select(
+        "doc_id",
+        (F.col("doc_id") % _NEAR_OFFSET).alias("block_key"),
+        shingles(tokens()).alias("sset"),
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sset"), F.col("b.sset")))
+    union = F.size(F.array_union(F.col("a.sset"), F.col("b.sset")))
+    jac = inter.cast("double") / union
+    return (
+        a.join(
+            b,
+            (F.col("a.block_key") == F.col("b.block_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(jac >= _JACCARD_THRESHOLD)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash LSH near-dup — the scale path (rows-only + recall pytest)
+# ---------------------------------------------------------------------------
+
+_MINHASH_FUNCS = 32
+_BANDS = 8
+_ROWS_PER_BAND = _MINHASH_FUNCS // _BANDS
+
+
+def minhash_signature(sset: Column) -> Column:
+    """32-function MinHash signature: min over the shingle set of a
+    seeded xxhash64 per function. Pure built-ins, codegen'd."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(sset, lambda s, i=i: F.xxhash64(F.lit(i), s))
+            )
+            for i in range(_MINHASH_FUNCS)
+        ]
+    )
+
+
+def band_hashes(sig: Column) -> Column:
+    """Band the signature: hash each r-row slice."""
+    return F.array(
+        *[
+            F.xxhash64(F.concat_ws(",", F.slice(sig, b * _ROWS_PER_BAND + 1, _ROWS_PER_BAND)))
+            for b in range(_BANDS)
+        ]
+    )
+
+
+@register("dedup_minhash_near", oracle=None)
+def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup via banded MinHash LSH: shingle -> 32-hash signature ->
+    8 bands × 4 rows -> bucket join -> exact-Jaccard verification of
+    candidates only.
+
+    This is the 100 TB path: candidate generation is a groupBy/join on
+    (band, band_hash) — O(bands × corpus) shuffle, never O(n²). The
+    exact-Jaccard check then makes the output deterministic (and
+    precision 1.0), so the LSH parameters only affect recall. No
+    DuckDB oracle (xxhash64 has no DuckDB twin) — driver records
+    rows-only; tests/test_llm_ops.py asserts recall against the exact
+    n-gram Jaccard result.
+    """
+    corpus = seeded_near_corpus(load_table(spark, sf_dir, "documents"))
+    sh = corpus.select("doc_id", shingles(tokens()).alias("sset"))
+    sig = sh.withColumn("bands", band_hashes(minhash_signature(F.col("sset"))))
+    buckets = sig.select(
+        "doc_id",
+        "sset",
+        F.posexplode("bands").alias("band_idx", "band_hash"),
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sset").alias("sa"),
+            F.col("b.sset").alias("sb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size(F.array_union("sa", "sb"))
+    jac = inter.cast("double") / union
+    return (
+        candidates.filter(jac >= _JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup (rows-only + pytest)
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 64
+_HAM_THRESHOLD = 6  # max Hamming distance for a near-dup verdict
+_SIM_BANDS = 4  # block on 16-bit chunks: d<=6 pairs share >=1 of 4 exact
+
+
+def simhash_counters(tok_col: Column) -> Column:
+    """64 SimHash bit counters: per distinct token, xxhash64
+    contributes ±1 per bit position, folded over the token set."""
+    toks = F.array_distinct(tok_col)
+    return F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), _SIMHASH_BITS),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1,
+                        1,
+                    ).otherwise(-1)
+                    for i in range(_SIMHASH_BITS)
+                ]
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+
+
+def simhash_from_counters(counters: Column) -> Column:
+    """Sign of each counter -> fingerprint bit -> one 64-bit long.
+    Bits are disjoint powers of two, so summation == bitwise OR (the
+    top bit is the long's sign bit, hence the two's-complement
+    literal)."""
+    powers = F.array(
+        *[
+            F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long")
+            for i in range(_SIMHASH_BITS)
+        ]
+    )
+    return F.aggregate(
+        F.zip_with(
+            counters,
+            powers,
+            lambda c, p: F.when(c > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+@register("dedup_simhash", oracle=None)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 64-bit fingerprints, blocked by 16-bit chunks
+    (pigeonhole: Hamming distance ≤ 6 over 4 chunks guarantees ≥ 1
+    exact chunk match), verified by exact Hamming distance.
+
+    Same scale shape as MinHash LSH: candidate generation is an
+    equi-join on (chunk_idx, chunk_value); fingerprints are 8 bytes per
+    doc, so the candidate join shuffles fingerprints, not text. No
+    DuckDB oracle (xxhash64) — rows-only + pytest.
+    """
+    corpus = seeded_near_corpus(load_table(spark, sf_dir, "documents"))
+    # features = word-3-gram shingles: unigram features would make all
+    # docs in a small shared vocabulary look alike; shingles carry
+    # sequence information, so unrelated docs land ~32 bits apart
+    fp = corpus.select(
+        "doc_id", simhash_counters(shingles(tokens())).alias("counters")
+    ).select("doc_id", simhash_from_counters(F.col("counters")).alias("fp"))
+    chunk_size = _SIMHASH_BITS // _SIM_BANDS
+    chunks = fp.select(
+        "doc_id",
+        "fp",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("fp"), b * chunk_size).bitwiseAND(
+                        F.lit((1 << chunk_size) - 1)
+                    )
+                    for b in range(_SIM_BANDS)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    ham = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= _HAM_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup (oracle-checkable)
+# ---------------------------------------------------------------------------
+
+_COS_THRESHOLD = 0.9
+
+
+@register(
+    "dedup_embed_cosine",
+    oracle=f"""
+WITH base AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {_NEAR_OFFSET} AS vec_id, embedding
+  FROM embeddings WHERE vec_id % 5 = 0
+),
+normed AS (
+  SELECT vec_id, embedding,
+         vec_id % {_NEAR_OFFSET} AS block_key,
+         {oracle_norm("embedding")} AS nrm
+  FROM base
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({oracle_dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6)
+         AS cos_sim
+FROM normed a JOIN normed b
+  ON a.block_key = b.block_key AND a.vec_id < b.vec_id
+WHERE {oracle_dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
+      >= {_COS_THRESHOLD}
+""",
+)
+def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup over blocked candidate pairs (planted
+    exact-copy vectors; blocking key = the planted family, standing in
+    for an ANN/LSH bucket at scale). Norms computed once per vector,
+    the pair join moves only (id, embedding, norm)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    variants = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + _NEAR_OFFSET).alias("vec_id"), "embedding"
+    )
+    base = emb.select("vec_id", "embedding").unionByName(variants)
+    normed = base.select(
+        "vec_id",
+        "embedding",
+        (F.col("vec_id") % _NEAR_OFFSET).alias("block_key"),
+        norm(F.col("embedding")).alias("nrm"),
+    )
+    a = normed.alias("a")
+    b = normed.alias("b")
+    sim = cosine(
+        F.col("a.embedding"), F.col("b.embedding"), F.col("a.nrm"), F.col("b.nrm")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.block_key") == F.col("b.block_key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(sim >= _COS_THRESHOLD)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(sim, 6).alias("cos_sim"),
+        )
+    )

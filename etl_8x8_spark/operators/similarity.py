@@ -1,1 +1,192 @@
-"""Placeholder — filled in as the family is implemented."""
+"""Similarity search over the ``embeddings`` table (BASELINE north
+star: ANN over an ``array<float>`` column).
+
+Two paths:
+
+- ``sim_search_topk``     — exact brute-force cosine top-k (the oracle
+                            baseline; correctness-checkable in DuckDB)
+- ``sim_search_lsh_topk`` — random-hyperplane LSH-bucketed top-k (the
+                            100 TB path: candidates from bucket joins,
+                            never the full corpus; rows-only + recall
+                            pytest)
+
+Cross-engine float determinism: all dots/norms left-fold (see
+functions/vectors.py), so even the ORDER BY over raw double sims
+agrees bit-for-bit with DuckDB's.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_8x8_spark.functions.vectors import cosine, norm, oracle_dot, oracle_norm
+from etl_8x8_spark.registry import register
+from etl_8x8_spark.sources.readers import load_table
+
+_N_QUERIES = 8  # vec_id < 8 are the query vectors
+_TOP_K = 10
+
+_SIM_ORACLE = f"""
+WITH normed AS (
+  SELECT vec_id, embedding, {oracle_norm("embedding")} AS nrm FROM embeddings
+),
+q AS (SELECT vec_id AS q_id, embedding AS qe, nrm AS qn
+      FROM normed WHERE vec_id < {_N_QUERIES}),
+scored AS (
+  SELECT q.q_id, c.vec_id,
+         {oracle_dot("q.qe", "c.embedding")} / (q.qn * c.nrm) AS sim
+  FROM q JOIN normed c ON c.vec_id <> q.q_id
+),
+ranked AS (
+  SELECT q_id, vec_id, sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC)
+           AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, round(sim, 6) AS sim, rank
+FROM ranked WHERE rank <= {_TOP_K}
+"""
+
+
+@register("sim_search_topk", oracle=_SIM_ORACLE)
+def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k for a small query set.
+
+    Plan shape: the query set broadcasts (a broadcast nested-loop
+    join), so scoring is map-side over the candidate scan — zero
+    shuffle of the corpus; the only shuffle is the per-query top-k
+    (``row_number`` over q_id, cut by WindowGroupLimit pushdown to a
+    per-partition top-k before the exchange). Ties at rank k break on
+    vec_id. This is the correctness baseline; at 100 TB use
+    ``sim_search_lsh_topk``.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    normed = emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
+    q = normed.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    scored = (
+        normed.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            cosine(F.col("qe"), F.col("embedding"), F.col("qn"), F.col("nrm")).alias(
+                "sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("q_id", "vec_id", F.round("sim", 6).alias("sim"), "rank")
+    )
+
+
+# Random-hyperplane LSH: plane components are derived from a
+# deterministic integer scramble so every run (and the recall test)
+# sees the same planes. 6 planes -> 64 buckets; size the plane count
+# with log2(corpus/target_bucket_size) at real scale.
+_N_PLANES = 6
+_LSH_TOP_K = 10
+
+
+def _plane_component(p: int, d: int) -> float:
+    """Deterministic pseudo-random plane component in [-1, 1)."""
+    # splitmix-style integer scramble, kept in Python (plane matrix is
+    # a tiny literal, broadcast as part of the plan)
+    x = (p * 0x9E3779B97F4A7C15 + d * 0xBF58476D1CE4E5B9 + 0x94D049BB133111EB) % (
+        1 << 64
+    )
+    x ^= x >> 31
+    x = (x * 0xD6E8FEB86659FD93) % (1 << 64)
+    x ^= x >> 27
+    return (x % (1 << 53)) / float(1 << 52) - 1.0
+
+
+def lsh_bucket(emb_col: F.Column, dim: int) -> F.Column:
+    """Sign pattern of the vector against _N_PLANES fixed random
+    hyperplanes, packed into one integer bucket id."""
+    bits = []
+    for p in range(_N_PLANES):
+        plane = [_plane_component(p, d) for d in range(dim)]
+        proj = F.aggregate(
+            F.zip_with(
+                emb_col,
+                F.array(*[F.lit(v) for v in plane]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+@register("sim_search_lsh_topk", oracle=None)
+def sim_search_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k: random-hyperplane signatures
+    partition the corpus into 2^P buckets; each query scores ONLY
+    candidates whose bucket is within Hamming distance 1 of its own
+    (multi-probe), then takes a per-query top-k.
+
+    The 100 TB shape: the corpus is scanned once to compute buckets
+    (narrow), candidate generation is an equi-join on bucket id, and
+    scoring touches |corpus| × (P+1)/2^P rows in expectation instead
+    of |corpus| × |queries|; P grows with log2(corpus size) to hold
+    bucket sizes constant. Recall vs the exact ``sim_search_topk`` is
+    asserted in tests/test_llm_ops.py. Rows-only for the driver (the
+    plane derivation has no DuckDB twin).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = 64  # embeddings are 64-d (TESTDATA.md)
+    normed = emb.select(
+        "vec_id",
+        "embedding",
+        norm(F.col("embedding")).alias("nrm"),
+        lsh_bucket(F.col("embedding"), dim).alias("bucket"),
+    )
+    q = normed.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    # multi-probe: the query's own bucket plus all Hamming-1 neighbors
+    probes = q.select(
+        "q_id",
+        "qe",
+        "qn",
+        F.explode(
+            F.array(
+                F.col("q_bucket"),
+                *[
+                    F.col("q_bucket").bitwiseXOR(F.lit(1 << p))
+                    for p in range(_N_PLANES)
+                ],
+            )
+        ).alias("bucket"),
+    )
+    scored = (
+        normed.join(F.broadcast(probes), "bucket")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            cosine(F.col("qe"), F.col("embedding"), F.col("qn"), F.col("nrm")).alias(
+                "sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _LSH_TOP_K)
+        .select("q_id", "vec_id", F.round("sim", 6).alias("sim"), "rank")
+    )

@@ -1,1 +1,229 @@
-"""Placeholder — filled in as the family is implemented."""
+"""Text-analysis operators over the ``documents`` table (BASELINE
+north star: token counting, quality scoring, language-ID, TF-IDF,
+fingerprinting).
+
+All pure built-in expressions over tokenized text — `split`/`explode`/
+`groupBy`/window — so every operator here is codegen'd and shuffles at
+most once on a low-cardinality key (term or lang). Scale notes inline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_8x8_spark.operators.dedup import _NORM_SQL, _TOKENS_SQL, normalized, tokens
+from etl_8x8_spark.registry import register
+from etl_8x8_spark.sources.readers import load_table
+
+# A small function-word list: quality scoring + language ID both key on
+# it. Deliberately tiny and inlined in the oracles.
+_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is"]
+_STOP_SQL = "('" + "', '".join(_STOPWORDS) + "')"
+
+
+@register(
+    "text_analysis_stats",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang, n_chars, {_TOKENS_SQL} AS toks FROM documents
+)
+SELECT doc_id,
+       lang,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq_tokens,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+             / len(toks), 6) AS avg_token_len,
+       round(CAST(len(list_filter(toks, t -> t IN {_STOP_SQL})) AS DOUBLE)
+             / len(toks), 6) AS stopword_ratio,
+       CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.3
+         AND len(toks) >= 10 AS is_quality
+FROM tok
+""",
+)
+def text_analysis_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/char/quality stats: token count, distinct
+    tokens, average token length, stopword ratio, and a boolean
+    quality gate (type-token ratio ≥ 0.3 and ≥ 10 tokens — the shape
+    of a Gopher/C4-style quality rule).
+
+    Scale: narrow-only (no shuffle at all) — every stat is a
+    higher-order function over the per-row token array.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens()
+    df = docs.select("doc_id", "lang", "n_chars", toks.alias("toks"))
+    n = F.size("toks")
+    n_uniq = F.size(F.array_distinct("toks"))
+    tok_len_sum = F.aggregate(
+        F.col("toks"), F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    n_stop = F.size(
+        F.filter("toks", lambda t: t.isin(_STOPWORDS))
+    )
+    return df.select(
+        "doc_id",
+        "lang",
+        n.cast("long").alias("n_tokens"),
+        n_uniq.cast("long").alias("n_uniq_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.round(tok_len_sum.cast("double") / n, 6).alias("avg_token_len"),
+        F.round(n_stop.cast("double") / n, 6).alias("stopword_ratio"),
+        ((n_uniq.cast("double") / n >= 0.3) & (n >= 10)).alias("is_quality"),
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang, {_TOKENS_SQL} AS toks FROM documents
+),
+scored AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(toks, t -> t IN {_STOP_SQL})) AS DOUBLE)
+           / len(toks) AS en_score,
+         CAST(len(list_filter(toks, t -> regexp_matches(t, '^[a-z]+$')))
+              AS DOUBLE) / len(toks) AS latin_ratio
+  FROM tok
+)
+SELECT doc_id, lang,
+       round(en_score, 6) AS en_score,
+       round(latin_ratio, 6) AS latin_ratio,
+       CASE WHEN en_score >= 0.05 THEN 'en'
+            WHEN latin_ratio >= 0.9 THEN 'latin-other'
+            ELSE 'unknown' END AS pred_lang
+FROM scored
+""",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: function-word hit rate (English marker)
+    + Latin-alphabet ratio, thresholded into a 3-way verdict — the
+    n-gram-heuristic shape of a fastText-less lang-ID pass. Narrow-only
+    at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    df = docs.select("doc_id", "lang", tokens().alias("toks"))
+    n = F.size("toks")
+    en_score = (
+        F.size(F.filter("toks", lambda t: t.isin(_STOPWORDS))).cast("double") / n
+    )
+    latin = (
+        F.size(F.filter("toks", lambda t: t.rlike(r"^[a-z]+$"))).cast("double") / n
+    )
+    return df.select(
+        "doc_id",
+        "lang",
+        F.round(en_score, 6).alias("en_score"),
+        F.round(latin, 6).alias("latin_ratio"),
+        F.when(en_score >= 0.05, "en")
+        .when(latin >= 0.9, "latin-other")
+        .otherwise("unknown")
+        .alias("pred_lang"),
+    )
+
+
+_TFIDF_TOP_K = 50
+
+
+@register(
+    "text_tfidf_terms",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents
+),
+stats AS (
+  SELECT term,
+         CAST(COUNT(*) AS BIGINT) AS tf_total,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+  FROM tok GROUP BY term
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+ranked AS (
+  SELECT term, tf_total, doc_freq,
+         round(ln((n.n_docs + 1.0) / (doc_freq + 1.0)), 6) AS idf,
+         row_number() OVER (ORDER BY tf_total DESC, term ASC) AS rank
+  FROM stats, n
+)
+SELECT term, tf_total, doc_freq, idf, rank
+FROM ranked WHERE rank <= {_TFIDF_TOP_K}
+""",
+)
+def text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level term statistics: total term frequency, document
+    frequency, smoothed IDF, top-K terms.
+
+    Ranking key is (tf_total DESC, term ASC) — integer + string, so the
+    cross-engine ordering is exact; the double-valued IDF is displayed
+    (rounded) but never used as a sort key. Scale: explode + one
+    groupBy on term (partial aggregation collapses per-partition
+    duplicates before the shuffle), then a single top-K — the global
+    window is on the already-aggregated term table, not the token
+    stream.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens()).alias("term"))
+    stats = tok.groupBy("term").agg(
+        F.count("*").alias("tf_total"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+    )
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+    w = Window.orderBy(F.col("tf_total").desc(), F.col("term").asc())
+    return (
+        stats.crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            "tf_total",
+            "doc_freq",
+            F.round(
+                F.log((F.col("n_docs") + 1.0) / (F.col("doc_freq") + 1.0)), 6
+            ).alias("idf"),
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= _TFIDF_TOP_K)
+    )
+
+
+# Polynomial rolling-hash parameters — small modulus keeps the
+# arithmetic exact in both engines' 64-bit integers.
+_FP_MOD = 1_000_000_007
+_FP_MUL = 31
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+                      list_transform(toks, t -> CAST(ascii(t) * 131 + length(t) AS BIGINT))),
+         (acc, v) -> (acc * {_FP_MUL} + v) % {_FP_MOD}
+       ) AS fingerprint
+FROM tok
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive document fingerprint: a polynomial rolling hash
+    folded left over the token stream (mod a 31-bit prime so the
+    arithmetic never overflows and both engines agree exactly).
+    Reordering two tokens changes the fingerprint — unlike a content
+    set hash. Narrow-only at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    df = docs.select("doc_id", tokens().alias("toks"))
+    fp = F.aggregate(
+        F.transform(
+            F.col("toks"),
+            lambda t: (F.ascii(t) * 131 + F.length(t)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: (acc * _FP_MUL + v) % _FP_MOD,
+    )
+    return df.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        fp.alias("fingerprint"),
+    )
