@@ -38,6 +38,13 @@ HEADLINE = [
     "sim_search_topk",
     "text_analysis_stats",
     "text_tfidf_terms",
+    # appended r2 (order frozen; append-only so per-query deltas stay
+    # comparable across rounds)
+    "jwt_verify",
+    "error_route",
+    "fn_array",
+    "scan_parquet",
+    "sink_parquet_partitioned",
 ]
 
 

@@ -1,1 +1,300 @@
-"""Placeholder — filled in as the family is implemented."""
+"""Scalar function families (SURVEY.md §2b "Scalar function
+families"): one registered query per family, each exercising the
+family's core functions over a testdata table.
+
+All narrow-only projections — no shuffle at any scale; every
+expression is a Spark built-in inside whole-stage codegen. Oracles
+compute the same VALUES (not necessarily via the same functions —
+dialects differ; the contract is input/output equality).
+
+Origins (SURVEY.md §2a): string ops generalize R2/R6/R8 (concat /
+regex / split in ``src/handlers.py``), map ops R4's header merge
+(``api_gateway.py:86-92``), JSON ops R3/R4, conditionals R2/R5/R9.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_8x8_spark.registry import register
+from etl_8x8_spark.sources.readers import load_table
+
+
+@register(
+    "fn_string",
+    oracle="""
+SELECT p_partkey,
+       lower(p_name) AS name_lower,
+       upper(p_brand) AS brand_upper,
+       substr(p_name, 1, 8) AS name_prefix,
+       CAST(length(p_name) AS INT) AS name_len,
+       p_brand || '#' || p_type AS brand_type,
+       regexp_extract(p_type, '^(\\w+)', 1) AS type_head,
+       split_part(p_name, ' ', 1) AS first_word,
+       lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+       replace(p_type, ' ', '_') AS type_snake,
+       trim('  ' || p_brand || '  ') AS brand_trimmed
+FROM part
+""",
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: case, substring, length, concat, regex extract,
+    split, pad, replace, trim (R2/R6/R8 generalized)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("#", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_extract("p_type", r"^(\w+)", 1).alias("type_head"),
+        F.element_at(F.split("p_name", " "), 1).alias("first_word"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit("  "))).alias(
+            "brand_trimmed"
+        ),
+    )
+
+
+@register(
+    "fn_date",
+    oracle="""
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(month(o_orderdate) AS INT) AS o_month,
+       CAST(day(o_orderdate) AS INT) AS o_day,
+       date_trunc('month', o_orderdate) AS month_start,
+       CAST(date_diff('day', TIMESTAMP '1992-01-01 00:00:00', o_orderdate)
+            AS INT) AS days_since_epoch_start,
+       CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+       strftime(o_orderdate, '%Y-%m') AS year_month,
+       o_orderdate + INTERVAL 7 DAY AS plus_week
+FROM orders
+""",
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family: component extraction, truncation, diffing,
+    epoch conversion, formatting, interval arithmetic. Deterministic
+    across engines because the session TZ is pinned UTC
+    (sources/readers.pin_session_confs)."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.year(d).alias("o_year"),
+        F.month(d).alias("o_month"),
+        F.dayofmonth(d).alias("o_day"),
+        F.date_trunc("month", d).alias("month_start"),
+        F.datediff(d, F.lit("1992-01-01").cast("timestamp")).alias(
+            "days_since_epoch_start"
+        ),
+        F.unix_timestamp(d).alias("epoch_s"),
+        F.date_format(d, "yyyy-MM").alias("year_month"),
+        (d + F.expr("INTERVAL 7 DAY")).alias("plus_week"),
+    )
+
+
+@register(
+    "fn_math",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       abs(l_extendedprice - 1000.0) AS abs_delta,
+       CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+       CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+       round(sqrt(l_quantity), 6) AS qty_sqrt,
+       round(power(1.0 - l_discount, 2), 6) AS disc_sq,
+       CAST(l_linenumber % 3 AS INT) AS line_mod,
+       round(ln(l_extendedprice + 1.0), 6) AS log_price,
+       greatest(l_quantity, 25.0) AS qty_hi,
+       least(l_quantity, 25.0) AS qty_lo,
+       CAST(sign(l_extendedprice - 30000.0) AS DOUBLE) AS price_sign
+FROM lineitem
+""",
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family: abs/ceil/floor/sqrt/power/mod/ln/greatest/least/
+    sign over the lineitem measures."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_extendedprice") - 1000.0).alias("abs_delta"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        F.round(F.pow(1.0 - F.col("l_discount"), 2), 6).alias("disc_sq"),
+        (F.col("l_linenumber") % 3).alias("line_mod"),
+        F.round(F.log(F.col("l_extendedprice") + 1.0), 6).alias("log_price"),
+        F.greatest("l_quantity", F.lit(25.0)).alias("qty_hi"),
+        F.least("l_quantity", F.lit(25.0)).alias("qty_lo"),
+        F.signum(F.col("l_extendedprice") - 30000.0).alias("price_sign"),
+    )
+
+
+@register(
+    "fn_array",
+    oracle="""
+SELECT vec_id,
+       CAST(len(embedding) AS INT) AS dim,
+       list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 4))
+         AS head3,
+       round(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                         (a, b) -> a + b), 6) AS vec_sum,
+       round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 6) AS vec_max,
+       round(CAST(list_aggregate(embedding, 'min') AS DOUBLE), 6) AS vec_min,
+       round(CAST(list_sort(embedding)[1] AS DOUBLE), 6) AS sorted_first,
+       round(list_reduce(list_transform(generate_series(1, len(embedding)),
+               i -> CAST(embedding[i] AS DOUBLE)
+                    * CAST(embedding[len(embedding) + 1 - i] AS DOUBLE)),
+             (a, b) -> a + b), 6) AS dot_reversed
+FROM embeddings
+""",
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family: size/slice/transform/aggregate/sort/zip_with over
+    the embedding vectors (the SURVEY's dot-product family). Left-fold
+    sums keep doubles bit-identical across engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    dbl = F.transform(e, lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size(e).alias("dim"),
+        F.transform(F.slice(e, 1, 3), lambda x: F.round(x.cast("double"), 4)).alias(
+            "head3"
+        ),
+        F.round(
+            F.aggregate(dbl, F.lit(0.0), lambda a, b: a + b), 6
+        ).alias("vec_sum"),
+        F.round(F.array_max(e).cast("double"), 6).alias("vec_max"),
+        F.round(F.array_min(e).cast("double"), 6).alias("vec_min"),
+        F.round(F.element_at(F.array_sort(e), 1).cast("double"), 6).alias(
+            "sorted_first"
+        ),
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    e,
+                    F.reverse(e),
+                    lambda x, y: x.cast("double") * y.cast("double"),
+                ),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            ),
+            6,
+        ).alias("dot_reversed"),
+    )
+
+
+@register(
+    "fn_map",
+    # The oracle computes the same VALUES directly — DuckDB's MAP
+    # surface differs (map_extract returns a list), and the contract
+    # is output equality, not call-for-call mirroring.
+    oracle="""
+SELECT n_nationkey,
+       n_name AS looked_up,
+       'default' AS missing_with_default,
+       3 AS n_entries,
+       'key,name,region' AS keys_sorted,
+       CAST(n_regionkey AS VARCHAR) AS merged_region
+FROM nation
+""",
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map family (R4's header-map merge, ``api_gateway.py:86-92``):
+    construction, lookup, default on miss, merge where the right side
+    wins, key enumeration."""
+    nation = load_table(spark, sf_dir, "nation")
+    base = F.create_map(
+        F.lit("name"), F.col("n_name"),
+        F.lit("key"), F.col("n_nationkey").cast("string"),
+        F.lit("region"), F.lit("placeholder"),
+    )
+    extra = F.create_map(F.lit("region"), F.col("n_regionkey").cast("string"))
+    # merge with extras winning: drop overlapping keys, then concat
+    merged = F.map_concat(
+        F.map_filter(base, lambda k, _: ~F.map_contains_key(extra, k)), extra
+    )
+    return nation.select(
+        "n_nationkey",
+        F.element_at(base, "name").alias("looked_up"),
+        F.coalesce(F.element_at(base, "absent"), F.lit("default")).alias(
+            "missing_with_default"
+        ),
+        F.size(merged).alias("n_entries"),
+        F.concat_ws(",", F.array_sort(F.map_keys(merged))).alias("keys_sorted"),
+        F.element_at(merged, "region").alias("merged_region"),
+    )
+
+
+@register(
+    "fn_json",
+    oracle="""
+SELECT event_id,
+       json_extract_string(props, '$.k') AS k_str,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+       CAST(to_json(struct_pack(
+         k := CAST(json_extract_string(props, '$.k') AS INT),
+         source := 'events'
+       )) AS VARCHAR) AS reserialized,
+       json_valid(props) AS is_valid
+FROM events
+""",
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family (R3/R4): path extraction, typed parse via
+    ``from_json``, re-serialization via ``to_json``."""
+    events = load_table(spark, sf_dir, "events")
+    k_int = F.from_json("props", "k INT")["k"]
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        k_int.alias("k_int"),
+        F.to_json(
+            F.struct(k_int.alias("k"), F.lit("events").alias("source"))
+        ).alias("reserialized"),
+        F.from_json("props", "k INT").isNotNull().alias("is_valid"),
+    )
+
+
+@register(
+    "fn_conditional",
+    oracle="""
+SELECT c_custkey,
+       CASE WHEN c_acctbal < 0 THEN 'debt'
+            WHEN c_acctbal < 1000 THEN 'low'
+            ELSE 'high' END AS bal_class,
+       COALESCE(NULLIF(c_mktsegment, 'BUILDING'), '(suppressed)')
+         AS segment_masked,
+       greatest(c_acctbal, 0.0) AS bal_floor0,
+       least(c_acctbal, 5000.0) AS bal_cap,
+       CASE WHEN c_nationkey % 2 = 0 THEN c_name END AS name_if_even,
+       COALESCE(CASE WHEN c_nationkey % 2 = 0 THEN c_name END, '(odd)')
+         AS name_or_marker
+FROM customer
+""",
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional family (R2/R5/R9): when-chains, nullif/coalesce
+    masking, clamping, null-propagating branches."""
+    c = load_table(spark, sf_dir, "customer")
+    name_if_even = F.when(F.col("c_nationkey") % 2 == 0, F.col("c_name"))
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 1000, "low")
+        .otherwise("high")
+        .alias("bal_class"),
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")),
+            F.lit("(suppressed)"),
+        ).alias("segment_masked"),
+        F.greatest("c_acctbal", F.lit(0.0)).alias("bal_floor0"),
+        F.least("c_acctbal", F.lit(5000.0)).alias("bal_cap"),
+        name_if_even.alias("name_if_even"),
+        F.coalesce(name_if_even, F.lit("(odd)")).alias("name_or_marker"),
+    )

@@ -1,1 +1,176 @@
-"""Placeholder — filled in as the family is implemented."""
+"""Registered scan/sink queries (SURVEY.md §2b "Scans / sources /
+sinks") — the connectors exercised end-to-end and oracle-verified.
+
+The schemaless-format scans materialize their input deterministically
+from the events/customer parquet (same derivation inlined in the
+oracle), write it to the scratch area, and read it back through the
+engine's readers — so corrupt-record routing (the reference's 415
+path, ``api_gateway.py:126-137``/R14) is tested on real files, and the
+partitioned sink is verified by read-back.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_8x8_spark.functions.parity import dsum, oracle_dsum
+from etl_8x8_spark.registry import register
+from etl_8x8_spark.sources.readers import (
+    load_table,
+    read_json_lines,
+    scratch_dir,
+)
+from etl_8x8_spark.sources.sinks import write_parquet_partitioned
+
+
+def _sf_tag(sf_dir: str) -> str:
+    return os.path.basename(sf_dir.rstrip("/")) or "sf"
+
+
+@register(
+    "scan_parquet",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+WHERE l_quantity >= 45.0 AND l_returnflag = 'R'
+""",
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar scan with projection + predicate pushdown: the filter
+    and the 3-column projection both reach the parquet reader
+    (``.explain`` shows PushedFilters + a 4-column ReadSchema), so at
+    100 TB the scan reads row groups that can match and nothing else.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_quantity") >= 45.0) & (F.col("l_returnflag") == "R"))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+_JSON_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+    ]
+)
+
+
+@register(
+    "scan_json_lines",
+    oracle="""
+SELECT CASE WHEN event_id % 50 = 0 THEN NULL ELSE event_id END AS event_id,
+       CASE WHEN event_id % 50 = 0 THEN NULL ELSE user_id END AS user_id,
+       CASE WHEN event_id % 50 = 0 THEN NULL ELSE event_type END AS event_type,
+       event_id % 50 = 0 AS is_corrupt
+FROM events
+""",
+)
+def scan_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read JSON-lines ingest with corrupt-record routing
+    (R3): every 50th line is truncated mid-object; PERMISSIVE mode
+    lands it in ``_corrupt_record`` instead of failing the scan — the
+    engine's 415 path. The JSONL file is derived deterministically
+    from events and written to scratch, so the oracle can predict
+    every row from the events table."""
+    events = load_table(spark, sf_dir, "events")
+    line = F.to_json(F.struct("event_id", "user_id", "event_type"))
+    lines = events.select(
+        F.when(F.col("event_id") % 50 == 0, F.substring(line, 1, 10))
+        .otherwise(line)
+        .alias("value")
+    )
+    path = os.path.join(scratch_dir(), f"json_lines_{_sf_tag(sf_dir)}")
+    lines.coalesce(1).write.mode("overwrite").text(path)
+    parsed = read_json_lines(spark, path, _JSON_SCHEMA)
+    return parsed.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("_corrupt_record").isNotNull().alias("is_corrupt"),
+    )
+
+
+_CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("c_custkey", T.LongType()),
+        T.StructField("c_name", T.StringType()),
+        T.StructField("c_acctbal", T.DoubleType()),
+    ]
+)
+
+
+@register(
+    "scan_csv",
+    oracle="""
+SELECT c_custkey,
+       c_name,
+       CASE WHEN c_custkey % 37 = 0 THEN NULL ELSE c_acctbal END AS c_acctbal,
+       c_custkey % 37 = 0 AS is_corrupt
+FROM customer
+""",
+)
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delimited ingest with an explicit schema (inference off — an
+    extra full pass at 100 TB) and corrupt-field routing: every 37th
+    row carries an unparseable numeric; PERMISSIVE keeps the row,
+    nulls the bad field, and flags it via ``_corrupt_record``."""
+    customer = load_table(spark, sf_dir, "customer")
+    bal = F.when(F.col("c_custkey") % 37 == 0, F.lit("not-a-number")).otherwise(
+        F.col("c_acctbal").cast("string")
+    )
+    lines = customer.select(
+        F.concat_ws(
+            ",", F.col("c_custkey").cast("string"), F.col("c_name"), bal
+        ).alias("value")
+    )
+    path = os.path.join(scratch_dir(), f"csv_{_sf_tag(sf_dir)}")
+    lines.coalesce(1).write.mode("overwrite").text(path)
+    full_schema = _CSV_SCHEMA.add("_corrupt_record", T.StringType())
+    parsed = (
+        spark.read.schema(full_schema)
+        .option("header", "false")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    return parsed.select(
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+        F.col("_corrupt_record").isNotNull().alias("is_corrupt"),
+    )
+
+
+@register(
+    "sink_parquet_partitioned",
+    oracle=f"""
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       {oracle_dsum("o_totalprice", "sum_price")}
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned columnar write verified by read-back: orders
+    partitioned by o_orderstatus with files_per_partition=2 (the
+    hot-partition salt split), re-read and aggregated — so the oracle
+    checks nothing was lost, duplicated, or mis-partitioned. At 100 TB
+    the same writer gives partition pruning to every downstream reader.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    path = os.path.join(scratch_dir(), f"orders_by_status_{_sf_tag(sf_dir)}")
+    write_parquet_partitioned(
+        orders, path, ["o_orderstatus"], files_per_partition=2
+    )
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice", "sum_price"),
+    )

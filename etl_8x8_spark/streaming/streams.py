@@ -1,1 +1,290 @@
-"""Placeholder — filled in as the family is implemented."""
+"""Structured Streaming operators (SURVEY.md §2b "Streaming",
+generalizing R15's TTL result cache + the ``events`` table).
+
+Each key consumes ``events`` as a file stream (micros-converted
+scratch copy — the nanos parquet can't be streamed directly), runs a
+streaming transformation to completion with an ``availableNow``
+trigger, and returns the materialized result — so the same DataFrame
+code is exercised through the streaming engine and remains
+batch-checkable: four keys have exact DuckDB oracles; the
+watermark/late-data key is rows-only by nature (state semantics have
+no batch twin) and is pinned down in tests/test_streaming.py instead.
+
+Scale notes: tumbling/sliding/session aggregations carry watermarks in
+production so state is bounded; ``complete`` output mode here is the
+test-harness choice for small result tables (it re-emits the whole
+result per trigger — fine for a grouped result that fits in memory,
+wrong for unbounded keys, where append + watermark is the 100 TB
+path). ``stream_dedup_state`` notes ``dropDuplicatesWithinWatermark``
+as the bounded-state variant of R15's 3600 s TTL cache.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_8x8_spark.functions.parity import dsum, oracle_dsum
+from etl_8x8_spark.registry import register
+from etl_8x8_spark.sources.readers import load_table, scratch_dir, table_path
+
+_EVENTS_STREAM_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string,"
+    " value double, props string"
+)
+
+_counter = itertools.count()
+
+
+def _sf_tag(sf_dir: str) -> str:
+    return os.path.basename(sf_dir.rstrip("/")) or "sf"
+
+
+def events_stream_dir(spark: SparkSession, sf_dir: str, copies: int = 1) -> str:
+    """Materialize (once per sf) a micros-timestamp parquet copy of
+    ``events`` that the file-stream source can read; ``copies=2``
+    writes the data twice for the dedup key."""
+    path = os.path.join(
+        scratch_dir(), f"events_stream_{_sf_tag(sf_dir)}_x{copies}"
+    )
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        events = load_table(spark, sf_dir, "events")
+        events.write.mode("overwrite").parquet(path)
+        for i in range(1, copies):
+            events.write.mode("append").parquet(path)
+    return path
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, copies: int = 1
+) -> DataFrame:
+    path = events_stream_dir(spark, sf_dir, copies)
+    return spark.readStream.schema(_EVENTS_STREAM_SCHEMA).parquet(path)
+
+
+def run_to_table(sdf: DataFrame, mode: str, prefix: str) -> DataFrame:
+    """Drive a streaming DataFrame to completion (availableNow) into a
+    memory sink and return the materialized table."""
+    name = f"{prefix}_{next(_counter)}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)
+
+
+@register(
+    "stream_events",
+    oracle="""
+SELECT event_id, user_id, round(value * 2.0, 6) AS doubled
+FROM events WHERE event_type = 'purchase'
+""",
+)
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table consumed as a stream: stateless filter +
+    projection — identical DataFrame code to the batch path, just a
+    ``readStream`` source (SURVEY §1.3: the event path maps to
+    Structured Streaming with the same operators)."""
+    s = read_events_stream(spark, sf_dir)
+    out = s.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.round(F.col("value") * 2.0, 6).alias("doubled")
+    )
+    return run_to_table(out, "append", "stream_events")
+
+
+@register(
+    "stream_tumbling_agg",
+    oracle=f"""
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {oracle_dsum("value", "sum_value")}
+FROM events
+GROUP BY 1, 2
+""",
+)
+def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed aggregate over the stream; epoch-
+    aligned windows make the batch (DuckDB ``date_trunc``) result the
+    exact oracle."""
+    s = read_events_stream(spark, sf_dir)
+    agg = (
+        s.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_to_table(agg, "complete", "stream_tumbling")
+
+
+@register(
+    "stream_sliding_agg",
+    oracle="""
+WITH starts AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) AS window_start
+  FROM events
+  UNION ALL
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 1800) * 1800 - 1800 AS BIGINT) AS window_start
+  FROM events
+)
+SELECT window_start, event_type, COUNT(*) AS n_events
+FROM starts GROUP BY 1, 2
+""",
+)
+def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 hour, 30-minute slide): every event lands in
+    exactly two windows; the oracle enumerates both window starts per
+    event and aggregates."""
+    s = read_events_stream(spark, sf_dir)
+    agg = (
+        s.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    return run_to_table(agg, "complete", "stream_sliding")
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM seq
+)
+SELECT user_id,
+       CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start,
+       COUNT(*) AS n_events
+FROM sess GROUP BY user_id, session_id
+""",
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (30-minute inactivity gap) per user:
+    ``F.session_window`` merges events whose gap is < 30 min; the
+    oracle sessionizes with the classic lag + running-sum idiom —
+    cross-checking Spark's native session operator against first
+    principles."""
+    s = read_events_stream(spark, sf_dir)
+    agg = (
+        s.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("session_window.start")).alias(
+                "session_start"
+            ),
+            "user_id",
+            "n_events",
+        )
+        .select("user_id", "session_start", "n_events")
+    )
+    return run_to_table(agg, "complete", "stream_session")
+
+
+@register("stream_dedup_state", oracle="""
+SELECT event_id, event_type, user_id FROM events
+""")
+def stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup: the input directory holds every event
+    TWICE; ``dropDuplicates`` on event_id keeps exactly one — R15's
+    idempotency cache as a streaming operator. The oracle is simply
+    the distinct event set.
+
+    State note for 100 TB: unbounded ``dropDuplicates`` state grows
+    with distinct keys; production uses
+    ``dropDuplicatesWithinWatermark`` (the direct analog of the
+    reference's 3600 s TTL, ``serverless.core.yml:40``) so state ages
+    out.
+    """
+    s = read_events_stream(spark, sf_dir, copies=2)
+    out = s.select("event_id", "event_type", "user_id").dropDuplicates(
+        ["event_id"]
+    )
+    return run_to_table(out, "append", "stream_dedup")
+
+
+@register("stream_watermark_late_data", oracle=None)
+def stream_watermark_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling aggregate demonstrating late-data drop:
+    phase 1 streams the first half of events (advancing the watermark
+    to max(ts) − 10 min via the checkpoint); phase 2 streams the rest
+    PLUS stale copies of the earliest events — those fall below the
+    checkpointed watermark and are dropped before aggregation. Output:
+    the windows finalized by the phase-2 watermark.
+
+    Rows-only for the driver (watermark semantics have no batch twin);
+    tests/test_streaming.py asserts the late rows are actually absent
+    from their windows.
+    """
+    events = load_table(spark, sf_dir, "events")
+    base = os.path.join(scratch_dir(), f"late_demo_{_sf_tag(sf_dir)}")
+    in_dir = os.path.join(base, "in")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    for d in (out_dir, ckpt, in_dir):
+        if os.path.exists(d):
+            import shutil
+
+            shutil.rmtree(d)
+
+    median = events.approxQuantile("event_id", [0.5], 0.0)[0]
+    first = events.filter(F.col("event_id") <= median)
+    rest = events.filter(F.col("event_id") > median)
+    # stale copies of the earliest 20 events, re-tagged
+    late = (
+        events.orderBy("ts").limit(20).withColumn(
+            "event_id", F.col("event_id") + F.lit(10_000_000)
+        )
+    )
+
+    def run_phase(df: DataFrame) -> None:
+        df.write.mode("append").parquet(in_dir)
+        s = spark.readStream.schema(_EVENTS_STREAM_SCHEMA).parquet(in_dir)
+        agg = (
+            s.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                F.unix_timestamp(F.col("window.start")).alias("window_start"),
+                "event_type",
+                "n_events",
+            )
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_phase(first)
+    run_phase(rest.unionByName(late))
+    return spark.read.parquet(out_dir)

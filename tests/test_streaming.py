@@ -1,0 +1,92 @@
+"""Streaming semantics tests: late-data drop under watermark (the one
+behavior with no batch oracle) and the partitioned-sink hot-split."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from etl_8x8_spark.registry import all_queries
+from etl_8x8_spark.sources.readers import load_table, scratch_dir
+from etl_8x8_spark.sources.sinks import write_parquet_partitioned
+
+
+class TestWatermarkLateData:
+    def test_late_rows_dropped_from_finalized_windows(self, spark, sf_dir):
+        out = (
+            all_queries()["stream_watermark_late_data"]
+            .builder(spark, sf_dir)
+            .collect()
+        )
+        assert out, "some windows must be finalized by the phase-2 watermark"
+        emitted = {(r.window_start, r.event_type): r.n_events for r in out}
+
+        # batch equivalent over the ORIGINAL events only (no late
+        # copies), restricted to the emitted windows
+        events = load_table(spark, sf_dir, "events")
+        batch = (
+            events.groupBy(
+                F.unix_timestamp(F.date_trunc("hour", "ts")).alias("ws"),
+                "event_type",
+            )
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        batch_counts = {(r.ws, r.event_type): r.n for r in batch}
+
+        # earliest-window sanity: the late copies duplicated the 20
+        # earliest events; if they had NOT been dropped, the earliest
+        # emitted windows would exceed their batch counts
+        for key, n in emitted.items():
+            assert key in batch_counts
+            assert n == batch_counts[key], (
+                f"window {key}: emitted {n} != batch {batch_counts[key]} — "
+                "late duplicates leaked into a finalized window"
+            )
+
+        earliest_ws = min(ws for ws, _ in emitted)
+        assert any(ws == earliest_ws for ws, _ in batch_counts), (
+            "the late-copy windows are among the finalized ones"
+        )
+
+
+class TestPartitionedSinkSplit:
+    def test_hot_partition_splits_into_multiple_files(self, spark, sf_dir):
+        orders = load_table(spark, sf_dir, "orders")
+        path = os.path.join(scratch_dir(), "test_sink_split")
+        # At test volume AQE's partition coalescing (correctly) merges
+        # the salted shuffle back into one task; disable it so the
+        # salt's task-splitting is observable like it would be at
+        # production partition sizes.
+        prev = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        try:
+            write_parquet_partitioned(
+                orders, path, ["o_orderstatus"], files_per_partition=4
+            )
+        finally:
+            spark.conf.set(
+                "spark.sql.adaptive.coalescePartitions.enabled", prev
+            )
+        part_dirs = glob.glob(os.path.join(path, "o_orderstatus=*"))
+        assert part_dirs, "partition directories must exist"
+        for d in part_dirs:
+            files = glob.glob(os.path.join(d, "*.parquet"))
+            # hash-salt splits each hot partition value across multiple
+            # tasks (up to 4); every status has thousands of rows, so
+            # expect more than one file per value
+            assert 2 <= len(files) <= 4, f"{d}: {len(files)} files"
+
+        # read-back equality: nothing lost or duplicated
+        back = spark.read.parquet(path)
+        assert back.count() == orders.count()
+
+    def test_single_file_per_partition_default(self, spark, sf_dir):
+        orders = load_table(spark, sf_dir, "orders")
+        path = os.path.join(scratch_dir(), "test_sink_nosplit")
+        write_parquet_partitioned(orders, path, ["o_orderstatus"])
+        for d in glob.glob(os.path.join(path, "o_orderstatus=*")):
+            files = glob.glob(os.path.join(d, "*.parquet"))
+            assert len(files) == 1, f"{d}: {len(files)} files"
