@@ -219,24 +219,66 @@ _BANDS = 8
 _ROWS_PER_BAND = _MINHASH_FUNCS // _BANDS
 
 
-def minhash_signature(sset: Column) -> Column:
-    """32-function MinHash signature: min over the shingle set of a
-    seeded xxhash64 per function. Pure built-ins, codegen'd."""
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(sset, lambda s, i=i: F.xxhash64(F.lit(i), s))
-            )
-            for i in range(_MINHASH_FUNCS)
-        ]
+# Universal hashing: h_i(s) = (a + i·b) mod P where a, b are two
+# independent xxhash64s of the shingle (masked so the arithmetic never
+# nears Long overflow — ANSI mode would throw). The mod-P wraparound is
+# essential: without it the shingle with the smallest (a, b) wins the
+# min for EVERY i, signatures collapse to near-identical vectors, and
+# the band buckets go quadratic. The string is hashed only twice per
+# shingle instead of once per function — ~16× cheaper.
+_MASK_A = (1 << 53) - 1
+_MASK_B = (1 << 32) - 1
+_MERSENNE_P = (1 << 31) - 1
+
+
+def minhash_base_hashes(sset: Column) -> Column:
+    """Per-shingle (a, b) base hash pairs — compute once, materialize
+    as a column, then feed to :func:`minhash_signature` (passing the
+    expression directly would re-hash the shingles once per function).
+    """
+    return F.transform(
+        sset,
+        lambda s: F.struct(
+            F.xxhash64(s).bitwiseAND(F.lit(_MASK_A)).alias("a"),
+            F.xxhash64(s, F.lit(1)).bitwiseAND(F.lit(_MASK_B)).alias("b"),
+        ),
+    )
+
+
+def minhash_signature(ab: Column) -> Column:
+    """32-function MinHash signature as a SINGLE left fold over the
+    base-hash pairs: acc_i = min(acc_i, (a + i·b) mod P).
+
+    Written as one ``aggregate`` (not 32 ``array_min`` passes) so the
+    ``ab`` expression is referenced exactly once — Catalyst's
+    CollapseProject duplicates multiply-referenced projection
+    expressions, which would otherwise re-hash every shingle once per
+    function."""
+    init = F.array_repeat(F.lit(1 << 62).cast("long"), _MINHASH_FUNCS)
+    idx = F.sequence(F.lit(0), F.lit(_MINHASH_FUNCS - 1))
+    return F.aggregate(
+        ab,
+        init,
+        lambda acc, p: F.zip_with(
+            acc,
+            idx,
+            lambda m, i: F.least(m, (p["a"] + i * p["b"]) % _MERSENNE_P),
+        ),
     )
 
 
 def band_hashes(sig: Column) -> Column:
-    """Band the signature: hash each r-row slice."""
+    """Band the signature: one xxhash64 over each r-row slice (slices
+    addressed positionally so ``sig`` should be a materialized column,
+    not a re-evaluated expression)."""
     return F.array(
         *[
-            F.xxhash64(F.concat_ws(",", F.slice(sig, b * _ROWS_PER_BAND + 1, _ROWS_PER_BAND)))
+            F.xxhash64(
+                *[
+                    F.element_at(sig, b * _ROWS_PER_BAND + r + 1)
+                    for r in range(_ROWS_PER_BAND)
+                ]
+            )
             for b in range(_BANDS)
         ]
     )
@@ -257,12 +299,27 @@ def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     n-gram Jaccard result.
     """
     corpus = seeded_near_corpus(load_table(spark, sf_dir, "documents"))
-    sh = corpus.select("doc_id", shingles(tokens()).alias("sset"))
-    sig = sh.withColumn("bands", band_hashes(minhash_signature(F.col("sset"))))
-    buckets = sig.select(
+    # (doc_id, shingle set, signature) computed in ONE pass and
+    # persisted: the signature table is consumed by both sides of the
+    # bucket self-join, the band expansion (8 positional references),
+    # and the shingle re-attach — without the persist barrier,
+    # CollapseProject + plan duplication re-derive it per consumer.
+    # (At warehouse scale this persist is a materialized signature
+    # table; 8-byte×32 signatures are ~0.3% of corpus bytes.)
+    sig_df = corpus.select(
+        "doc_id",
+        shingles(tokens()).alias("sset"),
+    ).select(
         "doc_id",
         "sset",
-        F.posexplode("bands").alias("band_idx", "band_hash"),
+        minhash_signature(minhash_base_hashes(F.col("sset"))).alias("sig"),
+    ).persist()
+    sh = sig_df.select("doc_id", "sset")
+    # Bucket rows carry ONLY (doc_id, band): the shingle arrays must
+    # not ride through the bucket shuffle and pair-dedup exchange.
+    buckets = sig_df.select(
+        "doc_id",
+        F.posexplode(band_hashes(F.col("sig"))).alias("band_idx", "band_hash"),
     )
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -276,16 +333,22 @@ def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sset").alias("sa"),
-            F.col("b.sset").alias("sb"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    # shingle sets re-attached to the (small) candidate set only
+    paired = candidates.join(
+        sh.select(F.col("doc_id").alias("doc_a"), F.col("sset").alias("sa")),
+        "doc_a",
+    ).join(
+        sh.select(F.col("doc_id").alias("doc_b"), F.col("sset").alias("sb")),
+        "doc_b",
     )
     inter = F.size(F.array_intersect("sa", "sb"))
     union = F.size(F.array_union("sa", "sb"))
     jac = inter.cast("double") / union
     return (
-        candidates.filter(jac >= _JACCARD_THRESHOLD)
+        paired.filter(jac >= _JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 
@@ -358,10 +421,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = seeded_near_corpus(load_table(spark, sf_dir, "documents"))
     # features = word-3-gram shingles: unigram features would make all
     # docs in a small shared vocabulary look alike; shingles carry
-    # sequence information, so unrelated docs land ~32 bits apart
-    fp = corpus.select(
-        "doc_id", simhash_counters(shingles(tokens())).alias("counters")
-    ).select("doc_id", simhash_from_counters(F.col("counters")).alias("fp"))
+    # sequence information, so unrelated docs land ~32 bits apart.
+    # The fingerprint table (8 bytes/doc) is persisted: it feeds the 4
+    # chunk derivations and both sides of the candidate join, and
+    # CollapseProject would otherwise re-derive the whole fold per
+    # reference.
+    fp = (
+        corpus.select(
+            "doc_id", simhash_counters(shingles(tokens())).alias("counters")
+        )
+        .select("doc_id", simhash_from_counters(F.col("counters")).alias("fp"))
+        .persist()
+    )
     chunk_size = _SIMHASH_BITS // _SIM_BANDS
     chunks = fp.select(
         "doc_id",
