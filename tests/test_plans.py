@@ -1,0 +1,116 @@
+"""Physical-plan audits: assert the plans we designed for are the
+plans Spark actually runs — pushdown reaching the scan, broadcast
+where a side is small, no cartesian blowups, window group limits.
+
+These are the 100 TB guarantees: a regression that un-pushes a filter
+or flips a broadcast join to sort-merge changes nothing at sf0.001 but
+everything at scale, so the suite pins the plan shape, not timings.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_8x8_spark.registry import all_queries
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return all_queries()
+
+
+def plan_of(spark, sf_dir, queries, name) -> str:
+    return (
+        queries[name]
+        .builder(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+class TestPushdown:
+    def test_scan_parquet_pushes_filters_and_prunes_columns(
+        self, spark, sf_dir, queries
+    ):
+        plan = plan_of(spark, sf_dir, queries, "scan_parquet")
+        assert "PushedFilters: [" in plan
+        assert "l_quantity" in plan.split("PushedFilters:")[1].split("]")[0]
+        # projection pruned to the 4 referenced columns — the wide
+        # lineitem schema must not reach the scan
+        read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+        assert "l_extendedprice" in read_schema
+        assert "l_tax" not in read_schema
+
+    def test_q1_filter_reaches_scan(self, spark, sf_dir, queries):
+        plan = plan_of(spark, sf_dir, queries, "agg_hash_group")
+        pushed = plan.split("PushedFilters:")[1].split("]")[0]
+        assert "l_shipdate" in pushed
+
+    def test_q1_partial_aggregation(self, spark, sf_dir, queries):
+        plan = plan_of(spark, sf_dir, queries, "agg_hash_group")
+        # partial (map-side) + final hash aggregate around one shuffle
+        assert plan.count("HashAggregate") >= 2
+        assert "partial_" in plan
+
+
+class TestJoinStrategies:
+    def test_dim_lookup_broadcasts(self, spark, sf_dir, queries):
+        plan = plan_of(spark, sf_dir, queries, "join_broadcast_lookup")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_semi_anti_are_joins_not_cartesian(self, spark, sf_dir, queries):
+        for name in ("join_semi", "join_anti"):
+            plan = plan_of(spark, sf_dir, queries, name)
+            assert "CartesianProduct" not in plan
+            assert "LeftSemi" in plan or "LeftAnti" in plan
+
+    def test_range_join_broadcasts_band_table(self, spark, sf_dir, queries):
+        plan = plan_of(spark, sf_dir, queries, "join_range_theta")
+        # 3-row band dim -> broadcast nested loop, never a shuffle
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+
+    def test_sim_search_broadcasts_queries(self, spark, sf_dir, queries):
+        plan = plan_of(spark, sf_dir, queries, "sim_search_topk")
+        assert "BroadcastNestedLoopJoin" in plan
+        # the corpus side must not shuffle for scoring; the only
+        # exchange is the per-query top-k window
+        assert plan.count("Exchange hashpartitioning") <= 1
+
+    def test_asof_is_single_shuffle_no_join(self, spark, sf_dir, queries):
+        plan = plan_of(spark, sf_dir, queries, "join_asof_event")
+        # union + one window over user_id: linear, no pair explosion
+        assert "Join" not in plan
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "Window" in plan
+
+
+class TestWindowAndLimit:
+    def test_topn_uses_window_group_limit(self, spark, sf_dir, queries):
+        plan = plan_of(spark, sf_dir, queries, "window_rank_topn_per_group")
+        assert "WindowGroupLimit" in plan
+
+    def test_global_topk_is_take_ordered(self, spark, sf_dir, queries):
+        plan = plan_of(spark, sf_dir, queries, "sort_limit_topk")
+        assert "TakeOrderedAndProject" in plan
+        # no global sort materialization
+        assert "Exchange rangepartitioning" not in plan
+
+
+class TestNoSlowPaths:
+    def test_no_python_row_udfs_in_registered_plans(
+        self, spark, sf_dir, queries
+    ):
+        """Only jwt_verify (pandas_udf, ArrowEvalPython) and
+        multimodal_decode (mapInPandas) may leave the JVM."""
+        allowed_python = {"jwt_verify", "multimodal_decode"}
+        for name, spec in queries.items():
+            if name.startswith("stream_"):
+                continue  # streaming plans built at start(), not here
+            plan = plan_of(spark, sf_dir, queries, name)
+            assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time UDF"
+            if name not in allowed_python:
+                assert "ArrowEvalPython" not in plan, f"{name}: python UDF"
+                assert "MapInPandas" not in plan, f"{name}: python UDF"
