@@ -40,7 +40,7 @@ SELECT d.doc_id,
          n_chars := d.n_chars,
          dim := len(e.embedding)
        )) AS VARCHAR) AS modality_meta,
-       round(CAST(e.embedding[1] AS DOUBLE), 6) AS first_component,
+       round(CAST(e.embedding[1] AS DOUBLE), 6) + 0.0 AS first_component,
        e.label
 FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
 """,
@@ -68,7 +68,8 @@ def multimodal_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "doc_id",
         F.to_json(meta).alias("modality_meta"),
-        F.round(F.element_at("embedding", 1).cast("double"), 6).alias(
+        # + 0.0 normalizes IEEE -0.0 (DuckDB round preserves the sign)
+        (F.round(F.element_at("embedding", 1).cast("double"), 6) + 0.0).alias(
             "first_component"
         ),
         "label",

@@ -137,19 +137,21 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "fn_array",
     oracle="""
+-- "+ 0.0" after every round(): normalizes IEEE negative zero, which
+-- DuckDB's round preserves (-0.0) and Spark's does not (0.0)
 SELECT vec_id,
        CAST(len(embedding) AS INT) AS dim,
-       list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 4))
+       list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 4) + 0.0)
          AS head3,
        round(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)),
-                         (a, b) -> a + b), 6) AS vec_sum,
-       round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 6) AS vec_max,
-       round(CAST(list_aggregate(embedding, 'min') AS DOUBLE), 6) AS vec_min,
-       round(CAST(list_sort(embedding)[1] AS DOUBLE), 6) AS sorted_first,
+                         (a, b) -> a + b), 6) + 0.0 AS vec_sum,
+       round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 6) + 0.0 AS vec_max,
+       round(CAST(list_aggregate(embedding, 'min') AS DOUBLE), 6) + 0.0 AS vec_min,
+       round(CAST(list_sort(embedding)[1] AS DOUBLE), 6) + 0.0 AS sorted_first,
        round(list_reduce(list_transform(generate_series(1, len(embedding)),
                i -> CAST(embedding[i] AS DOUBLE)
                     * CAST(embedding[len(embedding) + 1 - i] AS DOUBLE)),
-             (a, b) -> a + b), 6) AS dot_reversed
+             (a, b) -> a + b), 6) + 0.0 AS dot_reversed
 FROM embeddings
 """,
 )
@@ -160,31 +162,36 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     e = F.col("embedding")
     dbl = F.transform(e, lambda x: x.cast("double"))
+    # "+ 0.0" normalizes IEEE negative zero to match the oracle (see
+    # the oracle comment)
     return emb.select(
         "vec_id",
         F.size(e).alias("dim"),
-        F.transform(F.slice(e, 1, 3), lambda x: F.round(x.cast("double"), 4)).alias(
-            "head3"
+        F.transform(
+            F.slice(e, 1, 3), lambda x: F.round(x.cast("double"), 4) + 0.0
+        ).alias("head3"),
+        (F.round(F.aggregate(dbl, F.lit(0.0), lambda a, b: a + b), 6) + 0.0).alias(
+            "vec_sum"
         ),
-        F.round(
-            F.aggregate(dbl, F.lit(0.0), lambda a, b: a + b), 6
-        ).alias("vec_sum"),
-        F.round(F.array_max(e).cast("double"), 6).alias("vec_max"),
-        F.round(F.array_min(e).cast("double"), 6).alias("vec_min"),
-        F.round(F.element_at(F.array_sort(e), 1).cast("double"), 6).alias(
+        (F.round(F.array_max(e).cast("double"), 6) + 0.0).alias("vec_max"),
+        (F.round(F.array_min(e).cast("double"), 6) + 0.0).alias("vec_min"),
+        (F.round(F.element_at(F.array_sort(e), 1).cast("double"), 6) + 0.0).alias(
             "sorted_first"
         ),
-        F.round(
-            F.aggregate(
-                F.zip_with(
-                    e,
-                    F.reverse(e),
-                    lambda x, y: x.cast("double") * y.cast("double"),
+        (
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        e,
+                        F.reverse(e),
+                        lambda x, y: x.cast("double") * y.cast("double"),
+                    ),
+                    F.lit(0.0),
+                    lambda a, b: a + b,
                 ),
-                F.lit(0.0),
-                lambda a, b: a + b,
-            ),
-            6,
+                6,
+            )
+            + 0.0
         ).alias("dot_reversed"),
     )
 
