@@ -45,6 +45,7 @@ HEADLINE = [
     "fn_array",
     "scan_parquet",
     "sink_parquet_partitioned",
+    "join_bucketed_colocated",
 ]
 
 

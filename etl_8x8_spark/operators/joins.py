@@ -211,6 +211,42 @@ def join_asof_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BUCKETED_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+@register("join_bucketed_colocated", oracle=_BUCKETED_ORACLE)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ lineitem with both sides bucketed on the join key —
+    the shuffle-FREE variant of ``join_hash_equi``.
+
+    Both tables are stored bucketed (8 buckets, same key, sorted), so
+    the join plan contains no Exchange at all: task i sort-merges
+    bucket i of each side locally (asserted in tests/test_plans.py).
+    This is the storage layout BASELINE.md prescribes for every
+    repeated fact-fact join at 100 TB: one bucketed write amortized
+    over every downstream join. Result checked against the plain
+    (shuffled) join's oracle — layout must never change answers.
+    """
+    from etl_8x8_spark.functions.parity import dsum
+    from etl_8x8_spark.sources.bucketing import bucketed_orders_lineitem
+
+    orders, lineitem = bucketed_orders_lineitem(spark, sf_dir)
+    return (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            dsum("l_extendedprice", "sum_price"),
+        )
+    )
+
+
 _SALT_BUCKETS = 8
 
 _SALTED_ORACLE = """

@@ -87,6 +87,31 @@ class TestJoinStrategies:
         assert "Window" in plan
 
 
+class TestBucketedJoin:
+    def test_bucketed_join_has_no_join_side_exchange(
+        self, spark, sf_dir, queries
+    ):
+        """With both tables co-bucketed on the join key, the join
+        needs no exchange: each task sort-merges bucket i of each
+        side. Broadcast is disabled so the bucketed path (what a
+        large-large join uses at scale, where nothing broadcasts) is
+        the one under test; the only exchange left is the final
+        small-key aggregation."""
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = plan_of(spark, sf_dir, queries, "join_bucketed_colocated")
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        assert "Bucketed: true" in plan
+        assert "SortMergeJoin" in plan
+        join_subtree = plan.split("SortMergeJoin")[1]
+        assert "Exchange hashpartitioning" not in join_subtree, (
+            "bucketed sides must not re-shuffle"
+        )
+        assert plan.count("Exchange hashpartitioning") == 1  # final agg only
+
+
 class TestWindowAndLimit:
     def test_topn_uses_window_group_limit(self, spark, sf_dir, queries):
         plan = plan_of(spark, sf_dir, queries, "window_rank_topn_per_group")
