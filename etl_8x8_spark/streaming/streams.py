@@ -228,6 +228,101 @@ def stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_table(out, "append", "stream_dedup")
 
 
+def _cache_counter_fn(key, pdfs, state):
+    """Keyed stateful worker (R15's authorizer cache,
+    ``serverless.core.yml:38-43``): first batch containing a key is
+    the cache MISS (state created); later batches are HITS against
+    the persisted state. State is one running count per key."""
+    import pandas as pd
+
+    (uid,) = key
+    prev = state.get[0] if state.exists else 0
+    n = sum(len(p) for p in pdfs)
+    state.update((prev + n,))
+    yield pd.DataFrame(
+        {
+            "user_id": [uid],
+            "n_new": [n],
+            "n_total": [prev + n],
+            "was_cached": [prev > 0],
+        }
+    )
+
+
+_STATE_ORACLE = """
+WITH m AS (SELECT quantile_disc(event_id, 0.5) AS med FROM events),
+p1 AS (
+  SELECT user_id, COUNT(*) AS n FROM events, m
+  WHERE event_id <= med GROUP BY user_id
+),
+p2 AS (
+  SELECT user_id, COUNT(*) AS n FROM events, m
+  WHERE event_id > med GROUP BY user_id
+)
+SELECT user_id, n AS n_new, n AS n_total, FALSE AS was_cached FROM p1
+UNION ALL
+SELECT p2.user_id, p2.n AS n_new,
+       p2.n + COALESCE(p1.n, 0) AS n_total,
+       p1.user_id IS NOT NULL AS was_cached
+FROM p2 LEFT JOIN p1 ON p1.user_id = p2.user_id
+"""
+
+
+@register("stream_state_ttl_cache", oracle=_STATE_ORACLE)
+def stream_state_ttl_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` — the
+    engine's analog of the reference's authorizer result cache (R15):
+    per-key state persists across micro-batches (through the
+    checkpoint), so a key's first batch is a miss and every later
+    batch is a hit against cached state.
+
+    Driven as two checkpointed ``availableNow`` runs (events split at
+    the median event_id) so the cross-batch state transition is
+    actually exercised; the oracle reproduces both phases in SQL. At
+    scale the state store shards by key across executors; production
+    adds a state timeout (``GroupStateTimeout``) — the literal analog
+    of the reference's 3600 s TTL.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    events = load_table(spark, sf_dir, "events")
+    base = os.path.join(scratch_dir(), f"state_cache_{_sf_tag(sf_dir)}")
+    in_dir = os.path.join(base, "in")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    for d in (out_dir, ckpt, in_dir):
+        if os.path.exists(d):
+            import shutil
+
+            shutil.rmtree(d)
+
+    median = events.approxQuantile("event_id", [0.5], 0.0)[0]
+
+    def run_phase(df: DataFrame) -> None:
+        df.write.mode("append").parquet(in_dir)
+        s = spark.readStream.schema(_EVENTS_STREAM_SCHEMA).parquet(in_dir)
+        counted = s.groupBy("user_id").applyInPandasWithState(
+            _cache_counter_fn,
+            "user_id long, n_new long, n_total long, was_cached boolean",
+            "total long",
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+        q = (
+            counted.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_phase(events.filter(F.col("event_id") <= median))
+    run_phase(events.filter(F.col("event_id") > median))
+    return spark.read.parquet(out_dir)
+
+
 @register("stream_watermark_late_data", oracle=None)
 def stream_watermark_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling aggregate demonstrating late-data drop:
