@@ -58,9 +58,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     pin_session_confs(spark)
     if name == "events":
         df = spark.read.parquet(table_path(sf_dir, name))
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+        # floor-division nanos->micros via pmod (integer `div` would
+        # truncate toward zero and round pre-1970 timestamps UP by
+        # 1 µs, diverging from DuckDB's TIMESTAMP_NS downcast; exact
+        # for the full long range, unlike a double floor())
+        micros = F.expr("(ts - pmod(ts, 1000)) div 1000")
+        return df.withColumn("ts", F.timestamp_micros(micros)).select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        )
     return spark.read.parquet(table_path(sf_dir, name))
 
 
