@@ -86,6 +86,128 @@ def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse-quantize the corpus into K cells,
+# search only the nprobe cells nearest each query. Deterministic
+# centroid choice (the first K vectors) keeps the index — and the
+# DuckDB oracle — exactly reproducible; production replaces it with
+# k-means and periodic re-training, same dataflow.
+# --------------------------------------------------------------------------
+
+_IVF_K = 16  # coarse cells
+_IVF_NPROBE = 2
+_IVF_TOP_K = 10
+
+_IVF_ORACLE = f"""
+WITH normed AS (
+  SELECT vec_id, embedding, {oracle_norm("embedding")} AS nrm FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS cid, embedding AS ce, nrm AS cn
+  FROM normed WHERE vec_id < {_IVF_K}
+),
+assigned AS (  -- each vector to its nearest centroid (cosine argmax)
+  SELECT vec_id, embedding, nrm, cid FROM (
+    SELECT n.vec_id, n.embedding, n.nrm, c.cid,
+           row_number() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY {oracle_dot("n.embedding", "c.ce")} / (n.nrm * c.cn)
+                      DESC, c.cid ASC
+           ) AS rk
+    FROM normed n, cent c
+  ) WHERE rk = 1
+),
+q AS (SELECT vec_id AS q_id, embedding AS qe, nrm AS qn
+      FROM normed WHERE vec_id < {_N_QUERIES}),
+probes AS (  -- nprobe nearest cells per query
+  SELECT q_id, qe, qn, cid FROM (
+    SELECT q.q_id, q.qe, q.qn, c.cid,
+           row_number() OVER (
+             PARTITION BY q.q_id
+             ORDER BY {oracle_dot("q.qe", "c.ce")} / (q.qn * c.cn)
+                      DESC, c.cid ASC
+           ) AS rk
+    FROM q, cent c
+  ) WHERE rk <= {_IVF_NPROBE}
+),
+scored AS (
+  SELECT p.q_id, a.vec_id,
+         {oracle_dot("p.qe", "a.embedding")} / (p.qn * a.nrm) AS sim
+  FROM probes p JOIN assigned a ON a.cid = p.cid
+  WHERE a.vec_id <> p.q_id
+)
+SELECT q_id, vec_id, round(sim, 6) AS sim, rank FROM (
+  SELECT q_id, vec_id, sim,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {_IVF_TOP_K}
+"""
+
+
+@register("sim_search_ivf_topk", oracle=_IVF_ORACLE)
+def sim_search_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned approximate top-k: the corpus is assigned to K
+    coarse cells (nearest centroid by cosine); each query scores only
+    the vectors in its nprobe nearest cells.
+
+    The 100 TB shape: assignment is one broadcast pass over the corpus
+    (centroids are tiny), the inverted file is an equi-join on cell id,
+    and per-query work drops from |corpus| to nprobe/K of it. The whole
+    index is deterministic arithmetic, so unlike most ANN indexes this
+    one is hash-verified against a full SQL oracle, not just
+    recall-tested."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    normed = emb.select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    cent = normed.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    csim = cosine(F.col("embedding"), F.col("ce"), F.col("nrm"), F.col("cn"))
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        csim.desc(), F.col("cid").asc()
+    )
+    assigned = (
+        normed.crossJoin(F.broadcast(cent))
+        .withColumn("rk", F.row_number().over(w_assign))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "embedding", "nrm", "cid")
+    )
+    q = normed.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    qsim = cosine(F.col("qe"), F.col("ce"), F.col("qn"), F.col("cn"))
+    w_probe = Window.partitionBy("q_id").orderBy(qsim.desc(), F.col("cid").asc())
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("rk", F.row_number().over(w_probe))
+        .filter(F.col("rk") <= _IVF_NPROBE)
+        .select("q_id", "qe", "qn", "cid")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cid")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            cosine(F.col("qe"), F.col("embedding"), F.col("qn"), F.col("nrm")).alias(
+                "sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _IVF_TOP_K)
+        .select("q_id", "vec_id", F.round("sim", 6).alias("sim"), "rank")
+    )
+
+
 # Random-hyperplane LSH: plane components are derived from a
 # deterministic integer scramble so every run (and the recall test)
 # sees the same planes. 6 planes -> 64 buckets; size the plane count

@@ -71,6 +71,18 @@ class TestSimSearch:
         # This bound catches sign/bucket bugs, not quality regressions.
         assert recall >= 0.15, f"LSH top-5 recall {recall:.2f}"
 
+    def test_ivf_recall_vs_exact(self, spark, sf_dir, queries):
+        exact = queries["sim_search_topk"].builder(spark, sf_dir)
+        ivf = queries["sim_search_ivf_topk"].builder(spark, sf_dir)
+        exact_top = {
+            (r.q_id, r.vec_id) for r in exact.filter(F.col("rank") <= 5).collect()
+        }
+        ivf_all = {(r.q_id, r.vec_id) for r in ivf.collect()}
+        recall = len(exact_top & ivf_all) / len(exact_top)
+        # nprobe/K = 2/16 of the corpus scored; random-vector corpora
+        # are the worst case for any ANN — bound catches wiring bugs
+        assert recall >= 0.15, f"IVF top-5 recall {recall:.2f}"
+
     def test_exact_topk_shape(self, spark, sf_dir, queries):
         rows = queries["sim_search_topk"].builder(spark, sf_dir).collect()
         by_q = {}
