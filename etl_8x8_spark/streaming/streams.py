@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from etl_8x8_spark.functions.parity import dsum, oracle_dsum
 from etl_8x8_spark.registry import register
-from etl_8x8_spark.sources.readers import load_table, scratch_dir, table_path
+from etl_8x8_spark.sources.readers import load_table, scratch_dir
 
 _EVENTS_STREAM_SCHEMA = (
     "event_id long, ts timestamp, user_id long, event_type string,"
