@@ -58,12 +58,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     pin_session_confs(spark)
     if name == "events":
         df = spark.read.parquet(table_path(sf_dir, name))
-        # floor-division nanos->micros via pmod (integer `div` would
-        # truncate toward zero and round pre-1970 timestamps UP by
-        # 1 µs, diverging from DuckDB's TIMESTAMP_NS downcast; exact
-        # for the full long range, unlike a double floor())
-        micros = F.expr("(ts - pmod(ts, 1000)) div 1000")
-        return df.withColumn("ts", F.timestamp_micros(micros)).select(
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            # TIMESTAMP(NANOS) parquet surfaces as nanos-since-epoch
+            # under the legacy conf; floor-divide to micros via pmod
+            # (integer `div` would truncate toward zero and round
+            # pre-1970 timestamps UP by 1 µs, diverging from DuckDB's
+            # TIMESTAMP_NS downcast; a double floor() would lose
+            # precision above 2^53). Micros-native files pass through.
+            micros = F.expr("(ts - pmod(ts, 1000)) div 1000")
+            df = df.withColumn("ts", F.timestamp_micros(micros))
+        return df.select(
             "event_id", "ts", "user_id", "event_type", "value", "props"
         )
     return spark.read.parquet(table_path(sf_dir, name))
