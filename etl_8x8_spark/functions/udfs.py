@@ -47,7 +47,8 @@ def _b64url_decode(s: str) -> bytes:
 
 
 def _sign(signing_input: bytes) -> str:
-    return _b64url(hmac.new(JWT_SECRET, signing_input, hashlib.sha256).digest())
+    # hmac.digest is the one-shot C fast path (no HMAC object per row)
+    return _b64url(hmac.digest(JWT_SECRET, signing_input, "sha256"))
 
 
 def _build_token_batch(user_id: pd.Series, event_id: pd.Series) -> pd.Series:
@@ -58,14 +59,10 @@ def _build_token_batch(user_id: pd.Series, event_id: pd.Series) -> pd.Series:
     for uid, eid in zip(user_id, event_id):
         branch = int(eid) % 3
         exp = _EXP_PAST if branch == 1 else _EXP_FUTURE
-        payload = json.dumps(
-            {
-                "exp": exp,
-                "user_id": int(uid),
-                "first_name": "First",
-                "last_name": "Last",
-            },
-            separators=(",", ":"),
+        # fixed key order == json.dumps(..., separators=(",", ":"))
+        payload = (
+            f'{{"exp":{exp},"user_id":{int(uid)},'
+            f'"first_name":"First","last_name":"Last"}}'
         )
         signing_input = f"{_HEADER_B64}.{_b64url(payload.encode())}".encode()
         sig = _sign(signing_input) if branch != 2 else "tampered-signature"
