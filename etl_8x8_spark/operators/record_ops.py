@@ -422,18 +422,20 @@ def error_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(m == 4, "UnsupportedMediaType")
         .alias("exc"),
     )
-    lut = spark.createDataFrame(
-        _ERROR_CLASSES, "exc string, status int, description string"
+    # the class hierarchy as literal lookup maps (SURVEY R5: "the
+    # class→code table becomes a literal lookup map") — constant-folded
+    # into the projection, no join, no broadcast
+    status_map = F.create_map(
+        *[F.lit(x) for exc, code, _ in _ERROR_CLASSES for x in (exc, code)]
     )
-    errors = (
-        classified.filter(F.col("exc").isNotNull())
-        .join(F.broadcast(lut), "exc")
-        .select(
-            "event_id",
-            "status",
-            "description",
-            F.concat(F.lit("handled "), F.col("exc")).alias("error"),
-        )
+    desc_map = F.create_map(
+        *[F.lit(x) for exc, _, desc in _ERROR_CLASSES for x in (exc, desc)]
+    )
+    errors = classified.filter(F.col("exc").isNotNull()).select(
+        "event_id",
+        F.element_at(status_map, F.col("exc")).alias("status"),
+        F.element_at(desc_map, F.col("exc")).alias("description"),
+        F.concat(F.lit("handled "), F.col("exc")).alias("error"),
     )
     successes = classified.filter(F.col("exc").isNull()).select(
         "event_id",

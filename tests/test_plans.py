@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import pytest
 
+from etl_8x8_spark.plans.audit import plan_string
 from etl_8x8_spark.registry import all_queries
 
 
@@ -20,13 +21,7 @@ def queries():
 
 
 def plan_of(spark, sf_dir, queries, name) -> str:
-    return (
-        queries[name]
-        .builder(spark, sf_dir)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
+    return plan_string(queries[name].builder(spark, sf_dir))
 
 
 class TestPushdown:
@@ -125,17 +120,18 @@ class TestWindowAndLimit:
 
 
 class TestNoSlowPaths:
-    def test_no_python_row_udfs_in_registered_plans(
-        self, spark, sf_dir, queries
-    ):
-        """Only jwt_verify (pandas_udf, ArrowEvalPython) and
-        multimodal_decode (mapInPandas) may leave the JVM."""
+    def test_no_python_row_udfs_or_cartesians_anywhere(self, spark, sf_dir):
+        """Sweep every registered batch plan: no row-at-a-time Python,
+        no cartesian products, and nothing leaves the JVM except the
+        two sanctioned operators (jwt_verify pandas_udf,
+        multimodal_decode mapInPandas)."""
+        from etl_8x8_spark.plans.audit import audit_all
+
         allowed_python = {"jwt_verify", "multimodal_decode"}
-        for name, spec in queries.items():
-            if name.startswith("stream_"):
-                continue  # streaming plans built at start(), not here
-            plan = plan_of(spark, sf_dir, queries, name)
-            assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time UDF"
+        for name, facts in audit_all(spark, sf_dir).items():
+            assert not facts["row_at_a_time_python"], (
+                f"{name}: row-at-a-time UDF"
+            )
+            assert not facts["cartesian"], f"{name}: cartesian product"
             if name not in allowed_python:
-                assert "ArrowEvalPython" not in plan, f"{name}: python UDF"
-                assert "MapInPandas" not in plan, f"{name}: python UDF"
+                assert not facts["python_eval"], f"{name}: python in plan"
