@@ -46,6 +46,8 @@ HEADLINE = [
     "scan_parquet",
     "sink_parquet_partitioned",
     "join_bucketed_colocated",
+    "sql_tpch_q3_shape",
+    "sql_tpch_q5_shape",
 ]
 
 

@@ -1,0 +1,96 @@
+"""Full analytic queries through the SQL interface (``spark.sql`` over
+registered temp views) — the engine's "whole query" layer on top of the
+per-operator surface, in TPC-H shapes adapted to the testdata columns.
+
+These exercise what single-operator keys can't: multi-table join
+ordering, filter pushdown through joins, and aggregate-then-top-k
+pipelines, all through the same Catalyst path a SQL user hits. The
+DuckDB oracles are near-verbatim the same SQL (decimal-cast sums for
+cross-engine hash parity, per functions/parity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_8x8_spark.registry import register
+from etl_8x8_spark.sources.readers import load_table
+
+_VIEW_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "orders",
+    "lineitem",
+]
+
+
+def _register_views(spark: SparkSession, sf_dir: str) -> None:
+    for t in _VIEW_TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+# TPC-H Q3 shape (shipping priority): the testdata lacks o_shippriority,
+# so the query groups on (l_orderkey, o_orderdate, o_orderpriority).
+_Q3_SQL = """
+SELECT l_orderkey,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)))
+            AS DOUBLE) AS revenue,
+       o_orderdate,
+       o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@register("sql_tpch_q3_shape", oracle=_Q3_SQL)
+def sql_tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape through ``spark.sql``: 3-table join, filters on
+    all three tables (each pushed to its own scan), aggregate, top-10.
+
+    Identical SQL text runs on both engines; the decimal-cast revenue
+    makes the ORDER BY deterministic cross-engine (exact sums), with
+    l_orderkey as the tiebreak. Catalyst reorders the joins from
+    statistics exactly as it would at cluster scale.
+    """
+    _register_views(spark, sf_dir)
+    return spark.sql(_Q3_SQL)
+
+
+# TPC-H Q5 shape (local supplier volume): all six tables exist with the
+# needed keys; the region filter + date range mirror the original.
+_Q5_SQL = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)))
+            AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+@register("sql_tpch_q5_shape", oracle=_Q5_SQL)
+def sql_tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape through ``spark.sql``: 6-table join (two fact
+    tables + four dims), the classic broadcast-the-dims /
+    shuffle-the-facts plan. The c_nationkey = s_nationkey condition
+    makes it a genuine multi-way constraint, not a star lookup."""
+    _register_views(spark, sf_dir)
+    return spark.sql(_Q5_SQL)

@@ -45,6 +45,7 @@ _QUERY_MODULES = [
     "etl_8x8_spark.operators.similarity",
     "etl_8x8_spark.operators.text",
     "etl_8x8_spark.operators.multimodal",
+    "etl_8x8_spark.operators.sql_queries",
     "etl_8x8_spark.sources.scans",
     "etl_8x8_spark.streaming.streams",
 ]
