@@ -24,7 +24,10 @@ from etl_8x8_spark.sources.readers import (
     read_json_lines,
     scratch_dir,
 )
-from etl_8x8_spark.sources.sinks import write_parquet_partitioned
+from etl_8x8_spark.sources.sinks import (
+    overwrite_partitions,
+    write_parquet_partitioned,
+)
 
 
 def _sf_tag(sf_dir: str) -> str:
@@ -169,6 +172,44 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_parquet_partitioned(
         orders, path, ["o_orderstatus"], files_per_partition=2
     )
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice", "sum_price"),
+    )
+
+
+@register(
+    "sink_partition_overwrite",
+    oracle=f"""
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       {oracle_dsum(
+           "CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 1.1"
+           " ELSE o_totalprice END",
+           "sum_price",
+       )}
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-level upsert (dynamic partition overwrite): write all
+    orders partitioned by status, then reprocess ONLY the 'F'
+    partition (prices uplifted 10%) and swap it in — the other
+    partitions are never rewritten or listed. Read-back aggregation
+    proves exactly one partition changed and nothing else moved.
+
+    This is the idempotent daily-reprocessing primitive at 100 TB:
+    recompute one partition among thousands without touching the rest.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    path = os.path.join(scratch_dir(), f"orders_upsert_{_sf_tag(sf_dir)}")
+    write_parquet_partitioned(orders, path, ["o_orderstatus"])
+    updated_f = orders.filter(F.col("o_orderstatus") == "F").withColumn(
+        "o_totalprice", F.col("o_totalprice") * 1.1
+    )
+    overwrite_partitions(updated_f, path, ["o_orderstatus"])
     back = spark.read.parquet(path)
     return back.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_orders"),

@@ -44,3 +44,60 @@ def write_parquet_partitioned(
     else:
         out = df.repartition(*partition_by)
     out.write.mode(mode).partitionBy(*partition_by).parquet(path)
+
+
+def overwrite_partitions(
+    df: DataFrame, path: str, partition_by: list[str]
+) -> None:
+    """Partition-level upsert: replace ONLY the partitions present in
+    ``df``, leaving all others untouched (dynamic partition overwrite).
+
+    This is the idempotent-reprocessing primitive a 100 TB pipeline
+    runs daily: recompute one day/status partition and swap it in
+    without touching (or even listing) the other thousands of
+    partitions. The conf is scoped to the write via the DataFrameWriter
+    option-free session conf save/restore — partitionOverwriteMode is
+    read at execution of THIS write, which happens eagerly here.
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            df.repartition(*partition_by)
+            .write.mode("overwrite")
+            .partitionBy(*partition_by)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_rows_per_file: int,
+) -> tuple[int, int]:
+    """Small-files compaction: rewrite a parquet directory so each
+    output file holds ~``target_rows_per_file`` rows.
+
+    The 100 TB reality this serves: streaming/partitioned writers leave
+    thousands of KB-sized files per partition; scan cost becomes file-
+    listing + open overhead instead of IO. Compaction = read + count +
+    repartition to ceil(rows/target) + atomic swap (write to a side
+    dir, then move). Returns (files_before, files_after).
+    """
+    import glob
+    import os
+    import shutil
+
+    files_before = len(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+    df = spark.read.parquet(path)
+    n = df.count()
+    n_files = max(1, -(-n // target_rows_per_file))
+    tmp = path.rstrip("/") + ".compacting"
+    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    files_after = len(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+    return files_before, files_after

@@ -90,3 +90,26 @@ class TestPartitionedSinkSplit:
         for d in glob.glob(os.path.join(path, "o_orderstatus=*")):
             files = glob.glob(os.path.join(d, "*.parquet"))
             assert len(files) == 1, f"{d}: {len(files)} files"
+
+
+class TestCompaction:
+    def test_compact_reduces_files_preserves_rows(self, spark, sf_dir):
+        from etl_8x8_spark.sources.sinks import compact_parquet
+
+        orders = load_table(spark, sf_dir, "orders")
+        path = os.path.join(scratch_dir(), "test_compaction")
+        # simulate a streaming writer's small-files mess: 64 tiny files
+        orders.repartition(64).write.mode("overwrite").parquet(path)
+        n_rows = orders.count()
+        before, after = compact_parquet(
+            spark, path, target_rows_per_file=n_rows
+        )
+        assert before >= 32
+        assert after == 1
+        back = spark.read.parquet(path)
+        assert back.count() == n_rows
+        # spot-check content integrity, not just counts
+        assert (
+            back.agg(F.sum("o_orderkey")).collect()[0][0]
+            == orders.agg(F.sum("o_orderkey")).collect()[0][0]
+        )
