@@ -211,3 +211,27 @@ def agg_map_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("nation_map")
     )
+
+
+@register("agg_quantile_sketch", oracle=None)
+def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles per group — the second sketch in the
+    engine (with ``agg_approx_distinct``'s HLL): a mergeable
+    KLL/Greenwald-Khanna-style summary computed partially per
+    partition, merged at the final aggregate, so the shuffle carries
+    sketches (KBs) instead of values.
+
+    No DuckDB oracle (different sketch family ⇒ different estimates);
+    the driver rows-only check plus a pytest bound vs exact quantiles
+    (tests/test_aggregates.py) pin accuracy.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx(
+                "l_extendedprice", [0.5, 0.95, 0.99], 10_000
+            ).alias("price_quantiles"),
+            F.count("*").alias("n_rows"),
+        )
+    )

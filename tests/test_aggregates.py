@@ -71,3 +71,28 @@ def test_approx_distinct_within_rsd(spark, sf_dir):
     }
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(2, 0.05 * n)
+
+
+def test_quantile_sketch_within_tolerance(spark, sf_dir):
+    from etl_8x8_spark.registry import all_queries
+
+    approx = {
+        r.l_returnflag: r.price_quantiles
+        for r in all_queries()["agg_quantile_sketch"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    from pyspark.sql import functions as F
+    from etl_8x8_spark.sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r.l_returnflag: r.q
+        for r in li.groupBy("l_returnflag")
+        .agg(F.expr("percentile(l_extendedprice, array(0.5, 0.95, 0.99))").alias("q"))
+        .collect()
+    }
+    for flag, qs in approx.items():
+        for a, e in zip(qs, exact[flag]):
+            # accuracy=10k on ~1e5-row groups: generous 2% rel bound
+            assert abs(a - e) <= 0.02 * max(abs(e), 1.0), (flag, a, e)
