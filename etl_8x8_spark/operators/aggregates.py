@@ -235,3 +235,35 @@ def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_rows"),
         )
     )
+
+
+@register(
+    "observe_metrics",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability (R13 ``log_emit`` generalized, reference
+    ``common/logging.py:11-19``): ``df.observe`` attaches named
+    metrics (row count, sum, null count) that are collected as a side
+    channel of the SAME job — no second pass over the data, the
+    Spark-native replacement for per-record log lines.
+
+    The observation must not perturb results, which is exactly what
+    the oracle checks; tests/test_aggregates.py asserts the metrics
+    themselves via the Observation API.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    observed = orders.observe(
+        "orders_ingest",
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum("o_totalprice").alias("total_value"),
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("null_keys"),
+    )
+    return observed.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders")
+    )

@@ -96,3 +96,46 @@ def test_quantile_sketch_within_tolerance(spark, sf_dir):
         for a, e in zip(qs, exact[flag]):
             # accuracy=10k on ~1e5-row groups: generous 2% rel bound
             assert abs(a - e) <= 0.02 * max(abs(e), 1.0), (flag, a, e)
+
+
+def test_observe_metrics_side_channel(spark, sf_dir):
+    """R13: named metrics ride the same job, results unperturbed."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+    from etl_8x8_spark.sources.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    obs = Observation("ingest")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("null_keys"),
+    )
+    n = observed.count()
+    assert obs.get["rows_seen"] == n
+    assert obs.get["null_keys"] == 0
+
+
+def test_failfast_schema_boundary(spark):
+    """R14: FAILFAST = the strict-boundary mode (AnalysisException for
+    the reference's 400), vs PERMISSIVE corrupt-routing (the 415)."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    bad_json = spark.sparkContext.parallelize(['{"k": 1}', '{"k']).map(
+        lambda x: (x,)
+    )
+    df_txt = spark.createDataFrame(bad_json, "value string")
+    import os
+    from etl_8x8_spark.sources.readers import scratch_dir
+
+    path = os.path.join(scratch_dir(), "failfast_demo")
+    df_txt.coalesce(1).write.mode("overwrite").text(path)
+    strict = (
+        spark.read.schema("k INT")
+        .option("mode", "FAILFAST")
+        .json(path)
+    )
+    with _pytest.raises((PySparkException, Py4JJavaError)):
+        strict.collect()

@@ -42,6 +42,26 @@ class TestPushdown:
         pushed = plan.split("PushedFilters:")[1].split("]")[0]
         assert "l_shipdate" in pushed
 
+    def test_partition_pruning_on_partitioned_sink(self, spark, sf_dir):
+        """A filter on the partition column of a partitioned dataset
+        must prune at the directory level (PartitionFilters), not scan
+        all partitions and filter rows."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from etl_8x8_spark.plans.audit import plan_string
+        from etl_8x8_spark.sources.readers import load_table, scratch_dir
+        from etl_8x8_spark.sources.sinks import write_parquet_partitioned
+
+        orders = load_table(spark, sf_dir, "orders")
+        path = os.path.join(scratch_dir(), "test_pruning")
+        write_parquet_partitioned(orders, path, ["o_orderstatus"])
+        pruned = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+        plan = plan_string(pruned)
+        pf = plan.split("PartitionFilters:")[1].split("]")[0]
+        assert "o_orderstatus" in pf
+
     def test_q1_partial_aggregation(self, spark, sf_dir, queries):
         plan = plan_of(spark, sf_dir, queries, "agg_hash_group")
         # partial (map-side) + final hash aggregate around one shuffle
