@@ -267,3 +267,30 @@ def observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return observed.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_orders")
     )
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS F,
+       CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS O,
+       CAST(COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS P
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (cross-tab): order counts by priority × status.
+
+    The pivot values are declared explicitly — at 100 TB an undeclared
+    pivot adds a full distinct-scan job just to discover the columns;
+    declaring them keeps it a single partial+final aggregate with one
+    shuffle, exactly like a plain groupBy."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )

@@ -98,3 +98,39 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         (ts_us - F.lag(ts_us).over(w)).alias("gap_us"),
         F.lead("event_type").over(w).alias("next_type"),
     )
+
+
+@register(
+    "window_ntile_percentile",
+    oracle="""
+SELECT c_custkey,
+       ntile(4) OVER w AS spend_quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS drnk
+FROM customer
+WINDOW w AS (ORDER BY c_acctbal DESC, c_custkey)
+""",
+)
+def window_ntile_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: quartile bucketing, percentile
+    rank, cumulative distribution, rank/dense_rank — deterministic via
+    the c_custkey tiebreak.
+
+    Scale note: this window is UNPARTITIONED (a global ordering), which
+    serializes into one task — fine for a dim-sized table like
+    customer, wrong for a fact table; partition by a bucketing key
+    first at 100 TB."""
+    w = (
+        Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("spend_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+    )
