@@ -294,3 +294,36 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)))
         .na.fill(0)
     )
+
+
+_GROUPING_SETS_ORACLE = f"""
+SELECT l_returnflag,
+       l_linestatus,
+       GROUPING(l_returnflag, l_linestatus) AS grp_id,
+       {oracle_dsum("l_quantity", "sum_qty")},
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+@register("agg_grouping_sets", oracle=_GROUPING_SETS_ORACLE)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary grouping-set unions — the general form of
+    rollup/cube: here (flag-only, status-only, grand total) WITHOUT
+    the combined (flag, status) level, which neither rollup nor cube
+    can express. Executes as one Expand + single shuffle, same as
+    rollup (never one job per set)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag,
+               l_linestatus,
+               GROUPING_ID(l_returnflag, l_linestatus) AS grp_id,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+                 AS sum_qty,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )

@@ -304,3 +304,35 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+SELECT COALESCE(c.c_nationkey, s.s_nationkey) AS nationkey,
+       CAST(COUNT(c.c_custkey) AS BIGINT) AS n_customers,
+       CAST(COUNT(s.s_suppkey) AS BIGINT) AS n_suppliers
+FROM (SELECT c_custkey, c_nationkey FROM customer) c
+FULL OUTER JOIN (SELECT s_suppkey, s_nationkey FROM supplier) s
+  ON c.c_nationkey = s.s_nationkey
+GROUP BY COALESCE(c.c_nationkey, s.s_nationkey)
+""",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with coalesced keys: nations appearing on
+    either side survive; the aggregation counts the matched rows per
+    side (COUNT over a nullable column skips the unmatched nulls)."""
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    joined = customer.join(
+        supplier, customer.c_nationkey == supplier.s_nationkey, "full"
+    )
+    key = F.coalesce(customer.c_nationkey, supplier.s_nationkey)
+    return joined.groupBy(key.alias("nationkey")).agg(
+        F.count("c_custkey").alias("n_customers"),
+        F.count("s_suppkey").alias("n_suppliers"),
+    )
