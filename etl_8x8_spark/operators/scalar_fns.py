@@ -141,7 +141,8 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
 -- DuckDB's round preserves (-0.0) and Spark's does not (0.0)
 SELECT vec_id,
        CAST(len(embedding) AS INT) AS dim,
-       list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 4) + 0.0)
+       array_to_string(list_transform(embedding[1:3],
+           x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)), ',')
          AS head3,
        round(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)),
                          (a, b) -> a + b), 6) + 0.0 AS vec_sum,
@@ -167,8 +168,16 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id",
         F.size(e).alias("dim"),
-        F.transform(
-            F.slice(e, 1, 3), lambda x: F.round(x.cast("double"), 4) + 0.0
+        # head3 as comma-joined fixed-point ints: array-typed and
+        # free-form double→string outputs both render differently
+        # across engines (numpy vs list, 1.0E-4 vs 0.0001); scaled
+        # integers are rendering-proof
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(e, 1, 3),
+                lambda x: F.round(x.cast("double") * 10000).cast("long"),
+            ),
         ).alias("head3"),
         (F.round(F.aggregate(dbl, F.lit(0.0), lambda a, b: a + b), 6) + 0.0).alias(
             "vec_sum"
