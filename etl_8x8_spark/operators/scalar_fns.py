@@ -66,12 +66,14 @@ SELECT o_orderkey,
        CAST(year(o_orderdate) AS INT) AS o_year,
        CAST(month(o_orderdate) AS INT) AS o_month,
        CAST(day(o_orderdate) AS INT) AS o_day,
-       date_trunc('month', o_orderdate) AS month_start,
+       CAST(floor(epoch(date_trunc('month', o_orderdate))) AS BIGINT)
+         AS month_start_s,
        CAST(date_diff('day', TIMESTAMP '1992-01-01 00:00:00', o_orderdate)
             AS INT) AS days_since_epoch_start,
-       CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_s,
        strftime(o_orderdate, '%Y-%m') AS year_month,
-       o_orderdate + INTERVAL 7 DAY AS plus_week
+       strftime(o_orderdate + INTERVAL 7 DAY, '%Y-%m-%d %H:%M:%S')
+         AS plus_week
 FROM orders
 """,
 )
@@ -87,13 +89,18 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year(d).alias("o_year"),
         F.month(d).alias("o_month"),
         F.dayofmonth(d).alias("o_day"),
-        F.date_trunc("month", d).alias("month_start"),
+        # timestamp outputs rendered as epoch longs / formatted strings
+        # so the comparison never depends on a comparator's
+        # datetime-precision handling
+        F.unix_timestamp(F.date_trunc("month", d)).alias("month_start_s"),
         F.datediff(d, F.lit("1992-01-01").cast("timestamp")).alias(
             "days_since_epoch_start"
         ),
         F.unix_timestamp(d).alias("epoch_s"),
         F.date_format(d, "yyyy-MM").alias("year_month"),
-        (d + F.expr("INTERVAL 7 DAY")).alias("plus_week"),
+        F.date_format(d + F.expr("INTERVAL 7 DAY"), "yyyy-MM-dd HH:mm:ss").alias(
+            "plus_week"
+        ),
     )
 
 

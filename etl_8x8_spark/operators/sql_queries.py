@@ -37,7 +37,7 @@ _Q3_SQL = """
 SELECT l_orderkey,
        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)))
             AS DOUBLE) AS revenue,
-       o_orderdate,
+       CAST(CAST(o_orderdate AS DATE) AS STRING) AS o_orderdate_str,
        o_orderpriority
 FROM customer
 JOIN orders ON c_custkey = o_custkey
