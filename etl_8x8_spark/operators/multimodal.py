@@ -1,20 +1,24 @@
 """Multimodal column handling (BASELINE north star: image/audio/video
 as opaque binary columns with typed metadata).
 
-Two registered queries:
+Registered queries:
 
-- ``multimodal_struct`` — documents ⋈ embeddings into one typed nested
-  column (text + vector modalities side by side; oracle-checked)
-- ``multimodal_decode`` — binary payload -> metadata extraction through
-  a ``mapInPandas`` batch UDF, the plumbing a real image/audio decoder
-  plugs into (oracle-checked because the stub decode is deterministic
-  arithmetic both engines can compute)
+- ``multimodal_struct``   — documents ⋈ embeddings into one typed
+  nested column (text + vector modalities side by side)
+- ``multimodal_decode``   — binary payload -> typed metadata
+- ``multimodal_frames``   — frame sampling (1 row in, N frames out)
+- ``multimodal_features`` — fixed-dim feature vector per payload
 
-The actual media codecs aren't in this container, so
-:func:`decode_media_batch` is the REAL Spark-side plumbing (Arrow
-batches in, typed struct out, partition-parallel) around a clearly
-marked stub decode; swap `_decode_payload` for a PIL/ffmpeg call and
-nothing else changes. See tests/test_llm_ops.py for the stub contract.
+plus the library-only ``resize_media_batch`` (binary in/binary out —
+not hash-comparable across engines, pytest contract only).
+
+The actual media codecs aren't in this container, so every decode/
+sample/extract/resize is the REAL Spark-side plumbing (binary columns,
+Arrow batching, explicit output schemas, partition parallelism — no
+shuffle anywhere) around a clearly marked deterministic stub; swap the
+stub for a PIL/ffmpeg/model call and nothing else changes. The stubs
+being deterministic arithmetic is what makes three of the four queries
+fully DuckDB-oracle-checkable. See tests/test_llm_ops.py.
 """
 
 from __future__ import annotations
@@ -156,3 +160,147 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode(F.substring("text", 1, 32), "utf-8").alias("payload")
     )
     return payloads.mapInPandas(decode_media_batch, _DECODE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# frame sampling / feature extraction / resize — the rest of the
+# multimodal pass toolkit. Same pattern as decode: real mapInPandas
+# plumbing around clearly-marked stub media ops.
+# ---------------------------------------------------------------------------
+
+_FRAME_SIZE = 8  # bytes per fake "frame"
+_FRAME_STRIDE = 2  # sample every 2nd frame
+
+_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("byte_offset", T.IntegerType()),
+        T.StructField("frame_checksum", T.LongType()),
+    ]
+)
+
+
+def sample_frames_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: one input row -> N output rows (a frame per
+    stride step) — the row-expanding batch shape a video frame-sampler
+    uses (a real one yields decoded JPEG bytes per frame)."""
+    for pdf in batches:
+        out = {"doc_id": [], "frame_idx": [], "byte_offset": [], "frame_checksum": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n_frames = max(1, len(payload) // _FRAME_SIZE)
+            for i in range(0, n_frames, _FRAME_STRIDE):
+                chunk = payload[i * _FRAME_SIZE : (i + 1) * _FRAME_SIZE]
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(i)
+                out["byte_offset"].append(i * _FRAME_SIZE)
+                out["frame_checksum"].append(sum(chunk) % 1_000_000_007)
+        yield pd.DataFrame(out)
+
+
+@register(
+    "multimodal_frames",
+    oracle=f"""
+WITH p AS (
+  SELECT doc_id, substr(text, 1, 32) AS prefix FROM documents
+),
+frames AS (
+  SELECT doc_id, prefix,
+         unnest(generate_series(0,
+             CAST(greatest(length(prefix) // {_FRAME_SIZE}, 1) AS INT) - 1,
+             {_FRAME_STRIDE})) AS frame_idx
+  FROM p
+)
+SELECT doc_id,
+       CAST(frame_idx AS INT) AS frame_idx,
+       CAST(frame_idx * {_FRAME_SIZE} AS INT) AS byte_offset,
+       CAST(COALESCE(list_sum(list_transform(
+           generate_series(frame_idx * {_FRAME_SIZE} + 1,
+                           least((frame_idx + 1) * {_FRAME_SIZE}, length(prefix))),
+           i -> ascii(substr(prefix, i, 1)))), 0) % 1000000007 AS BIGINT)
+         AS frame_checksum
+FROM frames
+""",
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over an opaque binary column: every 2nd 8-byte
+    "frame" is emitted as its own row with a checksum — the
+    one-row-in/N-rows-out ``mapInPandas`` shape a video sampler needs
+    (partition-parallel, no shuffle; output rows stay on the worker
+    that decoded them)."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id", F.encode(F.substring("text", 1, 32), "utf-8").alias("payload")
+    )
+    return payloads.mapInPandas(sample_frames_batch, _FRAMES_SCHEMA)
+
+
+_N_FEATURES = 8
+
+
+def extract_features_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: binary -> fixed-dim feature vector (byte
+    histogram over _N_FEATURES buckets — the stub for an image/audio
+    embedding model; a real one batches payloads through the model).
+    Emitted as a comma-joined string so the result is rendering-proof
+    across engines."""
+    for pdf in batches:
+        feats = []
+        for payload in pdf["payload"]:
+            hist = [0] * _N_FEATURES
+            for b in payload:
+                hist[b % _N_FEATURES] += 1
+            feats.append(",".join(str(h) for h in hist))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+
+
+@register(
+    "multimodal_features",
+    oracle=f"""
+WITH p AS (
+  SELECT doc_id, substr(text, 1, 32) AS prefix FROM documents
+)
+SELECT doc_id,
+       array_to_string(list_transform(generate_series(0, {_N_FEATURES - 1}),
+         b -> len(list_filter(
+               list_transform(generate_series(1, length(prefix)),
+                              i -> ascii(substr(prefix, i, 1))),
+               c -> c % {_N_FEATURES} = b))), ',') AS features
+FROM p
+""",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over an opaque binary column: fixed-dim
+    byte-histogram vector per payload via ``mapInPandas`` — the exact
+    schema/batch shape an embedding-model pass uses (Arrow batches in,
+    fixed-width vectors out, partition-parallel)."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id", F.encode(F.substring("text", 1, 32), "utf-8").alias("payload")
+    )
+    return payloads.mapInPandas(
+        extract_features_batch,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("features", T.StringType()),
+            ]
+        ),
+    )
+
+
+def resize_media_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB resize: truncate/pad the payload to a fixed byte budget
+    (a real implementation re-encodes pixels; the plumbing — binary in,
+    binary out, same row count — is what matters). Library-only helper
+    with a pytest contract; not a registered query (binary outputs
+    don't hash-compare across engines)."""
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "payload": [bytes(p[:16]).ljust(16, b"\0") for p in pdf["payload"]],
+            }
+        )

@@ -125,3 +125,35 @@ class TestMultimodalDecode:
             "checksum",
         ]
         assert out[0].n_bytes.tolist() == [3, 4]
+
+
+class TestMultimodalToolkit:
+    def test_resize_contract(self):
+        import pandas as pd
+
+        from etl_8x8_spark.operators.multimodal import resize_media_batch
+
+        batch = pd.DataFrame(
+            {"doc_id": [1, 2], "payload": [b"x" * 40, b"short"]}
+        )
+        out = list(resize_media_batch(iter([batch])))[0]
+        assert all(len(p) == 16 for p in out.payload)
+        assert out.doc_id.tolist() == [1, 2]
+
+    def test_frames_stride_and_offsets(self, spark, sf_dir, queries):
+        rows = queries["multimodal_frames"].builder(spark, sf_dir).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r)
+            assert r.byte_offset == r.frame_idx * 8
+        for doc, frames in list(by_doc.items())[:50]:
+            idxs = sorted(f.frame_idx for f in frames)
+            assert idxs[0] == 0
+            assert all(i % 2 == 0 for i in idxs)  # stride-2 sampling
+
+    def test_features_fixed_dim_and_mass(self, spark, sf_dir, queries):
+        rows = queries["multimodal_features"].builder(spark, sf_dir).collect()
+        for r in rows[:100]:
+            hist = [int(x) for x in r.features.split(",")]
+            assert len(hist) == 8
+            assert 1 <= sum(hist) <= 32  # one count per payload byte

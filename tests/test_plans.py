@@ -143,11 +143,16 @@ class TestNoSlowPaths:
     def test_no_python_row_udfs_or_cartesians_anywhere(self, spark, sf_dir):
         """Sweep every registered batch plan: no row-at-a-time Python,
         no cartesian products, and nothing leaves the JVM except the
-        two sanctioned operators (jwt_verify pandas_udf,
-        multimodal_decode mapInPandas)."""
+        sanctioned operators (jwt_verify pandas_udf; the multimodal
+        binary passes, which ARE the Python-worker plumbing)."""
         from etl_8x8_spark.plans.audit import audit_all
 
-        allowed_python = {"jwt_verify", "multimodal_decode"}
+        allowed_python = {
+            "jwt_verify",
+            "multimodal_decode",
+            "multimodal_frames",
+            "multimodal_features",
+        }
         for name, facts in audit_all(spark, sf_dir).items():
             assert not facts["row_at_a_time_python"], (
                 f"{name}: row-at-a-time UDF"
