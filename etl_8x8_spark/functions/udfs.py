@@ -126,3 +126,25 @@ def jwt_verify_token(token):
             _verify_token_batch, "verdict string, principal_id string, message string"
         )
     return _UDF_CACHE["verify"](token)
+
+
+def widen_for_python(df):
+    """Raise map-stage parallelism to cluster width before an expensive
+    Python (Arrow-batched) stage.
+
+    A small or heavily-filtered input can arrive in fewer partitions
+    than the cluster has cores (a single-row-group parquet file is a
+    one-task scan), and then a ``pandas_udf`` / ``mapInPandas`` chain
+    runs serially no matter how wide the cluster is — per-row Python
+    cost, unlike codegen'd expressions, dwarfs the row's byte size, so
+    partition count IS the throughput. A round-robin repartition to
+    ``defaultParallelism`` pays one tiny shuffle of the raw input and
+    buys cores× on the Python stage. No-op when the input is already
+    at least that wide (the common case at 100 TB, where the scan
+    itself yields thousands of tasks). AQE never coalesces an explicit
+    ``repartition(n)``, so the width survives adaptive re-planning.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

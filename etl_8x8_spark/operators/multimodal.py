@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from etl_8x8_spark.registry import register
+from etl_8x8_spark.functions.udfs import widen_for_python
 from etl_8x8_spark.sources.readers import load_table
 
 
@@ -156,8 +157,10 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass uses at 100 TB (decode cost scales per-partition, no shuffle).
     """
     docs = load_table(spark, sf_dir, "documents")
-    payloads = docs.select(
-        "doc_id", F.encode(F.substring("text", 1, 32), "utf-8").alias("payload")
+    payloads = widen_for_python(
+        docs.select(
+            "doc_id", F.encode(F.substring("text", 1, 32), "utf-8").alias("payload")
+        )
     )
     return payloads.mapInPandas(decode_media_batch, _DECODE_SCHEMA)
 
@@ -229,8 +232,10 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     (partition-parallel, no shuffle; output rows stay on the worker
     that decoded them)."""
     docs = load_table(spark, sf_dir, "documents")
-    payloads = docs.select(
-        "doc_id", F.encode(F.substring("text", 1, 32), "utf-8").alias("payload")
+    payloads = widen_for_python(
+        docs.select(
+            "doc_id", F.encode(F.substring("text", 1, 32), "utf-8").alias("payload")
+        )
     )
     return payloads.mapInPandas(sample_frames_batch, _FRAMES_SCHEMA)
 
@@ -277,8 +282,10 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema/batch shape an embedding-model pass uses (Arrow batches in,
     fixed-width vectors out, partition-parallel)."""
     docs = load_table(spark, sf_dir, "documents")
-    payloads = docs.select(
-        "doc_id", F.encode(F.substring("text", 1, 32), "utf-8").alias("payload")
+    payloads = widen_for_python(
+        docs.select(
+            "doc_id", F.encode(F.substring("text", 1, 32), "utf-8").alias("payload")
+        )
     )
     return payloads.mapInPandas(
         extract_features_batch,

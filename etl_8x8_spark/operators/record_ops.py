@@ -35,7 +35,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_8x8_spark.functions.udfs import jwt_build_token, jwt_verify_token
+from etl_8x8_spark.functions.udfs import (
+    jwt_build_token,
+    jwt_verify_token,
+    widen_for_python,
+)
 from etl_8x8_spark.registry import register
 from etl_8x8_spark.sources.readers import load_table
 
@@ -601,8 +605,13 @@ def jwt_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     verifier fails the hash check. PyJWT 1.7.1 semantics preserved:
     an expired-but-authentic token still yields a principal via
     unverified decode (``src/handlers.py:37-39``); a bad signature
-    yields ``unknown_user``."""
-    events = load_table(spark, sf_dir, "events")
+    yields ``unknown_user``.
+
+    The input is widened to cluster parallelism first: per-row HMAC
+    cost dominates row size, so Python-stage partition count is the
+    throughput (a single-row-group scan would otherwise run the whole
+    UDF chain on one core)."""
+    events = widen_for_python(load_table(spark, sf_dir, "events"))
     df = events.withColumn(
         "token", jwt_build_token(F.col("user_id"), F.col("event_id"))
     )
