@@ -327,3 +327,35 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
     )
+
+
+@register("agg_hll_merge", oracle=None)
+def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Apache DataSketches): build one
+    distinct-user sketch per (event_type, hour) cell, then UNION the
+    sketches up to event_type — the re-aggregatable rollup pattern
+    that powers 100 TB distinct counts (sketch each partition/day
+    once, merge downstream; never re-scan raw data). The finalize step
+    is ``hll_sketch_estimate`` over the unioned binary sketch.
+
+    ``agg_approx_distinct`` is the one-shot HLL++ variant; this one
+    demonstrates partial-sketch REUSE — the estimate is computed from
+    merged per-cell sketches, never from the raw rows. No DuckDB twin
+    (engine-specific sketch bytes); tests pin the merged estimate to
+    the exact distinct count and to the one-level sketch.
+    """
+    events = load_table(spark, sf_dir, "events")
+    per_cell = (
+        events.withColumn("hour", F.date_trunc("hour", "ts"))
+        .groupBy("event_type", "hour")
+        .agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sketch"))
+    )
+    return (
+        per_cell.groupBy("event_type")
+        .agg(F.hll_union_agg("sketch").alias("merged"))
+        .select(
+            "event_type",
+            F.hll_sketch_estimate("merged").alias("approx_users"),
+        )
+        .orderBy("event_type")
+    )

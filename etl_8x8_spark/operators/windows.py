@@ -134,3 +134,77 @@ def window_ntile_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(w).cast("long").alias("rnk"),
         F.dense_rank().over(w).cast("long").alias("drnk"),
     )
+
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+@register(
+    "window_sessionize",
+    oracle=f"""
+WITH seq AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= {_SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_session,
+         row_number() OVER w AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id,
+       CAST(SUM(new_session) OVER wcum AS BIGINT) AS session_seq,
+       CAST(rn - MAX(CASE WHEN new_session = 1 THEN rn END) OVER wcum + 1
+            AS BIGINT) AS session_pos
+FROM seq
+WINDOW wcum AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING)
+""",
+)
+def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap-sessionization: assign every event its per-user
+    session number and position within that session (30-minute
+    inactivity gap) — the row-level *enrichment* twin of the
+    per-session aggregate ``stream_session_window`` computes, and the
+    standard first step of clickstream / training-log pipelines.
+
+    All four derived values (lag, row_number, running sum, running
+    max) share ONE window spec (user_id, ordered by ts), so the plan
+    is a single shuffle + single sort with one Window operator — no
+    second shuffle for the position-in-session, which is computed as
+    ``rn - max(rn at session starts so far) + 1`` instead of a
+    row_number over the (user, session) key. Gap arithmetic is exact
+    integer micros (``unix_micros`` / ``epoch_us``) on both engines.
+
+    Scale: one shuffle on user_id (high-cardinality), per-task state
+    is one user's event list — the sessionization that survives 100 TB
+    as long as no single user exceeds a task's memory.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    us = F.unix_micros(F.col("ts"))
+    prev_us = F.lag(us).over(w)
+    new_session = (
+        F.when(prev_us.isNull() | (us - prev_us >= _SESSION_GAP_US), 1)
+        .otherwise(0)
+    )
+    rn = F.row_number().over(w)
+    df = events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        new_session.alias("_new"),
+        rn.alias("_rn"),
+    )
+    return df.select(
+        "event_id",
+        "user_id",
+        F.sum("_new").over(wcum).cast("long").alias("session_seq"),
+        (
+            F.col("_rn")
+            - F.max(F.when(F.col("_new") == 1, F.col("_rn"))).over(wcum)
+            + 1
+        )
+        .cast("long")
+        .alias("session_pos"),
+    )

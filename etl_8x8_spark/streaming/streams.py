@@ -383,3 +383,67 @@ def stream_watermark_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_phase(first)
     run_phase(rest.unionByName(late))
     return spark.read.parquet(out_dir)
+
+
+@register(
+    "stream_join_interval",
+    oracle="""
+SELECT c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       c.user_id,
+       CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS lag_us
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL 1 HOUR
+""",
+)
+def stream_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: every purchase joined to the
+    clicks by the same user in the preceding hour — the attribution
+    join, run through the streaming engine.
+
+    Both sides carry watermarks and the join predicate bounds
+    event-time distance, so Spark can expire buffered state (a click
+    older than purchase-watermark − 1 h can never match again); an
+    unbounded stream-stream join would otherwise hold both streams in
+    state forever — THE failure mode of naive streaming joins at
+    100 TB/day. The batch SQL twin is the exact oracle because every
+    event arrives within one availableNow run.
+    """
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user_id") == F.col("p_user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user_id").alias("user_id"),
+        (
+            F.unix_micros(F.col("purchase_ts")) - F.unix_micros(F.col("click_ts"))
+        ).alias("lag_us"),
+    )
+    return run_to_table(joined, "append", "stream_join_interval")

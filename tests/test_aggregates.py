@@ -139,3 +139,37 @@ def test_failfast_schema_boundary(spark):
     )
     with _pytest.raises((PySparkException, Py4JJavaError)):
         strict.collect()
+
+
+def test_hll_merge_matches_exact_and_one_shot(spark, sf_dir):
+    """Merged per-cell sketches must estimate within HLL tolerance of
+    the exact distinct count AND agree exactly with a single-level
+    sketch over the same rows (HLL union at equal lgK is lossless)."""
+    from pyspark.sql import functions as F
+
+    from etl_8x8_spark.registry import all_queries
+    from etl_8x8_spark.sources.readers import load_table
+
+    exact = {
+        r.event_type: r.n_users
+        for r in all_queries()["agg_distinct_count"].builder(spark, sf_dir).collect()
+    }
+    merged = {
+        r.event_type: r.approx_users
+        for r in all_queries()["agg_hll_merge"].builder(spark, sf_dir).collect()
+    }
+    one_shot = {
+        r.event_type: r.approx_users
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", F.lit(14))
+            ).alias("approx_users")
+        )
+        .collect()
+    }
+    for k, n in exact.items():
+        # lgK=14 -> rsd ~0.8%; allow 3 sigma plus small-count slack
+        assert abs(merged[k] - n) <= max(2, 0.025 * n)
+        assert merged[k] == one_shot[k]

@@ -160,3 +160,39 @@ class TestNoSlowPaths:
             assert not facts["cartesian"], f"{name}: cartesian product"
             if name not in allowed_python:
                 assert not facts["python_eval"], f"{name}: python in plan"
+
+
+class TestNewOperatorPlans:
+    def test_sessionize_single_shuffle_single_sort(
+        self, spark, sf_dir, queries
+    ):
+        """All four window expressions must share one (partition,
+        order) spec: exactly one Exchange and one Sort, no second
+        shuffle for position-in-session."""
+        plan = plan_of(spark, sf_dir, queries, "window_sessionize")
+        assert plan.count("Exchange") == 1
+        assert plan.count("+- Sort") + plan.count(":- Sort") <= 1
+
+    def test_clustered_sink_pushes_range_predicate(
+        self, spark, sf_dir, queries
+    ):
+        """The read-back scan over the clustered layout must carry the
+        shipdate range in PushedFilters — row-group skipping only
+        happens when the predicate reaches the reader."""
+        plan = plan_of(spark, sf_dir, queries, "sink_sorted_clustered")
+        pushed = plan.split("PushedFilters:")[1].split("]")[0]
+        assert "l_shipdate" in pushed
+        assert "GreaterThanOrEqual" in pushed and "LessThan" in pushed
+
+    def test_widen_for_python_widens_narrow_scan(self, spark, sf_dir):
+        from etl_8x8_spark.functions.udfs import widen_for_python
+        from etl_8x8_spark.sources.readers import load_table
+
+        events = load_table(spark, sf_dir, "events")
+        wide = widen_for_python(events)
+        target = spark.sparkContext.defaultParallelism
+        assert wide.rdd.getNumPartitions() >= min(
+            target, events.rdd.getNumPartitions() + 1
+        )
+        # already-wide inputs pass through untouched (no extra shuffle)
+        assert widen_for_python(wide) is wide
