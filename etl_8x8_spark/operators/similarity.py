@@ -312,3 +312,121 @@ def sim_search_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _LSH_TOP_K)
         .select("q_id", "vec_id", F.round("sim", 6).alias("sim"), "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# k-NN JOIN: every corpus vector gets its top-k neighbors (the
+# all-vectors twin of sim_search_ivf_topk, where the "query set" was a
+# tiny broadcastable sample). Candidate generation must therefore be a
+# SHUFFLE equi-join on cell id — the shape that matters at 100 TB,
+# where neither side broadcasts and exact all-pairs is quadratic.
+# --------------------------------------------------------------------------
+
+_KNN_K = 3
+
+_KNN_ORACLE = f"""
+WITH normed AS (
+  SELECT vec_id, embedding, {oracle_norm("embedding")} AS nrm FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS cid, embedding AS ce, nrm AS cn
+  FROM normed WHERE vec_id < {_IVF_K}
+),
+ranked AS (
+  SELECT n.vec_id, n.embedding, n.nrm, c.cid,
+         row_number() OVER (
+           PARTITION BY n.vec_id
+           ORDER BY {oracle_dot("n.embedding", "c.ce")} / (n.nrm * c.cn)
+                    DESC, c.cid ASC
+         ) AS rk
+  FROM normed n, cent c
+),
+assigned AS (
+  SELECT vec_id, embedding, nrm, cid FROM ranked WHERE rk = 1
+),
+probes AS (
+  SELECT vec_id AS q_id, embedding AS qe, nrm AS qn, cid
+  FROM ranked WHERE rk <= {_IVF_NPROBE}
+),
+scored AS (
+  SELECT p.q_id, a.vec_id,
+         {oracle_dot("p.qe", "a.embedding")} / (p.qn * a.nrm) AS sim
+  FROM probes p JOIN assigned a ON a.cid = p.cid
+  WHERE a.vec_id <> p.q_id
+)
+SELECT q_id, vec_id, round(sim, 6) AS sim, rank FROM (
+  SELECT q_id, vec_id, sim,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {_KNN_K}
+"""
+
+
+@register("sim_knn_join", oracle=_KNN_ORACLE)
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN self-join: top-k cosine neighbors for EVERY vector, with
+    IVF-cell blocking (assign each vector to its nearest of K coarse
+    cells; candidates = vectors in each query's nprobe nearest cells).
+
+    One broadcast centroid pass produces BOTH roles from a single
+    ranked (vector × centroid) relation — rk=1 rows are the inverted
+    file, rk≤nprobe rows are the probe lists — persisted so the window
+    isn't computed twice. Candidates then come from a shuffle hash
+    join on cid (both sides are corpus-sized: nothing broadcasts, and
+    per-pair work is confined to cells, never all-pairs). The blocking
+    arithmetic is deterministic, so a full SQL oracle hash-verifies
+    the whole approximate join — dedup_embed_cosine is the
+    threshold-pair variant of the same dataflow.
+
+    Scale: cost ≈ |corpus| · nprobe · avg_cell_size instead of
+    |corpus|²; cells are the unit of skew (a hot cell re-splits with
+    the salting pattern from join_salted_skew).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    normed = emb.select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    cent = normed.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    csim = cosine(F.col("embedding"), F.col("ce"), F.col("nrm"), F.col("cn"))
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        csim.desc(), F.col("cid").asc()
+    )
+    ranked = (
+        normed.crossJoin(F.broadcast(cent))
+        .withColumn("rk", F.row_number().over(w_assign))
+        .select("vec_id", "embedding", "nrm", "cid", "rk")
+        .persist()
+    )
+    assigned = ranked.filter(F.col("rk") == 1).select(
+        "vec_id", "embedding", "nrm", "cid"
+    )
+    probes = ranked.filter(F.col("rk") <= _IVF_NPROBE).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+        "cid",
+    )
+    scored = (
+        assigned.join(probes, "cid")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            cosine(
+                F.col("qe"), F.col("embedding"), F.col("qn"), F.col("nrm")
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _KNN_K)
+        .select("q_id", "vec_id", F.round("sim", 6).alias("sim"), "rank")
+    )
