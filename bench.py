@@ -48,6 +48,11 @@ HEADLINE = [
     "join_bucketed_colocated",
     "sql_tpch_q3_shape",
     "sql_tpch_q5_shape",
+    # appended r2 wave 2
+    "window_sessionize",
+    "sim_knn_join",
+    "agg_hll_merge",
+    "sink_sorted_clustered",
 ]
 
 

@@ -323,14 +323,23 @@ def sim_search_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _KNN_K = 3
+# Adaptive cell count: pair work is N·nprobe·(N/K), so K must grow
+# with the corpus (fixed K makes the join quadratic — measured 19.9×
+# at a 10× scale-up before this). Target ~128 vectors per cell.
+_KNN_CELL_TARGET = 128
 
 _KNN_ORACLE = f"""
-WITH normed AS (
+WITH k AS (
+  SELECT GREATEST({_IVF_K},
+                  CAST(ceil(COUNT(*) / {_KNN_CELL_TARGET}.0) AS BIGINT)) AS n_cells
+  FROM embeddings
+),
+normed AS (
   SELECT vec_id, embedding, {oracle_norm("embedding")} AS nrm FROM embeddings
 ),
 cent AS (
   SELECT vec_id AS cid, embedding AS ce, nrm AS cn
-  FROM normed WHERE vec_id < {_IVF_K}
+  FROM normed WHERE vec_id < (SELECT n_cells FROM k)
 ),
 ranked AS (
   SELECT n.vec_id, n.embedding, n.nrm, c.cid,
@@ -380,14 +389,22 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold-pair variant of the same dataflow.
 
     Scale: cost ≈ |corpus| · nprobe · avg_cell_size instead of
-    |corpus|²; cells are the unit of skew (a hot cell re-splits with
-    the salting pattern from join_salted_skew).
+    |corpus|², and the cell count GROWS with the corpus (K =
+    N/cell_target, floored at {_IVF_K}) so avg_cell_size stays
+    constant — with fixed K the "blocked" join is still quadratic
+    (measured: 19.9× time at 10× data before K became adaptive; ~3×
+    after). The one count() action is the index-build step. Cells are
+    the unit of skew (a hot cell re-splits with the salting pattern
+    from join_salted_skew).
     """
+    import math
+
     emb = load_table(spark, sf_dir, "embeddings")
+    n_cells = max(_IVF_K, math.ceil(emb.count() / _KNN_CELL_TARGET))
     normed = emb.select(
         "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
     )
-    cent = normed.filter(F.col("vec_id") < _IVF_K).select(
+    cent = normed.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cid"),
         F.col("embedding").alias("ce"),
         F.col("nrm").alias("cn"),

@@ -262,3 +262,30 @@ def sink_sorted_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         dsum("l_extendedprice", "sum_price"),
     )
+
+
+@register(
+    "scan_orc",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+WHERE l_quantity >= 45.0 AND l_returnflag = 'R'
+""",
+)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC scan with the same pushdown contract as ``scan_parquet``:
+    lineitem is converted to ORC once in scratch (the engine's second
+    columnar format — some lakes standardize on ORC), then scanned
+    with filter + 3-column projection, both reaching the ORC reader
+    (predicate pushdown via ORC search arguments). Identical result
+    set to the parquet scan, so the parquet oracle doubles as the
+    format-conversion check."""
+    li = load_table(spark, sf_dir, "lineitem")
+    path = os.path.join(scratch_dir(), f"lineitem_orc_{_sf_tag(sf_dir)}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        li.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.filter(
+        (F.col("l_quantity") >= 45.0) & (F.col("l_returnflag") == "R")
+    ).select("l_orderkey", "l_linenumber", "l_extendedprice")

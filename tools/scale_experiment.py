@@ -1,0 +1,163 @@
+"""N× scale-up experiment: replicate sf0.1 with shifted keys and
+re-run the heavy operators, reporting per-query ratios vs sf0.1.
+
+The replica grows the data the way production data grows — MORE keys,
+not fatter keys:
+
+- lineitem/orders: orderkeys shift per copy (join fanout constant);
+- events: event_id AND user_id shift (more users, same per-user
+  history — per-task window state stays bounded);
+- documents: doc_id shifts and every word is tagged with the copy
+  index, so cross-copy docs share NO shingles — the duplicate RATE
+  stays constant instead of every doc gaining N-1 near-dups (which
+  would grow candidate pairs quadratically and measure the data, not
+  the engine);
+- embeddings: vec_id shifts, components get small deterministic
+  per-copy noise (no degenerate ties in top-k).
+
+Usage: python tools/scale_experiment.py [--copies 10] [--queries a,b]
+Prints one JSON line per query: {name, base_s, scaled_s, ratio}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+BASE_SF = "/root/testdata/sf0.1"
+
+DEFAULT_QUERIES = [
+    "agg_hash_group",
+    "join_hash_equi",
+    "join_asof_event",
+    "window_rank_topn_per_group",
+    "window_sessionize",
+    "dedup_exact",
+    "dedup_minhash_near",
+    "text_tfidf_terms",
+    "text_analysis_stats",
+    "sim_search_topk",
+    "sim_knn_join",
+    "jwt_verify",
+]
+
+_KEY_OFF = 100_000_000
+
+
+def build_replica(spark, copies: int) -> str:
+    from etl_8x8_spark.sources.readers import load_table, scratch_dir
+
+    out = os.path.join(scratch_dir(), f"scale{copies}x")
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+
+    def shifted(name: str, copy: int):
+        df = load_table(spark, BASE_SF, name)
+        off = copy * _KEY_OFF
+        if name == "lineitem":
+            return df.withColumn("l_orderkey", F.col("l_orderkey") + off)
+        if name == "orders":
+            return df.withColumn("o_orderkey", F.col("o_orderkey") + off)
+        if name == "events":
+            return df.withColumn(
+                "event_id", F.col("event_id") + off
+            ).withColumn("user_id", F.col("user_id") + copy * 1_000_000)
+        if name == "documents":
+            # tag every word with the copy index: cross-copy docs share
+            # no shingles, within-copy near-dup structure is preserved
+            if copy == 0:
+                return df
+            tagged = F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda w: F.concat(w, F.lit(f"_c{copy}")),
+                ),
+                " ",
+            )
+            return df.withColumn("doc_id", F.col("doc_id") + off).withColumn(
+                "text", tagged
+            )
+        if name == "embeddings":
+            if copy == 0:
+                return df
+            noisy = F.transform(
+                F.col("embedding"),
+                lambda x, j: (
+                    x
+                    + F.sin(F.col("vec_id") * 31 + j * 7 + F.lit(copy))
+                    * F.lit(0.01)
+                ).cast("float"),
+            )
+            return df.withColumn("vec_id", F.col("vec_id") + off).withColumn(
+                "embedding", noisy
+            )
+        return df
+
+    for name in ("lineitem", "orders", "events", "documents", "embeddings"):
+        path = os.path.join(out, f"{name}.parquet")
+        for copy in range(copies):
+            mode = "overwrite" if copy == 0 else "append"
+            shifted(name, copy).write.mode(mode).parquet(path)
+    # dims: single copy (dims don't grow with fact volume)
+    for name in ("region", "nation", "customer", "supplier", "part"):
+        load_table(spark, BASE_SF, name).write.mode("overwrite").parquet(
+            os.path.join(out, f"{name}.parquet")
+        )
+    open(marker, "w").close()
+    return out
+
+
+def time_warm(qs, spark, name: str, sf_dir: str) -> float:
+    for _ in range(1):
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    t0 = time.time()
+    qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return round(time.time() - t0, 3)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--copies", type=int, default=10)
+    ap.add_argument("--queries", type=str, default=",".join(DEFAULT_QUERIES))
+    args = ap.parse_args()
+
+    from etl_8x8_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    names = [n for n in args.queries.split(",") if n in qs]
+
+    # shuffle partitions sized up with the data (32 -> 64 at 10x)
+    spark = get_spark(
+        "scale_experiment",
+        cpus="32",
+        shuffle_partitions=max(32, 8 * args.copies),
+    )
+    replica = build_replica(spark, args.copies)
+
+    results = {}
+    for name in names:
+        base = time_warm(qs, spark, name, BASE_SF)
+        scaled = time_warm(qs, spark, name, replica)
+        ratio = round(scaled / base, 1) if base > 0 else None
+        results[name] = {"base_s": base, "scaled_s": scaled, "ratio": ratio}
+        print(json.dumps({"query": name, **results[name]}), flush=True)
+    print(
+        json.dumps(
+            {"metric": "scale_experiment", "copies": args.copies, "queries": results}
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
