@@ -26,7 +26,7 @@ factor; the derivations are inlined in the oracles.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_8x8_spark.functions.vectors import cosine, norm, oracle_dot, oracle_norm
@@ -532,4 +532,109 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("vec_b"),
             F.round(sim, 6).alias("cos_sim"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Connected components over the near-dup pair graph: pairs -> clusters.
+# ---------------------------------------------------------------------------
+
+_CC_MAX_ITERS = 15
+
+
+@register(
+    "dedup_cluster_cc",
+    oracle=f"""
+WITH RECURSIVE corpus AS ({_NEAR_SQL}),
+sh AS (
+  SELECT doc_id,
+         doc_id % {_NEAR_OFFSET} AS block_key,
+         {_shingles_sql(_TOKENS_SQL)} AS sset
+  FROM corpus
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b
+    ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+        / len(list_distinct(a.sset || b.sset)) >= {_JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+)
+SELECT src AS doc_id,
+       MIN(dst) AS cluster_rep,
+       CAST(COUNT(*) OVER (PARTITION BY MIN(dst)) AS BIGINT) AS cluster_size
+FROM reach
+GROUP BY src
+""",
+)
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS → dedup CLUSTERS: connected components over the
+    n-gram-Jaccard pair graph, every document labeled with its
+    component representative (min doc_id) and the component size —
+    the step that turns pairwise similarity into actual keep/drop
+    decisions (keep ``doc_id == cluster_rep``, drop the rest), which
+    is what a training-data dedup pass ships.
+
+    Implemented as distributed min-label propagation: each iteration
+    is one (edges ⋈ labels) shuffle join + a min-aggregate, looped
+    from the driver until a fixpoint (no label changed) — the
+    iterative-algorithm shape Spark expresses as a driver loop over
+    declarative steps, like GraphX/Pregel does under the hood.
+    Near-dup components are tiny and dense (dup families, not a web
+    graph), so convergence takes O(component diameter) ≈ 1-3 rounds;
+    labels are persisted each round and the loop is capped at
+    {_CC_MAX_ITERS} as a runaway guard. The DuckDB oracle computes
+    the same components from first principles (recursive-CTE
+    transitive closure + MIN) — hash-verifying an ITERATIVE
+    distributed algorithm against a declarative spec.
+
+    Scale: cost per round is |edges| shuffled on one key; total
+    rounds bound by diameter. For skew (one giant component), the
+    alternating small-star/large-star variant keeps per-key fanout
+    bounded — same loop skeleton.
+    """
+    corpus = seeded_near_corpus(load_table(spark, sf_dir, "documents"))
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+        )
+        .persist()
+    )
+    labels = corpus.select("doc_id", F.col("doc_id").alias("label")).persist()
+    for _ in range(_CC_MAX_ITERS):
+        prop = edges.join(
+            labels, edges.b == labels.doc_id, "inner"
+        ).select(F.col("a").alias("doc_id"), "label")
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    w = Window.partitionBy("label")
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_rep"),
+        F.count("*").over(w).cast("long").alias("cluster_size"),
     )

@@ -208,3 +208,59 @@ def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("session_pos"),
     )
+
+
+_TRAIL_DAYS = 30
+_TRAIL_US = _TRAIL_DAYS * 86_400 * 1_000_000
+
+
+@register(
+    "window_trailing_range",
+    oracle=f"""
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
+              OVER (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+                    RANGE BETWEEN {_TRAIL_US} PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS trailing_spend,
+       CAST(COUNT(*)
+              OVER (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+                    RANGE BETWEEN {_TRAIL_US} PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS trailing_orders
+FROM orders
+""",
+)
+def window_trailing_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 30-DAY per-customer spend — a RANGE frame over event
+    time, not a ROWS frame: the frame holds every order whose date is
+    within 30 days of the current one, however many rows that is (the
+    moving-average/trailing-revenue shape every retention dashboard
+    uses; a ROWS frame silently computes the wrong thing on irregular
+    event spacing).
+
+    The order key is integer epoch MICROS (``unix_micros`` /
+    ``epoch_us``) so the range arithmetic is exact; a RANGE frame over
+    raw timestamps would bind the interval to engine-specific interval
+    semantics. Peers (same customer, same date) share one frame value
+    by definition of RANGE, which keeps the result deterministic
+    without a tiebreak column.
+
+    Scale: same posture as every window here — one shuffle on
+    o_custkey; the range frame is evaluated with a sliding two-pointer
+    over the sorted partition, so per-task cost stays linear.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    epoch_us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(epoch_us)
+        .rangeBetween(-_TRAIL_US, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(DEC))
+        .over(w)
+        .cast("double")
+        .alias("trailing_spend"),
+        F.count(F.lit(1)).over(w).cast("long").alias("trailing_orders"),
+    )
