@@ -130,7 +130,8 @@ def jwt_verify_token(token):
 
 def widen_for_python(df):
     """Raise map-stage parallelism to cluster width before an expensive
-    Python (Arrow-batched) stage.
+    per-row stage (Arrow-batched Python, or heavy JVM array math like
+    MinHash signatures — anything whose per-row cost dwarfs row bytes).
 
     A small or heavily-filtered input can arrive in fewer partitions
     than the cluster has cores (a single-row-group parquet file is a

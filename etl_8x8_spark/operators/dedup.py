@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from etl_8x8_spark.functions.udfs import widen_for_python
 from etl_8x8_spark.functions.vectors import cosine, norm, oracle_dot, oracle_norm
 from etl_8x8_spark.registry import register
 from etl_8x8_spark.sources.readers import load_table
@@ -184,12 +185,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification only ever runs on candidate pairs produced by a
     blocking join, never all-pairs.
     """
-    corpus = seeded_near_corpus(load_table(spark, sf_dir, "documents"))
+    corpus = widen_for_python(
+        seeded_near_corpus(load_table(spark, sf_dir, "documents"))
+    )
+    # persisted: BOTH self-join sides consume the shingle table, and
+    # without the barrier the plan re-derives shingles per side (the
+    # CollapseProject duplication trap); widened first so the shingle
+    # map stage isn't bound to the narrow scan's task count
     sh = corpus.select(
         "doc_id",
         (F.col("doc_id") % _NEAR_OFFSET).alias("block_key"),
         shingles(tokens()).alias("sset"),
-    )
+    ).persist()
     a = sh.alias("a")
     b = sh.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sset"), F.col("b.sset")))
