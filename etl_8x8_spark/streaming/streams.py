@@ -447,3 +447,99 @@ def stream_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("lag_us"),
     )
     return run_to_table(joined, "append", "stream_join_interval")
+
+
+@register(
+    "stream_foreach_batch_upsert",
+    oracle=f"""
+SELECT event_type,
+       2 * COUNT(*) AS n_events,
+       {oracle_dsum("value", "sum_value").replace("AS sum_value", "* 2 AS sum_value")}
+FROM events
+GROUP BY event_type
+""",
+)
+def stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``foreachBatch`` keyed-total upsert: each micro-batch folds its
+    partial aggregate into a partitioned parquet totals table via
+    dynamic partition overwrite — the idempotent streaming-upsert
+    pattern for sinks with no native MERGE (per batch: read current
+    totals, combine, overwrite ONLY the partitions the batch touched).
+
+    The stream runs two micro-batches (maxFilesPerTrigger=1 over a
+    doubled source), so the fold path — not just the first write — is
+    exercised; the oracle is the batch aggregate × 2. Totals are
+    stored decimal-accumulated and cast at read, so batch boundaries
+    never perturb float results. ``localCheckpoint`` cuts the read's
+    lineage from the files the same job replaces.
+
+    Scale: state lives in the sink table, not executor memory —
+    restart-safe via the checkpoint dir, and each batch rewrites only
+    its touched partitions (the streaming twin of
+    ``sink_partition_overwrite``).
+    """
+    import shutil
+
+    from etl_8x8_spark.functions.parity import DEC
+
+    src = events_stream_dir(spark, sf_dir, copies=2)
+    run_id = next(_counter)
+    base = os.path.join(
+        scratch_dir(), f"stream_upsert_{_sf_tag(sf_dir)}_{run_id}"
+    )
+    totals = os.path.join(base, "totals")
+    ckpt = os.path.join(base, "ckpt")
+    if os.path.exists(base):
+        shutil.rmtree(base)
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        part = batch_df.groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).alias("sum_value_dec"),
+        )
+        # dynamic partition overwrite commits partition dirs but no
+        # root _SUCCESS — presence of any partition dir is the marker
+        has_totals = os.path.isdir(totals) and any(
+            n.startswith("event_type=") for n in os.listdir(totals)
+        )
+        if has_totals:
+            cur = sess.read.parquet(totals).filter(
+                F.col("event_type").isin(
+                    [r.event_type for r in part.select("event_type").collect()]
+                )
+            )
+            merged = (
+                cur.unionByName(part)
+                .groupBy("event_type")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("sum_value_dec").cast(DEC).alias("sum_value_dec"),
+                )
+            )
+        else:
+            merged = part
+        # cut lineage from the files this write replaces
+        merged = merged.localCheckpoint(eager=True)
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("event_type")
+            .parquet(totals)
+        )
+
+    s = spark.readStream.schema(_EVENTS_STREAM_SCHEMA).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = (
+        s.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(totals).select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_value_dec").cast("double").alias("sum_value"),
+    )
