@@ -33,8 +33,14 @@ def _register_views(spark: SparkSession, sf_dir: str) -> None:
 
 # TPC-H Q3 shape (shipping priority): the testdata lacks o_shippriority,
 # so the query groups on (l_orderkey, o_orderdate, o_orderpriority).
+# The hint pins the scale-correct physical plan: broadcast the DIM
+# (customer), never the filtered FACT (lineitem) — file-size stats
+# after a selective filter can dip under the broadcast threshold at
+# test SF, and broadcasting a fact table is exactly the plan that
+# dies at 100 TB. DuckDB parses /*+ ... */ as a plain comment, so the
+# same SQL text stays the oracle.
 _Q3_SQL = """
-SELECT l_orderkey,
+SELECT /*+ BROADCAST(customer), SHUFFLE_MERGE(lineitem) */ l_orderkey,
        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)))
             AS DOUBLE) AS revenue,
        CAST(CAST(o_orderdate AS DATE) AS STRING) AS o_orderdate_str,
@@ -68,7 +74,8 @@ def sql_tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 # TPC-H Q5 shape (local supplier volume): all six tables exist with the
 # needed keys; the region filter + date range mirror the original.
 _Q5_SQL = """
-SELECT n_name,
+SELECT /*+ BROADCAST(customer, supplier, nation, region),
+           SHUFFLE_MERGE(lineitem) */ n_name,
        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)))
             AS DOUBLE) AS revenue,
        COUNT(*) AS n_items

@@ -125,3 +125,155 @@ class TestSinkRoundtripProperty:
         assert sorted(
             (r.k, r.part, r.v) for r in back.collect()
         ) == sorted(rows)
+
+
+# ---------------------------------------------------------------------------
+# Gap sessionization vs a brute-force single-pass reference
+# ---------------------------------------------------------------------------
+
+session_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # user_id
+        st.integers(min_value=0, max_value=50),  # ts (gap threshold = 10)
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+_GAP = 10
+
+
+def _sessionize_brute(rows):
+    """Per-user linear scan, the textbook definition."""
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for i, (uid, ts) in enumerate(rows):
+        by_user[uid].append((ts, i))
+    out = {}
+    for uid, evs in by_user.items():
+        evs.sort()
+        seq, pos, prev = 0, 0, None
+        for ts, i in evs:
+            if prev is None or ts - prev >= _GAP:
+                seq += 1
+                pos = 1
+            else:
+                pos += 1
+            out[i] = (seq, pos)
+            prev = ts
+    return out
+
+
+@given(session_events)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_sessionize_window_pattern_matches_brute_force(spark, rows):
+    df = spark.createDataFrame(
+        [(i, int(uid), int(ts)) for i, (uid, ts) in enumerate(rows)],
+        "event_id long, user_id long, ts long",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("ts").over(w)
+    new_s = F.when(prev.isNull() | (F.col("ts") - prev >= _GAP), 1).otherwise(0)
+    rn = F.row_number().over(w)
+    got = {
+        r.event_id: (r.seq, r.pos)
+        for r in df.select(
+            "event_id", "user_id", "ts", new_s.alias("_new"), rn.alias("_rn")
+        )
+        .select(
+            "event_id",
+            F.sum("_new").over(wcum).alias("seq"),
+            (
+                F.col("_rn")
+                - F.max(F.when(F.col("_new") == 1, F.col("_rn"))).over(wcum)
+                + 1
+            ).alias("pos"),
+        )
+        .collect()
+    }
+    assert got == _sessionize_brute(rows)
+
+
+# ---------------------------------------------------------------------------
+# Connected components (min-label propagation) vs union-find
+# ---------------------------------------------------------------------------
+
+edge_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),
+        st.integers(min_value=0, max_value=9),
+    ),
+    min_size=0,
+    max_size=15,
+)
+
+
+def _cc_union_find(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # path-compress fully, rep = min of component
+    reps = {}
+    for v in range(n_nodes):
+        r = find(v)
+        reps.setdefault(r, []).append(v)
+    out = {}
+    for r, members in reps.items():
+        m = min(members)
+        for v in members:
+            out[v] = m
+    return out
+
+
+@given(edge_lists)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_label_propagation_matches_union_find(spark, edges):
+    n = 10
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    if edges:
+        pairs = spark.createDataFrame(
+            [(int(a), int(b)) for a, b in edges], "doc_a long, doc_b long"
+        )
+    else:
+        pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    es = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).unionByName(
+        pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+    )
+    labels = nodes.select("doc_id", F.col("doc_id").alias("label"))
+    for _ in range(15):
+        prop = es.join(labels, es.b == labels.doc_id).select(
+            F.col("a").alias("doc_id"), "label"
+        )
+        new_labels = (
+            labels.unionByName(prop).groupBy("doc_id").agg(F.min("label").alias("label"))
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    got = {r.doc_id: r.label for r in labels.collect()}
+    assert got == _cc_union_find(n, edges)
