@@ -401,3 +401,35 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_bucket.groupBy("event_type")
         .agg(F.sum(F.bitmap_count(F.col("bm"))).alias("n_users"))
     )
+
+
+@register(
+    "agg_heavy_hitters",
+    oracle="""
+SELECT user_id, n_events FROM (
+  SELECT user_id, COUNT(*) AS n_events,
+         row_number() OVER (ORDER BY COUNT(*) DESC, user_id) AS rk
+  FROM events GROUP BY user_id
+) WHERE rk <= 10
+""",
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: the 10 most active users, two-phase —
+    partial counts map-side, one shuffle on user_id, then a global
+    TakeOrderedAndProject (each task keeps its local top-10; the
+    driver merges k·tasks rows, never the full count table). user_id
+    tiebreak keeps rank-10 ties deterministic.
+
+    Scale: the count table after the shuffle is |users|-sized and
+    never globally sorted — top-k short-circuits it. For cardinalities
+    where even per-user counts can't shuffle, the sketch path is
+    count-min + a candidate re-count; this exact two-phase is correct
+    whenever user_id fits a groupBy (billions of keys are fine).
+    """
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy(F.col("n_events").desc(), F.col("user_id"))
+        .limit(10)
+    )

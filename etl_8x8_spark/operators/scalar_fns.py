@@ -321,3 +321,51 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         name_if_even.alias("name_if_even"),
         F.coalesce(name_if_even, F.lit("(odd)")).alias("name_or_marker"),
     )
+
+
+@register(
+    "fn_url",
+    oracle="""
+WITH u AS (
+  SELECT p_partkey,
+         replace(p_type, ' ', '+') AS tparam,
+         p_size
+  FROM part
+)
+SELECT p_partkey,
+       'https://shop.example.com/part/' || p_partkey
+         || '?type=' || tparam || '&size=' || p_size AS url,
+       'shop.example.com' AS host,
+       '/part/' || p_partkey AS path,
+       'type=' || tparam || '&size=' || p_size AS query,
+       tparam AS type_param
+FROM u
+""",
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL scalar-function family: build a canonical product URL from
+    ``part`` columns, then parse it back with ``parse_url`` — HOST,
+    PATH, QUERY, and keyed query-parameter extraction (R1's
+    querystring handling over real URL syntax instead of an event
+    map). All codegen'd built-ins; the oracle reconstructs each
+    component from first principles rather than parsing.
+    """
+    part = load_table(spark, sf_dir, "part")
+    tparam = F.replace(F.col("p_type"), F.lit(" "), F.lit("+"))
+    url = F.concat(
+        F.lit("https://shop.example.com/part/"),
+        F.col("p_partkey").cast("string"),
+        F.lit("?type="),
+        tparam,
+        F.lit("&size="),
+        F.col("p_size").cast("string"),
+    )
+    df = part.select("p_partkey", url.alias("url"))
+    return df.select(
+        "p_partkey",
+        "url",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("type")).alias("type_param"),
+    )

@@ -196,3 +196,15 @@ class TestNewOperatorPlans:
         )
         # already-wide inputs pass through untouched (no extra shuffle)
         assert widen_for_python(wide) is wide
+
+    def test_tpch_shapes_never_broadcast_lineitem(
+        self, spark, sf_dir, queries
+    ):
+        """The fact table must not be broadcast even when post-filter
+        size stats dip under the threshold (regression: Catalyst chose
+        BuildRight broadcast of filtered lineitem in Q3 at test SF)."""
+        for name in ("sql_tpch_q3_shape", "sql_tpch_q5_shape"):
+            plan = plan_of(spark, sf_dir, queries, name)
+            for chunk in plan.split("BroadcastExchange")[1:]:
+                head = chunk[:1200]
+                assert "l_extendedprice" not in head, name
