@@ -336,3 +336,88 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("c_custkey").alias("n_customers"),
         F.count("s_suppkey").alias("n_suppliers"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time (SCD2) dimension join
+# ---------------------------------------------------------------------------
+
+# Deterministic synthetic version history: every customer has 3
+# versions of a "tier" attribute, each valid for one of three fixed
+# eras. Era boundaries chosen inside the orders date range.
+_SCD2_ERAS = [
+    ("1992-01-01 00:00:00", "1995-01-01 00:00:00", 0),
+    ("1995-01-01 00:00:00", "1997-01-01 00:00:00", 1),
+    ("1997-01-01 00:00:00", "1999-01-01 00:00:00", 2),
+]
+
+_SCD2_ORACLE = """
+WITH eras(valid_from, valid_to, version) AS (
+  VALUES (TIMESTAMP '1992-01-01', TIMESTAMP '1995-01-01', 0),
+         (TIMESTAMP '1995-01-01', TIMESTAMP '1997-01-01', 1),
+         (TIMESTAMP '1997-01-01', TIMESTAMP '1999-01-01', 2)
+),
+dim AS (
+  SELECT c_custkey, valid_from, valid_to, version,
+         CASE (c_custkey + version) % 3
+           WHEN 0 THEN 'bronze' WHEN 1 THEN 'silver' ELSE 'gold'
+         END AS tier
+  FROM customer, eras
+)
+SELECT o_orderkey, o_custkey, d.version AS dim_version, d.tier
+FROM orders o
+JOIN dim d
+  ON o.o_custkey = d.c_custkey
+ AND o.o_orderdate >= d.valid_from
+ AND o.o_orderdate <  d.valid_to
+"""
+
+
+@register("join_dim_scd2", oracle=_SCD2_ORACLE)
+def join_dim_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join against a slowly-changing (SCD2) dimension:
+    each order picks up the dimension version whose validity interval
+    contains the order date — never a later one. This is the join that
+    keeps training features leak-free: an order from 1996 must see the
+    1995-96 customer tier, not today's.
+
+    The versioned dim is synthesized deterministically (3 fixed eras ×
+    customers, tier = f(custkey, version)) so both engines build the
+    identical dimension. Join shape: equi on the entity key carries
+    the join; the interval test is a cheap residual filter — per-key
+    fanout is bounded by versions-per-entity (3), so there is no range
+    explosion, and at 100 TB the dim side stays broadcastable as long
+    as entity×version fits (else it shuffles on the SAME equi key and
+    stays co-partitioned).
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    eras = spark.createDataFrame(
+        [(f, t, v) for f, t, v in _SCD2_ERAS],
+        "valid_from string, valid_to string, version int",
+    ).select(
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+        "version",
+    )
+    dim = customer.select("c_custkey").crossJoin(F.broadcast(eras)).select(
+        "c_custkey",
+        "valid_from",
+        "valid_to",
+        "version",
+        F.element_at(
+            F.array(F.lit("bronze"), F.lit("silver"), F.lit("gold")),
+            ((F.col("c_custkey") + F.col("version")) % 3 + 1).cast("int"),
+        ).alias("tier"),
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.join(
+        F.broadcast(dim),
+        (orders.o_custkey == dim.c_custkey)
+        & (orders.o_orderdate >= dim.valid_from)
+        & (orders.o_orderdate < dim.valid_to),
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("version").alias("dim_version"),
+        "tier",
+    )

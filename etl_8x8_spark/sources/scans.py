@@ -289,3 +289,42 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.filter(
         (F.col("l_quantity") >= 45.0) & (F.col("l_returnflag") == "R")
     ).select("l_orderkey", "l_linenumber", "l_extendedprice")
+
+
+@register(
+    "scan_custom_source",
+    oracle="""
+SELECT CAST(range AS BIGINT) AS id,
+       'user_' || range AS name,
+       'Hello, user_' || range || '!' AS greeting,
+       CAST(range % 7 AS INT) AS shard,
+       CAST(length('user_' || range) AS INT) AS name_len
+FROM range(1000)
+WHERE range % 7 <> 3
+""",
+)
+def scan_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan of a CUSTOM Python DataSource (Spark 4 datasource API):
+    the deterministic "greeting API" relation (see
+    ``sources/custom_source.py``) read with 8 independent partitions —
+    one task per id-range, exactly like a parallel file scan — then
+    filtered and projected like any relation. The oracle regenerates
+    the same rows from ``range()`` arithmetic, value-hash-verifying
+    the whole custom-connector path end to end.
+    """
+    from etl_8x8_spark.sources.custom_source import register_greeting_source
+
+    register_greeting_source(spark)
+    df = (
+        spark.read.format("greeting_api")
+        .option("rows", "1000")
+        .option("partitions", "8")
+        .load()
+    )
+    return df.filter(F.col("shard") != 3).select(
+        "id",
+        "name",
+        "greeting",
+        "shard",
+        F.length("name").alias("name_len"),
+    )
