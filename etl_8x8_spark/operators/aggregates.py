@@ -433,3 +433,68 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_events").desc(), F.col("user_id"))
         .limit(10)
     )
+
+
+_FUNNEL_ORACLE = """
+WITH s AS (
+  SELECT user_id, MIN(ts) AS signup_ts
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS click_ts
+  FROM events e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'click' AND e.ts >= s.signup_ts
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS purchase_ts
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= c.click_ts
+  GROUP BY e.user_id
+)
+SELECT CAST((SELECT COUNT(*) FROM s) AS BIGINT) AS n_signup,
+       CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_signup_click,
+       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_full_funnel
+"""
+
+
+@register("agg_window_funnel", oracle=_FUNNEL_ORACLE)
+def agg_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: users who signed up → then clicked
+    (at or after their first signup) → then purchased (at or after
+    that first qualifying click). Each stage is a conditional-min
+    aggregate joined back on user_id — the ORDER of events matters,
+    which is what separates a funnel from three independent counts.
+
+    Plan shape: three groupBy/join rounds, all keyed on user_id, so
+    after the first shuffle every subsequent stage joins
+    co-partitioned data (AQE keeps the partitioning); per-stage state
+    is one timestamp per user. The staged-min formulation avoids
+    holding per-user event arrays (a collect_list funnel blows up on
+    power users at 100 TB).
+    """
+    events = load_table(spark, sf_dir, "events")
+    s = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return (
+        s.agg(F.count("*").alias("n_signup"))
+        .crossJoin(c.agg(F.count("*").alias("n_signup_click")))
+        .crossJoin(p.agg(F.count("*").alias("n_full_funnel")))
+    )

@@ -20,7 +20,12 @@ arithmetic and the whole scan is value-hash-verified.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 class _IdRange(InputPartition):
@@ -60,6 +65,9 @@ class GreetingApiSource(DataSource):
     def reader(self, schema) -> GreetingApiReader:
         return GreetingApiReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "GreetingApiStreamReader":
+        return GreetingApiStreamReader(self.options)
+
 
 def register_greeting_source(spark) -> None:
     """Idempotent registration (per-session)."""
@@ -67,3 +75,33 @@ def register_greeting_source(spark) -> None:
     if not getattr(spark, key, False):
         spark.dataSource.register(GreetingApiSource)
         setattr(spark, key, True)
+
+
+class GreetingApiStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch stream over the same deterministic relation: the
+    offset is just the next unread id, each poll serves a bounded page
+    (the shape of tailing a paginated API / queue). ``initialOffset``
+    → 0; ``read(start)`` returns (rows, nextOffset); Spark checkpoints
+    offsets, so restarts resume exactly — the connector itself is
+    stateless."""
+
+    def __init__(self, options) -> None:
+        self.n_rows = int(options.get("rows", 1000))
+        self.page = int(options.get("page", 250))
+
+    def initialOffset(self):
+        return {"next": 0}
+
+    def read(self, start):
+        lo = start["next"]
+        hi = min(lo + self.page, self.n_rows)
+        rows = [
+            (i, f"user_{i}", f"Hello, user_{i}!", i % 7) for i in range(lo, hi)
+        ]
+        return iter(rows), {"next": hi}
+
+    def readBetweenOffsets(self, start, end):
+        return iter(
+            (i, f"user_{i}", f"Hello, user_{i}!", i % 7)
+            for i in range(start["next"], end["next"])
+        )

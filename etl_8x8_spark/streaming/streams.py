@@ -543,3 +543,48 @@ def stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("long").alias("n_events"),
         F.col("sum_value_dec").cast("double").alias("sum_value"),
     )
+
+
+@register(
+    "stream_custom_source",
+    oracle="""
+SELECT CAST(range AS BIGINT) AS id,
+       'user_' || range AS name,
+       CAST(range % 7 AS INT) AS shard
+FROM range(1000)
+WHERE range % 7 <> 3
+""",
+)
+def stream_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom Python DataSource consumed as a MICRO-BATCH STREAM
+    (Spark 4 ``SimpleDataSourceStreamReader``): offsets are id pages
+    of 250, so availableNow drains the 1000-row relation in 4
+    checkpointed batches — the tailing-a-paginated-API connector
+    shape. Same filter/projection as the batch ``scan_custom_source``,
+    and the same range()-arithmetic oracle: the batch/stream parity
+    the engine guarantees everywhere, now for a custom connector.
+    """
+    from etl_8x8_spark.sources.custom_source import register_greeting_source
+
+    register_greeting_source(spark)
+    s = (
+        spark.readStream.format("greeting_api")
+        .option("rows", "1000")
+        .option("page", "250")
+        .load()
+    )
+    out = s.filter(F.col("shard") != 3).select("id", "name", "shard")
+    # availableNow consumes a single page from a simple stream reader;
+    # processAllAvailable drains until the offset stops advancing (4
+    # pages), then the query stops — the finite-backfill drive pattern.
+    name = f"stream_custom_{next(_counter)}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    return spark.table(name)
