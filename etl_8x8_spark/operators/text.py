@@ -227,3 +227,55 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("toks").cast("long").alias("n_tokens"),
         fp.alias("fingerprint"),
     )
+
+
+@register(
+    "text_ngram_counts",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+),
+grams AS (
+  SELECT unnest(list_transform(
+           generate_series(1, len(toks) - 2),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+  FROM tok
+)
+SELECT gram,
+       COUNT(*) AS n_occurrences
+FROM grams
+GROUP BY gram
+HAVING COUNT(*) >= 5
+""",
+)
+def text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level word-trigram frequency table (min count 5) — the
+    n-gram statistics pass LM data work leans on (contamination
+    checks, boilerplate detection, n-gram LM features).
+
+    Plan: per-doc trigrams from one higher-order ``transform`` (no
+    self-join), explode, then a single count shuffle keyed by gram;
+    the HAVING cut happens post-aggregation, and partial (map-side)
+    counts do the heavy lifting because boilerplate grams repeat
+    within every input partition. At 100 TB the gram key space is the
+    scale risk — production adds a frequency floor per partition
+    (local HAVING) or count-min prefilter before the global shuffle;
+    semantics here stay exact.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens()
+    grams = F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0))),
+        lambda _, i: F.concat_ws(
+            " ",
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+            F.element_at(toks, i + 3),
+        ),
+    )
+    return (
+        docs.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= 5)
+    )

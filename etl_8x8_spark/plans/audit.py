@@ -34,7 +34,12 @@ def audit(df: DataFrame) -> dict:
         "read_schemas": read_schemas,
         "python_eval": any(
             t in plan
-            for t in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas")
+            for t in (
+                "BatchEvalPython",
+                "ArrowEvalPython",
+                "MapInPandas",
+                "PythonDataSource",
+            )
         ),
         "row_at_a_time_python": "BatchEvalPython" in plan,
         "whole_stage_codegen": "WholeStageCodegen" in plan,
