@@ -101,3 +101,73 @@ def sql_tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes it a genuine multi-way constraint, not a star lookup."""
     _register_views(spark, sf_dir)
     return spark.sql(_Q5_SQL)
+
+
+# TPC-H Q7 shape (volume shipping): revenue flow between two specific
+# nations, by year and direction. Exercises a join DAG where the same
+# dim (nation) joins twice under different roles.
+_Q7_SQL = """
+SELECT /*+ BROADCAST(customer, supplier, n1, n2),
+           SHUFFLE_MERGE(lineitem) */
+       n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)))
+            AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
+    OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE'))
+  AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY 1, 2, 3
+"""
+
+
+@register("sql_tpch_q7_shape", oracle=_Q7_SQL)
+def sql_tpch_q7_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: the two-role dimension pattern — nation joins
+    TWICE (supplier's nation, customer's nation) with a disjunctive
+    cross-filter between the roles, grouped by direction and year.
+    Both nation sides broadcast; the OR predicate evaluates after the
+    joins (it references both roles, so it can't push below either)."""
+    _register_views(spark, sf_dir)
+    return spark.sql(_Q7_SQL)
+
+
+# TPC-H Q10 shape (returned-item reporting): revenue lost to returns
+# per customer in one quarter, top 20 customers.
+_Q10_SQL = """
+SELECT /*+ BROADCAST(nation), SHUFFLE_MERGE(lineitem) */
+       c_custkey,
+       c_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)))
+            AS DOUBLE) AS revenue,
+       n_name,
+       COUNT(*) AS n_items
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register("sql_tpch_q10_shape", oracle=_Q10_SQL)
+def sql_tpch_q10_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: selective fact filters (one quarter of orders,
+    returned lines only) joined up to the customer, aggregated, then
+    top-20 — filter pushdown on BOTH fact tables feeding a
+    TakeOrderedAndProject, the report-query shape."""
+    _register_views(spark, sf_dir)
+    return spark.sql(_Q10_SQL)

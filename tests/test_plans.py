@@ -206,7 +206,8 @@ class TestNewOperatorPlans:
         """The fact table must not be broadcast even when post-filter
         size stats dip under the threshold (regression: Catalyst chose
         BuildRight broadcast of filtered lineitem in Q3 at test SF)."""
-        for name in ("sql_tpch_q3_shape", "sql_tpch_q5_shape"):
+        for name in ("sql_tpch_q3_shape", "sql_tpch_q5_shape",
+                     "sql_tpch_q7_shape", "sql_tpch_q10_shape"):
             plan = plan_of(spark, sf_dir, queries, name)
             for chunk in plan.split("BroadcastExchange")[1:]:
                 head = chunk[:1200]
