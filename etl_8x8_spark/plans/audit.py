@@ -59,3 +59,19 @@ def audit_all(spark, sf_dir: str) -> dict[str, dict]:
             continue  # streaming plans are built at start(), not here
         out[name] = audit(spec.builder(spark, sf_dir))
     return out
+
+
+def scan_metrics(df: DataFrame) -> dict:
+    """Execute ``df`` via collect() and return the leaf scan's SQL
+    metrics (numOutputRows, numFiles, ...) — the quantitative check
+    that row-group/file skipping actually engaged, which the plan
+    string alone cannot show."""
+    df.collect()
+    leaf = df._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+    m = leaf.metrics()
+    it = m.iterator()
+    vals: dict[str, int] = {}
+    while it.hasNext():
+        kv = it.next()
+        vals[kv._1()] = kv._2().value()
+    return vals

@@ -223,8 +223,8 @@ def sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT COUNT(*) AS n_rows,
        {oracle_dsum("l_extendedprice", "sum_price")}
 FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '1994-01-01'
-  AND l_shipdate <  TIMESTAMP '1995-01-01'
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
 """,
 )
 def sink_sorted_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -249,14 +249,21 @@ def sink_sorted_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
         (
-            lineitem.repartitionByRange(8, "l_shipdate")
+            # the cluster key is stored as DATE, not TIMESTAMP_NTZ:
+            # Spark's parquet reader never translates NTZ predicates
+            # into parquet filters (measured: a clustered NTZ column
+            # with perfect row-group stats still scanned 60k/60k rows;
+            # the same layout keyed by DATE scanned 15k) — so at scale
+            # cluster on DATE/LTZ or the layout buys nothing
+            lineitem.withColumn("l_shipdate", F.col("l_shipdate").cast("date"))
+            .repartitionByRange(8, "l_shipdate")
             .sortWithinPartitions("l_shipdate", "l_orderkey")
             .write.mode("overwrite")
             .parquet(path)
         )
     back = spark.read.parquet(path).filter(
-        (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
     )
     return back.agg(
         F.count("*").alias("n_rows"),

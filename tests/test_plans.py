@@ -212,3 +212,32 @@ class TestNewOperatorPlans:
             for chunk in plan.split("BroadcastExchange")[1:]:
                 head = chunk[:1200]
                 assert "l_extendedprice" not in head, name
+
+    def test_clustered_layout_actually_skips_row_groups(self, spark, sf_dir):
+        """Quantitative skipping proof: the one-year read over the
+        DATE-clustered layout must emit strictly fewer rows from the
+        scan than the table holds (row groups outside the range are
+        skipped via parquet stats). Guards the NTZ regression — a
+        TIMESTAMP_NTZ cluster key silently disables parquet filter
+        translation and the scan reads everything."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from etl_8x8_spark.plans.audit import scan_metrics
+        from etl_8x8_spark.registry import all_queries
+        from etl_8x8_spark.sources.readers import scratch_dir
+
+        # materialize the clustered layout
+        all_queries()["sink_sorted_clustered"].builder(spark, sf_dir).collect()
+        tag = os.path.basename(sf_dir.rstrip("/"))
+        path = os.path.join(scratch_dir(), f"lineitem_clustered_{tag}")
+        total = spark.read.parquet(path).count()
+        filtered = spark.read.parquet(path).filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+        )
+        m = scan_metrics(filtered)
+        assert m["numOutputRows"] < total, (
+            f"scan emitted all {total} rows - no row groups skipped"
+        )
