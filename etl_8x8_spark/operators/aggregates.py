@@ -498,3 +498,79 @@ def agg_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count("*").alias("n_signup_click")))
         .crossJoin(p.agg(F.count("*").alias("n_full_funnel")))
     )
+
+
+_MOM_ORACLE = """
+WITH s AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(30,6))) AS sx,
+         SUM(CAST(value AS DECIMAL(30,6)) * CAST(value AS DECIMAL(30,6)))
+           AS sxx,
+         SUM(CAST(value AS DECIMAL(30,6)) * CAST(user_id AS DECIMAL(30,6)))
+           AS sxy,
+         SUM(CAST(user_id AS DECIMAL(30,6))) AS sy,
+         SUM(CAST(user_id AS DECIMAL(30,6)) * CAST(user_id AS DECIMAL(30,6)))
+           AS syy
+  FROM events GROUP BY event_type
+)
+SELECT event_type,
+       n,
+       round(CAST(sx AS DOUBLE) / n, 6) AS mean_value,
+       round(sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                  / (n - 1)), 6) AS stddev_value,
+       round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+             / (sqrt(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                * sqrt(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)),
+             6) AS corr_value_user
+FROM s
+"""
+
+
+@register("agg_stats_moments", oracle=_MOM_ORACLE)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical moments per group — mean, sample stddev, Pearson
+    correlation — computed from EXACT decimal power sums (Σx, Σx²,
+    Σxy, ...) rather than Spark's native single-pass moment
+    aggregates.
+
+    Why not ``F.stddev``/``F.corr``: their streaming co-moment updates
+    merge partial states in partition order, which is
+    NONDETERMINISTIC — the same query can hash differently run to run,
+    let alone across engines. Decimal power sums are associative and
+    exact, so the derived doubles are bit-stable everywhere; the
+    float arithmetic happens once, at finalization. Same partial-agg
+    plan shape (map-side combine, one shuffle) and the same
+    sketch-style mergeability — this is how you get deterministic
+    variance at 100 TB.
+    """
+    from etl_8x8_spark.functions.parity import DEC
+
+    events = load_table(spark, sf_dir, "events")
+    x = F.col("value").cast(DEC)
+    y = F.col("user_id").cast(DEC)
+    s = events.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(y).alias("sy"),
+        F.sum(y * y).alias("syy"),
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sy = F.col("sy").cast("double")
+    syy = F.col("syy").cast("double")
+    var_x = sxx - sx * sx / n
+    var_y = syy - sy * sy / n
+    return s.select(
+        "event_type",
+        "n",
+        F.round(sx / n, 6).alias("mean_value"),
+        F.round(F.sqrt(var_x / (n - 1)), 6).alias("stddev_value"),
+        F.round(
+            (sxy - sx * sy / n) / (F.sqrt(var_x) * F.sqrt(var_y)), 6
+        ).alias("corr_value_user"),
+    )

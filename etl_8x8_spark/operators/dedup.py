@@ -645,3 +645,47 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("cluster_rep"),
         F.count("*").over(w).cast("long").alias("cluster_size"),
     )
+
+
+@register(
+    "dedup_binary_exact",
+    oracle=f"""
+WITH corpus AS ({_SEEDED_SQL}),
+p AS (
+  SELECT doc_id, substr({_NORM_SQL}, 1, 32) AS prefix FROM corpus
+)
+SELECT sha256(prefix) AS payload_sha256,
+       CAST(COUNT(*) AS BIGINT) AS n_copies,
+       MIN(doc_id) AS keep_doc_id
+FROM p
+GROUP BY sha256(prefix)
+HAVING COUNT(*) > 1
+""",
+)
+def dedup_binary_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact BINARY dedup — the multimodal-asset twin of
+    ``dedup_exact``: content-hash (SHA-256) the opaque payload bytes,
+    group by digest, keep the minimum doc_id per group; only groups
+    with actual copies are emitted. Payloads are the same synthesized
+    binary column the multimodal passes use (normalized-text prefix
+    bytes, so the seeded exact-duplicate corpus produces real digest
+    collisions).
+
+    Scale: this is the first pass of any image/audio dedup — a pure
+    map (hash) + one groupBy shuffle on the 32-byte digest, no
+    content comparison; perceptual (near-dup) hashing layers on the
+    same dataflow with pHash in place of SHA-256.
+    """
+    corpus = seeded_exact_corpus(load_table(spark, sf_dir, "documents"))
+    payloads = corpus.select(
+        "doc_id",
+        F.encode(F.substring(normalized(), 1, 32), "utf-8").alias("payload"),
+    )
+    return (
+        payloads.groupBy(F.sha2(F.col("payload"), 256).alias("payload_sha256"))
+        .agg(
+            F.count("*").cast("long").alias("n_copies"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
