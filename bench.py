@@ -53,6 +53,16 @@ HEADLINE = [
     "sim_knn_join",
     "agg_hll_merge",
     "sink_sorted_clustered",
+    # appended r2 wave 3
+    "window_trailing_range",
+    "agg_bitmap_distinct",
+    "agg_window_funnel",
+    "agg_stats_moments",
+    "dedup_cluster_cc",
+    "text_ngram_counts",
+    "join_dim_scd2",
+    "sql_tpch_q7_shape",
+    "sql_tpch_q10_shape",
 ]
 
 
