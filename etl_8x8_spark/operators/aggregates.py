@@ -574,3 +574,77 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             (sxy - sx * sy / n) / (F.sqrt(var_x) * F.sqrt(var_y)), 6
         ).alias("corr_value_user"),
     )
+
+
+_COHORT_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_w
+  FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS active_w FROM events
+),
+cells AS (
+  SELECT f.cohort_w,
+         CAST(floor(epoch(a.active_w) - epoch(f.cohort_w)) / 604800 AS INT)
+           AS week_offset,
+         a.user_id
+  FROM active a JOIN firsts f ON a.user_id = f.user_id
+),
+sizes AS (
+  SELECT cohort_w, COUNT(*) AS cohort_size FROM firsts GROUP BY cohort_w
+)
+SELECT CAST(floor(epoch(c.cohort_w)) AS BIGINT) AS cohort_week,
+       c.week_offset,
+       COUNT(*) AS n_active,
+       CAST(s.cohort_size AS BIGINT) AS cohort_size
+FROM cells c JOIN sizes s ON c.cohort_w = s.cohort_w
+GROUP BY 1, 2, s.cohort_size
+"""
+
+
+@register("agg_retention_cohorts", oracle=_COHORT_ORACLE)
+def agg_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week,
+    each cell counting how many of a cohort were active N weeks later
+    — the retention table every growth dashboard renders. Output is
+    all-integer (cells + cohort sizes; ratios are the reader's one
+    division) so cross-engine hashes are trivially exact.
+
+    Plan: two aggregations over events (first-week per user, distinct
+    active weeks per user) meeting in a user_id join — after the first
+    shuffle on user_id, both sides are co-partitioned, and the final
+    (cohort, offset) rollup is a small second shuffle. Per-user state
+    is two timestamps, never an event list.
+    """
+    events = load_table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_w")
+    )
+    active = events.select(
+        "user_id", F.date_trunc("week", "ts").alias("active_w")
+    ).distinct()
+    cells = active.join(firsts, "user_id").select(
+        "cohort_w",
+        (
+            (F.unix_timestamp("active_w") - F.unix_timestamp("cohort_w"))
+            / 604800
+        )
+        .cast("int")
+        .alias("week_offset"),
+        "user_id",
+    )
+    sizes = firsts.groupBy("cohort_w").agg(
+        F.count("*").cast("long").alias("cohort_size")
+    )
+    return (
+        cells.join(sizes, "cohort_w")
+        .groupBy("cohort_w", "week_offset", "cohort_size")
+        .agg(F.count("*").alias("n_active"))
+        .select(
+            F.unix_timestamp("cohort_w").alias("cohort_week"),
+            "week_offset",
+            "n_active",
+            "cohort_size",
+        )
+    )
