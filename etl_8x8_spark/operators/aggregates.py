@@ -648,3 +648,58 @@ def agg_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cohort_size",
         )
     )
+
+
+_HIST_BINS = 20
+_HIST_LO, _HIST_HI = 0.0, 100000.0
+
+
+@register(
+    "agg_histogram",
+    oracle=f"""
+SELECT CAST(CASE WHEN o_totalprice < {_HIST_LO} THEN 0
+            WHEN o_totalprice >= {_HIST_HI} THEN {_HIST_BINS + 1}
+            ELSE floor((o_totalprice - {_HIST_LO})
+                       / {(_HIST_HI - _HIST_LO) / _HIST_BINS}) + 1 END
+            AS INT) AS bucket,
+       COUNT(*) AS n,
+       round(CAST(MIN(o_totalprice) AS DOUBLE), 6) AS lo,
+       round(CAST(MAX(o_totalprice) AS DOUBLE), 6) AS hi
+FROM orders
+GROUP BY 1
+""",
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin numeric histogram (the data-profiling primitive):
+    ``width_bucket`` assigns each order price to one of {_HIST_BINS}
+    equal bins over [{_HIST_LO}, {_HIST_HI}); per-bin count plus
+    observed min/max. DuckDB has no width_bucket, so the oracle spells
+    out the same left-closed bin arithmetic — identical IEEE division,
+    identical edges.
+
+    Scale: a histogram is a tiny-cardinality groupBy — partial
+    (map-side) counting collapses each input partition to ≤ bins+2
+    rows before the shuffle, so the exchange moves KBs no matter how
+    many TBs are scanned. The profile-everything pass at 100 TB is
+    this plan per column.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.width_bucket(
+                "o_totalprice",
+                F.lit(_HIST_LO),
+                F.lit(_HIST_HI),
+                F.lit(_HIST_BINS),
+            )
+            .cast("int")
+            .alias("bucket"),
+            "o_totalprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice").cast("double"), 6).alias("lo"),
+            F.round(F.max("o_totalprice").cast("double"), 6).alias("hi"),
+        )
+    )
