@@ -703,3 +703,37 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice").cast("double"), 6).alias("hi"),
         )
     )
+
+
+@register(
+    "agg_count_if",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_total,
+       COUNT(*) FILTER (WHERE value >= 500.0) AS n_big,
+       COUNT(*) FILTER (WHERE user_id % 2 = 0) AS n_even_user,
+       CAST(SUM(CAST(value AS DECIMAL(30,6)))
+              FILTER (WHERE value >= 500.0) AS DOUBLE) AS sum_big
+FROM events
+GROUP BY event_type
+""",
+)
+def agg_count_if(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregates in ONE pass — count_if / filtered sum
+    instead of N self-joins or N separate jobs: every predicate is a
+    column-level condition evaluated inside the same partial
+    aggregate, so adding a condition adds zero shuffles (the
+    multi-metric report pattern).
+    """
+    from etl_8x8_spark.functions.parity import DEC
+
+    events = load_table(spark, sf_dir, "events")
+    big = F.col("value") >= 500.0
+    return events.groupBy("event_type").agg(
+        F.count("*").alias("n_total"),
+        F.count_if(big).alias("n_big"),
+        F.count_if(F.col("user_id") % 2 == 0).alias("n_even_user"),
+        F.sum(F.when(big, F.col("value").cast(DEC)))
+        .cast("double")
+        .alias("sum_big"),
+    )

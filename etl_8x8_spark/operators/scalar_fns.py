@@ -369,3 +369,34 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("QUERY")).alias("query"),
         F.parse_url("url", F.lit("QUERY"), F.lit("type")).alias("type_param"),
     )
+
+
+@register(
+    "fn_bitwise",
+    oracle="""
+SELECT p_partkey,
+       p_partkey & 255 AS low_byte,
+       p_partkey | 4096 AS with_flag,
+       xor(p_partkey, p_size) AS key_xor_size,
+       p_partkey << 2 AS shl2,
+       p_partkey >> 3 AS shr3,
+       CAST(bit_count(p_partkey) AS INT) AS popcount
+FROM part
+""",
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar family — masks, flags, xor mixing, shifts, and
+    population count (the primitives under hash partitioning, bloom
+    filters, and bitmap indexes; the engine's own MinHash/SimHash math
+    is built from these)."""
+    part = load_table(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    return part.select(
+        "p_partkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.col("p_size").cast("long")).alias("key_xor_size"),
+        F.shiftleft(k, 2).alias("shl2"),
+        F.shiftright(k, 3).alias("shr3"),
+        F.bit_count(k).alias("popcount"),
+    )

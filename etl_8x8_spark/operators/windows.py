@@ -264,3 +264,44 @@ def window_trailing_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("trailing_spend"),
         F.count(F.lit(1)).over(w).cast("long").alias("trailing_orders"),
     )
+
+
+@register(
+    "window_first_last",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       first_value(o_orderkey) OVER w AS first_order,
+       last_value(o_orderkey)
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS last_order,
+       nth_value(o_orderkey, 2) OVER w AS second_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional window values per customer order history: first
+    order ever, last order ever (explicit full frame — the default
+    frame under ORDER BY stops at CURRENT ROW, the classic
+    last_value trap), and the second order via nth_value over the
+    running frame (NULL until two orders exist)."""
+    orders = load_table(spark, sf_dir, "orders")
+    running = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    full = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(running).alias("first_order"),
+        F.last("o_orderkey").over(full).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(running).alias("second_order"),
+    )

@@ -335,3 +335,68 @@ def scan_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard",
         F.length("name").alias("name_len"),
     )
+
+
+@register(
+    "sink_csv_roundtrip",
+    oracle=f"""
+SELECT n_regionkey,
+       COUNT(*) AS n_nations,
+       {oracle_dsum("n_nationkey", "key_sum")}
+FROM nation
+GROUP BY n_regionkey
+""",
+)
+def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV SINK verified by read-back: nation written as headered CSV
+    (explicit schema on re-read — never inferSchema), aggregated after
+    the round trip so any quoting/typing loss breaks the oracle. CSV
+    is the interchange sink; parquet stays the analytics format."""
+    nation = load_table(spark, sf_dir, "nation")
+    path = os.path.join(scratch_dir(), f"nation_csv_{_sf_tag(sf_dir)}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        nation.write.mode("overwrite").option("header", "true").csv(path)
+    back = (
+        spark.read.schema(
+            "n_nationkey long, n_name string, n_regionkey long"
+        )
+        .option("header", "true")
+        .csv(path)
+    )
+    return back.groupBy("n_regionkey").agg(
+        F.count("*").alias("n_nations"),
+        dsum("n_nationkey", "key_sum"),
+    )
+
+
+@register(
+    "sink_json_roundtrip",
+    oracle="""
+SELECT s_nationkey,
+       COUNT(*) AS n_suppliers,
+       CAST(SUM(CAST(round(s_acctbal, 2) AS DECIMAL(30,6))) AS DOUBLE)
+         AS bal_sum
+FROM supplier
+GROUP BY s_nationkey
+""",
+)
+def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines SINK verified by read-back: supplier written as
+    newline-delimited JSON and re-read with an explicit schema.
+    Doubles are rounded BEFORE the write — JSON is a decimal-text
+    format, so shortest-roundtrip rendering of full-precision doubles
+    is the classic silent-corruption point; fixing the scale at the
+    boundary makes the round trip exact."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    path = os.path.join(scratch_dir(), f"supplier_json_{_sf_tag(sf_dir)}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        supplier.withColumn(
+            "s_acctbal", F.round("s_acctbal", 2)
+        ).write.mode("overwrite").json(path)
+    back = spark.read.schema(
+        "s_suppkey long, s_name string, s_nationkey long, s_acctbal double"
+    ).json(path)
+    return back.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_suppliers"),
+        dsum("s_acctbal", "bal_sum"),
+    )
