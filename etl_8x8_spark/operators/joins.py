@@ -421,3 +421,64 @@ def join_dim_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("version").alias("dim_version"),
         "tier",
     )
+
+
+_ASOF_FWD_ORACLE = """
+SELECT c.event_id AS click_id,
+       c.user_id,
+       (SELECT p.event_id FROM events p
+        WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+          AND p.ts >= c.ts
+        ORDER BY p.ts ASC, p.event_id ASC LIMIT 1) AS next_purchase_id
+FROM events c
+WHERE c.event_type = 'click'
+"""
+
+
+@register("join_asof_forward", oracle=_ASOF_FWD_ORACLE)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: for every click, the EARLIEST purchase by
+    the same user at-or-after the click — the time-to-convert /
+    next-action lookup, mirror image of ``join_asof_event``.
+
+    Same single-shuffle union+window plan, run backwards: purchases
+    sort before clicks at equal ts (so a same-microsecond purchase is
+    visible), and a REVERSED cumulative frame (current row → unbounded
+    following) with ``first(ignorenulls)`` picks the next purchase.
+    Still one shuffle, linear in events, no per-key pair explosion.
+    """
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.lit(None).cast("long").alias("purchase_id"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("click_id"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    merged = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.col("ts"),
+            # purchases (click_id null) first within a timestamp tie
+            F.col("click_id").asc_nulls_first(),
+            F.col("purchase_id"),
+        )
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return (
+        merged.withColumn(
+            "next_purchase_id", F.first("purchase_id", ignorenulls=True).over(w)
+        )
+        .filter(F.col("click_id").isNotNull())
+        .select(
+            F.col("click_id"),
+            F.col("user_id"),
+            F.col("next_purchase_id"),
+        )
+    )

@@ -311,3 +311,63 @@ def resize_media_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
                 "payload": [bytes(p[:16]).ljust(16, b"\0") for p in pdf["payload"]],
             }
         )
+
+
+@register(
+    "multimodal_binary_ingest",
+    oracle="""
+WITH p AS (
+  SELECT doc_id, substr(text, 1, 64) AS prefix FROM documents
+  WHERE doc_id % 50 = 0
+)
+SELECT 'doc_' || doc_id || '.bin' AS file_name,
+       CAST(length(prefix) AS BIGINT) AS n_bytes,
+       sha256(prefix) AS content_sha256
+FROM p
+""",
+)
+def multimodal_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-FILE ingestion via ``spark.read.format("binaryFile")`` —
+    how raw media actually enters the pipeline: one file per asset on
+    shared storage, read distributed as (path, length, content) rows.
+    A deterministic asset directory is materialized once from document
+    prefixes (one .bin per 50th doc), then scanned and content-hashed;
+    the oracle regenerates name/size/digest from the same prefixes.
+    Real media dirs swap the synthesized bytes for image/audio files —
+    the read path, parallelism, and hashing are identical.
+
+    Scale: binaryFile partitions by file, so a million-asset bucket
+    scans wide with no driver listing bottleneck beyond the initial
+    file index; for billions of small assets, pack into parquet binary
+    columns (``multimodal_struct``) instead — small-file metadata cost
+    dominates otherwise.
+    """
+    import os
+
+    from etl_8x8_spark.sources.readers import scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    asset_dir = os.path.join(scratch_dir(), f"assets_{tag}")
+    marker = os.path.join(asset_dir, "_DONE")
+    if not os.path.exists(marker):
+        os.makedirs(asset_dir, exist_ok=True)
+        rows = (
+            docs.filter(F.col("doc_id") % 50 == 0)
+            .select("doc_id", F.substring("text", 1, 64).alias("prefix"))
+            .collect()
+        )
+        for r in rows:
+            with open(
+                os.path.join(asset_dir, f"doc_{r.doc_id}.bin"), "wb"
+            ) as f:
+                f.write(r.prefix.encode("utf-8"))
+        open(marker, "w").close()
+    files = spark.read.format("binaryFile").option(
+        "pathGlobFilter", "*.bin"
+    ).load(asset_dir)
+    return files.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        F.col("length").alias("n_bytes"),
+        F.sha2(F.col("content"), 256).alias("content_sha256"),
+    )
