@@ -128,7 +128,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--copies", type=int, default=10)
     ap.add_argument("--queries", type=str, default=",".join(DEFAULT_QUERIES))
+    ap.add_argument("--skew", action="store_true",
+                    help="run the skewed-join AQE on/off experiment instead")
     args = ap.parse_args()
+    if args.skew:
+        skew_experiment(args.copies)
+        return
 
     from etl_8x8_spark.session import get_spark
 
@@ -157,6 +162,94 @@ def main() -> None:
             {"metric": "scale_experiment", "copies": args.copies, "queries": results}
         )
     )
+
+
+def skew_experiment(copies: int = 10) -> None:
+    """Skewed-join demonstration: a replica where ~30% of all events
+    belong to ONE user, joined (sort-merge) against a user dimension.
+    Measures the same join with AQE skew-join splitting ON vs OFF —
+    the runtime re-plan that salvages the straggler task — and prints
+    both. Salting (join_salted_skew) remains the manual fallback for
+    the shapes AQE can't split (aggregations, broadcast-ineligible
+    plans).
+    """
+    import json
+    import time
+
+    from pyspark.sql import functions as F
+
+    from etl_8x8_spark.session import get_spark
+    from etl_8x8_spark.sources.readers import load_table, scratch_dir
+
+    spark = get_spark(
+        "skew_experiment", cpus="32", shuffle_partitions=max(32, 8 * copies)
+    )
+    out = os.path.join(scratch_dir(), f"skew{copies}x")
+    path = os.path.join(out, "events.parquet")
+    marker = os.path.join(out, "_DONE")
+    if not os.path.exists(marker):
+        os.makedirs(out, exist_ok=True)
+        for copy in range(copies):
+            df = load_table(spark, BASE_SF, "events").withColumn(
+                "event_id", F.col("event_id") + copy * _KEY_OFF
+            )
+            if copy == 0:
+                skewed = df
+            else:
+                # ~30% of every non-base copy lands on user 7
+                skewed = df.withColumn(
+                    "user_id",
+                    F.when(F.col("event_id") % 3 == 0, F.lit(7)).otherwise(
+                        F.col("user_id") + copy * 1_000_000
+                    ),
+                )
+            skewed.write.mode("overwrite" if copy == 0 else "append").parquet(
+                path
+            )
+        open(marker, "w").close()
+
+    # the shuffled payload must be INCOMPRESSIBLE: skew detection works
+    # on compressed shuffle-block bytes, and a hot partition of repeated
+    # key values compresses to nothing and never crosses the threshold
+    # (found the hard way: a constant 200-char payload showed zero skew)
+    events = spark.read.parquet(path).withColumn(
+        "payload", F.sha2(F.col("event_id").cast("string"), 256)
+    )
+    users = (
+        events.select("user_id")
+        .distinct()
+        .withColumn("segment", F.col("user_id") % 100)
+    )
+    users.write.mode("overwrite").parquet(os.path.join(out, "users.parquet"))
+    users = spark.read.parquet(os.path.join(out, "users.parquet"))
+
+    # thresholds scaled to the replica (defaults target cluster sizes)
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2MB"
+    )
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1MB")
+
+    def run_join():
+        j = (
+            events.hint("merge")
+            .join(users.hint("merge"), "user_id")
+            .select(F.sum(F.length("payload")).alias("s"))
+        )
+        t0 = time.time()
+        j.collect()
+        el = round(time.time() - t0, 3)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        return el, ("and skewed" in plan)
+
+    results = {}
+    for flag in ("false", "true"):
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", flag)
+        run_join()  # warm
+        el, split = run_join()
+        results[f"aqe_skew_{flag}"] = el
+        results[f"split_applied_{flag}"] = split
+    print(json.dumps({"metric": "skew_experiment", "copies": copies, **results}))
 
 
 if __name__ == "__main__":
