@@ -737,3 +737,64 @@ def agg_count_if(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_big"),
     )
+
+
+_MAU_DAYS = 7  # trailing window (events span ~30 days)
+
+_ROLLING_ORACLE = f"""
+WITH active AS (
+  SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events
+),
+days AS (SELECT DISTINCT d FROM active)
+SELECT CAST(floor(epoch(t.d)) AS BIGINT) AS day,
+       COUNT(DISTINCT a.user_id) AS n_active_7d
+FROM days t
+JOIN active a ON a.d >= t.d - INTERVAL {_MAU_DAYS - 1} DAY AND a.d <= t.d
+GROUP BY t.d
+"""
+
+
+@register("agg_rolling_actives", oracle=_ROLLING_ORACLE)
+def agg_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT rolling 7-day active users per day (the WAU/MAU curve) —
+    the classically painful rolling-distinct: a distinct count cannot
+    be summed across days, so the naive plan re-expands (day × user)
+    pairs for every window position.
+
+    Here each (day, id-bucket) cell aggregates once into a BITMAP
+    partial; the trailing window is then a bounded self-join over
+    cells (≤ {_MAU_DAYS} rows per cell, carrying KB-sized bitmaps —
+    never user rows), OR-merged per target day and counted. Exact,
+    mergeable, and the per-day re-aggregation cost is bitmap-OR over
+    {_MAU_DAYS} blobs instead of a distinct over {_MAU_DAYS} days of
+    raw events. The oracle recomputes every window from raw
+    (day, user) pairs — the semantics both must agree on.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.select(
+            F.date_trunc("day", "ts").alias("d"),
+            F.bitmap_bucket_number(F.col("user_id")).alias("bucket"),
+            F.bitmap_bit_position(F.col("user_id")).alias("pos"),
+        )
+        .groupBy("d", "bucket")
+        .agg(F.bitmap_construct_agg(F.col("pos")).alias("bm"))
+    )
+    days = daily.select("d").distinct().select(F.col("d").alias("target_d"))
+    window_cells = days.join(
+        daily,
+        (F.col("d") <= F.col("target_d"))
+        & (
+            F.col("d")
+            >= F.col("target_d") - F.expr(f"INTERVAL {_MAU_DAYS - 1} DAYS")
+        ),
+    )
+    merged = window_cells.groupBy("target_d", "bucket").agg(
+        F.bitmap_count(F.bitmap_or_agg(F.col("bm"))).alias("n_bucket")
+    )
+    return merged.groupBy("target_d").agg(
+        F.sum("n_bucket").alias("n_active_7d")
+    ).select(
+        F.unix_timestamp("target_d").alias("day"),
+        F.col("n_active_7d").cast("long").alias("n_active_7d"),
+    )
