@@ -798,3 +798,52 @@ def agg_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp("target_d").alias("day"),
         F.col("n_active_7d").cast("long").alias("n_active_7d"),
     )
+
+
+@register(
+    "agg_unpivot",
+    oracle="""
+SELECT l_orderkey, l_linenumber, measure,
+       round(value, 6) AS value
+FROM (
+  SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+         CAST(l_quantity AS DOUBLE) AS value
+  FROM lineitem WHERE l_linenumber = 1
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+  FROM lineitem WHERE l_linenumber = 1
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'discount', l_discount
+  FROM lineitem WHERE l_linenumber = 1
+)
+""",
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide → long reshape (``unpivot``/melt — the inverse of
+    ``agg_pivot``): three measure columns become (measure, value)
+    rows. Narrow-only: the reshape is a per-row flatMap with no
+    shuffle, and the 3× row multiplication carries only the id + one
+    value — the long format every metrics store and plotting layer
+    wants.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_linenumber") == 1
+    )
+    return (
+        li.select("l_orderkey", "l_linenumber",
+                  F.col("l_quantity").cast("double").alias("quantity"),
+                  F.col("l_extendedprice").alias("extendedprice"),
+                  F.col("l_discount").alias("discount"))
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["quantity", "extendedprice", "discount"],
+            "measure",
+            "raw_value",
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "measure",
+            F.round("raw_value", 6).alias("value"),
+        )
+    )

@@ -94,3 +94,38 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_nationkey").alias("nationkey")
     )
     return c.subtract(s)
+
+
+_SAMPLE_PCT = {"click": 5, "view": 2, "purchase": 100, "signup": 100, "error": 50}
+
+_SAMPLE_ORACLE = (
+    "SELECT event_id, event_type, user_id FROM events WHERE "
+    + " OR ".join(
+        f"(event_type = '{t}' AND (event_id * 2654435761) % 4294967296 % 100 < {p})"
+        for t, p in sorted(_SAMPLE_PCT.items())
+    )
+)
+
+
+@register("sample_systematic", oracle=_SAMPLE_ORACLE)
+def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-event-type rates (rare
+    classes kept at 100%, bulk classes downsampled) decided by a
+    Knuth-hash of the row id — NOT ``rand()``: the same row is always
+    in or out, so samples are reproducible across runs, engines, and
+    re-partitions, and joins between two samples of different tables
+    stay consistent. This is how a 100 TB pipeline cuts a stable dev
+    slice; ``df.sampleBy`` gives per-run Bernoulli draws instead.
+
+    Pure map-side filter — no shuffle, pushes to the scan.
+    """
+    events = load_table(spark, sf_dir, "events")
+    bucket = (
+        (F.col("event_id") * F.lit(2654435761)) % F.lit(4294967296)
+    ) % 100
+    rate = F.create_map(
+        *[F.lit(x) for kv in _SAMPLE_PCT.items() for x in kv]
+    )[F.col("event_type")]
+    return events.filter(bucket < rate).select(
+        "event_id", "event_type", "user_id"
+    )

@@ -12,7 +12,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_8x8_spark.operators.dedup import _NORM_SQL, _TOKENS_SQL, normalized, tokens
+from etl_8x8_spark.operators.dedup import (
+    _NORM_SQL,
+    _TOKENS_SQL,
+    normalized,
+    shingles,
+    tokens,
+)
 from etl_8x8_spark.registry import register
 from etl_8x8_spark.sources.readers import load_table
 
@@ -285,4 +291,80 @@ def text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("gram")
         .agg(F.count("*").alias("n_occurrences"))
         .filter(F.col("n_occurrences") >= 5)
+    )
+
+
+_CONTAM_BENCH_DOCS = 5  # doc_id < 5 form the "benchmark" set
+
+
+@register(
+    "text_contamination_check",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 1)),
+           i -> array_to_string(toks[i:i+2], ' ')))) AS g
+  FROM tok
+),
+bench AS (SELECT DISTINCT g FROM sh WHERE doc_id < {_CONTAM_BENCH_DOCS}),
+counts AS (
+  SELECT s.doc_id,
+         COUNT(*) AS n_shingles,
+         COUNT(*) FILTER (WHERE b.g IS NOT NULL) AS n_overlap
+  FROM sh s LEFT JOIN bench b ON s.g = b.g
+  WHERE s.doc_id >= {_CONTAM_BENCH_DOCS}
+  GROUP BY s.doc_id
+)
+SELECT doc_id, n_shingles, n_overlap,
+       round(CAST(n_overlap AS DOUBLE) / n_shingles, 6) AS overlap_ratio
+FROM counts
+WHERE n_overlap > 0
+""",
+)
+def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: for every corpus document, the
+    fraction of its word-trigram shingles that appear in a held-out
+    "benchmark" set (here: docs 0-{_CONTAM_BENCH_DOCS}) — the
+    decontamination pass every LLM training pipeline runs against eval
+    suites before training.
+
+    Plan: corpus shingles explode once; the benchmark shingle set is
+    tiny and BROADCASTS, so the membership test is a map-side hash
+    probe — no shuffle of the corpus. Only contaminated docs
+    (n_overlap > 0) are emitted, which at 100 TB is the difference
+    between a report and a full-corpus dump.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(shingles(tokens())).alias("g")
+    )
+    bench = (
+        sh.filter(F.col("doc_id") < _CONTAM_BENCH_DOCS)
+        .select("g")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corpus = sh.filter(F.col("doc_id") >= _CONTAM_BENCH_DOCS)
+    joined = corpus.join(F.broadcast(bench), "g", "left")
+    n = F.count("*")
+    n_overlap = F.count("hit")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            n.alias("n_shingles"),
+            n_overlap.alias("n_overlap"),
+        )
+        .filter(F.col("n_overlap") > 0)
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_overlap",
+            F.round(
+                F.col("n_overlap").cast("double") / F.col("n_shingles"), 6
+            ).alias("overlap_ratio"),
+        )
     )
