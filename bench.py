@@ -63,6 +63,11 @@ HEADLINE = [
     "join_dim_scd2",
     "sql_tpch_q7_shape",
     "sql_tpch_q10_shape",
+    # appended r2 wave 4
+    "agg_rolling_actives",
+    "text_contamination_check",
+    "join_asof_forward",
+    "agg_retention_cohorts",
 ]
 
 
@@ -102,6 +107,12 @@ def main() -> None:
                 cold[name] = elapsed
             else:
                 timings[name] = elapsed
+        # queries that persist internal relations (minhash, CC, knn)
+        # would otherwise accumulate cached blocks across the suite —
+        # by query 30 the session is under memory pressure and timings
+        # drift. Each query pays its own persist cost inside its own
+        # timing; nothing is shared between queries.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(
