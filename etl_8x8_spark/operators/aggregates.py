@@ -847,3 +847,40 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("raw_value", 6).alias("value"),
         )
     )
+
+
+@register(
+    "agg_percentile_exact",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+       round(quantile_cont(l_extendedprice, 0.95), 6) AS p95,
+       round(CAST(quantile_disc(l_extendedprice, 0.5) AS DOUBLE), 6)
+         AS p50_disc
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles per group — continuous (interpolated, the
+    textbook definition) and discrete (an actual data value) — the
+    precision twin of ``agg_quantile_sketch``: exact needs the full
+    sorted group (memory ∝ group size), the sketch needs KBs; use
+    exact for low-cardinality grouped reports, the sketch beyond.
+    Spark ``percentile`` and DuckDB ``quantile_cont`` share the same
+    linear-interpolation formula, so even the interpolated doubles
+    hash-match.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 6).alias("p95"),
+        # percentile_approx at max accuracy degenerates to the exact
+        # discrete quantile — the same value DuckDB's quantile_disc picks
+        F.round(
+            F.expr(
+                "percentile_approx(l_extendedprice, 0.5, 2147483647)"
+            ).cast("double"),
+            6,
+        ).alias("p50_disc"),
+    )
