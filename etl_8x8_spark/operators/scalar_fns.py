@@ -400,3 +400,34 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(k, 3).alias("shr3"),
         F.bit_count(k).alias("popcount"),
     )
+
+
+@register(
+    "fn_encode_decode",
+    oracle="""
+SELECT n_nationkey,
+       to_base64(CAST(n_name AS BLOB)) AS name_b64,
+       CAST(from_base64(to_base64(CAST(n_name AS BLOB))) AS VARCHAR)
+         AS name_roundtrip,
+       lower(hex(CAST(n_name AS BLOB))) AS name_hex,
+       md5(n_name) AS name_md5,
+       sha256(n_name) AS name_sha256
+FROM nation
+""",
+)
+def fn_encode_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding/digest scalar family: base64 round-trip, hex, MD5,
+    SHA-256 — the boundary codecs (R7's JWT path is base64 + HMAC;
+    content addressing is sha2). All codegen'd built-ins; the oracle
+    computes identical digests, so the hash check covers the byte-level
+    encoding itself."""
+    nation = load_table(spark, sf_dir, "nation")
+    raw = F.encode("n_name", "utf-8")
+    return nation.select(
+        "n_nationkey",
+        F.base64(raw).alias("name_b64"),
+        F.decode(F.unbase64(F.base64(raw)), "utf-8").alias("name_roundtrip"),
+        F.lower(F.hex(raw)).alias("name_hex"),
+        F.md5(raw).alias("name_md5"),
+        F.sha2(raw, 256).alias("name_sha256"),
+    )

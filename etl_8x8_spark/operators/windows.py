@@ -305,3 +305,42 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_orderkey").over(full).alias("last_order"),
         F.nth_value("o_orderkey", 2).over(running).alias("second_order"),
     )
+
+
+@register(
+    "window_dedup_latest",
+    oracle="""
+SELECT event_id, user_id, ts_us, event_type
+FROM (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rk
+  FROM events
+) WHERE rk = 1
+""",
+)
+def window_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest record per key — the CDC/changelog compaction read
+    (SCD1): each user's most recent event wins, ties broken by the
+    highest event_id (the arrival-order surrogate). One shuffle;
+    WindowGroupLimit keeps only each task's local winner moving.
+
+    This is how an upsert stream materializes to current state in a
+    MERGE-less lake: append everything, compact on read (or
+    periodically with the same expression into
+    ``sink_partition_overwrite``).
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        events.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+            "event_type",
+        )
+    )
