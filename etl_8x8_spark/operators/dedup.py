@@ -630,7 +630,14 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    labels = corpus.select("doc_id", F.col("doc_id").alias("label")).persist()
+    # each round is localCheckpoint'ed, not just persisted: persist
+    # keeps the full lineage, so by round k an evicted block recomputes
+    # the whole k-round chain (and the plan itself grows per round).
+    # Checkpointing truncates lineage to the materialized result —
+    # the standard guard for driver-loop iterative algorithms.
+    labels = corpus.select(
+        "doc_id", F.col("doc_id").alias("label")
+    ).localCheckpoint(eager=True)
     for _ in range(_CC_MAX_ITERS):
         prop = edges.join(
             labels, edges.b == labels.doc_id, "inner"
@@ -639,7 +646,7 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
             labels.unionByName(prop)
             .groupBy("doc_id")
             .agg(F.min("label").alias("label"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -647,7 +654,6 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
