@@ -884,3 +884,29 @@ def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("p50_disc"),
     )
+
+
+@register(
+    "agg_string_agg",
+    oracle="""
+SELECT n_regionkey,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       COUNT(*) AS n
+FROM nation
+GROUP BY n_regionkey
+""",
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (SQL LISTAGG / string_agg): nation
+    names per region, comma-joined in a DETERMINISTIC order — the
+    explicit sort is the whole point: collect_list order is partition-
+    arrival order and differs run to run; array_sort before the join
+    makes the result reproducible (and hash-checkable) anywhere.
+    """
+    nation = load_table(spark, sf_dir, "nation")
+    return nation.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+            "nations"
+        ),
+        F.count("*").alias("n"),
+    )
