@@ -910,3 +910,52 @@ def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "agg_min_max_by",
+    oracle="""
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey DESC)
+           AS rmax,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice ASC, o_orderkey ASC)
+           AS rmin
+  FROM orders
+)
+SELECT o_custkey,
+       MAX(CASE WHEN rmax = 1 THEN o_orderkey END) AS biggest_order,
+       MAX(CASE WHEN rmin = 1 THEN o_orderkey END) AS smallest_order,
+       round(MAX(o_totalprice), 6) AS max_price,
+       round(MIN(o_totalprice), 6) AS min_price
+FROM ranked
+GROUP BY o_custkey
+""",
+)
+def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmin/argmax per group WITHOUT a window or self-join: the
+    order id carrying each customer's highest/lowest price, in one
+    aggregate pass. The ordering key is a (price, id) STRUCT — bare
+    max_by on a tied price picks an arbitrary row, which is both
+    nondeterministic and un-oracle-able; the composite key makes ties
+    break on id in both engines. Highest id wins maxima, lowest id
+    wins minima (hence the negated id in the min key).
+
+    Scale: map-side combinable like any min/max — the per-group state
+    is one (key, value) pair; a row_number window doing the same job
+    pays a full sort.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.max_by(
+            "o_orderkey", F.struct("o_totalprice", "o_orderkey")
+        ).alias("biggest_order"),
+        F.min_by(
+            "o_orderkey",
+            F.struct("o_totalprice", (-F.col("o_orderkey")).alias("neg")),
+        ).alias("smallest_order"),
+        F.round(F.max("o_totalprice"), 6).alias("max_price"),
+        F.round(F.min("o_totalprice"), 6).alias("min_price"),
+    )

@@ -431,3 +431,34 @@ def fn_encode_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(raw).alias("name_md5"),
         F.sha2(raw, 256).alias("name_sha256"),
     )
+
+
+@register(
+    "fn_format",
+    oracle="""
+SELECT c_custkey,
+       printf('%.2f', round(c_acctbal, 2)) AS bal_pretty,
+       printf('%08d', c_custkey) AS key_padded,
+       lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_lpad,
+       rpad(substr(c_name, 1, 8), 12, '.') AS name_cell,
+       printf('cust-%d: %s', c_custkey, substr(c_name, 1, 8)) AS label
+FROM customer
+""",
+)
+def fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-formatting scalar family: fixed-precision rendering,
+    zero-padding, fixed-width cells, printf templating —
+    the report/export rendering layer (R6's response serialization is
+    this family plus JSON).
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.select(
+        "c_custkey",
+        F.format_string("%.2f", F.round("c_acctbal", 2)).alias("bal_pretty"),
+        F.format_string("%08d", "c_custkey").alias("key_padded"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_lpad"),
+        F.rpad(F.substring("c_name", 1, 8), 12, ".").alias("name_cell"),
+        F.format_string(
+            "cust-%d: %s", "c_custkey", F.substring("c_name", 1, 8)
+        ).alias("label"),
+    )

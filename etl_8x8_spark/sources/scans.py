@@ -400,3 +400,79 @@ def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_suppliers"),
         dsum("s_acctbal", "bal_sum"),
     )
+
+
+@register(
+    "scan_text",
+    oracle="""
+SELECT 'doc:' || doc_id || '|' || lang AS line,
+       CAST(length('doc:' || doc_id || '|' || lang) AS INT) AS n_chars
+FROM documents
+WHERE doc_id % 20 = 0
+""",
+)
+def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw line ingestion (``spark.read.text``) — the log-file entry
+    point: one string column per line, no schema, parsing happens in
+    the engine. A deterministic line file is materialized once from
+    documents, read back as lines, and measured; real use points this
+    at log directories and follows with the fn_string/fn_json parsing
+    families."""
+    docs = load_table(spark, sf_dir, "documents")
+    path = os.path.join(scratch_dir(), f"lines_{_sf_tag(sf_dir)}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        docs.filter(F.col("doc_id") % 20 == 0).select(
+            F.concat(
+                F.lit("doc:"), F.col("doc_id"), F.lit("|"), F.col("lang")
+            ).alias("value")
+        ).write.mode("overwrite").text(path)
+    lines = spark.read.text(path)
+    return lines.select(
+        F.col("value").alias("line"),
+        F.length("value").alias("n_chars"),
+    )
+
+
+@register(
+    "scan_schema_evolution",
+    oracle="""
+SELECT o_orderkey,
+       o_totalprice,
+       CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS priority,
+       o_orderkey % 2 = 1 AS is_v2
+FROM orders
+""",
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: half of orders is written with the v1
+    schema (2 columns), half with v2 (adds ``priority``); a single
+    ``mergeSchema`` read unions the schemas and fills the missing
+    column with NULLs for v1 files — how a lake absorbs producer
+    schema changes without rewriting history. The oracle predicts the
+    merged relation from the source table (even keys → v1 rows, NULL
+    priority).
+
+    Scale note: mergeSchema reads EVERY file footer at planning time —
+    fine per-partition, painful over millions of files; production
+    pins the evolved schema in a catalog and passes it explicitly.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    path = os.path.join(scratch_dir(), f"orders_evolved_{_sf_tag(sf_dir)}")
+    marker = os.path.join(path, "_V2_DONE")
+    if not os.path.exists(marker):
+        orders.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_totalprice"
+        ).write.mode("overwrite").parquet(path)
+        orders.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey",
+            "o_totalprice",
+            F.col("o_orderpriority").alias("priority"),
+        ).write.mode("append").parquet(path)
+        open(marker, "w").close()
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    return back.select(
+        "o_orderkey",
+        "o_totalprice",
+        "priority",
+        F.col("priority").isNotNull().alias("is_v2"),
+    )
