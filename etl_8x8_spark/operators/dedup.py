@@ -707,3 +707,71 @@ def dedup_binary_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_copies") > 1)
     )
+
+
+@register(
+    "pipeline_training_data",
+    oracle=f"""
+WITH normed AS (
+  SELECT doc_id, lang, {_NORM_SQL} AS norm, {_TOKENS_SQL} AS toks
+  FROM documents
+),
+survivors AS (  -- exact dedup: min doc_id per normalized text
+  SELECT MIN(doc_id) AS doc_id, norm
+  FROM normed GROUP BY norm
+),
+gated AS (      -- quality gate on the surviving docs
+  SELECT s.doc_id, n.lang,
+         CAST(len(n.toks) AS BIGINT) AS n_tokens,
+         round(CAST(len(list_distinct(n.toks)) AS DOUBLE) / len(n.toks), 6)
+           AS ttr
+  FROM survivors s JOIN normed n ON n.doc_id = s.doc_id
+  WHERE len(n.toks) >= 10
+    AND CAST(len(list_distinct(n.toks)) AS DOUBLE) / len(n.toks) >= 0.3
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       round(CAST(SUM(CAST(ttr AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*), 6)
+         AS avg_ttr
+FROM gated
+GROUP BY lang
+""",
+)
+def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline as ONE query — normalize →
+    exact-dedup (keep lowest doc_id per normalized text) → quality
+    gate (≥10 tokens, type-token ratio ≥0.3) → per-language corpus
+    stats (doc count, total tokens, mean TTR). Each stage is an
+    operator that also ships standalone (``dedup_exact``,
+    ``text_analysis_stats``); this key proves they COMPOSE — the
+    selling point of declarative pipelines: Catalyst fuses the whole
+    thing into two shuffles (dedup groupBy, final stats groupBy), and
+    every intermediate stays columnar.
+
+    At 100 TB this one-query shape is the daily corpus build: no
+    materialization between stages unless a stage is reused elsewhere
+    (then persist/write — see dedup_minhash_near's signature table).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    normed = docs.select(
+        "doc_id", "lang", normalized().alias("norm"), tokens().alias("toks")
+    )
+    survivors = normed.groupBy("norm").agg(F.min("doc_id").alias("doc_id"))
+    n = F.size("toks")
+    ttr = F.size(F.array_distinct("toks")).cast("double") / n
+    gated = (
+        survivors.join(normed.drop("norm"), "doc_id")
+        .withColumn("n_tokens", n.cast("long"))
+        .withColumn("ttr", F.round(ttr, 6))
+        .filter((n >= 10) & (ttr >= 0.3))
+    )
+    from etl_8x8_spark.functions.parity import DEC
+
+    return gated.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(
+            F.sum(F.col("ttr").cast(DEC)).cast("double") / F.count("*"), 6
+        ).alias("avg_ttr"),
+    )

@@ -686,3 +686,55 @@ def env_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(params), "path", "inner")
         .select("name", "path", "value")
     )
+
+
+@register(
+    "quality_report",
+    oracle="""
+SELECT
+  (SELECT COUNT(*) FROM lineitem) AS n_rows,
+  (SELECT COUNT(*) FROM lineitem WHERE l_quantity IS NULL) AS null_qty,
+  (SELECT COUNT(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 1)
+    AS bad_discount,
+  (SELECT COUNT(*) FROM lineitem WHERE l_extendedprice <= 0) AS bad_price,
+  (SELECT COUNT(*) FROM lineitem l
+   WHERE NOT EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_orderkey = l.l_orderkey)) AS orphan_lines,
+  (SELECT COUNT(*) FROM orders o
+   WHERE NOT EXISTS (SELECT 1 FROM customer c
+                     WHERE c.c_custkey = o.o_custkey)) AS orphan_orders
+""",
+)
+def quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row data-quality report over the star schema: null checks,
+    domain-range rules, and referential integrity (orphan facts) —
+    the validation layer (R14's boundary checks) applied to a
+    warehouse instead of a request.
+
+    Each column-rule is a conditional count inside ONE aggregate over
+    each table (no per-rule passes); the two integrity checks are
+    anti-join counts (orders broadcasts against lineitem's keys at
+    this SF; at 100 TB they shuffle on the key like any fact-fact
+    semi). All counts land in a single driver row — the shape a DQ
+    scheduler alerts on.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    li_stats = li.agg(
+        F.count("*").alias("n_rows"),
+        F.count_if(F.col("l_quantity").isNull()).alias("null_qty"),
+        F.count_if(
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
+        ).alias("bad_discount"),
+        F.count_if(F.col("l_extendedprice") <= 0).alias("bad_price"),
+    )
+    orphan_lines = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(F.count("*").alias("orphan_lines"))
+    )
+    orphan_orders = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "left_anti")
+        .agg(F.count("*").alias("orphan_orders"))
+    )
+    return li_stats.crossJoin(orphan_lines).crossJoin(orphan_orders)
