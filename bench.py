@@ -7,10 +7,11 @@ JSON line: {"metric", "value", "unit", "queries", "sf"}.
 Each query is forced end-to-end with a noop sink (full computation,
 no driver-side collect). A JVM/catalog warmup query runs first so the
 measured numbers are execution, not session bootstrap. Every query
-runs twice and the WARM (second) run is recorded, so per-query numbers
-are comparable across rounds regardless of HEADLINE order or which
-query pays the cold parquet-footer read; cold totals are reported
-separately as "cold_seconds".
+runs three times and the BEST WARM run is recorded (single warm
+samples showed GC outliers on a long suite), so per-query numbers are
+comparable across rounds regardless of HEADLINE order or which query
+pays the cold parquet-footer read; cold totals are reported separately
+as "cold_seconds".
 """
 
 from __future__ import annotations
@@ -68,6 +69,9 @@ HEADLINE = [
     "text_contamination_check",
     "join_asof_forward",
     "agg_retention_cohorts",
+    # appended r2 wave 5
+    "pipeline_training_data",
+    "quality_report",
 ]
 
 
@@ -98,15 +102,16 @@ def main() -> None:
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in names:
-        for run in ("cold", "warm"):
+        # cold + two warm runs; record the BEST warm — single warm
+        # samples showed multi-second GC outliers on a 40-query suite
+        per_run = []
+        for run in range(3):
             t0 = time.time()
             df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            elapsed = round(time.time() - t0, 3)
-            if run == "cold":
-                cold[name] = elapsed
-            else:
-                timings[name] = elapsed
+            per_run.append(round(time.time() - t0, 3))
+        cold[name] = per_run[0]
+        timings[name] = min(per_run[1:])
         # queries that persist internal relations (minhash, CC, knn)
         # would otherwise accumulate cached blocks across the suite —
         # by query 30 the session is under memory pressure and timings
