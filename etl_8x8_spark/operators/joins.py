@@ -482,3 +482,68 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("next_purchase_id"),
         )
     )
+
+
+_RB_WINDOW_US = 30 * 60 * 1_000_000  # ±30 minutes
+_RB_BUCKET_US = 3_600 * 1_000_000  # 1-hour blocking buckets
+
+
+@register(
+    "join_range_bucketed",
+    oracle=f"""
+SELECT p.event_id AS purchase_id,
+       COUNT(c.event_id) AS n_nearby_clicks
+FROM (SELECT event_id, ts FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT event_id, ts FROM events WHERE event_type = 'click') c
+  ON epoch_us(c.ts) >= epoch_us(p.ts) - {_RB_WINDOW_US}
+ AND epoch_us(c.ts) <= epoch_us(p.ts) + {_RB_WINDOW_US}
+GROUP BY p.event_id
+""",
+)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LARGE-LARGE range join via bucketization — the scale path
+    ``join_range_theta``'s docstring promises: neither side broadcasts,
+    so the pure theta predicate would be a cartesian. Each purchase
+    instead equi-joins the 1-hour buckets its ±30-minute window can
+    touch (its own and both neighbors — window ≤ bucket width, so 3
+    probes cover every case), and the exact range predicate filters
+    within the bucket. Pair work drops from |P|·|C| to
+    |P|·(3·avg_bucket), and the join is a plain shuffle hash join on
+    the bucket key.
+
+    Per purchase: how many clicks (any user) within ±30 min — the
+    activity-context feature. LEFT join keeps zero-click purchases
+    (COUNT over the null column yields 0 on both engines).
+    """
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.unix_micros(F.col("ts")).alias("p_us"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.unix_micros(F.col("ts")).alias("c_us"),
+        (F.unix_micros(F.col("ts")) / _RB_BUCKET_US).cast("long").alias(
+            "bucket"
+        ),
+    )
+    probes = purchases.select(
+        "purchase_id",
+        "p_us",
+        F.explode(
+            F.array(
+                (F.col("p_us") / _RB_BUCKET_US).cast("long") - 1,
+                (F.col("p_us") / _RB_BUCKET_US).cast("long"),
+                (F.col("p_us") / _RB_BUCKET_US).cast("long") + 1,
+            )
+        ).alias("bucket"),
+    )
+    in_range = (F.col("c_us") >= F.col("p_us") - _RB_WINDOW_US) & (
+        F.col("c_us") <= F.col("p_us") + _RB_WINDOW_US
+    )
+    return (
+        probes.join(clicks, "bucket", "left")
+        .withColumn("hit", F.when(in_range, F.col("click_id")))
+        .groupBy("purchase_id")
+        .agg(F.count("hit").alias("n_nearby_clicks"))
+    )
