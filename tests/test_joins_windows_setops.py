@@ -176,3 +176,79 @@ class TestSetopEdges:
         df = spark.createDataFrame([(1, 5.0), (2, 3.0)], "k long, v double")
         got = df.orderBy(F.col("v").desc(), F.col("k")).limit(100).collect()
         assert [r.k for r in got] == [1, 2]
+
+
+class TestFunnelOrdering:
+    def test_out_of_order_events_do_not_count(self, spark):
+        """The funnel requires signup <= click <= purchase per user —
+        a purchase BEFORE the first qualifying click (or a click
+        before signup) must not advance the funnel."""
+        from pyspark.sql import functions as F
+
+        rows = [
+            # uid 1: proper order -> full funnel
+            (1, 1, "signup", 100), (2, 1, "click", 200), (3, 1, "purchase", 300),
+            # uid 2: click before signup only -> signup stage only
+            (4, 2, "click", 100), (5, 2, "signup", 200),
+            # uid 3: purchase before click -> signup+click only
+            (6, 3, "signup", 100), (7, 3, "purchase", 150), (8, 3, "click", 200),
+            # uid 4: purchase after click -> full funnel even with early noise
+            (9, 4, "purchase", 50), (10, 4, "signup", 100),
+            (11, 4, "click", 200), (12, 4, "purchase", 250),
+        ]
+        events = spark.createDataFrame(
+            [(e, u, t, ts) for e, u, t, ts in rows],
+            "event_id long, user_id long, event_type string, tsec long",
+        ).select(
+            "event_id", "user_id", "event_type",
+            F.timestamp_seconds("tsec").alias("ts"),
+        )
+        s = (
+            events.filter(F.col("event_type") == "signup")
+            .groupBy("user_id").agg(F.min("ts").alias("signup_ts"))
+        )
+        c = (
+            events.filter(F.col("event_type") == "click")
+            .join(s, "user_id")
+            .filter(F.col("ts") >= F.col("signup_ts"))
+            .groupBy("user_id").agg(F.min("ts").alias("click_ts"))
+        )
+        p = (
+            events.filter(F.col("event_type") == "purchase")
+            .join(c, "user_id")
+            .filter(F.col("ts") >= F.col("click_ts"))
+            .groupBy("user_id").agg(F.min("ts").alias("purchase_ts"))
+        )
+        assert s.count() == 4          # all users signed up
+        assert set(r.user_id for r in c.collect()) == {1, 3, 4}
+        assert set(r.user_id for r in p.collect()) == {1, 4}
+
+
+class TestScd2Boundary:
+    def test_boundary_date_belongs_to_new_version(self, spark, sf_dir, queries=None):
+        """Validity intervals are half-open [from, to): an order dated
+        exactly on an era boundary must resolve to the NEW version."""
+        from pyspark.sql import functions as F
+
+        from etl_8x8_spark.registry import all_queries
+
+        df = all_queries()["join_dim_scd2"].builder(spark, sf_dir)
+        # synthesize nothing: assert the rule on whatever boundary
+        # orders exist, plus the global invariant every order got
+        # EXACTLY one version
+        from etl_8x8_spark.sources.readers import load_table
+
+        orders = load_table(spark, sf_dir, "orders")
+        assert df.count() == orders.filter(
+            (F.col("o_orderdate") >= F.lit("1992-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+        ).count()
+        boundary = df.join(
+            orders.filter(
+                F.col("o_orderdate") == F.lit("1995-01-01").cast("timestamp")
+            ).select("o_orderkey"),
+            "o_orderkey",
+        )
+        # any boundary-dated order must carry version 1 (the era that
+        # STARTS on the boundary), never version 0
+        assert boundary.filter(F.col("dim_version") == 0).count() == 0
