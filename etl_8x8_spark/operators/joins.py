@@ -547,3 +547,56 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("purchase_id")
         .agg(F.count("hit").alias("n_nearby_clicks"))
     )
+
+
+_FUZZY_MAX_DIST = 2
+
+
+@register(
+    "join_fuzzy_match",
+    oracle=f"""
+WITH probes AS (  -- customer names with one character dropped
+  SELECT c_custkey AS probe_id,
+         substr(c_name, 1, 8) || substr(c_name, 10) AS probe_name
+  FROM customer WHERE c_custkey % 100 = 0
+),
+cand AS (
+  SELECT p.probe_id, p.probe_name, c.c_custkey, c.c_name,
+         levenshtein(p.probe_name, c.c_name) AS dist
+  FROM probes p JOIN customer c
+    ON substr(p.probe_name, 1, 8) = substr(c.c_name, 1, 8)
+)
+SELECT probe_id, probe_name, c_custkey, c_name, CAST(dist AS INT) AS dist
+FROM cand WHERE dist <= {_FUZZY_MAX_DIST}
+""",
+)
+def join_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance) entity matching — the record-linkage /
+    entity-resolution join: corrupted probe names (one character
+    dropped) matched back to the customer table within Levenshtein
+    distance {_FUZZY_MAX_DIST}.
+
+    The blocking discipline is the same as every dedup operator here:
+    Levenshtein is O(len²) per PAIR, so it only ever runs on
+    candidates sharing a cheap blocking key (the 8-char name prefix —
+    production uses phonetic keys or q-gram LSH), never all-pairs.
+    Blocked candidates equi-join; the distance is a residual filter.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    probes = customer.filter(F.col("c_custkey") % 100 == 0).select(
+        F.col("c_custkey").alias("probe_id"),
+        F.concat(
+            F.substring("c_name", 1, 8), F.expr("substring(c_name, 10)")
+        ).alias("probe_name"),
+    )
+    cand = probes.join(
+        customer,
+        F.substring(F.col("probe_name"), 1, 8)
+        == F.substring(F.col("c_name"), 1, 8),
+    )
+    dist = F.levenshtein("probe_name", "c_name")
+    return (
+        cand.withColumn("dist", dist.cast("int"))
+        .filter(F.col("dist") <= _FUZZY_MAX_DIST)
+        .select("probe_id", "probe_name", "c_custkey", "c_name", "dist")
+    )
