@@ -344,3 +344,46 @@ def window_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
         )
     )
+
+
+@register(
+    "window_cumulative_users",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, MIN(date_trunc('day', ts)) AS first_d FROM events
+  GROUP BY user_id
+),
+daily AS (
+  SELECT first_d, COUNT(*) AS new_users FROM firsts GROUP BY first_d
+)
+SELECT CAST(floor(epoch(first_d)) AS BIGINT) AS day,
+       new_users,
+       CAST(SUM(new_users) OVER (ORDER BY first_d
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS total_users
+FROM daily
+""",
+)
+def window_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new users + cumulative users-to-date (the growth curve).
+    The trick is algebraic, not stateful: "distinct users seen by day
+    d" = "users whose FIRST event is ≤ d", so the cumulative distinct
+    collapses to first-touch per user → count per day → running sum —
+    one user-keyed aggregate plus a window over a DAYS-sized relation
+    (the unpartitioned window is fine: it sorts #days rows, not
+    #events). The naive per-day distinct re-expansion it replaces is
+    O(days × events).
+    """
+    events = load_table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("first_d")
+    )
+    daily = firsts.groupBy("first_d").agg(F.count("*").alias("new_users"))
+    w = Window.orderBy("first_d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        F.unix_timestamp("first_d").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("total_users"),
+    )
