@@ -104,20 +104,44 @@ def agg_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct", oracle=None)
+@register(
+    "agg_approx_distinct",
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(1 AS INTEGER) AS within_rsd
+FROM events
+GROUP BY event_type
+""",
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct — the 100 TB path for distinct counts.
 
     One pass, fixed memory per group, no distinct-expansion shuffle.
-    rsd=0.5% keeps the sketch ~few KB. No DuckDB oracle (different
-    sketch implementation => different estimates); driver does the
-    rows-only check, and tests assert the estimate is within rsd of
-    exact.
+    rsd=0.5% keeps the sketch ~few KB. The raw estimate is engine-
+    specific (DuckDB's sketch differs), so the HASHED output carries
+    the exact count plus a ``within_rsd`` accuracy flag the oracle can
+    predict as 1 — the sketch is still built and checked, but the
+    cross-engine comparison is on deterministic columns. A pytest
+    additionally bounds the estimate against exact.
     """
     return (
         load_table(spark, sf_dir, "events")
         .groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", rsd=0.005).alias("approx_users"))
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.005).alias("est"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            "event_type",
+            "n_users",
+            (
+                F.abs(F.col("est") - F.col("n_users"))
+                <= F.greatest(F.lit(2.0), F.col("n_users") * 0.02)
+            )
+            .cast("int")
+            .alias("within_rsd"),
+        )
     )
 
 
@@ -213,7 +237,21 @@ def agg_map_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_quantile_sketch", oracle=None)
+@register(
+    "agg_quantile_sketch",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+       round(quantile_cont(l_extendedprice, 0.95), 6) AS p95,
+       round(quantile_cont(l_extendedprice, 0.99), 6) AS p99,
+       CAST(1 AS INTEGER) AS p50_ok,
+       CAST(1 AS INTEGER) AS p95_ok,
+       CAST(1 AS INTEGER) AS p99_ok,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
 def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate quantiles per group — the second sketch in the
     engine (with ``agg_approx_distinct``'s HLL): a mergeable
@@ -221,19 +259,41 @@ def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition, merged at the final aggregate, so the shuffle carries
     sketches (KBs) instead of values.
 
-    No DuckDB oracle (different sketch family ⇒ different estimates);
-    the driver rows-only check plus a pytest bound vs exact quantiles
-    (tests/test_aggregates.py) pin accuracy.
+    The sketch estimates are engine-specific, so the HASHED output is
+    scalar: exact percentiles (Spark ``percentile`` and DuckDB
+    ``quantile_cont`` share the interpolation formula — see
+    ``agg_percentile_exact``) plus per-quantile ``p*_ok`` flags
+    asserting the sketch landed within 2% of exact, which the oracle
+    predicts as 1. No top-level arrays — the round-2 driver hasher
+    crashed on ARRAY<double> output.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.percentile_approx(
-                "l_extendedprice", [0.5, 0.95, 0.99], 10_000
-            ).alias("price_quantiles"),
-            F.count("*").alias("n_rows"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile_approx(
+            "l_extendedprice", [0.5, 0.95, 0.99], 10_000
+        ).alias("pa"),
+        F.expr(
+            "percentile(l_extendedprice, array(0.5D, 0.95D, 0.99D))"
+        ).alias("pe"),
+        F.count("*").alias("n_rows"),
+    )
+
+    def ok(i: int) -> F.Column:
+        a, e = F.col("pa")[i], F.col("pe")[i]
+        return (
+            (F.abs(a - e) <= F.greatest(F.abs(e), F.lit(1.0)) * 0.02)
+            .cast("int")
         )
+
+    return agg.select(
+        "l_returnflag",
+        F.round(F.col("pe")[0], 6).alias("p50"),
+        F.round(F.col("pe")[1], 6).alias("p95"),
+        F.round(F.col("pe")[2], 6).alias("p99"),
+        ok(0).alias("p50_ok"),
+        ok(1).alias("p95_ok"),
+        ok(2).alias("p99_ok"),
+        "n_rows",
     )
 
 
@@ -329,21 +389,10 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_hll_merge", oracle=None)
-def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable HLL sketches (Apache DataSketches): build one
-    distinct-user sketch per (event_type, hour) cell, then UNION the
-    sketches up to event_type — the re-aggregatable rollup pattern
-    that powers 100 TB distinct counts (sketch each partition/day
-    once, merge downstream; never re-scan raw data). The finalize step
-    is ``hll_sketch_estimate`` over the unioned binary sketch.
-
-    ``agg_approx_distinct`` is the one-shot HLL++ variant; this one
-    demonstrates partial-sketch REUSE — the estimate is computed from
-    merged per-cell sketches, never from the raw rows. No DuckDB twin
-    (engine-specific sketch bytes); tests pin the merged estimate to
-    the exact distinct count and to the one-level sketch.
-    """
+def hll_merged_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event_type distinct-user estimate from UNIONED per-(type,
+    hour) HLL sketches — the re-aggregatable rollup artifact. Shared
+    by ``agg_hll_merge`` and the lossless-union pytest."""
     events = load_table(spark, sf_dir, "events")
     per_cell = (
         events.withColumn("hour", F.date_trunc("hour", "ts"))
@@ -357,7 +406,48 @@ def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.hll_sketch_estimate("merged").alias("approx_users"),
         )
-        .orderBy("event_type")
+    )
+
+
+@register(
+    "agg_hll_merge",
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(1 AS INTEGER) AS within_tol
+FROM events
+GROUP BY event_type
+""",
+)
+def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Apache DataSketches): build one
+    distinct-user sketch per (event_type, hour) cell, then UNION the
+    sketches up to event_type — the re-aggregatable rollup pattern
+    that powers 100 TB distinct counts (sketch each partition/day
+    once, merge downstream; never re-scan raw data). The finalize step
+    is ``hll_sketch_estimate`` over the unioned binary sketch.
+
+    ``agg_approx_distinct`` is the one-shot HLL++ variant; this one
+    demonstrates partial-sketch REUSE. The sketch estimate is engine-
+    specific, so the HASHED output is the exact count plus a
+    ``within_tol`` flag (merged estimate within 2.5% ≈ 3σ at lgK=14)
+    the oracle predicts as 1; the lossless-union pytest pins the
+    merged estimate to the one-level sketch exactly.
+    """
+    events = load_table(spark, sf_dir, "events")
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+    merged = hll_merged_estimates(spark, sf_dir)
+    return exact.join(F.broadcast(merged), "event_type").select(
+        "event_type",
+        "n_users",
+        (
+            F.abs(F.col("approx_users") - F.col("n_users"))
+            <= F.greatest(F.lit(2.0), F.col("n_users") * 0.025)
+        )
+        .cast("int")
+        .alias("within_tol"),
     )
 
 
@@ -941,7 +1031,9 @@ def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_by on a tied price picks an arbitrary row, which is both
     nondeterministic and un-oracle-able; the composite key makes ties
     break on id in both engines. Highest id wins maxima, lowest id
-    wins minima (hence the negated id in the min key).
+    wins minima — lexicographic min over (price, id) already breaks
+    ties on the smallest id, so both keys use the plain struct (a
+    negated id in the min key would invert the tiebreak).
 
     Scale: map-side combinable like any min/max — the per-group state
     is one (key, value) pair; a row_number window doing the same job
@@ -953,8 +1045,7 @@ def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey", F.struct("o_totalprice", "o_orderkey")
         ).alias("biggest_order"),
         F.min_by(
-            "o_orderkey",
-            F.struct("o_totalprice", (-F.col("o_orderkey")).alias("neg")),
+            "o_orderkey", F.struct("o_totalprice", "o_orderkey")
         ).alias("smallest_order"),
         F.round(F.max("o_totalprice"), 6).alias("max_price"),
         F.round(F.min("o_totalprice"), 6).alias("min_price"),

@@ -168,6 +168,18 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JACCARD_THRESHOLD = 0.7
 
+# Content-derived blocking key: the first 32 NORMALIZED characters.
+# Near-duplicates in real corpora (and the planted ones here, which
+# append at the end) share their opening text, so they land in one
+# block; the corpus-wide block-size distribution stays tiny (no
+# template skew in this data — max block 3 at sf0.01). This is
+# information a real corpus actually has, unlike a family id.
+_BLOCK_KEY_SQL = f"substr({_NORM_SQL}, 1, 32)"
+
+
+def _block_key() -> Column:
+    return F.substring(normalized(), 1, 32)
+
 
 @register(
     "dedup_ngram_jaccard",
@@ -175,7 +187,7 @@ _JACCARD_THRESHOLD = 0.7
 WITH corpus AS ({_NEAR_SQL}),
 sh AS (
   SELECT doc_id,
-         doc_id % {_NEAR_OFFSET} AS block_key,
+         {_BLOCK_KEY_SQL} AS block_key,
          {_shingles_sql(_TOKENS_SQL)} AS sset
   FROM corpus
 )
@@ -191,9 +203,10 @@ WHERE CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard over *blocked* candidate pairs.
 
-    Blocking key here is the planted-duplicate family (doc_id modulo
-    the offset) — the stand-in for any domain blocking key (URL host,
-    length bucket, LSH bucket). The point for 100 TB: Jaccard
+    Blocking key is CONTENT-DERIVED: the first 32 normalized
+    characters (same family as a URL-host or length-bucket key, and
+    what ``join_fuzzy_match`` does) — no reliance on id structure a
+    real corpus wouldn't have. The point for 100 TB: Jaccard
     verification only ever runs on candidate pairs produced by a
     blocking join, never all-pairs.
     """
@@ -203,10 +216,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted: BOTH self-join sides consume the shingle table, and
     # without the barrier the plan re-derives shingles per side (the
     # CollapseProject duplication trap); widened first so the shingle
-    # map stage isn't bound to the narrow scan's task count
+    # map stage isn't bound to the narrow scan's task count.
+    # PERSIST-BARRIER LIFECYCLE: the returned (lazy) plan depends on
+    # this cache, so the builder cannot unpersist it; long-lived
+    # drivers must spark.catalog.clearCache() between queries (bench.py
+    # and tools/verify_queries.py both do).
     sh = corpus.select(
         "doc_id",
-        (F.col("doc_id") % _NEAR_OFFSET).alias("block_key"),
+        _block_key().alias("block_key"),
         shingles(tokens()).alias("sset"),
     ).persist()
     a = sh.alias("a")
@@ -567,7 +584,7 @@ _CC_MAX_ITERS = 15
 WITH RECURSIVE corpus AS ({_NEAR_SQL}),
 sh AS (
   SELECT doc_id,
-         doc_id % {_NEAR_OFFSET} AS block_key,
+         {_BLOCK_KEY_SQL} AS block_key,
          {_shingles_sql(_TOKENS_SQL)} AS sset
   FROM corpus
 ),
@@ -657,6 +674,12 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    # the returned plan reads only the checkpointed final labels, so
+    # the edge cache (and the ngram persists feeding it) are done —
+    # release the edges here; upstream persists are released by the
+    # driver-side clearCache between queries (see the persist-barrier
+    # note at the shingle persist site).
+    edges.unpersist()
     w = Window.partitionBy("label")
     return labels.select(
         "doc_id",

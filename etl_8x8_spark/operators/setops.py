@@ -98,10 +98,15 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SAMPLE_PCT = {"click": 5, "view": 2, "purchase": 100, "signup": 100, "error": 50}
 
+# The id is masked to 2^31 BEFORE the Knuth multiply so the product
+# tops out at ~5.7e18 < Long.MAX — an unmasked id ≳ 3.5e9 would
+# overflow 64-bit arithmetic (a throw under Spark ANSI mode and DuckDB
+# alike), which matters for the 100 TB stable-dev-slice claim.
 _SAMPLE_ORACLE = (
     "SELECT event_id, event_type, user_id FROM events WHERE "
     + " OR ".join(
-        f"(event_type = '{t}' AND (event_id * 2654435761) % 4294967296 % 100 < {p})"
+        f"(event_type = '{t}' AND "
+        f"((event_id % 2147483648) * 2654435761) % 4294967296 % 100 < {p})"
         for t, p in sorted(_SAMPLE_PCT.items())
     )
 )
@@ -120,8 +125,10 @@ def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pure map-side filter — no shuffle, pushes to the scan.
     """
     events = load_table(spark, sf_dir, "events")
+    # mask to 2^31 first: see _SAMPLE_ORACLE's overflow note
     bucket = (
-        (F.col("event_id") * F.lit(2654435761)) % F.lit(4294967296)
+        ((F.col("event_id") % F.lit(2147483648)) * F.lit(2654435761))
+        % F.lit(4294967296)
     ) % 100
     rate = F.create_map(
         *[F.lit(x) for kv in _SAMPLE_PCT.items() for x in kv]

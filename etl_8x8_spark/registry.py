@@ -34,20 +34,28 @@ class QuerySpec:
 _REGISTRY: dict[str, QuerySpec] = {}
 
 # Modules that register queries on import; one per §2b family.
+#
+# ORDER MATTERS for driver sampling: the round-2 driver evaluated only the
+# first 50 keys in registration order, so families the driver has never
+# verified (scans/sinks, windows, setops, scalar_fns, sql shapes, dedup,
+# similarity, text, multimodal, streaming) register FIRST this round, and
+# the already-driver-green aggregates/record_ops/joins families register
+# last. bench.py's HEADLINE order is independent of this list (append-only
+# by design) and is unaffected.
 _QUERY_MODULES = [
-    "etl_8x8_spark.operators.aggregates",
-    "etl_8x8_spark.operators.record_ops",
-    "etl_8x8_spark.operators.joins",
+    "etl_8x8_spark.sources.scans",
     "etl_8x8_spark.operators.windows",
     "etl_8x8_spark.operators.setops",
     "etl_8x8_spark.operators.scalar_fns",
+    "etl_8x8_spark.operators.sql_queries",
     "etl_8x8_spark.operators.dedup",
     "etl_8x8_spark.operators.similarity",
     "etl_8x8_spark.operators.text",
     "etl_8x8_spark.operators.multimodal",
-    "etl_8x8_spark.operators.sql_queries",
-    "etl_8x8_spark.sources.scans",
     "etl_8x8_spark.streaming.streams",
+    "etl_8x8_spark.operators.aggregates",
+    "etl_8x8_spark.operators.record_ops",
+    "etl_8x8_spark.operators.joins",
 ]
 
 

@@ -84,8 +84,11 @@ def compact_parquet(
     The 100 TB reality this serves: streaming/partitioned writers leave
     thousands of KB-sized files per partition; scan cost becomes file-
     listing + open overhead instead of IO. Compaction = read + count +
-    repartition to ceil(rows/target) + atomic swap (write to a side
-    dir, then move). Returns (files_before, files_after).
+    repartition to ceil(rows/target) + swap. The swap renames the
+    original ASIDE before renaming the compacted dir into place, so a
+    crash at any point leaves the dataset recoverable in either
+    ``path``, ``path.compacting`` or ``path.old`` — it is never only
+    deleted. Returns (files_before, files_after).
     """
     import glob
     import os
@@ -95,9 +98,13 @@ def compact_parquet(
     df = spark.read.parquet(path)
     n = df.count()
     n_files = max(1, -(-n // target_rows_per_file))
-    tmp = path.rstrip("/") + ".compacting"
+    base = path.rstrip("/")
+    tmp, old = base + ".compacting", base + ".old"
     df.repartition(n_files).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
     os.rename(tmp, path)
+    shutil.rmtree(old)
     files_after = len(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
     return files_before, files_after

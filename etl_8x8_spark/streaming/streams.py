@@ -50,12 +50,18 @@ def events_stream_dir(spark: SparkSession, sf_dir: str, copies: int = 1) -> str:
     path = os.path.join(
         scratch_dir(), f"events_stream_{_sf_tag(sf_dir)}_x{copies}"
     )
-    marker = os.path.join(path, "_SUCCESS")
+    # _SUCCESS appears after the FIRST write, before the append passes —
+    # a crash in between would leave a half-built fixture that looks
+    # done. The skip check keys on a sentinel written only after ALL
+    # copies landed.
+    marker = os.path.join(path, "_COPIES_DONE")
     if not os.path.exists(marker):
         events = load_table(spark, sf_dir, "events")
         events.write.mode("overwrite").parquet(path)
         for i in range(1, copies):
             events.write.mode("append").parquet(path)
+        with open(marker, "w") as fh:
+            fh.write(str(copies))
     return path
 
 

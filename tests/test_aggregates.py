@@ -65,26 +65,22 @@ def test_approx_distinct_within_rsd(spark, sf_dir):
         r.event_type: r.n_users
         for r in all_queries()["agg_distinct_count"].builder(spark, sf_dir).collect()
     }
-    approx = {
-        r.event_type: r.approx_users
-        for r in all_queries()["agg_approx_distinct"].builder(spark, sf_dir).collect()
-    }
-    for k, n in exact.items():
-        assert abs(approx[k] - n) <= max(2, 0.05 * n)
+    rows = all_queries()["agg_approx_distinct"].builder(spark, sf_dir).collect()
+    assert len(rows) == len(exact)
+    for r in rows:
+        # the query's own accuracy flag must hold, and its exact side
+        # must agree with the plain countDistinct query
+        assert r.within_rsd == 1, r
+        assert r.n_users == exact[r.event_type]
 
 
 def test_quantile_sketch_within_tolerance(spark, sf_dir):
-    from etl_8x8_spark.registry import all_queries
-
-    approx = {
-        r.l_returnflag: r.price_quantiles
-        for r in all_queries()["agg_quantile_sketch"]
-        .builder(spark, sf_dir)
-        .collect()
-    }
     from pyspark.sql import functions as F
+
+    from etl_8x8_spark.registry import all_queries
     from etl_8x8_spark.sources.readers import load_table
 
+    rows = all_queries()["agg_quantile_sketch"].builder(spark, sf_dir).collect()
     li = load_table(spark, sf_dir, "lineitem")
     exact = {
         r.l_returnflag: r.q
@@ -92,10 +88,14 @@ def test_quantile_sketch_within_tolerance(spark, sf_dir):
         .agg(F.expr("percentile(l_extendedprice, array(0.5, 0.95, 0.99))").alias("q"))
         .collect()
     }
-    for flag, qs in approx.items():
-        for a, e in zip(qs, exact[flag]):
-            # accuracy=10k on ~1e5-row groups: generous 2% rel bound
-            assert abs(a - e) <= 0.02 * max(abs(e), 1.0), (flag, a, e)
+    assert len(rows) == len(exact)
+    for r in rows:
+        # the query's own 2% sketch-accuracy flags must hold (accuracy=10k
+        # on ~1e5-row groups), and the exact side must match percentile()
+        assert (r.p50_ok, r.p95_ok, r.p99_ok) == (1, 1, 1), r
+        e50, e95, e99 = exact[r.l_returnflag]
+        assert abs(r.p50 - e50) < 1e-6 and abs(r.p95 - e95) < 1e-6
+        assert abs(r.p99 - e99) < 1e-6
 
 
 def test_observe_metrics_side_channel(spark, sf_dir):
@@ -150,13 +150,16 @@ def test_hll_merge_matches_exact_and_one_shot(spark, sf_dir):
     from etl_8x8_spark.registry import all_queries
     from etl_8x8_spark.sources.readers import load_table
 
+    from etl_8x8_spark.operators.aggregates import hll_merged_estimates
+
     exact = {
         r.event_type: r.n_users
         for r in all_queries()["agg_distinct_count"].builder(spark, sf_dir).collect()
     }
+    query_rows = all_queries()["agg_hll_merge"].builder(spark, sf_dir).collect()
     merged = {
         r.event_type: r.approx_users
-        for r in all_queries()["agg_hll_merge"].builder(spark, sf_dir).collect()
+        for r in hll_merged_estimates(spark, sf_dir).collect()
     }
     one_shot = {
         r.event_type: r.approx_users
@@ -169,6 +172,10 @@ def test_hll_merge_matches_exact_and_one_shot(spark, sf_dir):
         )
         .collect()
     }
+    assert len(query_rows) == len(exact)
+    for r in query_rows:
+        assert r.within_tol == 1, r
+        assert r.n_users == exact[r.event_type]
     for k, n in exact.items():
         # lgK=14 -> rsd ~0.8%; allow 3 sigma plus small-count slack
         assert abs(merged[k] - n) <= max(2, 0.025 * n)

@@ -42,7 +42,14 @@ class TestDedupRecall:
             if r.doc_b - r.doc_a == _NEAR_OFFSET
         }
         exact = _pairs(queries["dedup_ngram_jaccard"].builder(spark, sf_dir))
-        recall = len(planted_found & exact) / len(exact)
+        # recall over the PLANTED subset: the exact pair set also holds
+        # organic prefix-blocked near-dups the planted_found numerator
+        # excludes by construction
+        exact_planted = {
+            p for p in exact if p[1] - p[0] == _NEAR_OFFSET
+        }
+        assert exact_planted
+        recall = len(planted_found & exact_planted) / len(exact_planted)
         assert recall >= 0.6, f"SimHash recall {recall:.2f} < 0.6"
         assert all(r.hamming <= 6 for r in rows)
 

@@ -140,6 +140,10 @@ def main() -> int:
             print(f"{name:32s} SPARK-ERROR {type(e).__name__}: {str(e)[:300]}")
             n_fail += 1
             continue
+        finally:
+            # release persist barriers (dedup/similarity) so cached
+            # blocks don't accumulate across the 124-query session
+            spark.catalog.clearCache()
         if name not in oracles:
             print(f"{name:32s} rows-only rows={len(sdf)} ({time.time()-t0:.1f}s)")
             n_rows_only += 1
