@@ -349,7 +349,7 @@ def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "sset",
         minhash_signature(minhash_base_hashes(F.col("sset"))).alias("sig"),
-    ).persist()
+    ).persist()  # lifecycle: see the persist-barrier note in dedup_ngram_jaccard
     sh = sig_df.select("doc_id", "sset")
     # Bucket rows carry ONLY (doc_id, band): the shingle arrays must
     # not ride through the bucket shuffle and pair-dedup exchange.
@@ -467,7 +467,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", simhash_counters(shingles(tokens())).alias("counters")
         )
         .select("doc_id", simhash_from_counters(F.col("counters")).alias("fp"))
-        .persist()
+        .persist()  # lifecycle: see persist-barrier note in dedup_ngram_jaccard
     )
     chunk_size = _SIMHASH_BITS // _SIM_BANDS
     chunks = fp.select(

@@ -417,6 +417,9 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         normed.crossJoin(F.broadcast(cent))
         .withColumn("rk", F.row_number().over(w_assign))
         .select("vec_id", "embedding", "nrm", "cid", "rk")
+        # lifecycle: backs the returned lazy plan, so the builder cannot
+        # unpersist; long-lived drivers clearCache() between queries (the
+        # persist-barrier contract documented in dedup_ngram_jaccard)
         .persist()
     )
     assigned = ranked.filter(F.col("rk") == 1).select(
