@@ -270,7 +270,15 @@ FROM events
 )
 def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON family (R3/R4): path extraction, typed parse via
-    ``from_json``, re-serialization via ``to_json``."""
+    ``from_json``, re-serialization via ``to_json``.
+
+    ``is_valid`` probes ``get_json_object(props, '$')`` — NOT
+    ``from_json(...).isNotNull()``, which is True even for malformed
+    input (PERMISSIVE mode yields a struct of nulls, never a null
+    struct; caught by tests/test_scalar_edges.py). The '$' probe is
+    null exactly when the document doesn't parse, matching DuckDB's
+    ``json_valid`` on non-null input.
+    """
     events = load_table(spark, sf_dir, "events")
     k_int = F.from_json("props", "k INT")["k"]
     return events.select(
@@ -280,7 +288,7 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_json(
             F.struct(k_int.alias("k"), F.lit("events").alias("source"))
         ).alias("reserialized"),
-        F.from_json("props", "k INT").isNotNull().alias("is_valid"),
+        F.get_json_object("props", "$").isNotNull().alias("is_valid"),
     )
 
 
