@@ -72,6 +72,13 @@ HEADLINE = [
     # appended r2 wave 5
     "pipeline_training_data",
     "quality_report",
+    # appended r3
+    "join_bloom_pruned",
+    "window_scd2_build",
+    "text_token_budget_pack",
+    "text_pii_redact",
+    "sample_mixture_rebalance",
+    "sim_search_range",
 ]
 
 

@@ -136,3 +136,58 @@ def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.filter(bucket < rate).select(
         "event_id", "event_type", "user_id"
     )
+
+
+# --------------------------------------------------------------------------
+# mixture rebalancing — data-derived stratified sampling
+# --------------------------------------------------------------------------
+
+# Acceptance is integer-exact: bucket ∈ [0, 1e6) from the same masked
+# Knuth hash as sample_systematic; accept iff bucket * lang_count <
+# min_count * 1e6, i.e. rate = min/count with the rarest language kept
+# at 100%. bucket < 1e6 and counts ≤ ~1e12 keep the products far from
+# Long overflow at any realistic corpus size.
+_MIX_M = 1_000_000
+
+_MIX_ORACLE = f"""
+WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+m AS (SELECT MIN(cnt) AS mn FROM c)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN c USING (lang) CROSS JOIN m
+WHERE ((d.doc_id % 2147483648) * 2654435761) % 4294967296 % {_MIX_M} * c.cnt
+      < m.mn * {_MIX_M}
+"""
+
+
+@register("sample_mixture_rebalance", oracle=_MIX_ORACLE)
+def sample_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance a skewed corpus toward a UNIFORM language mixture by
+    deterministic downsampling — the training-data mixture op.
+
+    Unlike ``sample_systematic`` (static per-class rates), the
+    acceptance rates here are DATA-DERIVED at runtime: per-language
+    counts are aggregated, the rarest language is kept at 100%, and
+    every other language is thinned to match (rate = min_count /
+    lang_count). Membership is the same masked Knuth hash of the row
+    id — reproducible across runs, engines, and repartitions — and the
+    accept test is pure integer arithmetic (no float rate, no rand()).
+
+    Scale: the rate table is a 5-row aggregate (partial+final on a
+    low-cardinality key) broadcast back onto the corpus; the sample
+    itself is a map-side filter. At 100 TB this is one cheap stats
+    pass + one narrow pass, the same shape mixture-weighted corpus
+    construction uses in production.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("cnt"))
+    mn = counts.agg(F.min("cnt").alias("mn"))
+    bucket = (
+        ((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761))
+        % F.lit(4294967296)
+    ) % _MIX_M
+    return (
+        docs.join(F.broadcast(counts), "lang")
+        .crossJoin(F.broadcast(mn))
+        .filter(bucket * F.col("cnt") < F.col("mn") * _MIX_M)
+        .select("doc_id", "lang")
+    )

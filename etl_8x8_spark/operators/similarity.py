@@ -450,3 +450,53 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _KNN_K)
         .select("q_id", "vec_id", F.round("sim", 6).alias("sim"), "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# range search — every match above a similarity floor
+# --------------------------------------------------------------------------
+
+_RANGE_TAU = 0.3
+
+
+_RANGE_ORACLE = f"""
+WITH normed AS (
+  SELECT vec_id, embedding, {oracle_norm("embedding")} AS nrm FROM embeddings
+),
+q AS (SELECT vec_id AS q_id, embedding AS qe, nrm AS qn
+      FROM normed WHERE vec_id < {_N_QUERIES})
+SELECT q.q_id, c.vec_id,
+       round({oracle_dot("q.qe", "c.embedding")} / (q.qn * c.nrm), 6) AS sim
+FROM q JOIN normed c ON c.vec_id <> q.q_id
+WHERE {oracle_dot("q.qe", "c.embedding")} / (q.qn * c.nrm) >= {_RANGE_TAU}
+"""
+
+
+@register("sim_search_range", oracle=_RANGE_ORACLE)
+def sim_search_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine RANGE search: every corpus vector with similarity ≥ τ to
+    each query — retrieval's "all relevant documents" contract, the
+    complement of ``sim_search_topk``'s fixed-k cut (dedup and
+    contamination sweeps want a floor, not a count).
+
+    Plan shape: strictly better than top-k — the broadcast query set
+    makes scoring map-side over the corpus scan and the τ cut is part
+    of the same filter, so the query has ZERO shuffles and no window
+    (top-k needs its per-query exchange). At 100 TB this is the
+    pattern that scales best of the whole family: a narrow pass over
+    the corpus per query batch; the IVF/LSH variants only add cell
+    pruning in front of the same map-side filter.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    normed = emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
+    q = normed.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    sim = cosine(F.col("qe"), F.col("embedding"), F.col("qn"), F.col("nrm"))
+    return (
+        normed.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .filter(sim >= _RANGE_TAU)
+        .select("q_id", "vec_id", F.round(sim, 6).alias("sim"))
+    )

@@ -368,3 +368,178 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap_ratio"),
         )
     )
+
+# --------------------------------------------------------------------------
+# sequence packing — token-budget pack assignment
+# --------------------------------------------------------------------------
+
+_PACK_BUDGET = 200  # tokens per pack (docs here average ~30 tokens)
+
+
+@register(
+    "text_token_budget_pack",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_tokens
+  FROM t
+)
+SELECT doc_id, lang, n_tokens, cum_tokens,
+       CAST((cum_tokens - n_tokens) // {_PACK_BUDGET} AS BIGINT) AS pack_id
+FROM c
+""",
+)
+def text_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: assign every document to a
+    token-budget pack (the batch/shard construction step of an LLM
+    training pipeline — documents stream into fixed-token-budget bins
+    in a deterministic order).
+
+    Pack id = (cumulative tokens BEFORE this doc) ``div`` budget over
+    a per-language running sum ordered by doc_id: deterministic,
+    integer-exact (integer division, never a float quotient — doubles
+    drift past 2^53 cumulative tokens), and computed with ONE window
+    (= one shuffle on lang + sort). A doc straddling a boundary
+    belongs to the pack its first token falls in.
+
+    Scale: the window partition key is the PACKING DOMAIN. Partition
+    by lang alone only if a language's corpus fits a task; at 100 TB
+    pack within (lang, day) or (lang, shard) — same plan, finer key.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_tok = F.size(tokens()).cast("long")
+    df = docs.select("doc_id", "lang", n_tok.alias("n_tokens")).withColumn(
+        "cum_tokens", F.sum("n_tokens").over(w)
+    )
+    return df.withColumn(
+        "pack_id",
+        F.expr(f"(cum_tokens - n_tokens) div {_PACK_BUDGET}"),
+    )
+
+
+# --------------------------------------------------------------------------
+# PII redaction — regex scrub with per-class counts
+# --------------------------------------------------------------------------
+
+# Deterministic PII planting (same idiom as dedup's seeded corpora —
+# the test tables carry no PII, so the fixture plants synthetic
+# addresses/numbers derived from doc_id; both engines derive the
+# identical corpus inline).
+_PII_SQL = """
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                      || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' host 10.0.' || (doc_id % 256) || '.' || (doc_id % 250 + 1)
+                 ELSE '' END AS text
+  FROM documents
+"""
+
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PHONE_RE = r"\d{3}-\d{3}-\d{4}"
+_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def seeded_pii_corpus(docs: DataFrame) -> DataFrame:
+    """documents with synthetic PII appended to deterministic rows."""
+    d = F.col("doc_id")
+    email = F.when(
+        d % 5 == 0,
+        F.concat(F.lit(" contact user"), d.cast("string"), F.lit("@example.com")),
+    ).otherwise("")
+    phone = F.when(
+        d % 7 == 0,
+        F.concat(
+            F.lit(" call 555-"),
+            F.lpad((d % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((d % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise("")
+    ip = F.when(
+        d % 11 == 0,
+        F.concat(
+            F.lit(" host 10.0."),
+            (d % 256).cast("string"),
+            F.lit("."),
+            (d % 250 + 1).cast("string"),
+        ),
+    ).otherwise("")
+    return docs.select(
+        "doc_id", F.concat("text", email, phone, ip).alias("text")
+    )
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+WITH corpus AS ({_PII_SQL})
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS INT) AS n_phones,
+       CAST(len(regexp_extract_all(text, '{_IP_RE}')) AS INT) AS n_ips,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+             '{_EMAIL_RE}', '[EMAIL]', 'g'),
+             '{_PHONE_RE}', '[PHONE]', 'g'),
+             '{_IP_RE}', '[IP]', 'g')) AS redacted_md5,
+       len(regexp_extract_all(text, '{_EMAIL_RE}'))
+         + len(regexp_extract_all(text, '{_PHONE_RE}'))
+         + len(regexp_extract_all(text, '{_IP_RE}')) > 0 AS had_pii
+FROM corpus
+""",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: count and redact emails / phone numbers / IPv4
+    addresses with class-specific placeholders — the compliance pass
+    every shared training corpus runs before anything else reads it.
+
+    Pure codegen'd regex built-ins (``regexp_extract_all`` for audit
+    counts, chained ``regexp_replace`` for the rewrite) — no Python in
+    the row path. The output carries the md5 of the redacted text, not
+    the text itself, so the hashed comparison covers every redacted
+    byte without shipping the corpus through the driver. The regex
+    subset used (classes, bounded repeats, ``\\b``) behaves
+    identically in Java regex and RE2.
+
+    Scale: narrow-only — zero shuffles; redaction cost is linear in
+    corpus bytes and embarrassingly parallel. Email ordering note: the
+    email pattern is applied FIRST so its [EMAIL] marker can't eat a
+    phone/IP substring planted later in the same doc.
+    """
+    corpus = seeded_pii_corpus(load_table(spark, sf_dir, "documents"))
+    n_emails = F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), F.lit(0)))
+    n_phones = F.size(F.regexp_extract_all("text", F.lit(_PHONE_RE), F.lit(0)))
+    n_ips = F.size(F.regexp_extract_all("text", F.lit(_IP_RE), F.lit(0)))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", _EMAIL_RE, "[EMAIL]"),
+            _PHONE_RE,
+            "[PHONE]",
+        ),
+        _IP_RE,
+        "[IP]",
+    )
+    return corpus.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        n_ips.alias("n_ips"),
+        F.md5(F.encode(redacted, "utf-8")).alias("redacted_md5"),
+        (n_emails + n_phones + n_ips > 0).alias("had_pii"),
+    )

@@ -387,3 +387,74 @@ def window_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).cast("long").alias("total_users"),
     )
+
+
+# --------------------------------------------------------------------------
+# SCD2 build from a change log (CDC compaction)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "window_scd2_build",
+    oracle="""
+WITH log AS (
+  SELECT user_id, ts, event_id, event_type AS attr
+  FROM events WHERE event_type IN ('signup', 'purchase', 'error')
+),
+changes AS (
+  SELECT user_id, ts, event_id, attr,
+         lag(attr) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_attr
+  FROM log
+),
+real_changes AS (
+  SELECT user_id, ts, event_id, attr FROM changes
+  WHERE prev_attr IS NULL OR attr <> prev_attr
+)
+SELECT user_id,
+       CAST(row_number() OVER w - 1 AS BIGINT) AS version,
+       attr,
+       ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       lead(ts) OVER w IS NULL AS is_current
+FROM real_changes
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def window_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build an SCD2 dimension FROM a change log (the CDC→warehouse
+    step that produces what ``join_dim_scd2`` consumes): treat each
+    user's events as attribute-change records, drop no-op changes
+    (new value == previous value — CDC compaction), then derive
+    version numbers and half-open validity intervals
+    [valid_from, valid_to) with the open current version flagged.
+
+    Both windows share ONE spec (user_id, ordered by ts with event_id
+    as the deterministic tiebreak), so compaction + interval layout is
+    a single shuffle + single sort; ``lead`` over the compacted rows
+    closes each interval at the NEXT real change, which is exactly the
+    leak-free contract the point-in-time join tests.
+
+    Scale: one shuffle on the entity key; per-task state is one
+    entity's (compacted) history. The same plan incrementalizes:
+    re-run over (existing open versions ∪ new changes) per batch —
+    ``stream_foreach_batch_upsert`` holds the write-side half.
+    """
+    events = load_table(spark, sf_dir, "events")
+    log = events.filter(
+        F.col("event_type").isin("signup", "purchase", "error")
+    ).select("user_id", "ts", "event_id", F.col("event_type").alias("attr"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    compacted = (
+        log.withColumn("prev_attr", F.lag("attr").over(w))
+        .filter(F.col("prev_attr").isNull() | (F.col("attr") != F.col("prev_attr")))
+        .drop("prev_attr")
+    )
+    return compacted.select(
+        "user_id",
+        (F.row_number().over(w) - 1).cast("long").alias("version"),
+        "attr",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )

@@ -241,3 +241,57 @@ class TestNewOperatorPlans:
         assert m["numOutputRows"] < total, (
             f"scan emitted all {total} rows - no row groups skipped"
         )
+
+
+class TestR3Plans:
+    def test_bloom_probe_filters_before_join_shuffle(
+        self, spark, sf_dir, queries
+    ):
+        """The Bloom probe must sit in the lineitem SCAN stage —
+        xxhash64(l_orderkey, ...) appears in a Filter BELOW the
+        sort-merge join's Exchange, so the pruned rows never shuffle."""
+        plan = plan_of(spark, sf_dir, queries, "join_bloom_pruned")
+        lines = plan.splitlines()
+        # the probe lands as the broadcast-nested-loop condition over
+        # the lineitem scan
+        probe_line = next(
+            i for i, l in enumerate(lines) if "xxhash64(l_orderkey" in l
+        )
+        merge_line = next(
+            i for i, l in enumerate(lines) if "SortMergeJoin" in l
+        )
+        shuffle_line = next(
+            i for i, l in enumerate(lines)
+            if "Exchange hashpartitioning(l_orderkey" in l
+        )
+        # plans print top-down (a node above its inputs): probe below
+        # the lineitem-side exchange == probe executes BEFORE the
+        # shuffle; the exact join that scrubs false positives is the
+        # sort-merge above it
+        assert merge_line < shuffle_line < probe_line
+
+    def test_sim_range_has_zero_exchanges(self, spark, sf_dir, queries):
+        """Range search is the zero-shuffle plan: broadcast queries,
+        map-side score + filter, no window, no exchange."""
+        plan = plan_of(spark, sf_dir, queries, "sim_search_range")
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+        body = plan.split("== Physical Plan ==")[-1]
+        assert "Exchange hashpartitioning" not in body
+        assert "Exchange rangepartitioning" not in body
+
+    def test_scd2_build_single_shuffle(self, spark, sf_dir, queries):
+        """Compaction + interval layout share one window spec: exactly
+        one hash exchange on user_id in the whole plan."""
+        plan = plan_of(spark, sf_dir, queries, "window_scd2_build")
+        body = plan.split("== Physical Plan ==")[-1]
+        assert body.count("Exchange hashpartitioning") == 1
+
+    def test_token_pack_single_shuffle(self, spark, sf_dir, queries):
+        plan = plan_of(spark, sf_dir, queries, "text_token_budget_pack")
+        body = plan.split("== Physical Plan ==")[-1]
+        assert body.count("Exchange hashpartitioning") == 1
+
+    def test_pii_redact_is_narrow_only(self, spark, sf_dir, queries):
+        plan = plan_of(spark, sf_dir, queries, "text_pii_redact")
+        body = plan.split("== Physical Plan ==")[-1]
+        assert "Exchange" not in body
