@@ -79,6 +79,11 @@ HEADLINE = [
     "text_pii_redact",
     "sample_mixture_rebalance",
     "sim_search_range",
+    # appended r3 wave 2
+    "window_anomaly_zscore",
+    "agg_psi_drift",
+    "agg_timeseries_gapfill",
+    "text_unigram_logprob",
 ]
 
 

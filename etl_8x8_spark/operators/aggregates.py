@@ -1050,3 +1050,159 @@ def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("o_totalprice"), 6).alias("max_price"),
         F.round(F.min("o_totalprice"), 6).alias("min_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# time-series gap fill — dense hourly spine with zero-filled holes
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_timeseries_gapfill",
+    oracle="""
+WITH bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+  FROM events
+),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM events),
+counts AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT t.event_type,
+       CAST(floor(epoch(s.hour)) AS BIGINT) AS hour_s,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+FROM types t CROSS JOIN spine s
+LEFT JOIN counts c ON c.event_type = t.event_type AND c.hour = s.hour
+""",
+)
+def agg_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly event counts with missing hours ZERO-FILLED — the
+    gap-fill every time-series consumer (dashboards, anomaly scans,
+    forecasting featurizers) needs, because a groupBy emits no row for
+    an empty hour and downstream windows silently skip the gap.
+
+    The hour spine is generated relationally — one min/max aggregate,
+    ``sequence()`` + ``explode`` — then cross-joined with the distinct
+    type dimension and LEFT-joined against the per-(type, hour)
+    counts. Hours serialize as integer epoch seconds (timezone-proof
+    across engines).
+
+    Scale: the counts aggregate is the only real shuffle (partial+
+    final on a bounded key). The spine is O(hours) rows from a 1-row
+    aggregate — years of hours is ~10⁴ rows, broadcastable; the
+    left join therefore never shuffles the dense side.
+    """
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour")
+    )
+    types = events.select("event_type").distinct()
+    counts = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count("*").alias("n"))
+    return (
+        types.crossJoin(spine)
+        .join(F.broadcast(counts), ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            F.unix_timestamp("hour").alias("hour_s"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# distribution drift — population stability index between eras
+# ---------------------------------------------------------------------------
+
+_PSI_BIN_W = 50  # value-bucket width; least(floor(v/50), 9) -> 10 bins
+_PSI_SPLIT = "2024-01-16 00:00:00"
+
+
+@register(
+    "agg_psi_drift",
+    oracle=f"""
+WITH binned AS (
+  SELECT event_type,
+         ts < TIMESTAMP '{_PSI_SPLIT}' AS era_a,
+         least(CAST(floor(value / {_PSI_BIN_W}) AS INT), 9) AS bin
+  FROM events
+),
+cells AS (
+  SELECT event_type, bin,
+         COUNT(*) FILTER (era_a) AS ca,
+         COUNT(*) FILTER (NOT era_a) AS cb
+  FROM binned GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, SUM(ca) AS na, SUM(cb) AS nb
+  FROM cells GROUP BY 1
+),
+terms AS (
+  SELECT c.event_type,
+         CAST(round(
+           ((c.ca + 0.5) / (t.na + 5.0) - (c.cb + 0.5) / (t.nb + 5.0))
+           * ln(((c.ca + 0.5) / (t.na + 5.0)) / ((c.cb + 0.5) / (t.nb + 5.0))),
+           12) AS DECIMAL(28, 12)) AS term
+  FROM cells c JOIN tot t USING (event_type)
+)
+SELECT event_type,
+       round(CAST(SUM(term) AS DOUBLE), 6) AS psi,
+       SUM(term) > 0.1 AS drifted
+FROM terms GROUP BY event_type
+""",
+)
+def agg_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two eras of the event value
+    distribution, per event type — the standard drift monitor a
+    pipeline runs before trusting yesterday's model features on
+    today's data (PSI > 0.1 = investigate, > 0.25 = retrain).
+
+    Values bucket into 10 fixed-width bins; each era's smoothed bin
+    share (Laplace +0.5) feeds the PSI term (pa−pb)·ln(pa/pb). The
+    per-bin terms are rounded to DECIMAL(28,12) BEFORE the final sum,
+    so the cross-engine result is exact regardless of either engine's
+    summation order (the LESSONS #9 float-fold discipline — ln() on
+    identical doubles is bit-identical, float ADDITION order is not).
+
+    Scale: two shuffles on bounded keys (type×bin cells, then type);
+    everything else is map-side arithmetic. The same plan runs per-day
+    against a reference window for continuous monitoring.
+    """
+    events = load_table(spark, sf_dir, "events")
+    binned = events.select(
+        "event_type",
+        (F.col("ts") < F.lit(_PSI_SPLIT).cast("timestamp")).alias("era_a"),
+        F.least(
+            F.floor(F.col("value") / _PSI_BIN_W).cast("int"), F.lit(9)
+        ).alias("bin"),
+    )
+    cells = binned.groupBy("event_type", "bin").agg(
+        F.count_if("era_a").alias("ca"),
+        F.count_if(~F.col("era_a")).alias("cb"),
+    )
+    tot = cells.groupBy("event_type").agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    pa = (F.col("ca") + 0.5) / (F.col("na") + 5.0)
+    pb = (F.col("cb") + 0.5) / (F.col("nb") + 5.0)
+    terms = cells.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        F.round((pa - pb) * F.log(pa / pb), 12)
+        .cast("decimal(28,12)")
+        .alias("term"),
+    )
+    return terms.groupBy("event_type").agg(
+        F.round(F.sum("term").cast("double"), 6).alias("psi"),
+        (F.sum("term") > 0.1).alias("drifted"),
+    )

@@ -543,3 +543,72 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.encode(redacted, "utf-8")).alias("redacted_md5"),
         (n_emails + n_phones + n_ips > 0).alias("had_pii"),
     )
+
+
+# --------------------------------------------------------------------------
+# unigram language-model scoring
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_unigram_logprob",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS token FROM documents
+),
+freq AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+total AS (SELECT SUM(cnt) AS n FROM freq),
+terms AS (
+  SELECT t.doc_id,
+         CAST(round(ln(CAST(f.cnt AS DOUBLE) / CAST(tt.n AS DOUBLE)), 12)
+              AS DECIMAL(28, 12)) AS lp
+  FROM tok t JOIN freq f USING (token) CROSS JOIN total tt
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       round(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+FROM terms GROUP BY doc_id
+""",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram language-model score: the mean token
+    log-probability under the corpus's own unigram distribution — the
+    cheapest member of the perplexity-filter family every LLM corpus
+    pipeline runs (docs far below the corpus norm are boilerplate,
+    noise, or the wrong language; a real deployment swaps in KenLM
+    scores, same dataflow).
+
+    Token probabilities come from one explode + count aggregate; docs
+    then join their tokens against the frequency table and fold. The
+    per-token ln() terms are rounded to DECIMAL(28,12) BEFORE the
+    per-doc sum, so the score is summation-order-proof across engines
+    (LESSONS #9; ln() on identical doubles is bit-identical).
+
+    Scale: two shuffles — the vocabulary count (partial+final, key =
+    token) and the doc re-aggregation (key = doc_id). The freq join
+    broadcasts here (tiny vocab); at 100 TB vocabulary it becomes a
+    shuffle equi-join on token — same plan, Catalyst picks by size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens()).alias("token"))
+    freq = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("n"))
+    terms = (
+        tok.join(F.broadcast(freq), "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(F.col("cnt").cast("double") / F.col("n").cast("double")),
+                12,
+            )
+            .cast("decimal(28,12)")
+            .alias("lp"),
+        )
+    )
+    return terms.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.round(F.sum("lp").cast("double") / F.count("*"), 6).alias(
+            "avg_logprob"
+        ),
+    )

@@ -189,3 +189,114 @@ class TestSimSearchRange:
         for r in rng:
             if (r.q_id, r.vec_id) in topk:
                 assert abs(topk[(r.q_id, r.vec_id)] - r.sim) < 1e-9
+
+
+class TestTimeseriesGapfill:
+    def test_dense_spine_and_totals_preserved(self, spark, sf_dir):
+        from etl_8x8_spark.sources.readers import load_table
+
+        df = _q("agg_timeseries_gapfill")(spark, sf_dir).cache()
+        # every event_type carries the identical, gap-free hour spine
+        per_type = df.groupBy("event_type").agg(
+            F.count("*").alias("n_hours"),
+            F.min("hour_s").alias("lo"),
+            F.max("hour_s").alias("hi"),
+        )
+        rows = per_type.collect()
+        spans = {(r.lo, r.hi, r.n_hours) for r in rows}
+        assert len(spans) == 1
+        lo, hi, n_hours = spans.pop()
+        assert n_hours == (hi - lo) // 3600 + 1  # dense: one row per hour
+        # zero-filling must not invent or lose events
+        total = df.agg(F.sum("n")).collect()[0][0]
+        assert total == load_table(spark, sf_dir, "events").count()
+        # and gaps actually exist at this sf (else the op is untested)
+        assert df.filter(F.col("n") == 0).count() > 0
+        df.unpersist()
+
+
+class TestPsiDrift:
+    def test_self_drift_is_zero_and_shift_detected(self, spark, sf_dir):
+        from etl_8x8_spark.sources.readers import load_table
+
+        rows = _q("agg_psi_drift")(spark, sf_dir).collect()
+        # the synthetic eras share one distribution — PSI stays small,
+        # but finite-sample noise at sf0.001 (~100 rows/era/type) puts
+        # it around 0.05-0.12, so bound it below the RETRAIN threshold
+        # rather than at zero; the real assertion is the contrast with
+        # the deliberately shifted copy below
+        assert rows and all(abs(r.psi) < 0.25 for r in rows)
+        base_max = max(abs(r.psi) for r in rows)
+        # sanity: a deliberately shifted copy must light up.
+        # Rebuild the PSI expression with era_b values doubled.
+        from etl_8x8_spark.operators.aggregates import _PSI_BIN_W, _PSI_SPLIT
+
+        events = load_table(spark, sf_dir, "events")
+        shifted = events.withColumn(
+            "value",
+            F.when(
+                F.col("ts") >= F.lit(_PSI_SPLIT).cast("timestamp"),
+                F.col("value") * 3,
+            ).otherwise(F.col("value")),
+        )
+        binned = shifted.select(
+            "event_type",
+            (F.col("ts") < F.lit(_PSI_SPLIT).cast("timestamp")).alias("era_a"),
+            F.least(
+                F.floor(F.col("value") / _PSI_BIN_W).cast("int"), F.lit(9)
+            ).alias("bin"),
+        )
+        cells = binned.groupBy("event_type", "bin").agg(
+            F.count_if("era_a").alias("ca"),
+            F.count_if(~F.col("era_a")).alias("cb"),
+        )
+        tot = cells.groupBy("event_type").agg(
+            F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+        )
+        pa = (F.col("ca") + 0.5) / (F.col("na") + 5.0)
+        pb = (F.col("cb") + 0.5) / (F.col("nb") + 5.0)
+        psi = (
+            cells.join(tot, "event_type")
+            .select("event_type", ((pa - pb) * F.log(pa / pb)).alias("t"))
+            .groupBy("event_type")
+            .agg(F.sum("t").alias("psi"))
+            .collect()
+        )
+        assert all(r.psi > 0.25 for r in psi)
+        # the shift signal dominates the finite-sample noise floor
+        assert min(r.psi for r in psi) > base_max * 2
+
+
+class TestAnomalyZscore:
+    def test_reference_excludes_current_and_flags_are_rare(self, spark, sf_dir):
+        df = _q("window_anomaly_zscore")(spark, sf_dir).cache()
+        n = df.count()
+        flagged = df.filter("is_anomaly").count()
+        # |z|>3 on a well-behaved distribution: rare but present-or-absent,
+        # never a mass flag
+        assert flagged < n * 0.05
+        # n_ref respects the lookback and the minimum-history gate
+        from etl_8x8_spark.operators.windows import _Z_LOOKBACK, _Z_MIN_N
+
+        bounds = df.agg(
+            F.min("n_ref").alias("mn"), F.max("n_ref").alias("mx")
+        ).collect()[0]
+        assert bounds.mn >= _Z_MIN_N and bounds.mx <= _Z_LOOKBACK
+        df.unpersist()
+
+
+class TestUnigramLogprob:
+    def test_scores_bounded_and_common_docs_score_higher(self, spark, sf_dir):
+        df = _q("text_unigram_logprob")(spark, sf_dir).cache()
+        rows = df.collect()
+        # log-probabilities are negative and finite
+        assert all(r.avg_logprob < 0 for r in rows)
+        assert all(r.avg_logprob > -30 for r in rows)
+        # token counts must match the tokenizer the other text ops use
+        stats = {
+            r.doc_id: r.n_tokens
+            for r in _q("text_analysis_stats")(spark, sf_dir).collect()
+        }
+        for r in rows:
+            assert r.n_tokens == stats[r.doc_id]
+        df.unpersist()
