@@ -84,6 +84,7 @@ HEADLINE = [
     "agg_psi_drift",
     "agg_timeseries_gapfill",
     "text_unigram_logprob",
+    "pipeline_pretrain_corpus",
 ]
 
 

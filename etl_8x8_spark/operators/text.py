@@ -456,8 +456,10 @@ _PHONE_RE = r"\d{3}-\d{3}-\d{4}"
 _IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 
 
-def seeded_pii_corpus(docs: DataFrame) -> DataFrame:
-    """documents with synthetic PII appended to deterministic rows."""
+def seeded_pii_corpus(docs: DataFrame, keep: tuple = ()) -> DataFrame:
+    """documents with synthetic PII appended to deterministic rows;
+    ``keep`` carries extra columns through (e.g. lang for the composed
+    pipeline)."""
     d = F.col("doc_id")
     email = F.when(
         d % 5 == 0,
@@ -482,7 +484,7 @@ def seeded_pii_corpus(docs: DataFrame) -> DataFrame:
         ),
     ).otherwise("")
     return docs.select(
-        "doc_id", F.concat("text", email, phone, ip).alias("text")
+        "doc_id", *keep, F.concat("text", email, phone, ip).alias("text")
     )
 
 
@@ -611,4 +613,151 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("lp").cast("double") / F.count("*"), 6).alias(
             "avg_logprob"
         ),
+    )
+
+
+# --------------------------------------------------------------------------
+# composed pre-training corpus pipeline
+# --------------------------------------------------------------------------
+
+_PIPE_MIN_TOKENS = 10
+_PIPE_MIN_TTR = 0.3
+_PIPE_MIX_M = 1_000_000
+
+
+@register(
+    "pipeline_pretrain_corpus",
+    oracle=f"""
+WITH corpus AS ({_PII_SQL}),
+langd AS (
+  SELECT c.doc_id, d.lang, c.text,
+         len(regexp_extract_all(c.text, '{_EMAIL_RE}'))
+           + len(regexp_extract_all(c.text, '{_PHONE_RE}'))
+           + len(regexp_extract_all(c.text, '{_IP_RE}')) > 0 AS had_pii,
+         regexp_replace(regexp_replace(regexp_replace(c.text,
+             '{_EMAIL_RE}', '[EMAIL]', 'g'),
+             '{_PHONE_RE}', '[PHONE]', 'g'),
+             '{_IP_RE}', '[IP]', 'g') AS red
+  FROM corpus c JOIN documents d USING (doc_id)
+),
+normed AS (
+  SELECT doc_id, lang, had_pii,
+         lower(trim(regexp_replace(red, '\\s+', ' ', 'g'))) AS norm,
+         string_split(lower(trim(regexp_replace(red, '\\s+', ' ', 'g'))), ' ')
+           AS toks
+  FROM langd
+),
+gated AS (
+  SELECT * FROM normed
+  WHERE len(toks) >= {_PIPE_MIN_TOKENS}
+    AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+        >= {_PIPE_MIN_TTR}
+),
+survivors AS (
+  SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY norm
+),
+kept AS (
+  SELECT g.doc_id, g.lang, g.had_pii,
+         CAST(len(g.toks) AS BIGINT) AS n_tokens
+  FROM gated g JOIN survivors s ON g.doc_id = s.doc_id
+),
+rates AS (SELECT lang, COUNT(*) AS cnt FROM kept GROUP BY lang),
+mn AS (SELECT MIN(cnt) AS mn FROM rates),
+sampled AS (
+  SELECT k.* FROM kept k JOIN rates r USING (lang) CROSS JOIN mn
+  WHERE ((k.doc_id % 2147483648) * 2654435761) % 4294967296
+        % {_PIPE_MIX_M} * r.cnt < mn.mn * {_PIPE_MIX_M}
+),
+packed AS (
+  SELECT lang, had_pii, n_tokens,
+         CAST((CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               - n_tokens) // {_PACK_BUDGET} AS BIGINT) AS pack_id
+  FROM sampled
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(MAX(pack_id) + 1 AS BIGINT) AS n_packs,
+       CAST(SUM(CASE WHEN had_pii THEN 1 ELSE 0 END) AS BIGINT) AS pii_docs
+FROM packed GROUP BY lang
+""",
+)
+def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's pre-training corpus pipeline in ONE composed plan:
+    PII-redact → quality gate → exact dedup → mixture rebalance →
+    token-budget packing → per-language corpus report (docs, tokens,
+    packs, redacted-doc counts). Each stage is the registered operator
+    of the same name; composing them here proves the pieces are
+    actually composable — one Catalyst plan, not five jobs with
+    materialized hand-offs.
+
+    Stage order is the one a real corpus build uses: redact FIRST
+    (dedup must see scrubbed text so PII variants collapse), gate
+    before rebalancing (mixture targets computed over quality docs
+    only), pack LAST over the final sample.
+
+    Scale: Catalyst fuses the narrow stages (redact/gate) into the
+    scan; the shuffles are dedup's norm groupBy, the rebalance's tiny
+    rate aggregate, the per-lang packing window, and the final report
+    — each on a bounded or hash-distributed key, so the composition
+    adds nothing beyond its parts.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = seeded_pii_corpus(docs, keep=("lang",))
+    n_pii = (
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), F.lit(0)))
+        + F.size(F.regexp_extract_all("text", F.lit(_PHONE_RE), F.lit(0)))
+        + F.size(F.regexp_extract_all("text", F.lit(_IP_RE), F.lit(0)))
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", _EMAIL_RE, "[EMAIL]"),
+            _PHONE_RE,
+            "[PHONE]",
+        ),
+        _IP_RE,
+        "[IP]",
+    )
+    normed = corpus.select(
+        "doc_id",
+        "lang",
+        (n_pii > 0).alias("had_pii"),
+        normalized(red).alias("norm"),
+    ).withColumn("toks", F.split("norm", " "))
+    ttr = F.size(F.array_distinct("toks")).cast("double") / F.size("toks")
+    gated = normed.filter(
+        (F.size("toks") >= _PIPE_MIN_TOKENS) & (ttr >= _PIPE_MIN_TTR)
+    )
+    survivors = gated.groupBy("norm").agg(F.min("doc_id").alias("doc_id"))
+    kept = gated.join(
+        survivors.select("doc_id"), "doc_id"
+    ).select("doc_id", "lang", "had_pii", F.size("toks").cast("long").alias("n_tokens"))
+    rates = kept.groupBy("lang").agg(F.count("*").alias("cnt"))
+    mn = rates.agg(F.min("cnt").alias("mn"))
+    bucket = (
+        ((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761))
+        % F.lit(4294967296)
+    ) % _PIPE_MIX_M
+    sampled = (
+        kept.join(F.broadcast(rates), "lang")
+        .crossJoin(F.broadcast(mn))
+        .filter(bucket * F.col("cnt") < F.col("mn") * _PIPE_MIX_M)
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = sampled.select(
+        "lang",
+        "had_pii",
+        "n_tokens",
+        F.sum("n_tokens").over(w).alias("cum"),
+    ).withColumn("pack_id", F.expr(f"(cum - n_tokens) div {_PACK_BUDGET}"))
+    return packed.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        (F.max("pack_id") + 1).cast("long").alias("n_packs"),
+        F.sum(F.col("had_pii").cast("int")).cast("long").alias("pii_docs"),
     )

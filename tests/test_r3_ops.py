@@ -300,3 +300,21 @@ class TestUnigramLogprob:
         for r in rows:
             assert r.n_tokens == stats[r.doc_id]
         df.unpersist()
+
+
+class TestPretrainPipeline:
+    def test_report_consistent_with_stage_operators(self, spark, sf_dir):
+        rows = {r.lang: r for r in _q("pipeline_pretrain_corpus")(spark, sf_dir).collect()}
+        assert rows
+        for lang, r in rows.items():
+            # packing arithmetic: n_packs is what total_tokens implies
+            # (greedy packs only exceed the budget via straddling docs,
+            # so the count is within 2x of the ideal)
+            from etl_8x8_spark.operators.text import _PACK_BUDGET
+
+            ideal = -(-r.total_tokens // _PACK_BUDGET)
+            assert ideal <= r.n_packs <= 2 * ideal + 1, (lang, r)
+            assert 0 <= r.pii_docs <= r.n_docs
+        # the mixture stage ran: language doc counts are near-uniform
+        counts = [r.n_docs for r in rows.values()]
+        assert max(counts) - min(counts) <= max(8, int(4 * min(counts) ** 0.5))
