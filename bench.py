@@ -85,6 +85,8 @@ HEADLINE = [
     "agg_timeseries_gapfill",
     "text_unigram_logprob",
     "pipeline_pretrain_corpus",
+    "ml_kmeans_lloyd",
+    "agg_partial_reaggregate",
 ]
 
 

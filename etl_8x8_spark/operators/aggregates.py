@@ -1206,3 +1206,65 @@ def agg_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("term").cast("double"), 6).alias("psi"),
         (F.sum("term") > 0.1).alias("drifted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental re-aggregation — partials merged without raw re-scan
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_partial_reaggregate",
+    oracle="""
+WITH partials AS (  -- the per-(type, day) partial state a daily job persists
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(14, 2))) AS DECIMAL(38, 2)) AS psum,
+         COUNT(*) AS pcnt,
+         MIN(value) AS pmin, MAX(value) AS pmax
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(SUM(pcnt) AS BIGINT) AS n,
+       CAST(SUM(psum) AS DOUBLE) AS total,
+       round(CAST(SUM(psum) AS DOUBLE) / SUM(pcnt), 6) AS mean,
+       MIN(pmin) AS vmin, MAX(pmax) AS vmax,
+       CAST(COUNT(*) AS BIGINT) AS n_partials
+FROM partials GROUP BY event_type
+""",
+)
+def agg_partial_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact incremental re-aggregation: fold per-(type, day) PARTIAL
+    aggregate states (decimal sum, count, min, max) into per-type
+    totals — the mergeable-state pattern that makes 100 TB rollups
+    incremental. A daily job persists the partials table (KB per day);
+    month-end totals, backfills, and late-day corrections then merge
+    states instead of re-scanning raw events. ``agg_hll_merge`` is the
+    sketch cousin; this is the exact-algebra one (sum/count/min/max
+    all form commutative monoids, so merge order can't change the
+    answer — the decimal sums make that literally bit-true).
+
+    Scale: two shuffles on bounded keys (type×day, then type) — and
+    in production only the SECOND ever re-runs; the brief's "sketch
+    each partition once, merge downstream" for exact aggregates.
+    """
+    events = load_table(spark, sf_dir, "events")
+    partials = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(14,2)"))
+        .cast("decimal(38,2)")
+        .alias("psum"),
+        F.count("*").alias("pcnt"),
+        F.min("value").alias("pmin"),
+        F.max("value").alias("pmax"),
+    )
+    return partials.groupBy("event_type").agg(
+        F.sum("pcnt").cast("long").alias("n"),
+        F.sum("psum").cast("double").alias("total"),
+        F.round(
+            F.sum("psum").cast("double") / F.sum("pcnt"), 6
+        ).alias("mean"),
+        F.min("pmin").alias("vmin"),
+        F.max("pmax").alias("vmax"),
+        F.count("*").cast("long").alias("n_partials"),
+    )

@@ -500,3 +500,137 @@ def sim_search_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(sim >= _RANGE_TAU)
         .select("q_id", "vec_id", F.round(sim, 6).alias("sim"))
     )
+
+
+# --------------------------------------------------------------------------
+# k-means (Lloyd) — iterative ML with an EXACT cross-engine oracle
+# --------------------------------------------------------------------------
+
+_KM_K = 8  # clusters; init = the first K vectors (deterministic)
+
+
+def _sql_dist2(a: str, b: str) -> str:
+    """DuckDB squared-L2 as a LEFT FOLD in index order — matches the
+    Spark ``aggregate(zip_with(...))`` fold bit-for-bit."""
+    d = f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+    return (
+        f"list_reduce(list_prepend(0.0, "
+        f"list_transform(generate_series(1, len({a})), i -> {d} * {d})), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+def _dist2(a, b):
+    diff = F.zip_with(
+        a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double"))
+    )
+    return F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v)
+
+
+_KM_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+c0 AS (SELECT vec_id AS cid, embedding AS ce FROM e WHERE vec_id < {_KM_K}),
+a1 AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_sql_dist2("e.embedding", "c.ce")} ASC, c.cid ASC
+           ) AS rk
+    FROM e CROSS JOIN c0 c
+  ) WHERE rk = 1
+),
+comp AS (
+  SELECT cid, t.i AS i,
+         CAST(round(CAST(embedding[t.i] AS DOUBLE), 9) AS DECIMAL(28, 12)) AS x
+  FROM a1 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) t
+),
+m AS (
+  SELECT cid, i, CAST(SUM(x) AS DOUBLE) / COUNT(*) AS v
+  FROM comp GROUP BY cid, i
+),
+c1 AS (SELECT cid, array_agg(v ORDER BY i) AS ce FROM m GROUP BY cid),
+a2 AS (
+  SELECT vec_id, cid, d2 FROM (
+    SELECT e.vec_id, c.cid, {_sql_dist2("e.embedding", "c.ce")} AS d2,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_sql_dist2("e.embedding", "c.ce")} ASC, c.cid ASC
+           ) AS rk
+    FROM e CROSS JOIN c1 c
+  ) WHERE rk = 1
+)
+SELECT cid,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       round(CAST(SUM(CAST(round(d2, 12) AS DECIMAL(38, 12))) AS DOUBLE), 6)
+         AS inertia
+FROM a2 GROUP BY cid
+"""
+
+
+@register("ml_kmeans_lloyd", oracle=_KM_ORACLE)
+def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full Lloyd k-means round — assign → recompute means →
+    re-assign — over the embedding corpus, with every arithmetic step
+    chosen so the iteration is EXACTLY reproducible in DuckDB: an
+    iterative ML algorithm under the same value-hash gate as the
+    relational operators (most engines only recall-test clustering).
+
+    The determinism recipe: squared-L2 as an index-ordered left fold
+    (bit-identical both engines); argmin by (distance, cid) —
+    distances are identical doubles, so ties break identically;
+    centroid means from DECIMAL-summed rounded components (summation-
+    order-proof, LESSONS #9) finalized to double once; inertia terms
+    decimal-rounded before the final sum.
+
+    Scale (the production shape this miniature preserves): assignment
+    is a broadcast of K×dim centroids + one map-side argmin per row —
+    no shuffle of the corpus; the mean recompute shuffles (cid, dim)
+    partial sums (map-side combined), K×dim rows total, however big
+    the corpus. Driver-loop the round for more iterations exactly as
+    ``dedup_cluster_cc`` loops label propagation; MLlib's KMeans is
+    the tuned library answer, this is the engine-native dataflow.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "embedding")
+    c0 = e.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+
+    def assign(points, cents):
+        d2 = _dist2(F.col("embedding"), F.col("ce"))
+        w = Window.partitionBy("vec_id").orderBy(
+            d2.asc(), F.col("cid").asc()
+        )
+        return (
+            points.crossJoin(F.broadcast(cents))
+            .withColumn("d2", d2)
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "embedding", "cid", "d2")
+        )
+
+    a1 = assign(e, c0)
+    comp = a1.select(
+        "cid", F.posexplode("embedding").alias("i", "x")
+    ).select(
+        "cid",
+        "i",
+        F.round(F.col("x").cast("double"), 9).cast("decimal(28,12)").alias("x"),
+    )
+    m = comp.groupBy("cid", "i").agg(
+        (F.sum("x").cast("double") / F.count("*")).alias("v")
+    )
+    c1 = m.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "v"))), lambda s: s.v
+        ).alias("ce")
+    )
+    a2 = assign(e, c1)
+    return a2.groupBy("cid").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.round(
+            F.sum(F.round("d2", 12).cast("decimal(38,12)")).cast("double"), 6
+        ).alias("inertia"),
+    )

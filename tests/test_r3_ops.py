@@ -318,3 +318,41 @@ class TestPretrainPipeline:
         # the mixture stage ran: language doc counts are near-uniform
         counts = [r.n_docs for r in rows.values()]
         assert max(counts) - min(counts) <= max(8, int(4 * min(counts) ** 0.5))
+
+
+class TestKmeansLloyd:
+    def test_partitions_corpus_exactly(self, spark, sf_dir):
+        from etl_8x8_spark.sources.readers import load_table
+
+        rows = _q("ml_kmeans_lloyd")(spark, sf_dir).collect()
+        total_vecs = load_table(spark, sf_dir, "embeddings").count()
+        # every vector lands in exactly one cluster
+        assert sum(r.n_members for r in rows) == total_vecs
+        assert all(r.inertia >= 0 for r in rows)
+        from etl_8x8_spark.operators.similarity import _KM_K
+
+        assert 1 <= len(rows) <= _KM_K
+
+
+class TestPartialReaggregate:
+    def test_merged_state_equals_direct_aggregate(self, spark, sf_dir):
+        from etl_8x8_spark.sources.readers import load_table
+
+        got = {r.event_type: r for r in _q("agg_partial_reaggregate")(spark, sf_dir).collect()}
+        events = load_table(spark, sf_dir, "events")
+        direct = {
+            r.event_type: r
+            for r in events.groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.min("value").alias("vmin"),
+                F.max("value").alias("vmax"),
+            )
+            .collect()
+        }
+        assert set(got) == set(direct)
+        for t, g in got.items():
+            d = direct[t]
+            # merging daily partials must equal the direct aggregate
+            assert (g.n, g.vmin, g.vmax) == (d.n, d.vmin, d.vmax)
+            assert g.n_partials > 1  # the merge actually merged
