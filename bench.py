@@ -87,6 +87,10 @@ HEADLINE = [
     "pipeline_pretrain_corpus",
     "ml_kmeans_lloyd",
     "agg_partial_reaggregate",
+    # appended r3 wave 3
+    "text_doc_chunking",
+    "text_repetition_filter",
+    "sample_group_cap",
 ]
 
 

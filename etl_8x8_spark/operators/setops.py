@@ -191,3 +191,60 @@ def sample_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(bucket * F.col("cnt") < F.col("mn") * _MIX_M)
         .select("doc_id", "lang")
     )
+
+
+# --------------------------------------------------------------------------
+# per-group cap — "domain capping" for corpus balance
+# --------------------------------------------------------------------------
+
+_CAP_N = 10
+
+
+@register(
+    "sample_group_cap",
+    oracle=f"""
+WITH ranked AS (
+  SELECT doc_id, lang, source,
+         row_number() OVER (
+           PARTITION BY lang, source
+           ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296,
+                    doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT doc_id, lang, source, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= {_CAP_N}
+""",
+)
+def sample_group_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) cap: keep at most N documents per group,
+    chosen by Knuth-hash order of doc_id (deterministic — the same
+    docs survive on every run/engine/partitioning; doc_id breaks the
+    zero-probability hash ties). This is "domain capping" from
+    pre-training corpus curation: no single source may dominate the
+    mixture, and because membership is hash-decided the cap composes
+    with the other deterministic samplers.
+
+    Scale: one shuffle on (lang, source). The ``rn <= N`` filter on a
+    rank-function window triggers Spark's WindowGroupLimit rewrite —
+    each map task keeps only its local top-N per group BEFORE the
+    shuffle, so a 100 TB corpus moves at most N x groups x tasks rows
+    instead of everything (asserted in tests/test_plans.py). A
+    hot-group skew therefore caps itself: the reduce side receives
+    only pre-limited runs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        ((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761))
+        % F.lit(4294967296)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang", "source").orderBy(
+        bucket.asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("doc_id", "lang", "source")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _CAP_N)
+    )

@@ -761,3 +761,132 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("pack_id") + 1).cast("long").alias("n_packs"),
         F.sum(F.col("had_pii").cast("int")).cast("long").alias("pii_docs"),
     )
+
+
+# --------------------------------------------------------------------------
+# document chunking — fixed token windows with stride/overlap
+# --------------------------------------------------------------------------
+
+_CHUNK = 32  # tokens per chunk (a stand-in for a model context slice)
+_STRIDE = 24  # window stride => 8-token overlap between neighbors
+
+
+@register(
+    "text_doc_chunking",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+),
+base AS (
+  SELECT doc_id, toks,
+         1 + CAST(floor((greatest(len(toks) - {_CHUNK}, 0) + {_STRIDE - 1})
+                        / {_STRIDE}.0) AS BIGINT) AS n_chunks
+  FROM tok
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_idx,
+       CAST(len(list_slice(toks, i*{_STRIDE} + 1, i*{_STRIDE} + {_CHUNK}))
+            AS BIGINT) AS n_chunk_tokens,
+       array_to_string(list_slice(toks, i*{_STRIDE} + 1, i*{_STRIDE} + {_CHUNK}),
+                       ' ') AS chunk_text
+FROM base, UNNEST(range(n_chunks)) AS t(i)
+""",
+)
+def text_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split every document into fixed-size token windows ({_CHUNK}
+    tokens, stride {_STRIDE} => 8-token overlap) — the
+    context-window chunking step of a pre-training/RAG pipeline.
+    ceil((n - chunk)/stride) + 1 windows per doc; a doc shorter than
+    one chunk yields exactly one (possibly short) chunk, and the last
+    window is truncated, never padded.
+
+    Scale: narrow-only — chunk computation is sequence + slice +
+    posexplode inside one projection; no shuffle at any corpus size.
+    Row expansion is bounded by ~n_tokens/stride per doc. ``toks`` is
+    projected to a column FIRST so the per-window ``slice`` lambdas
+    reference an attribute, not the split expression (the O(tokens^2)
+    re-derivation trap — LESSONS #4/#14).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", tokens().alias("toks")).withColumn(
+        "n_chunks",
+        (
+            F.lit(1)
+            + F.floor(
+                (F.greatest(F.size("toks") - _CHUNK, F.lit(0)) + (_STRIDE - 1))
+                / _STRIDE
+            )
+        ).cast("int"),
+    )
+    chunked = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n_chunks") - 1),
+                lambda i: F.slice("toks", i * _STRIDE + 1, _CHUNK),
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size("chunk").cast("long").alias("n_chunk_tokens"),
+        F.array_join("chunk", " ").alias("chunk_text"),
+    )
+
+
+# --------------------------------------------------------------------------
+# repetition filter — Gopher-style "most common token" quality rule
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_repetition_filter",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang, {_TOKENS_SQL} AS toks FROM documents
+),
+scored AS (
+  SELECT doc_id, lang, len(toks) AS n,
+         list_max(list_transform(list_distinct(toks),
+                  t -> len(list_filter(toks, x -> x = t)))) AS max_freq
+  FROM tok
+)
+SELECT doc_id, lang,
+       CAST(n AS BIGINT) AS n_tokens,
+       CAST(max_freq AS BIGINT) AS top_token_freq,
+       round(CAST(max_freq AS DOUBLE) / n, 6) AS top_token_ratio,
+       CAST(max_freq AS DOUBLE) / n > 0.2 AS is_repetitive
+FROM scored
+""",
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition score: frequency of the single most
+    common token and its share of all tokens, flagged repetitive when
+    that share exceeds 20% — the Gopher "most common word covers too
+    much of the doc" quality rule (boilerplate / keyword-stuffing
+    detector).
+
+    Scale: narrow-only, zero shuffle — the per-doc frequency table is
+    a higher-order expression over the token array
+    (O(distinct x tokens) per row, bounded by document length), NOT an
+    explode + groupBy(doc_id, token), which would shuffle every token
+    of a 100 TB corpus just to re-group rows that started colocated.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "lang", tokens().alias("toks"))
+    n = F.size("toks")
+    max_freq = F.array_max(
+        F.transform(
+            F.array_distinct("toks"),
+            lambda t: F.size(F.filter("toks", lambda x: x == t)),
+        )
+    )
+    return base.select(
+        "doc_id",
+        "lang",
+        n.cast("long").alias("n_tokens"),
+        max_freq.cast("long").alias("top_token_freq"),
+        F.round(max_freq.cast("double") / n, 6).alias("top_token_ratio"),
+        (max_freq.cast("double") / n > 0.2).alias("is_repetitive"),
+    )

@@ -295,3 +295,19 @@ class TestR3Plans:
         plan = plan_of(spark, sf_dir, queries, "text_pii_redact")
         body = plan.split("== Physical Plan ==")[-1]
         assert "Exchange" not in body
+
+    def test_group_cap_prelimits_map_side(self, spark, sf_dir, queries):
+        """The rn <= N filter must rewrite to WindowGroupLimit with a
+        Partial (pre-shuffle) pass — at 100 TB the shuffle then moves
+        at most N x groups x tasks rows, not the corpus."""
+        plan = plan_of(spark, sf_dir, queries, "sample_group_cap")
+        assert "WindowGroupLimit" in plan
+        assert "Partial" in plan.split("WindowGroupLimit")[-1].splitlines()[0]
+
+    def test_chunking_and_repetition_are_narrow_only(
+        self, spark, sf_dir, queries
+    ):
+        for name in ("text_doc_chunking", "text_repetition_filter"):
+            plan = plan_of(spark, sf_dir, queries, name)
+            body = plan.split("== Physical Plan ==")[-1]
+            assert "Exchange" not in body, name
