@@ -91,6 +91,9 @@ HEADLINE = [
     "text_doc_chunking",
     "text_repetition_filter",
     "sample_group_cap",
+    "cdc_snapshot_diff",
+    "graph_pagerank_iter",
+    "embed_normalize_quantize",
 ]
 
 

@@ -634,3 +634,68 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round("d2", 12).cast("decimal(38,12)")).cast("double"), 6
         ).alias("inertia"),
     )
+
+
+# --------------------------------------------------------------------------
+# embedding normalize + int8 quantize — the ANN storage path
+# --------------------------------------------------------------------------
+
+
+@register(
+    "embed_normalize_quantize",
+    oracle=f"""
+WITH base AS (
+  SELECT vec_id, embedding, {oracle_norm('embedding')} AS l2
+  FROM embeddings
+)
+SELECT vec_id,
+       round(l2, 6) AS l2_norm,
+       CAST(to_json(list_transform(
+         generate_series(1, len(embedding)),
+         i -> CAST(round(CAST(embedding[i] AS DOUBLE) / l2 * 127)
+                   AS INTEGER))) AS VARCHAR) AS q_vec,
+       CAST(list_sum(list_transform(
+         generate_series(1, len(embedding)),
+         i -> abs(CAST(round(CAST(embedding[i] AS DOUBLE) / l2 * 127)
+                       AS INTEGER)))) AS BIGINT) AS q_l1
+FROM base WHERE l2 > 0
+""",
+)
+def embed_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalize every embedding and quantize to int8 range
+    ([-127, 127]) — the 4x storage/bandwidth cut a 100 TB ANN index
+    applies before sharding. Emits the norm (needed to de-quantize),
+    the quantized vector (JSON-serialized: top-level arrays crash
+    column hashers — LESSONS/VERDICT r2 #1), and the integer L1 mass
+    as a checksum.
+
+    Determinism: the norm is the usual left-fold (LESSONS #9); each
+    quantized component is round(v/l2*127) where both engines compute
+    the same double and round half away from zero, so the integers —
+    and their exact BIGINT L1 sum — are bit-identical cross-engine.
+
+    Scale: narrow-only, zero shuffle. The norm is projected to a
+    column FIRST so the quantize lambda references an attribute —
+    referencing the norm *expression* inside the lambda would re-fold
+    the whole vector per component, O(dim^2) per row (the HOF
+    re-derivation trap, LESSONS #4/#14).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("l2"))
+    q = F.transform(
+        "embedding",
+        lambda v: F.round(v.cast("double") / F.col("l2") * 127).cast("int"),
+    )
+    qcol = F.col("q")
+    return (
+        base.filter(F.col("l2") > 0)
+        .withColumn("q", q)
+        .select(
+            "vec_id",
+            F.round("l2", 6).alias("l2_norm"),
+            F.to_json(qcol).alias("q_vec"),
+            F.aggregate(
+                qcol, F.lit(0).cast("long"), lambda acc, v: acc + F.abs(v)
+            ).alias("q_l1"),
+        )
+    )

@@ -56,6 +56,8 @@ _QUERY_MODULES = [
     "etl_8x8_spark.operators.aggregates",
     "etl_8x8_spark.operators.record_ops",
     "etl_8x8_spark.operators.joins",
+    "etl_8x8_spark.operators.cdc",
+    "etl_8x8_spark.operators.graph",
 ]
 
 

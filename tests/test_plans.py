@@ -311,3 +311,18 @@ class TestR3Plans:
             plan = plan_of(spark, sf_dir, queries, name)
             body = plan.split("== Physical Plan ==")[-1]
             assert "Exchange" not in body, name
+
+    def test_quantize_is_narrow_only(self, spark, sf_dir, queries):
+        plan = plan_of(spark, sf_dir, queries, "embed_normalize_quantize")
+        body = plan.split("== Physical Plan ==")[-1]
+        assert "Exchange" not in body
+
+    def test_pagerank_three_exchanges_single_edge_scan(
+        self, spark, sf_dir, queries
+    ):
+        """Out-degree via window count, not a degree self-join: the
+        edge subtree must appear once (pair dedup -> suppkey window ->
+        partkey agg = exactly 3 hash exchanges)."""
+        plan = plan_of(spark, sf_dir, queries, "graph_pagerank_iter")
+        body = plan.split("== Physical Plan ==")[-1]
+        assert body.count("Exchange hashpartitioning") == 3
