@@ -94,6 +94,11 @@ HEADLINE = [
     "cdc_snapshot_diff",
     "graph_pagerank_iter",
     "embed_normalize_quantize",
+    # appended r3 wave 4
+    "sql_tpch_q18_shape",
+    "window_gap_islands",
+    "window_rolling_median",
+    "sample_train_test_split",
 ]
 
 

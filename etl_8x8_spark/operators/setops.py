@@ -248,3 +248,49 @@ def sample_group_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= _CAP_N)
     )
+
+
+# --------------------------------------------------------------------------
+# train/val/test split — deterministic disjoint partition
+# --------------------------------------------------------------------------
+
+_SPLIT_TRAIN, _SPLIT_VAL = 80, 90  # /100: 80% train, 10% val, 10% test
+
+
+@register(
+    "sample_train_test_split",
+    oracle=f"""
+SELECT doc_id, lang,
+       CASE WHEN b < {_SPLIT_TRAIN} THEN 'train'
+            WHEN b < {_SPLIT_VAL} THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, lang,
+         ((doc_id % 2147483648) * 2654435761) % 4294967296 % 100 AS b
+  FROM documents
+)
+""",
+)
+def sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition the corpus into disjoint, exhaustive train/val/test
+    splits (80/10/10) by Knuth-hash bucket of doc_id — every document
+    lands in exactly one split, the assignment never changes across
+    runs/engines/repartitions (no ``rand()``), and growing the corpus
+    never moves an existing document between splits (no leakage when
+    the pipeline re-runs on appended data — the property random or
+    modulo-of-count splits lack).
+
+    Scale: pure map-side projection, zero shuffle, pushes nothing but
+    two columns through the scan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    b = (
+        ((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761))
+        % F.lit(4294967296)
+    ) % 100
+    split = (
+        F.when(b < _SPLIT_TRAIN, F.lit("train"))
+        .when(b < _SPLIT_VAL, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.select("doc_id", "lang", split.alias("split"))

@@ -171,3 +171,42 @@ def sql_tpch_q10_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject, the report-query shape."""
     _register_views(spark, sf_dir)
     return spark.sql(_Q10_SQL)
+
+
+# TPC-H Q18 shape (large-volume customers): aggregate-subquery HAVING
+# gate, then a 3-table join re-aggregated per order. The HAVING
+# subquery and the outer query both scan lineitem — Catalyst keeps
+# them as two scans with the subquery side reduced to a semi-joinable
+# key set BEFORE the wide join (quantity sums shrink to qualifying
+# orderkeys: ~1% of orders), so the expensive join fans out over the
+# filtered fact only. Decimal sums for hash parity.
+_Q18_SQL = """
+SELECT /*+ BROADCAST(customer) */ c_custkey, o_orderkey,
+       CAST(CAST(o_orderdate AS DATE) AS STRING) AS o_orderdate_str,
+       o_totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(30,6))) > 250
+)
+GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+@register("sql_tpch_q18_shape", oracle=_Q18_SQL)
+def sql_tpch_q18_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers) adapted to the testdata:
+    orders whose total line quantity exceeds a threshold, re-joined to
+    customers and re-aggregated, top-100 by price. Exercises the
+    aggregate-IN-subquery → semi join rewrite plus a two-level
+    aggregation over the same fact table — the shape where a naive
+    plan scans-and-shuffles lineitem's full width twice.
+    """
+    _register_views(spark, sf_dir)
+    return spark.sql(_Q18_SQL)

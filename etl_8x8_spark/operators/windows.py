@@ -592,3 +592,88 @@ def window_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("z"),
         (F.abs(z) > _Z_THRESHOLD).alias("is_anomaly"),
     )
+
+
+@register(
+    "window_gap_islands",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+isl AS (
+  SELECT user_id, day,
+         day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                    AS INTEGER) AS grp
+  FROM days
+)
+SELECT user_id,
+       CAST(MIN(day) AS STRING) AS island_start,
+       CAST(MAX(day) AS STRING) AS island_end,
+       CAST(COUNT(*) AS BIGINT) AS n_days
+FROM isl GROUP BY user_id, grp
+""",
+)
+def window_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of CONSECUTIVE active days per
+    user (streak detection). The classic O(n) relational trick: day
+    minus its per-user rank is constant exactly within a consecutive
+    run, so islands fall out of one window + one groupBy — no
+    self-join, no iteration.
+
+    Scale: day-distinct shrinks events to ≤ users x days rows first;
+    then one shuffle on user_id shared by the window and (via AQE
+    partition reuse) the island groupBy. Per-user state is one sort of
+    its active days.
+    """
+    events = load_table(spark, sf_dir, "events")
+    days = events.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = days.withColumn(
+        "grp", F.date_sub("day", F.row_number().over(w))
+    )
+    return isl.groupBy("user_id", "grp").agg(
+        F.min("day").cast("string").alias("island_start"),
+        F.max("day").cast("string").alias("island_end"),
+        F.count("*").cast("long").alias("n_days"),
+    ).drop("grp")
+
+
+@register(
+    "window_rolling_median",
+    oracle="""
+SELECT user_id, event_id,
+       round(median(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS med7
+FROM events
+""",
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-event median of ``value`` per user — the robust
+    (outlier-proof) twin of a rolling mean, used for sensor smoothing
+    and monitor baselines. Spark has no native windowed median; the
+    engine collects the bounded frame, sorts it, and interpolates the
+    middle — exact, because the frame is a FIXED 7 rows, so the sort
+    is O(1) per row and the collected array never grows with data
+    size (this is NOT the unbounded collect_list anti-pattern).
+
+    The 1e-6 rounding absorbs the one-ulp difference between the two
+    engines' even-count interpolation expressions
+    (a + (b-a)/2 vs (a+b)/2).
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    arr = F.sort_array(F.collect_list("value").over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    med = F.when(n % 2 == 1, lo).otherwise((lo + hi) / 2)
+    return events.select(
+        "user_id", "event_id", F.round(med, 6).alias("med7")
+    )

@@ -143,3 +143,126 @@ class TestRepetitionFilter:
             != (F.col("top_token_freq").cast("double") / F.col("n_tokens") > 0.2)
         )
         assert bad.count() == 0
+
+
+class TestGapIslands:
+    def test_islands_consecutive_maximal_and_cover(self, spark, sf_dir):
+        from etl_8x8_spark.sources.readers import load_table
+
+        isl = _q("window_gap_islands")(spark, sf_dir).cache()
+        try:
+            # each island spans exactly its day count (consecutive)
+            bad_span = isl.filter(
+                F.datediff(
+                    F.to_date("island_end"), F.to_date("island_start")
+                )
+                + 1
+                != F.col("n_days")
+            )
+            assert bad_span.count() == 0
+            # islands of one user never touch (maximality): next
+            # island starts >= 2 days after this one ends
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("user_id").orderBy("island_start")
+            gaps = isl.withColumn(
+                "prev_end", F.lag("island_end").over(w)
+            ).filter(F.col("prev_end").isNotNull())
+            touching = gaps.filter(
+                F.datediff(
+                    F.to_date("island_start"), F.to_date("prev_end")
+                )
+                < 2
+            )
+            assert touching.count() == 0
+            # island days partition the active-day set exactly
+            active = (
+                load_table(spark, sf_dir, "events")
+                .select("user_id", F.to_date("ts").alias("day"))
+                .distinct()
+                .count()
+            )
+            assert (
+                isl.agg(F.sum("n_days")).collect()[0][0] == active
+            )
+        finally:
+            isl.unpersist()
+
+
+class TestRollingMedian:
+    def test_matches_numpy_on_small_sf(self, spark, sf_dir):
+        import numpy as np
+        from etl_8x8_spark.sources.readers import load_table
+
+        got = {
+            (r["user_id"], r["event_id"]): r["med7"]
+            for r in _q("window_rolling_median")(spark, sf_dir).collect()
+        }
+        rows = (
+            load_table(spark, sf_dir, "events")
+            .select("user_id", "event_id", "ts", "value")
+            .collect()
+        )
+        by_user: dict = {}
+        for r in sorted(rows, key=lambda r: (r["user_id"], r["ts"], r["event_id"])):
+            by_user.setdefault(r["user_id"], []).append(r)
+        checked = 0
+        for u, evs in by_user.items():
+            for i, r in enumerate(evs):
+                frame = [e["value"] for e in evs[max(0, i - 6) : i + 1]]
+                want = round(float(np.median(frame)), 6)
+                assert abs(got[(u, r["event_id"])] - want) < 1e-6, (
+                    u,
+                    r["event_id"],
+                )
+                checked += 1
+        assert checked == len(got)
+
+
+class TestTrainTestSplit:
+    def test_partition_proportions_and_stability(self, spark, sf_dir):
+        split = _q("sample_train_test_split")(spark, sf_dir).cache()
+        try:
+            total = split.count()
+            by = {
+                r["split"]: r["n"]
+                for r in split.groupBy("split")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            assert set(by) == {"train", "val", "test"}
+            assert sum(by.values()) == total
+            assert 0.7 < by["train"] / total < 0.9
+            # appending data never reassigns: the split of a doc id is
+            # a pure function of the id
+            subset = (
+                _q("sample_train_test_split")(spark, sf_dir)
+                .filter(F.col("doc_id") % 7 == 0)
+                .withColumnRenamed("split", "split2")
+            )
+            moved = split.join(subset.select("doc_id", "split2"), "doc_id").filter(
+                F.col("split") != F.col("split2")
+            )
+            assert moved.count() == 0
+        finally:
+            split.unpersist()
+
+
+class TestQ18:
+    def test_threshold_gate_is_exact(self, spark, sf_dir):
+        from etl_8x8_spark.sources.readers import load_table
+
+        out = _q("sql_tpch_q18_shape")(spark, sf_dir)
+        assert out.filter(F.col("sum_qty") <= 250).count() == 0
+        li = load_table(spark, sf_dir, "lineitem")
+        qualifying = (
+            li.groupBy("l_orderkey")
+            .agg(F.sum("l_quantity").alias("s"))
+            .filter(F.col("s") > 250)
+            .count()
+        )
+        # LIMIT 100 caps output; below the cap every qualifying order
+        # must appear exactly once
+        n = out.count()
+        assert n == min(qualifying, 100)
+        assert out.select("o_orderkey").distinct().count() == n
