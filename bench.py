@@ -128,17 +128,24 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
         # cold + two warm runs; record the BEST warm — single warm
-        # samples showed multi-second GC outliers on a 40-query suite
+        # samples showed multi-second GC outliers on a 40-query suite.
+        # Per-query try/except: one broken builder must never zero the
+        # whole round's bench signal (round 3 lost its official bench
+        # to a single AnalysisException).
         per_run = []
-        for run in range(3):
-            t0 = time.time()
-            df = qs[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            per_run.append(round(time.time() - t0, 3))
-        cold[name] = per_run[0]
-        timings[name] = min(per_run[1:])
+        try:
+            for run in range(3):
+                t0 = time.time()
+                df = qs[name](spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                per_run.append(round(time.time() - t0, 3))
+            cold[name] = per_run[0]
+            timings[name] = min(per_run[1:])
+        except Exception as exc:  # noqa: BLE001 — survive any query
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
         # queries that persist internal relations (minhash, CC, knn)
         # would otherwise accumulate cached blocks across the suite —
         # by query 30 the session is under memory pressure and timings
@@ -147,18 +154,17 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "cold_seconds": round(sum(cold.values()), 3),
-                "sf": _sf_from_dir(sf_dir),
-            }
-        )
-    )
+    out = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "cold_seconds": round(sum(cold.values()), 3),
+        "sf": _sf_from_dir(sf_dir),
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -58,7 +58,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     pin_session_confs(spark)
     if name == "events":
         df = spark.read.parquet(table_path(sf_dir, name))
-        if isinstance(df.schema["ts"].dataType, T.LongType):
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
             # TIMESTAMP(NANOS) parquet surfaces as nanos-since-epoch
             # under the legacy conf; floor-divide to micros via pmod
             # (integer `div` would truncate toward zero and round
@@ -67,6 +68,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # precision above 2^53). Micros-native files pass through.
             micros = F.expr("(ts - pmod(ts, 1000)) div 1000")
             df = df.withColumn("ts", F.timestamp_micros(micros))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            # Micros-native parquet with no isAdjustedToUTC flag reads
+            # as TIMESTAMP_NTZ, which time arithmetic (unix_micros,
+            # window(), watermarks) rejects. Under the pinned UTC
+            # session zone the LTZ cast is value-identical to DuckDB's
+            # naive reading, so oracles keep hash-matching.
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
         return df.select(
             "event_id", "ts", "user_id", "event_type", "value", "props"
         )
