@@ -620,68 +620,115 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     decisions (keep ``doc_id == cluster_rep``, drop the rest), which
     is what a training-data dedup pass ships.
 
-    Implemented as distributed min-label propagation: each iteration
-    is one (edges ⋈ labels) shuffle join + a min-aggregate, looped
-    from the driver until a fixpoint (no label changed) — the
-    iterative-algorithm shape Spark expresses as a driver loop over
-    declarative steps, like GraphX/Pregel does under the hood.
-    Near-dup components are tiny and dense (dup families, not a web
-    graph), so convergence takes O(component diameter) ≈ 1-3 rounds;
-    labels are persisted each round and the loop is capped at
-    {_CC_MAX_ITERS} as a runaway guard. The DuckDB oracle computes
-    the same components from first principles (recursive-CTE
-    transitive closure + MIN) — hash-verifying an ITERATIVE
-    distributed algorithm against a declarative spec.
+    Implemented as distributed min-label propagation over ONLY the
+    pair graph's vertices: round 0 (label = min of self and
+    neighbors) is fused into initialization, convergence is detected
+    by an edge-violation count (min-label fixpoint ⇔ no edge joins
+    two different labels — a narrow, shuffle-free job when labels
+    broadcast), and each further round is one (edges ⋈ labels) join +
+    min-aggregate, looped from the driver — the iterative-algorithm
+    shape Spark expresses as a driver loop over declarative steps,
+    like GraphX/Pregel does under the hood. Near-dup components are
+    tiny and dense (dup families, not a web graph), so the fused
+    round 0 usually converges outright and the loop runs zero
+    propagate rounds; labels are localCheckpoint'ed each round and
+    the loop is capped at {_CC_MAX_ITERS} as a runaway guard. The
+    DuckDB oracle computes the same components from first principles
+    (recursive-CTE transitive closure + MIN) — hash-verifying an
+    ITERATIVE distributed algorithm against a declarative spec.
 
     Scale: cost per round is |edges| shuffled on one key; total
-    rounds bound by diameter. For skew (one giant component), the
+    rounds bound by diameter. Loop parallelism and the
+    broadcast-vs-shuffle choice adapt to the MEASURED pair count
+    (see inline notes). For skew (one giant component), the
     alternating small-star/large-star variant keeps per-key fanout
     bounded — same loop skeleton.
     """
     corpus = seeded_near_corpus(load_table(spark, sf_dir, "documents"))
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-        .unionByName(
-            pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
-        )
-        .persist()
+    # Pair generation runs EXACTLY ONCE, into an eager checkpoint; the
+    # symmetrized edge view is a lazy narrow union over it (two
+    # projections of cached blocks — no second materialization, and
+    # loop plans never drag the shingle lineage along).
+    ck_pairs = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
     )
-    # each round is localCheckpoint'ed, not just persisted: persist
-    # keeps the full lineage, so by round k an evicted block recomputes
-    # the whole k-round chain (and the plan itself grows per round).
-    # Checkpointing truncates lineage to the materialized result —
-    # the standard guard for driver-loop iterative algorithms.
-    labels = corpus.select(
-        "doc_id", F.col("doc_id").alias("label")
-    ).localCheckpoint(eager=True)
+    # The checkpoint is already materialized, so this count is nearly
+    # free — and it buys two runtime-adaptive decisions a static plan
+    # can't make (checkpointed RDDs have no Catalyst size stats, so
+    # AQE can't make them for us):
+    #   p     — loop-shuffle parallelism sized to |edges|, not to the
+    #           session default (32 tasks for 4k edges is pure
+    #           scheduling overhead; at 100 TB p grows linearly);
+    #   bc    — broadcast the label map only when the vertex set is
+    #           provably small; a dirty corpus with a huge pair graph
+    #           keeps shuffle joins and never OOMs the driver.
+    n_pairs = ck_pairs.count()
+    sess_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    p = max(4, min(sess_p, (2 * n_pairs) // 100_000 + 4))
+    bc = F.broadcast if n_pairs < 1_000_000 else (lambda d: d)
+    edges = ck_pairs.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    ).unionByName(
+        ck_pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+    )
+    # Labels live ONLY on the pair graph's vertices — docs with no
+    # near-dup edge keep label == doc_id and never enter the loop, so
+    # each round costs O(|edges|), not O(|corpus|); the corpus is
+    # touched exactly once, in the final left join. Round 0 is fused
+    # into initialization: label(v) = min(v, min(neighbors)), one
+    # shuffle. Each round is localCheckpoint'ed: persist alone keeps
+    # full lineage, so by round k an evicted block would recompute the
+    # whole k-round chain (and the plan itself grows per round).
+    labels = (
+        edges.repartition(p, "a")
+        .groupBy("a")
+        .agg(F.min("b").alias("mn"))
+        .select(
+            F.col("a").alias("doc_id"), F.least("a", "mn").alias("label")
+        )
+        .localCheckpoint(eager=True)
+    )
     for _ in range(_CC_MAX_ITERS):
+        # Converged iff no edge joins two labels: min-label fixpoint
+        # means label(a) == label(b) on every edge. With broadcast
+        # labels this check is fully narrow (no shuffle) — and in the
+        # common case (dup families of diameter 1-2) it short-circuits
+        # the loop after the fused round 0 with zero propagate rounds.
+        la = labels.select(
+            F.col("doc_id").alias("a"), F.col("label").alias("la")
+        )
+        lb = labels.select(
+            F.col("doc_id").alias("b"), F.col("label").alias("lb")
+        )
+        violations = (
+            edges.join(bc(la), "a")
+            .join(bc(lb), "b")
+            .filter(F.col("la") != F.col("lb"))
+            .count()
+        )
+        if violations == 0:
+            break
         prop = edges.join(
-            labels, edges.b == labels.doc_id, "inner"
+            bc(labels), edges.b == labels.doc_id, "inner"
         ).select(F.col("a").alias("doc_id"), "label")
-        new_labels = (
+        labels = (
             labels.unionByName(prop)
+            .repartition(p, "doc_id")
             .groupBy("doc_id")
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
+    full = (
+        corpus.select("doc_id")
+        .join(bc(labels), "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("label", F.col("doc_id")).alias("label")
         )
-        labels = new_labels
-        if changed == 0:
-            break
-    # the returned plan reads only the checkpointed final labels, so
-    # the edge cache (and the ngram persists feeding it) are done —
-    # release the edges here; upstream persists are released by the
-    # driver-side clearCache between queries (see the persist-barrier
-    # note at the shingle persist site).
-    edges.unpersist()
+    )
     w = Window.partitionBy("label")
-    return labels.select(
+    return full.select(
         "doc_id",
         F.col("label").alias("cluster_rep"),
         F.count("*").over(w).cast("long").alias("cluster_size"),
