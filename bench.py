@@ -99,6 +99,11 @@ HEADLINE = [
     "window_gap_islands",
     "window_rolling_median",
     "sample_train_test_split",
+    # appended r4
+    "dedup_containment",
+    "join_asof_nearest",
+    "agg_mode",
+    "sink_zorder_clustered",
 ]
 
 

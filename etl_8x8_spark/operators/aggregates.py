@@ -1268,3 +1268,67 @@ def agg_partial_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("pmax").alias("vmax"),
         F.count("*").cast("long").alias("n_partials"),
     )
+
+
+@register(
+    "agg_mode",
+    oracle="""
+WITH counts AS (
+  SELECT l_returnflag,
+         CAST(l_quantity AS BIGINT) AS qty,
+         COUNT(*) AS cnt
+  FROM lineitem
+  GROUP BY l_returnflag, CAST(l_quantity AS BIGINT)
+),
+ranked AS (
+  SELECT l_returnflag, qty, cnt,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY cnt DESC, qty ASC) AS rk
+  FROM counts
+)
+SELECT l_returnflag,
+       qty AS mode_qty,
+       CAST(cnt AS BIGINT) AS mode_count
+FROM ranked WHERE rk = 1
+""",
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group MODE (most frequent value) with a DETERMINISTIC
+    tie-break (smallest value wins) — the categorical summary
+    statistic. Spark 4 ships ``F.mode()``, but its tie behavior is
+    whichever value the hash aggregate saw last, which can differ
+    between runs, partitionings, and engines; a mode that isn't
+    reproducible is useless as a pipeline feature, so this builds the
+    deterministic variant from first principles.
+
+    Plan: count per (group, value) — ONE shuffle with map-side
+    partial aggregation doing the heavy lifting, since the map side
+    collapses each partition to its distinct (group, value) pairs —
+    then a row_number window over the tiny counted relation picks
+    (max count, min value) per group. At 100 TB the window input is
+    |groups| x |distinct values|, not |rows|; for true high-cardinality
+    value domains the same two-phase shape holds because the first
+    shuffle's output is bounded by the distinct domain, never the data.
+    """
+    from pyspark.sql import Window
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    counts = (
+        lineitem.select(
+            "l_returnflag", F.col("l_quantity").cast("long").alias("qty")
+        )
+        .groupBy("l_returnflag", "qty")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("cnt"), F.asc("qty")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "l_returnflag",
+            F.col("qty").alias("mode_qty"),
+            F.col("cnt").cast("long").alias("mode_count"),
+        )
+    )

@@ -247,6 +247,110 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# shingle containment — near-SUPERSET duplicates (boilerplate wrapping)
+# ---------------------------------------------------------------------------
+
+_CONTAIN_OFFSET = 3_000_000
+_CONTAIN_THRESHOLD = 0.9
+
+# A ~40-token boilerplate tail: long enough that the wrapped copy's
+# JACCARD vs the original drops well below the 0.7 near-dup threshold
+# for typical doc lengths (the union grows by ~40 shingles), while the
+# CONTAINMENT of the original in the copy stays exactly 1.0 — the
+# duplicate class Jaccard-based dedup structurally misses.
+_BOILERPLATE = (
+    "this document is provided as is without warranty of any kind "
+    "either express or implied including but not limited to the implied "
+    "warranties of merchantability fitness for a particular purpose or "
+    "noninfringement all rights reserved unauthorized reproduction or "
+    "distribution of this material is strictly prohibited"
+)
+
+_CONTAIN_SQL = f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_CONTAIN_OFFSET} AS doc_id,
+         text || ' {_BOILERPLATE}' AS text
+  FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+def seeded_contain_corpus(docs: DataFrame) -> DataFrame:
+    """documents ∪ boilerplate-suffixed copies of every 5th doc."""
+    variants = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + _CONTAIN_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" " + _BOILERPLATE)).alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(variants)
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+WITH corpus AS ({_CONTAIN_SQL}),
+sh AS (
+  SELECT doc_id,
+         {_BLOCK_KEY_SQL} AS block_key,
+         {_shingles_sql(_TOKENS_SQL)} AS sset
+  FROM corpus
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+             / least(len(a.sset), len(b.sset)), 6) AS containment
+FROM sh a JOIN sh b
+  ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+      / least(len(a.sset), len(b.sset)) >= {_CONTAIN_THRESHOLD}
+""",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-SUPERSET dedup: shingle CONTAINMENT
+    |A ∩ B| / min(|A|, |B|) over blocked candidate pairs — catches a
+    document wrapped in boilerplate (licence tails, navigation chrome,
+    quoted-reply chains), where the smaller doc's shingles survive
+    intact inside the bigger one but the union is inflated enough that
+    Jaccard falls below any sane near-dup threshold. This is the
+    second dedup metric real pretraining pipelines run alongside
+    Jaccard (e.g. the "containment" pass in CCNet-style dedup), not a
+    variant of it: the two flag provably different pair sets.
+
+    Same scale posture as ``dedup_ngram_jaccard``: candidates come
+    from a content-derived blocking join (first 32 normalized chars —
+    suffix-appended wrappers keep the prefix), containment is computed
+    exactly on candidates only, never all-pairs, and the shingle table
+    is built once behind a persist barrier shared by both join sides.
+    """
+    corpus = widen_for_python(
+        seeded_contain_corpus(load_table(spark, sf_dir, "documents"))
+    )
+    # persist barrier: both self-join sides consume the shingle table
+    # (lifecycle: see the persist-barrier note in dedup_ngram_jaccard)
+    sh = corpus.select(
+        "doc_id",
+        _block_key().alias("block_key"),
+        shingles(tokens()).alias("sset"),
+    ).persist()
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sset"), F.col("b.sset")))
+    denom = F.least(F.size(F.col("a.sset")), F.size(F.col("b.sset")))
+    cont = inter.cast("double") / denom
+    return (
+        a.join(
+            b,
+            (F.col("a.block_key") == F.col("b.block_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(cont >= _CONTAIN_THRESHOLD)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(cont, 6).alias("containment"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # MinHash LSH near-dup — the scale path (rows-only + recall pytest)
 # ---------------------------------------------------------------------------
 

@@ -692,3 +692,112 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pruned.join(
         sel.hint("merge"), pruned.l_orderkey == sel.o_orderkey
     ).select("l_orderkey", "l_linenumber", "l_extendedprice", "o_orderpriority")
+
+_ASOF_NEAREST_ORACLE = """
+SELECT c.event_id AS click_id,
+       c.user_id,
+       np.event_id AS nearest_purchase_id,
+       np.delta_us
+FROM events c
+LEFT JOIN LATERAL (
+  SELECT p.event_id,
+         abs(epoch_us(p.ts) - epoch_us(c.ts)) AS delta_us
+  FROM events p
+  WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+  ORDER BY abs(epoch_us(p.ts) - epoch_us(c.ts)) ASC, p.ts ASC,
+           p.event_id ASC
+  LIMIT 1
+) np ON TRUE
+WHERE c.event_type = 'click'
+"""
+
+
+@register("join_asof_nearest", oracle=_ASOF_NEAREST_ORACLE)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join: for every click, the purchase by the same
+    user closest in time in EITHER direction (pandas
+    ``merge_asof(direction='nearest')``) — the sensor-alignment /
+    attribution shape where "latest before" is wrong half the time.
+
+    Composed from the two directional as-ofs in ONE union + one
+    shuffle: a backward pass (cumulative frame, ``last(ignorenulls)``)
+    finds the latest purchase at-or-before each click, a forward pass
+    (reversed frame, ``first(ignorenulls)``) finds the earliest
+    at-or-after, and a codegen'd CASE picks whichever is nearer in
+    microseconds (ties -> the earlier side, matching the oracle's
+    ``ORDER BY delta, ts``). The two window specs share the partition
+    key, so Catalyst plans ONE Exchange and two local sorts — still
+    linear in events, no per-key pair explosion.
+
+    Tie-break detail: within one timestamp the backward sort places
+    purchases DESC by event_id so ``last`` picks the smallest id,
+    while the forward sort places them ASC so ``first`` does — both
+    sides therefore agree with the oracle's ``event_id ASC`` at equal
+    delta.
+    """
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.lit(None).cast("long").alias("purchase_id"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("click_id"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    merged = clicks.unionByName(purchases).withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            "ts_us",
+            # purchases before clicks at equal ts; among equal-ts
+            # purchases, DESC id so last() lands on the smallest
+            F.col("click_id").asc_nulls_first(),
+            F.col("purchase_id").desc(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            "ts_us",
+            F.col("click_id").asc_nulls_first(),
+            F.col("purchase_id").asc(),
+        )
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    prev_id = F.last("purchase_id", ignorenulls=True).over(w_back)
+    prev_ts = F.last(
+        F.when(F.col("purchase_id").isNotNull(), F.col("ts_us")),
+        ignorenulls=True,
+    ).over(w_back)
+    next_id = F.first("purchase_id", ignorenulls=True).over(w_fwd)
+    next_ts = F.first(
+        F.when(F.col("purchase_id").isNotNull(), F.col("ts_us")),
+        ignorenulls=True,
+    ).over(w_fwd)
+    scored = (
+        merged.withColumn("prev_id", prev_id)
+        .withColumn("prev_d", F.col("ts_us") - prev_ts)
+        .withColumn("next_id", next_id)
+        .withColumn("next_d", next_ts - F.col("ts_us"))
+        .filter(F.col("click_id").isNotNull())
+    )
+    take_prev = F.col("prev_id").isNotNull() & (
+        F.col("next_id").isNull() | (F.col("prev_d") <= F.col("next_d"))
+    )
+    return scored.select(
+        "click_id",
+        "user_id",
+        F.when(take_prev, F.col("prev_id"))
+        .otherwise(F.col("next_id"))
+        .alias("nearest_purchase_id"),
+        F.when(take_prev, F.col("prev_d"))
+        .otherwise(F.col("next_d"))
+        .alias("delta_us"),
+    )

@@ -476,3 +476,106 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "priority",
         F.col("priority").isNotNull().alias("is_v2"),
     )
+
+
+_Z_BITS = 12  # per-dimension resolution: 4096 buckets, 24-bit z-value
+
+
+def _zorder_value(col_a, col_b, min_a, max_a, min_b, max_b):
+    """Morton (Z-order) interleave of two bucketized columns.
+
+    Each key is min-max normalized into a {0..2^_Z_BITS-1} bucket, then
+    the bucket bits are interleaved (a even positions, b odd) with a
+    codegen'd shift/or chain — 2*_Z_BITS integer ops per row, no UDF.
+    """
+    span_a = max(1, max_a - min_a)
+    span_b = max(1, max_b - min_b)
+    lim = (1 << _Z_BITS) - 1
+    bucket_a = F.least(
+        F.lit(lim),
+        ((col_a - F.lit(min_a)) * F.lit(lim) / F.lit(span_a)).cast("long"),
+    )
+    bucket_b = F.least(
+        F.lit(lim),
+        ((col_b - F.lit(min_b)) * F.lit(lim) / F.lit(span_b)).cast("long"),
+    )
+    z = F.lit(0).cast("long")
+    for bit in range(_Z_BITS):
+        z = (
+            z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(bucket_a, bit).bitwiseAND(F.lit(1)), 2 * bit
+                )
+            )
+        ).bitwiseOR(
+            F.shiftleft(
+                F.shiftright(bucket_b, bit).bitwiseAND(F.lit(1)), 2 * bit + 1
+            )
+        )
+    return z
+
+
+@register(
+    "sink_zorder_clustered",
+    oracle=f"""
+SELECT COUNT(*) AS n_rows,
+       {oracle_dsum("l_extendedprice", "sum_price")}
+FROM lineitem
+WHERE l_suppkey BETWEEN 2 AND 3
+""",
+)
+def sink_zorder_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER clustered write: lineitem laid out on the Morton
+    interleave of (l_partkey, l_suppkey), then range-partitioned and
+    sorted by the z-value — so every output file covers a small
+    RECTANGLE in (partkey, suppkey) space and carries tight row-group
+    min/max on BOTH columns. ``sink_sorted_clustered`` buys skipping
+    on exactly one column; a linear sort on (partkey, suppkey) buys
+    nothing for suppkey-only filters because every file spans the full
+    suppkey range. Z-order is the standard multi-dimensional answer
+    (Delta/Iceberg `OPTIMIZE ZORDER BY`), rebuilt here from public
+    shift/or built-ins.
+
+    The read-back filters on l_suppkey ALONE — the second dimension,
+    the one a single-column sort cannot skip for — and aggregates;
+    the oracle aggregates the original table, so the layout must
+    preserve every row. tests/test_plans.py asserts the skip
+    quantitatively via scan SQL-metrics. The min/max normalization
+    constants come from one bounded 1-row aggregate (same discipline
+    as ``window_anomaly_zscore``'s tile stats): at 100 TB those
+    bounds come from table metadata, and the z-write is the same
+    one-shuffle repartitionByRange.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    path = os.path.join(scratch_dir(), f"lineitem_zorder_{_sf_tag(sf_dir)}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        bounds = lineitem.agg(
+            F.min("l_partkey"),
+            F.max("l_partkey"),
+            F.min("l_suppkey"),
+            F.max("l_suppkey"),
+        ).collect()[0]
+        z = _zorder_value(
+            F.col("l_partkey"),
+            F.col("l_suppkey"),
+            bounds[0],
+            bounds[1],
+            bounds[2],
+            bounds[3],
+        )
+        (
+            lineitem.withColumn("zval", z)
+            .repartitionByRange(8, "zval")
+            .sortWithinPartitions("zval")
+            .drop("zval")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    back = spark.read.parquet(path).filter(
+        (F.col("l_suppkey") >= 2) & (F.col("l_suppkey") <= 3)
+    )
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        dsum("l_extendedprice", "sum_price"),
+    )

@@ -1,0 +1,249 @@
+"""Round-4 operators: containment dedup, nearest as-of, deterministic
+mode, Z-order clustered sink."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_8x8_spark.registry import all_queries
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return all_queries()
+
+
+class TestDedupContainment:
+    def test_every_planted_wrapped_copy_found_at_containment_one(
+        self, spark, sf_dir, queries
+    ):
+        """Each boilerplate-wrapped copy (doc_id + 3M) fully contains
+        its original, so the planted pair must surface with
+        containment exactly 1.0."""
+        from etl_8x8_spark.operators.dedup import _CONTAIN_OFFSET
+
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        planted = {
+            r.doc_id
+            for r in docs.filter(F.col("doc_id") % 5 == 0)
+            .select("doc_id")
+            .collect()
+        }
+        out = queries["dedup_containment"].builder(spark, sf_dir).collect()
+        found = {
+            (r.doc_a, r.doc_b): r.containment
+            for r in out
+        }
+        for doc in planted:
+            pair = (doc, doc + _CONTAIN_OFFSET)
+            assert pair in found, f"planted wrapped pair {pair} missed"
+            assert found[pair] == 1.0
+
+    def test_containment_catches_pairs_jaccard_misses(
+        self, spark, sf_dir, queries
+    ):
+        """The point of the second metric: the wrapped corpus must
+        contain at least one planted pair whose Jaccard sits below the
+        0.7 near-dup threshold (boilerplate inflates the union) while
+        containment flags it at 1.0."""
+        from etl_8x8_spark.operators.dedup import (
+            _BOILERPLATE,
+            _CONTAIN_OFFSET,
+            _JACCARD_THRESHOLD,
+            seeded_contain_corpus,
+            shingles,
+            tokens,
+        )
+        from etl_8x8_spark.sources.readers import load_table
+
+        corpus = seeded_contain_corpus(load_table(spark, sf_dir, "documents"))
+        sh = corpus.select("doc_id", shingles(tokens()).alias("sset"))
+        orig = sh.filter(F.col("doc_id") < _CONTAIN_OFFSET).alias("o")
+        wrap = sh.filter(F.col("doc_id") >= _CONTAIN_OFFSET).alias("w")
+        jac = (
+            F.size(F.array_intersect(F.col("o.sset"), F.col("w.sset")))
+            / F.size(F.array_union(F.col("o.sset"), F.col("w.sset")))
+        )
+        below = (
+            orig.join(
+                wrap,
+                F.col("o.doc_id") + _CONTAIN_OFFSET == F.col("w.doc_id"),
+            )
+            .filter(jac < _JACCARD_THRESHOLD)
+            .count()
+        )
+        assert below > 0, (
+            "boilerplate too short: every wrapped pair still passes the "
+            f"Jaccard threshold (boiler tokens: {len(_BOILERPLATE.split())})"
+        )
+
+
+class TestJoinAsofNearest:
+    def test_nearest_is_min_of_directional_asofs(
+        self, spark, sf_dir, queries
+    ):
+        """For every click, |delta| must equal the smaller of the
+        backward and forward as-of distances computed independently."""
+        events = None
+        out = queries["join_asof_nearest"].builder(spark, sf_dir)
+        from etl_8x8_spark.sources.readers import load_table
+
+        events = load_table(spark, sf_dir, "events")
+        clicks = events.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.unix_micros("ts").alias("c_us"),
+        )
+        purchases = events.filter(F.col("event_type") == "purchase").select(
+            "user_id", F.unix_micros("ts").alias("p_us")
+        )
+        brute = (
+            clicks.join(purchases, "user_id", "left")
+            .groupBy("click_id")
+            .agg(F.min(F.abs(F.col("p_us") - F.col("c_us"))).alias("min_d"))
+        )
+        joined = out.join(brute, "click_id")
+        mismatched = joined.filter(
+            (
+                F.col("delta_us").isNull() & F.col("min_d").isNotNull()
+            )
+            | (F.col("delta_us") != F.col("min_d"))
+        ).count()
+        assert mismatched == 0
+
+    def test_one_row_per_click(self, spark, sf_dir, queries):
+        out = queries["join_asof_nearest"].builder(spark, sf_dir)
+        from etl_8x8_spark.sources.readers import load_table
+
+        n_clicks = (
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("event_type") == "click")
+            .count()
+        )
+        assert out.count() == n_clicks
+        assert out.select("click_id").distinct().count() == n_clicks
+
+
+class TestAggMode:
+    def test_mode_is_argmax_count_with_min_value_tiebreak(
+        self, spark, sf_dir, queries
+    ):
+        from etl_8x8_spark.sources.readers import load_table
+
+        out = {
+            r.l_returnflag: (r.mode_qty, r.mode_count)
+            for r in queries["agg_mode"].builder(spark, sf_dir).collect()
+        }
+        lineitem = load_table(spark, sf_dir, "lineitem")
+        rows = (
+            lineitem.select(
+                "l_returnflag", F.col("l_quantity").cast("long").alias("q")
+            )
+            .groupBy("l_returnflag", "q")
+            .count()
+            .collect()
+        )
+        by_flag: dict[str, list] = {}
+        for r in rows:
+            by_flag.setdefault(r.l_returnflag, []).append((r["count"], r.q))
+        for flag, pairs in by_flag.items():
+            best_cnt = max(c for c, _ in pairs)
+            best_q = min(q for c, q in pairs if c == best_cnt)
+            assert out[flag] == (best_q, best_cnt)
+
+    def test_stable_across_partitionings(self, spark, sf_dir, queries):
+        """Determinism under repartitioning is the whole contract."""
+        a = sorted(
+            map(tuple, queries["agg_mode"].builder(spark, sf_dir).collect())
+        )
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "7")
+            b = sorted(
+                map(
+                    tuple,
+                    queries["agg_mode"].builder(spark, sf_dir).collect(),
+                )
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        assert a == b
+
+
+class TestZorderSink:
+    def test_zvalue_interleaves_bits(self, spark):
+        """Morton property on exact bucket values: z(a, b) for small
+        known buckets matches hand-interleaved bits."""
+        from etl_8x8_spark.sources.scans import _Z_BITS, _zorder_value
+
+        lim = (1 << _Z_BITS) - 1
+        df = spark.createDataFrame(
+            [(0, 0), (lim, 0), (0, lim), (lim, lim), (3, 5)], "a LONG, b LONG"
+        )
+        # identity normalization: min 0, max lim, span == lim
+        z = _zorder_value(F.col("a"), F.col("b"), 0, lim, 0, lim)
+        got = {(r.a, r.b): r.z for r in df.select("a", "b", z.alias("z")).collect()}
+
+        def morton(a: int, b: int) -> int:
+            out = 0
+            for i in range(_Z_BITS):
+                out |= ((a >> i) & 1) << (2 * i)
+                out |= ((b >> i) & 1) << (2 * i + 1)
+            return out
+
+        for (a, b), zv in got.items():
+            assert zv == morton(a, b)
+
+    def test_second_dimension_scan_skips_row_groups(
+        self, spark, sf_dir, queries
+    ):
+        """A suppkey-only filter over the z-clustered layout must NOT
+        read every row — the multi-dimension skip a linear sort on
+        (partkey, suppkey) cannot provide for the second key."""
+        from etl_8x8_spark.plans.audit import scan_metrics
+        from etl_8x8_spark.sources.readers import scratch_dir
+
+        queries["sink_zorder_clustered"].builder(spark, sf_dir).collect()
+        tag = os.path.basename(sf_dir.rstrip("/"))
+        path = os.path.join(scratch_dir(), f"lineitem_zorder_{tag}")
+        total = spark.read.parquet(path).count()
+        filtered = spark.read.parquet(path).filter(
+            (F.col("l_suppkey") >= 2) & (F.col("l_suppkey") <= 3)
+        )
+        m = scan_metrics(filtered)
+        assert m["numOutputRows"] < total, (
+            f"scan emitted all {total} rows - z-order bought no skipping"
+        )
+
+
+class TestR4Plans:
+    def test_asof_nearest_single_exchange(self, spark, sf_dir, queries):
+        """Both directional frames must ride ONE shuffle on user_id —
+        the second window spec re-sorts locally, never re-exchanges."""
+        plan = (
+            queries["join_asof_nearest"]
+            .builder(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange hashpartitioning") == 1
+
+    def test_agg_mode_plan_has_partial_agg_and_group_limit(
+        self, spark, sf_dir, queries
+    ):
+        """The count shuffle must partial-aggregate map-side, and the
+        rank-1 filter must plan as WindowGroupLimit (map-side top-1
+        pre-limit), not a full window materialization."""
+        plan = (
+            queries["agg_mode"]
+            .builder(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "partial_count" in plan
+        assert "WindowGroupLimit" in plan
