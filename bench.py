@@ -104,6 +104,9 @@ HEADLINE = [
     "join_asof_nearest",
     "agg_mode",
     "sink_zorder_clustered",
+    # appended r4 wave 2
+    "text_line_dedup",
+    "sample_shuffle_shards",
 ]
 
 

@@ -10,7 +10,7 @@ disjoint record populations).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_8x8_spark.registry import register
@@ -294,3 +294,60 @@ def sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("test"))
     )
     return docs.select("doc_id", "lang", split.alias("split"))
+
+
+# --------------------------------------------------------------------------
+# deterministic global shuffle into shards — the training-order op
+# --------------------------------------------------------------------------
+
+_SHUF_SHARDS = 16
+_SHUF_SEED = 17
+
+_SHUF_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id,
+         (((doc_id + {_SHUF_SEED}) % 2147483648) * 2654435761)
+           % 4294967296 AS hv
+  FROM documents
+)
+SELECT doc_id,
+       CAST(hv % {_SHUF_SHARDS} AS BIGINT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY hv % {_SHUF_SHARDS}
+                               ORDER BY hv, doc_id) - 1 AS BIGINT) AS pos
+FROM h
+"""
+
+
+@register("sample_shuffle_shards", oracle=_SHUF_ORACLE)
+def sample_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic GLOBAL shuffle into ordered shards — the
+    training-order primitive: every epoch-0 data loader wants the
+    corpus in a reproducible pseudo-random order, sharded into files
+    that stream independently. ``ORDER BY rand()`` gives a different
+    order per run and a single global sort; this derives a Knuth hash
+    of (doc_id + seed) — masked to 2^31 before the multiply so the
+    product never nears Long overflow (the ``sample_systematic``
+    discipline) — then assigns shard = hash % N and an intra-shard
+    position by (hash, doc_id). Same seed → same order, on any engine,
+    at any partitioning; bump the seed for the next epoch.
+
+    Plan: the hash is map-side; the only shuffle is the window's
+    hash-partition on shard. Intra-shard ranking parallelizes across
+    N_SHARDS tasks — at 100 TB shard count is sized to target file
+    size (thousands), so the ranking window is never the bottleneck,
+    and the writer pairs it with
+    ``repartition(shard).sortWithinPartitions(pos)`` for one-pass
+    sharded output.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    hv = (
+        ((F.col("doc_id") + F.lit(_SHUF_SEED)) % F.lit(2147483648))
+        * F.lit(2654435761)
+    ) % F.lit(4294967296)
+    hashed = docs.select("doc_id", hv.alias("hv"))
+    w = Window.partitionBy(F.col("hv") % _SHUF_SHARDS).orderBy("hv", "doc_id")
+    return hashed.select(
+        "doc_id",
+        (F.col("hv") % _SHUF_SHARDS).cast("long").alias("shard"),
+        (F.row_number().over(w) - 1).cast("long").alias("pos"),
+    )

@@ -890,3 +890,116 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(max_freq.cast("double") / n, 6).alias("top_token_ratio"),
         (max_freq.cast("double") / n > 0.2).alias("is_repetitive"),
     )
+
+
+# --------------------------------------------------------------------------
+# corpus-wide line dedup (C4-style boilerplate removal)
+# --------------------------------------------------------------------------
+
+# Three boilerplate lines planted across the corpus (doc_id % 3 picks
+# one per doc): web-crawl chrome the C4 pipeline strips by global
+# line dedup — each survives only in its first containing document.
+_SHARED_LINES = [
+    "copyright two thousand twenty four all rights reserved",
+    "subscribe to our newsletter for the latest updates",
+    "click here to accept cookies and continue reading",
+]
+
+_LINES_CASE_SQL = (
+    "CASE doc_id % 3 "
+    + " ".join(
+        f"WHEN {i} THEN '{line}'" for i, line in enumerate(_SHARED_LINES)
+    )
+    + " END"
+)
+
+_LINE_CORPUS_SQL = f"""
+  SELECT doc_id, text || chr(10) || {_LINES_CASE_SQL} AS text
+  FROM documents
+"""
+
+
+@register(
+    "text_line_dedup",
+    oracle=f"""
+WITH corpus AS ({_LINE_CORPUS_SQL}),
+split AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ls FROM corpus
+),
+lines AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos, ls[CAST(i AS BIGINT) + 1] AS line
+  FROM split, UNNEST(range(len(ls))) AS t(i)
+),
+flagged AS (
+  SELECT doc_id, pos, line,
+         ROW_NUMBER() OVER (PARTITION BY line
+                            ORDER BY doc_id, pos) = 1 AS keep
+  FROM lines
+)
+SELECT doc_id,
+       string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos)
+         AS clean_text,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+FROM flagged
+GROUP BY doc_id
+""",
+)
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS-WIDE line deduplication — the C4 recipe: any line that
+    occurs more than once across the whole corpus survives only in its
+    first containing document (order = (doc_id, position)); every
+    other occurrence is dropped and the documents are reassembled
+    without them. This is the op that strips web-crawl chrome (cookie
+    banners, nav bars, licence footers) which per-document dedup can
+    never see, because each individual document looks unique.
+
+    Plan: split → posexplode (narrow) → ONE shuffle partitioned by the
+    line content to rank occurrences (first = keep) → ONE shuffle back
+    on doc_id to reassemble ordered text + kept/dropped counts. At
+    100 TB the first shuffle is the unavoidable global rendezvous per
+    distinct line; hot lines (a banner on every page) skew that
+    shuffle, which AQE skew-splitting handles because ranking only
+    needs each line's min (doc_id, pos), a partial-aggregatable
+    reduction — switch the window to groupBy-min + join if a single
+    line dominates an executor.
+
+    The corpus plants three boilerplate lines (doc_id % 3) so every
+    scale factor has real cross-document duplicates to strip.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    shared = F.element_at(
+        F.array(*[F.lit(s) for s in _SHARED_LINES]),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    corpus = docs.select(
+        "doc_id", F.concat_ws("\n", F.col("text"), shared).alias("text")
+    )
+    lines = corpus.select(
+        "doc_id",
+        F.posexplode(F.split("text", "\n")).alias("pos", "line"),
+    ).withColumn("pos", F.col("pos").cast("long"))
+    w = Window.partitionBy("line").orderBy("doc_id", "pos")
+    flagged = lines.withColumn("keep", F.row_number().over(w) == 1)
+    return flagged.groupBy("doc_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("keep"),
+                            F.struct(F.col("pos"), F.col("line")),
+                        )
+                    )
+                ),
+                lambda x: x.line,
+            ),
+        ).alias("clean_text"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("keep"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_dropped"),
+    )

@@ -247,3 +247,80 @@ class TestR4Plans:
         )
         assert "partial_count" in plan
         assert "WindowGroupLimit" in plan
+
+
+class TestTextLineDedup:
+    def test_shared_lines_survive_exactly_once(self, spark, sf_dir, queries):
+        """Each of the three planted boilerplate lines must be kept in
+        exactly one document corpus-wide."""
+        from etl_8x8_spark.operators.dedup import normalized  # noqa: F401
+        from etl_8x8_spark.operators.text import _SHARED_LINES
+
+        out = queries["text_line_dedup"].builder(spark, sf_dir)
+        kept = out.select(
+            "doc_id", F.explode(F.split("clean_text", "\n")).alias("line")
+        )
+        for line in _SHARED_LINES:
+            n = kept.filter(F.col("line") == line).count()
+            assert n == 1, f"shared line kept {n} times: {line!r}"
+
+    def test_every_doc_present_and_counts_add_up(
+        self, spark, sf_dir, queries
+    ):
+        from etl_8x8_spark.sources.readers import load_table
+
+        out = queries["text_line_dedup"].builder(spark, sf_dir)
+        n_docs = load_table(spark, sf_dir, "documents").count()
+        assert out.count() == n_docs
+        # every doc carries its own unique line + the shared line
+        bad = out.filter(F.col("n_kept") + F.col("n_dropped") != 2).count()
+        assert bad == 0
+        # all but 3 docs (the first holders) dropped their shared line
+        assert (
+            out.filter(F.col("n_dropped") == 1).count() == n_docs - 3
+        )
+
+
+class TestSampleShuffleShards:
+    def test_deterministic_and_dense_positions(self, spark, sf_dir, queries):
+        """Same seed → identical assignment across runs; positions are
+        0..n-1 dense within each shard."""
+        from etl_8x8_spark.operators.setops import _SHUF_SHARDS
+
+        a = sorted(
+            map(
+                tuple,
+                queries["sample_shuffle_shards"]
+                .builder(spark, sf_dir)
+                .collect(),
+            )
+        )
+        b = sorted(
+            map(
+                tuple,
+                queries["sample_shuffle_shards"]
+                .builder(spark, sf_dir)
+                .collect(),
+            )
+        )
+        assert a == b
+        by_shard: dict[int, list[int]] = {}
+        for _, shard, pos in a:
+            by_shard.setdefault(shard, []).append(pos)
+        assert set(by_shard) <= set(range(_SHUF_SHARDS))
+        for shard, poses in by_shard.items():
+            assert sorted(poses) == list(range(len(poses)))
+
+    def test_shuffle_actually_permutes(self, spark, sf_dir, queries):
+        """The shard-0 read order must not be doc_id order (that would
+        mean the 'shuffle' preserved input order)."""
+        rows = (
+            queries["sample_shuffle_shards"]
+            .builder(spark, sf_dir)
+            .filter(F.col("shard") == 0)
+            .orderBy("pos")
+            .select("doc_id")
+            .collect()
+        )
+        ids = [r.doc_id for r in rows]
+        assert ids != sorted(ids)
