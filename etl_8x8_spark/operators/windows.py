@@ -529,11 +529,16 @@ def window_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     toward one tile, which is just the global window again.
     """
     events = load_table(spark, sf_dir, "events")
+    # approx distinct counts: tile sizing only needs rough density —
+    # the tile width changes PARALLELISM, never values (halo keeps the
+    # result bit-identical at any width satisfying the exactness
+    # condition, and the 4x safety factor absorbs the ±2% HLL error).
+    # Two exact countDistincts would plan an Expand (3x the scan).
     n_rows, n_types, n_days = (
         events.agg(
             F.count("*"),
-            F.countDistinct("event_type"),
-            F.countDistinct(F.date_trunc("day", "ts")),
+            F.approx_count_distinct("event_type"),
+            F.approx_count_distinct(F.date_trunc("day", "ts")),
         ).collect()[0]
     )
     avg_per_type_day = max(1.0, n_rows / max(1, n_types * n_days))
