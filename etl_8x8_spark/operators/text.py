@@ -954,18 +954,22 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     banners, nav bars, licence footers) which per-document dedup can
     never see, because each individual document looks unique.
 
-    Plan: split → posexplode (narrow) → ONE shuffle partitioned by the
-    line content to rank occurrences (first = keep) → ONE shuffle back
-    on doc_id to reassemble ordered text + kept/dropped counts. At
-    100 TB the first shuffle is the unavoidable global rendezvous per
-    distinct line; hot lines (a banner on every page) skew that
-    shuffle, which AQE skew-splitting handles because ranking only
-    needs each line's min (doc_id, pos), a partial-aggregatable
-    reduction — switch the window to groupBy-min + join if a single
-    line dominates an executor.
+    Plan — SKEW-IMMUNE by construction: split → posexplode (narrow),
+    then the first-occurrence set comes from ``groupBy(line).min``
+    rather than a rank window. A hot line (one banner on every page)
+    would pin a window's whole partition to one task, but a min
+    aggregate PARTIAL-aggregates map-side — each map task collapses
+    its occurrences of the hot line to a single row before the
+    shuffle, so the line rendezvous moves O(distinct lines per task),
+    not O(occurrences). The keep flag then re-attaches by joining on
+    the UNIFORM (doc_id, pos) key (never on the skewed line key), and
+    reassembly is one groupBy on doc_id. Three uniform shuffles
+    instead of two with a skew cliff.
 
     The corpus plants three boilerplate lines (doc_id % 3) so every
-    scale factor has real cross-document duplicates to strip.
+    scale factor has real cross-document duplicates to strip;
+    tests/test_r4_ops.py also runs a synthetic hot-line corpus (one
+    line in EVERY doc) through the core.
     """
     docs = load_table(spark, sf_dir, "documents")
     shared = F.element_at(
@@ -975,12 +979,27 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.select(
         "doc_id", F.concat_ws("\n", F.col("text"), shared).alias("text")
     )
+    return dedup_lines_corpus_wide(corpus)
+
+
+def dedup_lines_corpus_wide(corpus: DataFrame) -> DataFrame:
+    """Core of :func:`text_line_dedup` over any (doc_id, text) frame."""
     lines = corpus.select(
         "doc_id",
         F.posexplode(F.split("text", "\n")).alias("pos", "line"),
     ).withColumn("pos", F.col("pos").cast("long"))
-    w = Window.partitionBy("line").orderBy("doc_id", "pos")
-    flagged = lines.withColumn("keep", F.row_number().over(w) == 1)
+    keepers = (
+        lines.groupBy("line")
+        .agg(F.min(F.struct("doc_id", "pos")).alias("first"))
+        .select(
+            F.col("first.doc_id").alias("doc_id"),
+            F.col("first.pos").alias("pos"),
+            F.lit(True).alias("keep"),
+        )
+    )
+    flagged = lines.join(keepers, ["doc_id", "pos"], "left").withColumn(
+        "keep", F.coalesce("keep", F.lit(False))
+    )
     return flagged.groupBy("doc_id").agg(
         F.concat_ws(
             "\n",

@@ -324,3 +324,64 @@ class TestSampleShuffleShards:
         )
         ids = [r.doc_id for r in rows]
         assert ids != sorted(ids)
+
+
+class TestRegistryContract:
+    def test_sample_priority_keys_exist_and_lead(self):
+        """The driver samples the first 50 keys of all_queries();
+        _SAMPLE_PRIORITY must reference only real keys and actually
+        lead the returned ordering (a typo here silently burns a whole
+        round of driver evidence)."""
+        from etl_8x8_spark.registry import _SAMPLE_PRIORITY, all_queries
+
+        qs = all_queries()
+        missing = [k for k in _SAMPLE_PRIORITY if k not in qs]
+        assert not missing, f"priority keys not registered: {missing}"
+        assert list(qs)[: len(_SAMPLE_PRIORITY)] == _SAMPLE_PRIORITY
+        assert len(set(_SAMPLE_PRIORITY)) == len(_SAMPLE_PRIORITY)
+
+    def test_every_query_has_oracle_or_documented_rows_only(self):
+        """Every registered key carries a DuckDB oracle except the
+        four rows-only-by-design keys (LSH/SimHash signatures use
+        xxhash64, which has no DuckDB twin; late-data semantics have
+        no batch SQL equivalent)."""
+        from etl_8x8_spark.registry import all_queries
+
+        rows_only = {
+            name for name, spec in all_queries().items() if spec.oracle is None
+        }
+        assert rows_only == {
+            "dedup_minhash_near",
+            "dedup_simhash",
+            "sim_search_lsh_topk",
+            "stream_watermark_late_data",
+        }
+
+
+class TestLineDedupHotLine:
+    def test_hot_line_in_every_doc_survives_once(self, spark):
+        """Skew stress: the same line in EVERY document (the cookie-
+        banner case). The groupBy-min plan partial-aggregates the hot
+        line map-side; semantically it must survive exactly once, in
+        doc 0."""
+        from etl_8x8_spark.operators.text import dedup_lines_corpus_wide
+
+        n = 500
+        docs = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                "\n",
+                F.concat(F.lit("unique line "), F.col("id")),
+                F.lit("accept all cookies to continue"),
+            ).alias("text"),
+        )
+        out = dedup_lines_corpus_wide(docs)
+        assert out.count() == n
+        holders = out.filter(
+            F.col("clean_text").contains("accept all cookies")
+        ).collect()
+        assert [r.doc_id for r in holders] == [0]
+        assert out.filter(F.col("n_dropped") == 1).count() == n - 1
+        assert out.filter(
+            (F.col("doc_id") == 0) & (F.col("n_kept") == 2)
+        ).count() == 1
