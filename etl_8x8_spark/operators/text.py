@@ -1000,20 +1000,18 @@ def dedup_lines_corpus_wide(corpus: DataFrame) -> DataFrame:
     flagged = lines.join(keepers, ["doc_id", "pos"], "left").withColumn(
         "keep", F.coalesce("keep", F.lit(False))
     )
+    kept_arr = F.array_sort(
+        F.collect_list(
+            F.when(F.col("keep"), F.struct(F.col("pos"), F.col("line")))
+        )
+    )
     return flagged.groupBy("doc_id").agg(
-        F.concat_ws(
-            "\n",
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(
-                            F.col("keep"),
-                            F.struct(F.col("pos"), F.col("line")),
-                        )
-                    )
-                ),
-                lambda x: x.line,
-            ),
+        # NULL (not '') when every line was dropped — a doc whose full
+        # text duplicates an earlier doc loses ALL its lines (observed
+        # at sf0.1), and SQL string_agg over zero rows is NULL
+        F.when(
+            F.size(kept_arr) > 0,
+            F.concat_ws("\n", F.transform(kept_arr, lambda x: x.line)),
         ).alias("clean_text"),
         F.sum(F.when(F.col("keep"), 1).otherwise(0))
         .cast("long")
