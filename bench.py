@@ -107,6 +107,7 @@ HEADLINE = [
     # appended r4 wave 2
     "text_line_dedup",
     "sample_shuffle_shards",
+    "window_ewma_smooth",
 ]
 
 

@@ -682,3 +682,67 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.select(
         "user_id", "event_id", F.round(med, 6).alias("med7")
     )
+
+
+# --------------------------------------------------------------------------
+# trailing exponentially-weighted moving average
+# --------------------------------------------------------------------------
+
+_EWMA_ALPHA = 0.2
+_EWMA_K = 32  # trailing frame width
+
+
+@register(
+    "window_ewma_smooth",
+    oracle=f"""
+WITH fr AS (
+  SELECT event_id, user_id, value,
+         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN {_EWMA_K - 1} PRECEDING
+                                    AND CURRENT ROW) AS lx
+  FROM events
+)
+SELECT event_id, user_id, value,
+       round(list_reduce(lx,
+             (acc, v) -> acc * {1 - _EWMA_ALPHA} + v * {_EWMA_ALPHA}),
+             6) AS ewma
+FROM fr
+""",
+)
+def window_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing EWMA over each user's event-value stream — the
+    standard smoothing signal (α = {_EWMA_ALPHA}, seeded with the
+    oldest value in the frame). A TRUE recursive EWMA
+    (y_t = αx_t + (1-α)y_{{t-1}}) has unbounded lookback and no
+    windowable form; this is the K-row truncated variant — with
+    α = 0.2 the dropped tail weighs (1-α)^{_EWMA_K} ≈ 8e-4 — defined
+    EXACTLY so it stays deterministic and cross-engine checkable.
+
+    Both engines fold the SAME frame list left-to-right (Spark
+    ``aggregate`` seeded with element 1 over the tail; DuckDB
+    ``list_reduce``, which seeds identically), so the double
+    arithmetic executes in the same IEEE order and the values match
+    bit-for-bit before the display rounding.
+
+    Scale: the window partitions by user_id (unbounded cardinality —
+    no parallelism ceiling, unlike an event-type key), and the frame
+    buffers K=32 doubles per row. One shuffle.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_EWMA_K - 1), 0)
+    )
+    lx = F.collect_list("value").over(w)
+    ewma = F.round(
+        F.aggregate(
+            F.slice(lx, 2, F.greatest(F.size(lx) - 1, F.lit(0))),
+            F.element_at(lx, 1),
+            lambda acc, v: acc * (1 - _EWMA_ALPHA) + v * _EWMA_ALPHA,
+        ),
+        6,
+    )
+    return events.select(
+        "event_id", "user_id", "value", ewma.alias("ewma")
+    )

@@ -385,3 +385,59 @@ class TestLineDedupHotLine:
         assert out.filter(
             (F.col("doc_id") == 0) & (F.col("n_kept") == 2)
         ).count() == 1
+
+
+class TestWindowEwma:
+    def test_first_event_ewma_is_its_own_value(self, spark, sf_dir, queries):
+        """A user's oldest event has a single-element frame, so its
+        EWMA equals its value (seeded fold, empty tail)."""
+        from etl_8x8_spark.sources.readers import load_table
+
+        out = queries["window_ewma_smooth"].builder(spark, sf_dir)
+        events = load_table(spark, sf_dir, "events")
+        w_first = (
+            events.groupBy("user_id")
+            .agg(F.min(F.struct("ts", "event_id")).alias("f"))
+            .select(F.col("f.event_id").alias("event_id"))
+        )
+        firsts = out.join(w_first, "event_id")
+        bad = firsts.filter(
+            F.abs(F.col("ewma") - F.round(F.col("value"), 6)) > 1e-9
+        ).count()
+        assert bad == 0
+
+    def test_ewma_matches_python_fold(self, spark, sf_dir, queries):
+        """Cross-check one busy user against a pure-Python fold."""
+        from etl_8x8_spark.operators.windows import _EWMA_ALPHA, _EWMA_K
+        from etl_8x8_spark.sources.readers import load_table
+
+        events = load_table(spark, sf_dir, "events")
+        uid = (
+            events.groupBy("user_id")
+            .count()
+            .orderBy(F.desc("count"), "user_id")
+            .first()
+            .user_id
+        )
+        rows = (
+            events.filter(F.col("user_id") == uid)
+            .orderBy("ts", "event_id")
+            .select("event_id", "value")
+            .collect()
+        )
+        vals = [r.value for r in rows]
+        expect = {}
+        for i, r in enumerate(rows):
+            frame = vals[max(0, i - (_EWMA_K - 1)) : i + 1]
+            acc = frame[0]
+            for v in frame[1:]:
+                acc = acc * (1 - _EWMA_ALPHA) + v * _EWMA_ALPHA
+            expect[r.event_id] = round(acc, 6)
+        got = {
+            r.event_id: r.ewma
+            for r in queries["window_ewma_smooth"]
+            .builder(spark, sf_dir)
+            .filter(F.col("user_id") == uid)
+            .collect()
+        }
+        assert got == expect
