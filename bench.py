@@ -108,6 +108,7 @@ HEADLINE = [
     "text_line_dedup",
     "sample_shuffle_shards",
     "window_ewma_smooth",
+    "join_interval_overlap",
 ]
 
 

@@ -801,3 +801,120 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("next_d"))
         .alias("delta_us"),
     )
+
+
+_IV_GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap
+_IV_PAD_US = 24 * 3600 * 1_000_000  # ±24h attribution window per session
+
+_INTERVAL_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, event_type, ts, event_id
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+seq AS (
+  SELECT user_id, event_type, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= {_IV_GAP_US}
+              THEN 1 ELSE 0 END AS ns
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_type, ts,
+         SUM(ns) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM seq
+),
+iv AS (
+  SELECT user_id, event_type, CAST(sid AS BIGINT) AS sid,
+         MIN(epoch_us(ts)) - {_IV_PAD_US} AS s,
+         MAX(epoch_us(ts)) + {_IV_PAD_US} AS e
+  FROM sess GROUP BY user_id, event_type, sid
+)
+SELECT a.user_id,
+       a.sid AS click_session,
+       b.sid AS purchase_session,
+       least(a.e, b.e) - greatest(a.s, b.s) AS overlap_us
+FROM iv a JOIN iv b
+  ON a.user_id = b.user_id
+ AND a.s <= b.e AND b.s <= a.e
+WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+"""
+
+
+@register("join_interval_overlap", oracle=_INTERVAL_ORACLE)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL × INTERVAL overlap join: each user's click sessions
+    against their purchase sessions — both padded to a ±24 h
+    attribution window — emitting every overlapping pair with its
+    overlap duration. This is the interval-join primitive (Flink's
+    interval join, Postgres ``&&``) that point-in-range joins
+    (``join_range_theta``/``join_range_bucketed``) cannot express:
+    BOTH sides have extent.
+
+    Sessions for both event types derive in ONE window pass keyed by
+    (user_id, event_type) — the key includes the type, so one shuffle
+    sessionizes both sides — then one groupBy collapses sessions to
+    padded [min_ts − 24h, max_ts + 24h] intervals and the overlap
+    join is a user_id equi-join with the symmetric predicate
+    a.s <= b.e AND b.s <= a.e.
+
+    Scale: the equi-join explodes per-user session PAIRS, which is
+    bounded (sessions per user grows with a user's own activity, not
+    the corpus); a hot user splits under AQE skew-join. If per-key
+    interval counts were unbounded (machine traces, not users), the
+    escalation is time-bucketed blocking exactly as
+    ``join_range_bucketed`` demonstrates: explode each interval to
+    its covered hours, equi-join on (key, hour), dedup pairs.
+    """
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    us = F.unix_micros(F.col("ts"))
+    prev = F.lag(us).over(w)
+    ns = F.when(prev.isNull() | (us - prev >= _IV_GAP_US), 1).otherwise(0)
+    sess = events.select(
+        "user_id",
+        "event_type",
+        us.alias("ts_us"),
+        ns.alias("_ns"),
+    ).select(
+        "user_id",
+        "event_type",
+        "ts_us",
+        F.sum("_ns").over(wcum.orderBy("ts_us")).cast("long").alias("sid"),
+    )
+    iv = sess.groupBy("user_id", "event_type", "sid").agg(
+        (F.min("ts_us") - _IV_PAD_US).alias("s"),
+        (F.max("ts_us") + _IV_PAD_US).alias("e"),
+    )
+    a = iv.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("sid").alias("click_session"),
+        F.col("s").alias("a_s"),
+        F.col("e").alias("a_e"),
+    )
+    b = iv.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"),
+        F.col("sid").alias("purchase_session"),
+        F.col("s").alias("b_s"),
+        F.col("e").alias("b_e"),
+    )
+    return (
+        a.join(
+            b,
+            (a.user_id == b.b_user)
+            & (F.col("a_s") <= F.col("b_e"))
+            & (F.col("b_s") <= F.col("a_e")),
+        )
+        .select(
+            "user_id",
+            "click_session",
+            "purchase_session",
+            (
+                F.least("a_e", "b_e") - F.greatest("a_s", "b_s")
+            ).alias("overlap_us"),
+        )
+    )

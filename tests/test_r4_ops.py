@@ -441,3 +441,69 @@ class TestWindowEwma:
             .collect()
         }
         assert got == expect
+
+
+class TestJoinIntervalOverlap:
+    def test_overlaps_are_symmetric_and_positive(
+        self, spark, sf_dir, queries
+    ):
+        out = queries["join_interval_overlap"].builder(spark, sf_dir)
+        rows = out.collect()
+        assert rows, "no overlapping attribution windows at this SF"
+        # overlap_us is least(e)-greatest(s) of two CLOSED overlapping
+        # intervals -> strictly >= 0
+        assert all(r.overlap_us >= 0 for r in rows)
+        # no duplicate (user, click, purchase) session pairs
+        keys = [
+            (r.user_id, r.click_session, r.purchase_session) for r in rows
+        ]
+        assert len(keys) == len(set(keys))
+
+    def test_every_pair_actually_overlaps(self, spark, sf_dir, queries):
+        """Recompute both padded interval sets independently and check
+        each emitted pair satisfies the overlap predicate."""
+        from etl_8x8_spark.operators.joins import _IV_GAP_US, _IV_PAD_US
+        from etl_8x8_spark.sources.readers import load_table
+        from pyspark.sql import Window
+
+        events = load_table(spark, sf_dir, "events").filter(
+            F.col("event_type").isin("click", "purchase")
+        )
+        w = Window.partitionBy("user_id", "event_type").orderBy(
+            "ts", "event_id"
+        )
+        us = F.unix_micros(F.col("ts"))
+        ns = F.when(
+            F.lag(us).over(w).isNull()
+            | (us - F.lag(us).over(w) >= _IV_GAP_US),
+            1,
+        ).otherwise(0)
+        sess = events.select(
+            "user_id", "event_type", us.alias("ts_us"), ns.alias("_ns")
+        ).select(
+            "user_id",
+            "event_type",
+            "ts_us",
+            F.sum("_ns")
+            .over(
+                Window.partitionBy("user_id", "event_type")
+                .orderBy("ts_us")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            .alias("sid"),
+        )
+        iv = {
+            (r.user_id, r.event_type, r.sid): (r.s, r.e)
+            for r in sess.groupBy("user_id", "event_type", "sid")
+            .agg(
+                (F.min("ts_us") - _IV_PAD_US).alias("s"),
+                (F.max("ts_us") + _IV_PAD_US).alias("e"),
+            )
+            .collect()
+        }
+        out = queries["join_interval_overlap"].builder(spark, sf_dir)
+        for r in out.collect():
+            a = iv[(r.user_id, "click", r.click_session)]
+            b = iv[(r.user_id, "purchase", r.purchase_session)]
+            assert a[0] <= b[1] and b[0] <= a[1]
+            assert r.overlap_us == min(a[1], b[1]) - max(a[0], b[0])
