@@ -109,6 +109,7 @@ HEADLINE = [
     "sample_shuffle_shards",
     "window_ewma_smooth",
     "join_interval_overlap",
+    "graph_triangle_count",
 ]
 
 

@@ -507,3 +507,48 @@ class TestJoinIntervalOverlap:
             b = iv[(r.user_id, "purchase", r.purchase_session)]
             assert a[0] <= b[1] and b[0] <= a[1]
             assert r.overlap_us == min(a[1], b[1]) - max(a[0], b[0])
+
+
+class TestGraphTriangleCount:
+    def test_brute_force_on_tiny_graph(self, spark, sf_dir, queries):
+        """Cross-check the full pipeline against a brute-force triangle
+        enumeration of the same co-purchase graph."""
+        from itertools import combinations
+
+        from etl_8x8_spark.operators.graph import _TRI_MIN_QTY
+        from etl_8x8_spark.sources.readers import load_table
+
+        li = (
+            load_table(spark, sf_dir, "lineitem")
+            .filter(F.col("l_quantity") >= _TRI_MIN_QTY)
+            .select("l_orderkey", "l_partkey")
+            .distinct()
+            .collect()
+        )
+        by_order: dict[int, set[int]] = {}
+        for r in li:
+            by_order.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+        edges = set()
+        for parts in by_order.values():
+            for u, v in combinations(sorted(parts), 2):
+                edges.add((u, v))
+        adj: dict[int, set[int]] = {}
+        for u, v in edges:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        tri_count: dict[int, int] = {}
+        for u, v in edges:
+            for w in adj[u] & adj[v]:
+                if w > v:  # each triangle once: u < v < w
+                    for x in (u, v, w):
+                        tri_count[x] = tri_count.get(x, 0) + 1
+        expect = sorted(
+            tri_count.items(), key=lambda kv: (-kv[1], kv[0])
+        )[:100]
+        got = [
+            (r.part, r.n_triangles)
+            for r in queries["graph_triangle_count"]
+            .builder(spark, sf_dir)
+            .collect()
+        ]
+        assert got == expect
