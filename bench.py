@@ -110,6 +110,11 @@ HEADLINE = [
     "window_ewma_smooth",
     "join_interval_overlap",
     "graph_triangle_count",
+    # appended r4 wave 3
+    "sql_tpch_q1_shape",
+    "sql_tpch_q4_shape",
+    "sql_tpch_q6_shape",
+    "sql_tpch_q14_shape",
 ]
 
 

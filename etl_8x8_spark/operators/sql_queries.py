@@ -21,6 +21,7 @@ _VIEW_TABLES = [
     "nation",
     "customer",
     "supplier",
+    "part",
     "orders",
     "lineitem",
 ]
@@ -210,3 +211,134 @@ def sql_tpch_q18_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     _register_views(spark, sf_dir)
     return spark.sql(_Q18_SQL)
+
+
+# TPC-H Q1 shape (pricing summary report): the canonical full-fact-scan
+# aggregation — one pass over lineitem, 4-way grouped sums/averages.
+# Every average is an exact decimal SUM divided by COUNT in double so
+# both engines derive the identical IEEE value from the identical exact
+# numerator (never a running double mean, which is order-dependent).
+_Q1_SQL = """
+SELECT l_returnflag,
+       l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+           AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)))
+            AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                     AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
+           AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+           / COUNT(*) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
+           AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register("sql_tpch_q1_shape", oracle=_Q1_SQL)
+def sql_tpch_q1_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: single full scan of the fact, grouped to a
+    handful of rows. The scale-defining property is the map-side
+    partial aggregate — 4 groups means the shuffle carries ~4 rows per
+    task regardless of fact size, so the plan is scan-bound at 100 TB.
+    The date filter and 5-column projection push to the parquet scan."""
+    _register_views(spark, sf_dir)
+    return spark.sql(_Q1_SQL)
+
+
+# TPC-H Q6 shape (forecasting revenue change): pure filter-and-sum,
+# zero joins, one output row. The whole query rides parquet min/max
+# pruning + whole-stage codegen; its value as a benchmark is that ANY
+# shuffle beyond the single-row final agg is a plan bug.
+_Q6_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,6)))
+            AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("sql_tpch_q6_shape", oracle=_Q6_SQL)
+def sql_tpch_q6_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: conjunctive range filters feeding a global sum.
+    All three predicates push to the scan (PushedFilters), the
+    projection narrows to 3 columns, and the aggregation is a
+    single-row partial+final — the minimal-shuffle template every
+    selective-scan query should compile to."""
+    _register_views(spark, sf_dir)
+    return spark.sql(_Q6_SQL)
+
+
+# TPC-H Q4 shape (order priority checking). The testdata lacks
+# l_commitdate/l_receiptdate, so "late line" is re-expressed as a line
+# shipped more than 90 days after the order date — same EXISTS
+# (correlated, inequality inside) → left-semi-join rewrite the
+# original exercises.
+_Q4_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1995-07-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("sql_tpch_q4_shape", oracle=_Q4_SQL)
+def sql_tpch_q4_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS subquery against the fact,
+    rewritten by Catalyst to a left semi join — lineitem contributes
+    at most one match per order, so the join output never exceeds the
+    (quarter-filtered) orders side, and the semi join degenerates to a
+    key-dedup'd shuffle rather than a fan-out."""
+    _register_views(spark, sf_dir)
+    return spark.sql(_Q4_SQL)
+
+
+# TPC-H Q14 shape (promotion effect): conditional share-of-total over a
+# fact↔dim join in one month. Both the numerator and denominator are
+# exact decimal sums; only the final ratio is computed in double, so
+# the value hashes identically across engines.
+_Q14_SQL = """
+SELECT /*+ BROADCAST(part) */
+       100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                   THEN CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(30,6))
+                   ELSE CAST(0 AS DECIMAL(30,6)) END) AS DOUBLE)
+            / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(30,6))) AS DOUBLE)
+           AS promo_revenue_pct,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1995-10-01 00:00:00'
+"""
+
+
+@register("sql_tpch_q14_shape", oracle=_Q14_SQL)
+def sql_tpch_q14_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: one-month fact slice joined to the part dim,
+    conditional aggregation into a promo-share ratio. part broadcasts
+    (it is a dim at every SF), the month filter pushes to the lineitem
+    scan, and the CASE folds into the map-side partial — a single
+    shuffle of two partial sums."""
+    _register_views(spark, sf_dir)
+    return spark.sql(_Q14_SQL)

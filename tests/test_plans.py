@@ -207,11 +207,45 @@ class TestNewOperatorPlans:
         size stats dip under the threshold (regression: Catalyst chose
         BuildRight broadcast of filtered lineitem in Q3 at test SF)."""
         for name in ("sql_tpch_q3_shape", "sql_tpch_q5_shape",
-                     "sql_tpch_q7_shape", "sql_tpch_q10_shape"):
+                     "sql_tpch_q7_shape", "sql_tpch_q10_shape",
+                     "sql_tpch_q14_shape"):
             plan = plan_of(spark, sf_dir, queries, name)
             for chunk in plan.split("BroadcastExchange")[1:]:
                 head = chunk[:1200]
                 assert "l_extendedprice" not in head, name
+
+    def test_q6_scan_bound_no_wide_shuffle(self, spark, sf_dir, queries):
+        """Q6 is filter+global-sum: all three predicates must reach the
+        parquet scan, the read schema must be the 3 referenced columns,
+        and the only exchange allowed is the single-partition gather of
+        per-task partial sums — any keyed shuffle is a plan bug."""
+        plan = plan_of(spark, sf_dir, queries, "sql_tpch_q6_shape")
+        pushed = plan.split("PushedFilters:")[1].split("]")[0]
+        assert "l_shipdate" in pushed
+        assert "l_discount" in pushed
+        assert "l_quantity" in pushed
+        read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+        assert "l_extendedprice" in read_schema
+        assert "l_orderkey" not in read_schema
+        exchanges = plan.count("Exchange")
+        singles = plan.count("SinglePartition")
+        assert exchanges == singles, plan
+
+    def test_q4_exists_compiles_to_semi_join(self, spark, sf_dir, queries):
+        """The correlated EXISTS must rewrite to a left semi join (at
+        most one match per order, no fan-out), never a cartesian or an
+        aggregate-then-inner-join."""
+        plan = plan_of(spark, sf_dir, queries, "sql_tpch_q4_shape")
+        assert "LeftSemi" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_q1_q14_partial_aggregate_map_side(self, spark, sf_dir, queries):
+        """Q1 and Q14 group a full fact slice to a handful of rows; the
+        shuffle must carry partial aggregates (partial_sum below the
+        exchange), not raw fact rows."""
+        for name in ("sql_tpch_q1_shape", "sql_tpch_q14_shape"):
+            plan = plan_of(spark, sf_dir, queries, name)
+            assert "partial_sum" in plan, name
 
     def test_clustered_layout_actually_skips_row_groups(self, spark, sf_dir):
         """Quantitative skipping proof: the one-year read over the
