@@ -115,6 +115,8 @@ HEADLINE = [
     "sql_tpch_q4_shape",
     "sql_tpch_q6_shape",
     "sql_tpch_q14_shape",
+    "agg_corr_matrix",
+    "window_pct_change",
 ]
 
 

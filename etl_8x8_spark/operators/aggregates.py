@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_8x8_spark.functions.parity import (
+    DEC,
     davg,
     dsum,
     oracle_davg,
@@ -1332,3 +1333,100 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").cast("long").alias("mode_count"),
         )
     )
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_CORR_PAIRS = [
+    (a, b)
+    for i, a in enumerate(_CORR_COLS)
+    for b in _CORR_COLS[i + 1 :]
+]
+
+
+def _corr_matrix_oracle() -> str:
+    sums = ["COUNT(*) AS n"]
+    for c in _CORR_COLS:
+        sums.append(f"SUM(CAST({c} AS DECIMAL(30,6))) AS s_{c}")
+        sums.append(
+            f"SUM(CAST({c} AS DECIMAL(30,6)) * CAST({c} AS DECIMAL(30,6)))"
+            f" AS ss_{c}"
+        )
+    for a, b in _CORR_PAIRS:
+        sums.append(
+            f"SUM(CAST({a} AS DECIMAL(30,6)) * CAST({b} AS DECIMAL(30,6)))"
+            f" AS sp_{a}_{b}"
+        )
+    branches = []
+    for a, b in _CORR_PAIRS:
+        cov = (
+            f"(n * CAST(sp_{a}_{b} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+        )
+        var_a = f"(n * CAST(ss_{a} AS DOUBLE) - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
+        var_b = f"(n * CAST(ss_{b} AS DOUBLE) - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+        branches.append(
+            f"SELECT '{a}' AS col_x, '{b}' AS col_y,"
+            f" round({cov} / sqrt({var_a} * {var_b}), 6) AS corr FROM s"
+        )
+    return (
+        "WITH s AS (SELECT "
+        + ", ".join(sums)
+        + " FROM lineitem)\n"
+        + "\nUNION ALL ".join(branches)
+        + "\nORDER BY col_x, col_y"
+    )
+
+
+@register("agg_corr_matrix", oracle=_corr_matrix_oracle())
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over the fact's numeric
+    columns (the feature-engineering/EDA primitive), as (col_x, col_y,
+    corr) rows for the 6 unordered pairs of 4 columns.
+
+    Like agg_stats_moments, every co-moment is an EXACT decimal power
+    sum (Sx, Sxx, Sxy); floats appear only at finalization, so the
+    result is bit-stable across engines and run orders — F.corr's
+    streaming co-moment merge is partition-order-dependent and can
+    hash differently run to run. One scan, one 1-row shuffle: all
+    4 + 4 + 6 sums fold in a single map-side partial aggregate, and
+    the matrix unpivots from the single aggregate row with stack()
+    (NOT a 6-branch union, which would re-scan the fact per pair).
+    At 100 TB the plan is scan-bound with a constant-size shuffle.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count("*").alias("n")]
+    for c in _CORR_COLS:
+        x = F.col(c).cast(DEC)
+        aggs.append(F.sum(x).alias(f"s_{c}"))
+        aggs.append(F.sum(x * x).alias(f"ss_{c}"))
+    for a, b in _CORR_PAIRS:
+        aggs.append(
+            F.sum(F.col(a).cast(DEC) * F.col(b).cast(DEC)).alias(
+                f"sp_{a}_{b}"
+            )
+        )
+    s = lineitem.agg(*aggs)
+    n = F.col("n")
+    corr_cols = []
+    for a, b in _CORR_PAIRS:
+        sp = F.col(f"sp_{a}_{b}").cast("double")
+        sa = F.col(f"s_{a}").cast("double")
+        sb = F.col(f"s_{b}").cast("double")
+        ssa = F.col(f"ss_{a}").cast("double")
+        ssb = F.col(f"ss_{b}").cast("double")
+        cov = n * sp - sa * sb
+        var_a = n * ssa - sa * sa
+        var_b = n * ssb - sb * sb
+        corr_cols.append(
+            F.round(cov / F.sqrt(var_a * var_b), 6).alias(f"c_{a}_{b}")
+        )
+    wide = s.select(*corr_cols)
+    stack_args = ", ".join(
+        f"'{a}', '{b}', c_{a}_{b}" for a, b in _CORR_PAIRS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_CORR_PAIRS)}, {stack_args})"
+            " AS (col_x, col_y, corr)"
+        )
+    ).orderBy("col_x", "col_y")

@@ -746,3 +746,55 @@ def window_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.select(
         "event_id", "user_id", "value", ewma.alias("ewma")
     )
+
+
+_PCT_CHANGE_ORACLE = """
+WITH daily AS (
+  SELECT CAST(CAST(date_trunc('day', o_orderdate) AS DATE) AS STRING)
+             AS day_str,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+             AS revenue
+  FROM orders
+  GROUP BY 1
+)
+SELECT day_str,
+       revenue,
+       round((revenue - lag(revenue) OVER (ORDER BY day_str))
+             / lag(revenue) OVER (ORDER BY day_str) * 100, 6)
+           AS pct_change
+FROM daily
+ORDER BY day_str
+"""
+
+
+@register("window_pct_change", oracle=_PCT_CHANGE_ORACLE)
+def window_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period change: daily revenue with day-over-day
+    percent delta (the dashboard / trend-report primitive).
+
+    Scale posture: the unpartitioned lag window runs AFTER the daily
+    aggregation, so its input is bounded by the calendar (one row per
+    day — thousands of rows at any corpus size, same accepted
+    dim-sized-input caveat as window_ntile_percentile), while the
+    fact-sized work is an ordinary map-side-combined groupBy. Revenue
+    is an exact decimal sum finalized to double once; the ratio is
+    computed from two already-final doubles, so it hashes identically
+    on DuckDB.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("rev_dec"))
+    daily = daily.select(
+        F.col("day").cast("date").cast("string").alias("day_str"),
+        F.col("rev_dec").cast("double").alias("revenue"),
+    )
+    w = Window.orderBy("day_str")
+    prev = F.lag("revenue").over(w)
+    return daily.select(
+        "day_str",
+        "revenue",
+        F.round((F.col("revenue") - prev) / prev * 100, 6).alias(
+            "pct_change"
+        ),
+    ).orderBy("day_str")
