@@ -117,6 +117,7 @@ HEADLINE = [
     "sql_tpch_q14_shape",
     "agg_corr_matrix",
     "window_pct_change",
+    "join_null_safe",
 ]
 
 

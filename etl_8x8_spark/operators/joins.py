@@ -918,3 +918,74 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap_us"),
         )
     )
+
+
+_NULL_SAFE_ORACLE = """
+WITH c AS (
+  SELECT c_custkey, NULLIF(c_nationkey % 8, 0) AS seg
+  FROM customer
+),
+s AS (
+  SELECT NULLIF(CAST(s_nationkey % 8 AS INT), 0) AS seg,
+         COUNT(*) AS n_suppliers,
+         MIN(s_suppkey) AS min_suppkey
+  FROM supplier
+  GROUP BY 1
+)
+SELECT c.seg AS seg, COUNT(*) AS n_customers,
+       MIN(s.n_suppliers) AS n_suppliers,
+       MIN(s.min_suppkey) AS min_suppkey
+FROM c JOIN s ON c.seg IS NOT DISTINCT FROM s.seg
+GROUP BY c.seg
+ORDER BY seg NULLS FIRST
+"""
+
+
+@register("join_null_safe", oracle=_NULL_SAFE_ORACLE)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
+    match each OTHER instead of silently dropping — the semantics a
+    changelog/dimension merge needs when "unknown" is itself a key.
+
+    A plain equality join discards every NULL-keyed row on both sides
+    (NULL = NULL is NULL); eqNullSafe hashes NULL as an ordinary key
+    value, so the join stays a broadcast/shuffled HASH join — same
+    plan shape, no fallback to a non-equi strategy. The aggregated
+    supplier side is dim-sized and broadcasts. NULL keys all land in
+    one task, which at 100 TB is a deliberate skew trade-off: if the
+    unknown-key population is large, pre-split it before the join
+    (see join_salted_skew).
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    c = customer.select(
+        "c_custkey",
+        F.nullif(F.col("c_nationkey") % F.lit(8), F.lit(0)).alias("seg"),
+    )
+    s = (
+        supplier.select(
+            F.nullif(
+                (F.col("s_nationkey") % F.lit(8)).cast("int"), F.lit(0)
+            ).alias("seg"),
+            "s_suppkey",
+        )
+        .groupBy("seg")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.min("s_suppkey").alias("min_suppkey"),
+        )
+    )
+    joined = c.join(
+        F.broadcast(s.withColumnRenamed("seg", "s_seg")),
+        c["seg"].eqNullSafe(F.col("s_seg")),
+        "inner",
+    )
+    return (
+        joined.groupBy("seg")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.min("n_suppliers").alias("n_suppliers"),
+            F.min("min_suppkey").alias("min_suppkey"),
+        )
+        .orderBy(F.asc_nulls_first("seg"))
+    )
