@@ -118,6 +118,20 @@ HEADLINE = [
     "agg_corr_matrix",
     "window_pct_change",
     "join_null_safe",
+    # appended r4 wave 4 — the remaining TPC-H shapes (full 22)
+    "sql_tpch_q2_shape",
+    "sql_tpch_q8_shape",
+    "sql_tpch_q9_shape",
+    "sql_tpch_q11_shape",
+    "sql_tpch_q12_shape",
+    "sql_tpch_q13_shape",
+    "sql_tpch_q15_shape",
+    "sql_tpch_q16_shape",
+    "sql_tpch_q17_shape",
+    "sql_tpch_q19_shape",
+    "sql_tpch_q20_shape",
+    "sql_tpch_q21_shape",
+    "sql_tpch_q22_shape",
 ]
 
 

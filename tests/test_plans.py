@@ -208,11 +208,66 @@ class TestNewOperatorPlans:
         BuildRight broadcast of filtered lineitem in Q3 at test SF)."""
         for name in ("sql_tpch_q3_shape", "sql_tpch_q5_shape",
                      "sql_tpch_q7_shape", "sql_tpch_q10_shape",
-                     "sql_tpch_q14_shape"):
+                     "sql_tpch_q14_shape", "sql_tpch_q8_shape",
+                     "sql_tpch_q9_shape", "sql_tpch_q11_shape",
+                     "sql_tpch_q12_shape", "sql_tpch_q19_shape"):
             plan = plan_of(spark, sf_dir, queries, name)
             for chunk in plan.split("BroadcastExchange")[1:]:
+                # the broadcast child's scan appears within the first
+                # ~1200 chars; match the scanned FILE, not a column
+                # name (aggregate aliases like sum(l_extendedprice..)
+                # leak into unrelated Filter lines downstream)
                 head = chunk[:1200]
-                assert "l_extendedprice" not in head, name
+                assert "lineitem.parquet" not in head, name
+
+    def test_q19_disjunction_stays_hash_join(self, spark, sf_dir, queries):
+        """The three-clause OR references both join sides, so no clause
+        pushes below the join — but the p_partkey equi-key must still
+        carry a BroadcastHashJoin with the disjunction as a residual,
+        never a cartesian fallback."""
+        plan = plan_of(spark, sf_dir, queries, "sql_tpch_q19_shape")
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_q21_exists_pair_compiles_to_semi_and_anti(
+        self, spark, sf_dir, queries
+    ):
+        """EXISTS -> left semi, NOT EXISTS -> left anti, both on the
+        l_orderkey equi-key (the supplier inequality rides as a join
+        residual). A nested-loop fallback here is quadratic in order
+        size and would be a 100 TB killer."""
+        plan = plan_of(spark, sf_dir, queries, "sql_tpch_q21_shape")
+        assert "LeftSemi" in plan
+        assert "LeftAnti" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_q17_correlated_avg_decorrelates(self, spark, sf_dir, queries):
+        """The per-part scalar AVG must decorrelate into an aggregate
+        joined on l_partkey (avg appears as a partial below a join),
+        not a per-row re-execution (no nested-loop / cartesian)."""
+        plan = plan_of(spark, sf_dir, queries, "sql_tpch_q17_shape")
+        assert "partial_avg" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_q13_on_clause_filter_stays_in_left_join(
+        self, spark, sf_dir, queries
+    ):
+        """The priority filter lives in the LEFT JOIN's ON clause;
+        pushing it to a WHERE would delete zero-order customers. The
+        plan must keep LeftOuter AND must not filter the customer
+        (left) side on o_orderpriority."""
+        plan = plan_of(spark, sf_dir, queries, "sql_tpch_q13_shape")
+        assert "LeftOuter" in plan
+
+    def test_q22_anti_join_and_scalar_subquery(self, spark, sf_dir, queries):
+        """NOT EXISTS -> left anti against orders; the average-balance
+        threshold is a one-row scalar subquery, not a per-row
+        re-aggregation."""
+        plan = plan_of(spark, sf_dir, queries, "sql_tpch_q22_shape")
+        assert "LeftAnti" in plan
+        assert "Subquery" in plan or "scalar-subquery" in plan
 
     def test_q6_scan_bound_no_wide_shuffle(self, spark, sf_dir, queries):
         """Q6 is filter+global-sum: all three predicates must reach the
