@@ -132,6 +132,12 @@ HEADLINE = [
     "sql_tpch_q20_shape",
     "sql_tpch_q21_shape",
     "sql_tpch_q22_shape",
+    # appended r4 wave 5
+    "agg_linear_regression",
+    "agg_entropy",
+    "window_attribution_last_touch",
+    "join_existence_mark",
+    "cdc_apply_changes",
 ]
 
 

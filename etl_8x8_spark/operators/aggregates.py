@@ -1430,3 +1430,144 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS (col_x, col_y, corr)"
         )
     ).orderBy("col_x", "col_y")
+
+
+_LINREG_ORACLE = """
+WITH s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         SUM(CAST(l_quantity AS DECIMAL(30,6))) AS sx,
+         SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS sy,
+         SUM(CAST(l_quantity AS DECIMAL(30,6))
+             * CAST(l_quantity AS DECIMAL(30,6))) AS sxx,
+         SUM(CAST(l_quantity AS DECIMAL(30,6))
+             * CAST(l_extendedprice AS DECIMAL(30,6))) AS sxy,
+         SUM(CAST(l_extendedprice AS DECIMAL(30,6))
+             * CAST(l_extendedprice AS DECIMAL(30,6))) AS syy
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n,
+       round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+             6) AS slope,
+       round((CAST(sy AS DOUBLE)
+              - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * CAST(sx AS DOUBLE)) / n, 6) AS intercept,
+       round(((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              * (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+             / ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+             6) AS r2
+FROM s
+ORDER BY l_returnflag
+"""
+
+
+@register("agg_linear_regression", oracle=_LINREG_ORACLE)
+def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary least squares (slope / intercept / R²) of
+    extended price on quantity — the closed-form ML-adjacent aggregate
+    (feature drift monitors, quick trend fits) computed WITHOUT
+    ``F.regr_slope``/``regr_r2``, whose streaming co-moment merges are
+    partition-order-dependent doubles and can hash differently between
+    engines and runs.
+
+    Like agg_corr_matrix: the five power sums (Sx, Sy, Sxx, Sxy, Syy)
+    accumulate in EXACT decimal inside one map-side partial aggregate;
+    doubles appear only in the closed-form finalization, which is pure
+    IEEE arithmetic on bit-identical inputs. One scan, one
+    |groups|-row shuffle — scan-bound at 100 TB.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast(DEC)
+    y = F.col("l_extendedprice").cast(DEC)
+    s = lineitem.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(y * y).alias("syy"),
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    syy = F.col("syy").cast("double")
+    cov = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    slope = cov / var_x
+    return s.select(
+        "l_returnflag",
+        n.cast("long").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(cov * cov / (var_x * var_y), 6).alias("r2"),
+    ).orderBy("l_returnflag")
+
+
+_ENTROPY_ORACLE = """
+WITH counts AS (
+  SELECT CAST(user_id % 8 AS BIGINT) AS cohort,
+         event_type,
+         COUNT(*) AS c
+  FROM events
+  GROUP BY 1, 2
+),
+terms AS (
+  SELECT cohort,
+         CAST(round(c * ln(c), 6) AS DECIMAL(30,6)) AS term,
+         c
+  FROM counts
+)
+SELECT cohort,
+       CAST(SUM(c) AS BIGINT) AS n_events,
+       round(ln(SUM(c)) - CAST(SUM(term) AS DOUBLE) / SUM(c), 6)
+           AS entropy
+FROM terms
+GROUP BY cohort
+ORDER BY cohort
+"""
+
+
+@register("agg_entropy", oracle=_ENTROPY_ORACLE)
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the event-type distribution per user cohort
+    (the diversity / anomaly signal: a cohort whose entropy collapses
+    is doing one thing on repeat). Uses H = ln(N) - (Σ c·ln c)/N so
+    only counts are aggregated.
+
+    Cross-engine determinism: each c·ln(c) term is rounded to 6
+    decimals and cast to DECIMAL before the per-cohort sum, so the
+    accumulation is exact and order-independent — a raw double sum of
+    log terms would depend on reduce order and hash-diverge between
+    engines. Two shuffles, both tiny: (cohort, type) counts (map-side
+    combined from the scan), then |cohorts| rows.
+    """
+    events = load_table(spark, sf_dir, "events")
+    counts = events.groupBy(
+        (F.col("user_id") % 8).cast("long").alias("cohort"),
+        "event_type",
+    ).agg(F.count("*").alias("c"))
+    terms = counts.select(
+        "cohort",
+        "c",
+        F.round(F.col("c") * F.log(F.col("c")), 6).cast(DEC).alias("term"),
+    )
+    return (
+        terms.groupBy("cohort")
+        .agg(
+            F.sum("c").cast("long").alias("n_events"),
+            F.round(
+                F.log(F.sum("c"))
+                - F.sum("term").cast("double") / F.sum("c"),
+                6,
+            ).alias("entropy"),
+        )
+        .orderBy("cohort")
+    )

@@ -117,3 +117,106 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n.o_orderpriority").alias("new_priority"),
         )
     )
+
+
+# changelog residue classes (distinct seq per class so compaction has
+# a deterministic winner; 21 = 3*7 guarantees multi-change keys)
+_CH_U1 = 7  # first update pass
+_CH_U2 = 21  # second update pass (overrides U1 on common keys)
+_CH_D = 11  # deletes (seq 3: wins over any update)
+_CH_I = 13  # inserts under shifted keys
+_CH_OFF = 20_000_000
+
+_APPLY_ORACLE = f"""
+WITH changelog AS (
+  SELECT o_orderkey AS key, 'U' AS op, 1 AS seq,
+         'U-PASS1' AS new_priority, o_totalprice AS price
+  FROM orders WHERE o_orderkey % {_CH_U1} = 0
+  UNION ALL
+  SELECT o_orderkey, 'U', 2, 'U-PASS2', o_totalprice
+  FROM orders WHERE o_orderkey % {_CH_U2} = 0
+  UNION ALL
+  SELECT o_orderkey, 'D', 3, NULL, o_totalprice
+  FROM orders WHERE o_orderkey % {_CH_D} = 0
+  UNION ALL
+  SELECT o_orderkey + {_CH_OFF}, 'I', 1, 'I-NEW', o_totalprice
+  FROM orders WHERE o_orderkey % {_CH_I} = 0
+),
+latest AS (
+  SELECT key, op, new_priority, price,
+         row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+  FROM changelog
+)
+SELECT o_orderkey, o_orderpriority, o_totalprice
+FROM orders
+WHERE o_orderkey NOT IN (SELECT key FROM changelog)
+UNION ALL
+SELECT key AS o_orderkey, new_priority AS o_orderpriority,
+       price AS o_totalprice
+FROM latest
+WHERE rn = 1 AND op <> 'D'
+"""
+
+
+@register("cdc_apply_changes", oracle=_APPLY_ORACLE)
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a CDC changelog (insert / update / delete rows with
+    sequence numbers) onto a snapshot — the other half of the CDC
+    family: cdc_snapshot_diff DETECTS changes, this one REPLAYS them.
+    The changelog is derived deterministically from orders (same
+    planted-answer seeding as the diff) and deliberately contains
+    multiple changes per key, so compaction is load-bearing: the
+    highest-seq change wins (a delete at seq 3 beats both updates).
+
+    Plan: compact the changelog FIRST (row_number over key — the
+    changelog is delta-sized, far smaller than the snapshot), then one
+    anti join removes touched keys from the snapshot and a union
+    appends the surviving latest images. The snapshot is never
+    shuffled more than once, and at 100 TB the window input is the
+    delta, not the table — the same posture streaming upsert sinks
+    (stream_foreach_batch_upsert) rely on.
+    """
+    from pyspark.sql import Window
+
+    old = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    key = F.col("o_orderkey")
+
+    def change(residue, op, seq, priority):
+        prio = (
+            F.lit(priority)
+            if priority is not None
+            else F.lit(None).cast("string")
+        )
+        shifted = key + _CH_OFF if op == "I" else key
+        return old.filter(key % residue == 0).select(
+            shifted.alias("key"),
+            F.lit(op).alias("op"),
+            F.lit(seq).alias("seq"),
+            prio.alias("new_priority"),
+            F.col("o_totalprice").alias("price"),
+        )
+
+    changelog = (
+        change(_CH_U1, "U", 1, "U-PASS1")
+        .unionByName(change(_CH_U2, "U", 2, "U-PASS2"))
+        .unionByName(change(_CH_D, "D", 3, None))
+        .unionByName(change(_CH_I, "I", 1, "I-NEW"))
+    )
+    w = Window.partitionBy("key").orderBy(F.desc("seq"))
+    latest = (
+        changelog.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    untouched = old.join(
+        changelog.select("key").distinct(),
+        old["o_orderkey"] == F.col("key"),
+        "left_anti",
+    )
+    applied = latest.filter(F.col("op") != "D").select(
+        F.col("key").alias("o_orderkey"),
+        F.col("new_priority").alias("o_orderpriority"),
+        F.col("price").alias("o_totalprice"),
+    )
+    return untouched.unionByName(applied)

@@ -989,3 +989,33 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc_nulls_first("seg"))
     )
+
+
+_EXISTENCE_SQL = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE c_acctbal > 9000.0
+   OR EXISTS (
+     SELECT 1 FROM orders
+     WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+   )
+"""
+
+
+@register("join_existence_mark", oracle=_EXISTENCE_SQL)
+def join_existence_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence (mark) join: an EXISTS predicate OR'd with an
+    ordinary filter. Neither a semi join (rows can survive WITHOUT a
+    match, via the balance clause) nor a plain filter (the subquery
+    must probe orders) — Catalyst compiles it to ExistenceJoin, which
+    attaches a boolean mark column during the hash join and filters on
+    the disjunction afterwards. One shuffle of the distinct urgent
+    custkeys against customer; the orders side reduces to its key set
+    before the join, so the exchange is keys-only at any scale. Plan
+    pinned in tests/test_plans.py (ExistenceJoin, no nested loop).
+    """
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_EXISTENCE_SQL)

@@ -798,3 +798,89 @@ def window_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pct_change"
         ),
     ).orderBy("day_str")
+
+
+# 7 days in microseconds — the attribution lookback window.
+_ATTR_WINDOW_US = 7 * 24 * 3600 * 1_000_000
+
+_ATTRIBUTION_ORACLE = f"""
+WITH marked AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us,
+         last_value(CASE WHEN event_type IN ('click', 'view')
+                         THEN epoch_us(ts) END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS touch_us,
+         last_value(CASE WHEN event_type IN ('click', 'view')
+                         THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS raw_touch_id
+  FROM events
+)
+SELECT event_id, user_id, t_us AS purchase_us,
+       CASE WHEN t_us - touch_us <= {_ATTR_WINDOW_US}
+            THEN raw_touch_id END AS touch_id,
+       CASE WHEN t_us - touch_us <= {_ATTR_WINDOW_US}
+            THEN t_us - touch_us END AS gap_us
+FROM marked
+WHERE event_type = 'purchase'
+"""
+
+
+@register("window_attribution_last_touch", oracle=_ATTRIBUTION_ORACLE)
+def window_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the most
+    recent click/view by the same user within a 7-day lookback, else
+    unattributed (NULL) — the marketing-analytics primitive.
+
+    ``F.last(..., ignorenulls=True)`` over a rows-frame ending at the
+    PREVIOUS row ( -1 ) finds the latest touch strictly before the
+    purchase without a self-join: one user_id shuffle + per-user sort,
+    versus the naive events-x-events as-of join that reshuffles the
+    fact twice. The two last() calls pick the same touch row because
+    both are non-null on exactly the touch rows under the same total
+    order (ts, event_id). Per-user partitions are bounded (user count
+    grows with data; per-user history doesn't), so one task never
+    holds more than one user's tail — the same posture as
+    window_sessionize. Gap arithmetic is integer epoch-micros
+    (``unix_micros`` / ``epoch_us``) on both engines.
+    """
+    events = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    is_touch = F.col("event_type").isin("click", "view")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch_us = F.last(F.when(is_touch, us), ignorenulls=True).over(w)
+    raw_touch_id = F.last(
+        F.when(is_touch, F.col("event_id")), ignorenulls=True
+    ).over(w)
+    return (
+        events.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            us.alias("purchase_us"),
+            touch_us.alias("t_us"),
+            raw_touch_id.alias("raw_touch_id"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "purchase_us",
+            F.when(
+                (F.col("purchase_us") - F.col("t_us"))
+                <= F.lit(_ATTR_WINDOW_US),
+                F.col("raw_touch_id"),
+            ).alias("touch_id"),
+            F.when(
+                (F.col("purchase_us") - F.col("t_us"))
+                <= F.lit(_ATTR_WINDOW_US),
+                F.col("purchase_us") - F.col("t_us"),
+            ).alias("gap_us"),
+        )
+    )

@@ -269,6 +269,29 @@ class TestNewOperatorPlans:
         assert "LeftAnti" in plan
         assert "Subquery" in plan or "scalar-subquery" in plan
 
+    def test_existence_mark_compiles_to_existence_join(
+        self, spark, sf_dir, queries
+    ):
+        """EXISTS OR'd with a plain filter can't become a semi join
+        (unmatched rows may still qualify) — it must become an
+        ExistenceJoin mark column, never a nested-loop fallback."""
+        plan = plan_of(spark, sf_dir, queries, "join_existence_mark")
+        assert "ExistenceJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_cdc_apply_windows_the_delta_not_the_snapshot(
+        self, spark, sf_dir, queries
+    ):
+        """Changelog compaction must window over the delta (filtered
+        residue classes), never the full snapshot: the Window's child
+        must carry the changelog's op/seq columns, and the snapshot
+        side must reach the union through an anti join."""
+        plan = plan_of(spark, sf_dir, queries, "cdc_apply_changes")
+        assert "LeftAnti" in plan
+        win = plan.split("Window")[1]
+        assert "seq" in win[:800]
+
     def test_q6_scan_bound_no_wide_shuffle(self, spark, sf_dir, queries):
         """Q6 is filter+global-sum: all three predicates must reach the
         parquet scan, the read schema must be the 3 referenced columns,
