@@ -138,6 +138,11 @@ HEADLINE = [
     "window_attribution_last_touch",
     "join_existence_mark",
     "cdc_apply_changes",
+    # appended r4 wave 6
+    "agg_markov_transitions",
+    "agg_robust_mad",
+    "fn_struct",
+    "graph_degree_distribution",
 ]
 
 

@@ -1571,3 +1571,145 @@ def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort")
     )
+
+
+_MARKOV_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+trans AS (
+  SELECT prev_type AS from_type, event_type AS to_type,
+         COUNT(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_type, to_type,
+       CAST(n AS BIGINT) AS n_transitions,
+       round(CAST(n AS DOUBLE)
+             / SUM(n) OVER (PARTITION BY from_type), 6) AS prob
+FROM trans
+ORDER BY from_type, to_type
+"""
+
+
+@register("agg_markov_transitions", oracle=_MARKOV_ORACLE)
+def agg_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for every (from_type, to_type) pair, how often one
+    event type follows another, with row-normalized probabilities —
+    the sequence-mining primitive under next-action prediction and
+    bot/behavior fingerprinting.
+
+    Plan: ONE user_id window shuffle produces the lagged pairs, one
+    map-side-combined groupBy counts them, and the probability
+    normalization is a window over the |types|² aggregate (25 rows at
+    any corpus size — never the fact). Probabilities are exact-count
+    ratios, so the doubles are bit-identical across engines.
+    """
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    trans = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    w_from = Window.partitionBy("from_type")
+    return trans.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("long").alias("n_transitions"),
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(w_from), 6
+        ).alias("prob"),
+    ).orderBy("from_type", "to_type")
+
+
+_MAD_K = 3.0  # outlier threshold in MAD-sigmas
+_MAD_SCALE = 1.4826  # consistency constant: MAD -> sigma for normals
+
+_MAD_ORACLE = f"""
+WITH med AS (
+  SELECT event_type, median(value) AS med
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, e.value, m.med,
+         abs(e.value - m.med) AS ad
+  FROM events e JOIN med m ON e.event_type = m.event_type
+),
+mad AS (
+  SELECT event_type, median(ad) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       round(MIN(d.med), 6) AS med,
+       round(MIN(m.mad), 6) AS mad,
+       CAST(SUM(CASE WHEN d.ad > {_MAD_K} * {_MAD_SCALE} * m.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+GROUP BY d.event_type
+ORDER BY d.event_type
+"""
+
+
+@register("agg_robust_mad", oracle=_MAD_ORACLE)
+def agg_robust_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier statistics per group: median, median absolute
+    deviation (MAD), and the count of |x − med| > 3·1.4826·MAD — the
+    outlier monitor that, unlike z-scores (agg_stats_moments /
+    window_anomaly_zscore), is itself immune to the outliers it
+    hunts (mean and stddev both move with the contamination; medians
+    don't).
+
+    Three passes over the fact (median → MAD → threshold count), each
+    a narrow scan into a per-group aggregate, with the tiny per-group
+    stats broadcast back. Exact interpolated medians share the
+    same formula on both engines (Spark ``percentile`` / DuckDB
+    ``median``); like agg_percentile_exact this is the
+    low-cardinality-group report variant — exact medians buffer a
+    group per task, so beyond ~10⁷-row groups the quantile sketch is
+    the scale path.
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", "value"
+    )
+    med = events.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("med")
+    )
+    dev = events.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("ad"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("ad", 0.5).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.min("med"), 6).alias("med"),
+            F.round(F.min("mad"), 6).alias("mad"),
+            F.sum(
+                F.when(
+                    F.col("ad") > _MAD_K * _MAD_SCALE * F.col("mad"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )

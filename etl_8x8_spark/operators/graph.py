@@ -213,3 +213,69 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_triangles"), "part")
         .limit(_TRI_TOP)
     )
+
+
+
+
+@register(
+    "graph_degree_distribution",
+    oracle=f"""
+WITH li AS (
+  SELECT l_orderkey AS o, l_partkey AS p
+  FROM lineitem WHERE l_quantity >= {_TRI_MIN_QTY}
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT a.p AS u, b.p AS v
+  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2
+),
+deg AS (
+  SELECT n, COUNT(*) AS d
+  FROM (SELECT u AS n FROM edges UNION ALL SELECT v AS n FROM edges)
+  GROUP BY 1
+)
+SELECT CAST(d AS BIGINT) AS degree,
+       CAST(COUNT(*) AS BIGINT) AS n_vertices
+FROM deg
+GROUP BY d
+ORDER BY degree
+""",
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase part graph (same edge
+    rule as graph_triangle_count): how many vertices have each
+    degree — the first diagnostic run on any production graph, because
+    the tail of this histogram is what decides whether skew handling
+    (salting, hub splitting) is needed before ANY other graph op.
+
+    Plan: distinct (order, part) pairs → per-order self-join bounded
+    by basket size → per-vertex degree count → degree histogram. The
+    histogram input is |V| rows and the output is the distinct-degree
+    domain; both shrink relative to the edge set, so each successive
+    shuffle is smaller than the last. No vertex ever needs its
+    neighborhood materialized in one task (counts only), so hubs
+    cost nothing special here — unlike the triangle pass this runs
+    BEFORE orientation decisions.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= _TRI_MIN_QTY)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+    )
+    endpoints = edges.select(F.col("u").alias("n")).unionByName(
+        edges.select(F.col("v").alias("n"))
+    )
+    deg = endpoints.groupBy("n").agg(F.count("*").alias("d"))
+    return (
+        deg.groupBy(F.col("d").cast("long").alias("degree"))
+        .agg(F.count("*").cast("long").alias("n_vertices"))
+        .orderBy("degree")
+    )

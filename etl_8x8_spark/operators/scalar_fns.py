@@ -470,3 +470,55 @@ def fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust-%d: %s", "c_custkey", F.substring("c_name", 1, 8)
         ).alias("label"),
     )
+
+
+_STRUCT_ORACLE = """
+WITH ranked AS (
+  SELECT o_custkey, o_totalprice, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC,
+                                     o_orderkey DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY o_custkey) AS n
+  FROM orders
+)
+SELECT o_custkey,
+       o_totalprice AS top_price,
+       o_orderkey AS top_orderkey,
+       CAST(n AS BIGINT) AS n_orders
+FROM ranked
+WHERE rn = 1
+ORDER BY o_custkey
+"""
+
+
+@register("fn_struct", oracle=_STRUCT_ORACLE)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structs as first-class comparable values: ``max(struct(a, b))``
+    is the distributed ARGMAX idiom — structs order lexicographically
+    by field position, so the max struct carries the winning row's
+    payload out of a plain aggregate. One map-side-combined groupBy,
+    no window, no self-join: at 100 TB this beats the
+    row_number-then-filter rewrite (which must SORT every group) —
+    the oracle uses that rewrite precisely because it is the
+    semantic ground truth. Field access (``top.p``) and
+    ``named_struct`` construction round-trip through the same
+    codegen'd path.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    top = F.max(
+        F.struct(
+            F.col("o_totalprice").alias("p"),
+            F.col("o_orderkey").alias("k"),
+        )
+    ).alias("top")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(top, F.count("*").cast("long").alias("n_orders"))
+        .select(
+            "o_custkey",
+            F.col("top.p").alias("top_price"),
+            F.col("top.k").alias("top_orderkey"),
+            "n_orders",
+        )
+        .orderBy("o_custkey")
+    )
