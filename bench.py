@@ -143,6 +143,10 @@ HEADLINE = [
     "agg_robust_mad",
     "fn_struct",
     "graph_degree_distribution",
+    # appended r4 wave 7
+    "window_time_weighted_avg",
+    "agg_ohlc_bars",
+    "stream_topk_per_window",
 ]
 
 

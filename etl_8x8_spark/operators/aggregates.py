@@ -1713,3 +1713,80 @@ def agg_robust_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_OHLC_ORACLE = """
+WITH base AS (
+  SELECT event_type,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+         epoch_us(ts) AS t_us, event_id, value
+  FROM events
+),
+ranked AS (
+  SELECT event_type, hour_start, value,
+         row_number() OVER (PARTITION BY event_type, hour_start
+                            ORDER BY t_us, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, hour_start
+                            ORDER BY t_us DESC, event_id DESC) AS rn_d
+  FROM base
+)
+SELECT event_type, hour_start,
+       MIN(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MIN(CASE WHEN rn_d = 1 THEN value END) AS close,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM ranked
+GROUP BY event_type, hour_start
+ORDER BY event_type, hour_start
+"""
+
+
+@register("agg_ohlc_bars", oracle=_OHLC_ORACLE)
+def agg_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candle bars (open/high/low/close + count) per event type
+    per hour — the time-series downsampling primitive under every
+    financial chart and metrics rollup.
+
+    Open and close use the struct-ordering argmin/argmax idiom
+    (fn_struct): ``min(struct(t_us, event_id, value))`` carries the
+    earliest row's value out of a plain aggregate with a
+    deterministic event_id tie-break, so the whole bar is ONE
+    map-side-combined groupBy — no window, no per-group sort, and at
+    100 TB the shuffle carries |types × hours| partial structs, never
+    rows. The oracle uses the row_number rewrite as independent
+    ground truth for the same semantics.
+    """
+    events = load_table(spark, sf_dir, "events")
+    t_us = F.unix_micros(F.col("ts"))
+    base = events.select(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
+        .cast("long")
+        .alias("hour_start"),
+        t_us.alias("t_us"),
+        "event_id",
+        "value",
+    )
+    first_s = F.min(F.struct("t_us", "event_id", "value")).alias("f")
+    last_s = F.max(F.struct("t_us", "event_id", "value")).alias("l")
+    return (
+        base.groupBy("event_type", "hour_start")
+        .agg(
+            first_s,
+            last_s,
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "hour_start",
+            F.col("f.value").alias("open"),
+            "high",
+            "low",
+            F.col("l.value").alias("close"),
+            "n_events",
+        )
+        .orderBy("event_type", "hour_start")
+    )

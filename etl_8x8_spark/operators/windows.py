@@ -884,3 +884,72 @@ def window_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("gap_us"),
         )
     )
+
+
+_TWAP_ORACLE = """
+WITH seq AS (
+  SELECT user_id, value, epoch_us(ts) AS t_us,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_us
+  FROM events
+),
+segs AS (
+  SELECT user_id,
+         next_us - t_us AS dt,
+         CAST(round(value * (next_us - t_us), 6) AS DECIMAL(30,6)) AS wv
+  FROM seq WHERE next_us IS NOT NULL
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(dt) AS BIGINT) AS total_us,
+       round(CAST(SUM(wv) AS DOUBLE) / CAST(SUM(dt) AS DOUBLE), 6)
+           AS twap
+FROM segs
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("window_time_weighted_avg", oracle=_TWAP_ORACLE)
+def window_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP) of ``value`` per user: each
+    reading is weighted by how long it was current (time until the
+    next event), the correct average for irregularly-sampled series —
+    a plain mean over-weights bursts, which is exactly when readings
+    cluster. The series' last reading has no duration and is excluded
+    (standard left-continuous step-function convention).
+
+    One user_id window shuffle (lead) feeding a map-side-combined
+    groupBy. Each value·Δt term is rounded to 6 decimals and cast to
+    DECIMAL before summation (LESSONS.md #21) so the accumulation is
+    exact and order-free; durations are integer epoch-micros
+    throughout.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t_us = F.unix_micros(F.col("ts"))
+    seq = events.select(
+        "user_id",
+        "value",
+        t_us.alias("t_us"),
+        F.lead(t_us).over(w).alias("next_us"),
+    )
+    dt = F.col("next_us") - F.col("t_us")
+    segs = seq.filter(F.col("next_us").isNotNull()).select(
+        "user_id",
+        dt.alias("dt"),
+        F.round(F.col("value") * dt, 6).cast(DEC).alias("wv"),
+    )
+    return (
+        segs.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_segments"),
+            F.sum("dt").cast("long").alias("total_us"),
+            F.round(
+                F.sum("wv").cast("double")
+                / F.sum("dt").cast("double"),
+                6,
+            ).alias("twap"),
+        )
+        .orderBy("user_id")
+    )

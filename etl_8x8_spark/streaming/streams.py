@@ -594,3 +594,64 @@ def stream_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.stop()
     q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "stream_topk_per_window",
+    oracle="""
+WITH counts AS (
+  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+         event_type, COUNT(*) AS n_events
+  FROM events
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT window_start, event_type, n_events,
+         row_number() OVER (PARTITION BY window_start
+                            ORDER BY n_events DESC, event_type) AS rnk
+  FROM counts
+)
+SELECT window_start, event_type,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 3
+""",
+)
+def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per tumbling hour over the stream — the
+    trending-now / leaderboard pattern. Structured Streaming cannot
+    rank inside a streaming aggregation (window functions need the
+    finished window), so this is the standard two-stage split: the
+    STREAM maintains the (window, type) counts — the only state that
+    must be incremental — and the rank runs as a bounded batch window
+    over the materialized aggregate, whose size is |windows × types|,
+    never the event volume. The same split holds on a cluster with
+    the rank in the serving layer (or a foreachBatch). Deterministic
+    tie-break: alphabetical event_type at equal counts.
+    """
+    from pyspark.sql import Window
+
+    s = read_events_stream(spark, sf_dir)
+    counts = (
+        s.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    table = run_to_table(counts, "complete", "stream_topk")
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        table.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "window_start",
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
