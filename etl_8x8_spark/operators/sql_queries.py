@@ -475,9 +475,14 @@ def sql_tpch_q9_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # TPC-H Q11 shape (important stock): per-part revenue share against a
-# global-total scalar subquery, supplier-nation filtered. The same
-# source slice is aggregated twice (per-part and global); the HAVING
-# threshold compares doubles derived from exact decimal sums.
+# global scalar subquery, supplier-nation filtered. The same source
+# slice is aggregated twice (per-part and global); the HAVING
+# threshold compares doubles derived from exact decimal sums. The
+# original's FRACTION-of-total gate is scale-DEPENDENT by spec
+# (0.0001/SF — at 10x the parts no part holds 0.1% of total and the
+# result is vacuously empty, LESSONS.md #20); the gate here is 2x the
+# mean per-part value, which selects a stable "important" head at
+# every SF while keeping the same uncorrelated-scalar shape.
 _Q11_SQL = """
 SELECT /*+ BROADCAST(supplier, nation), SHUFFLE_MERGE(lineitem) */
        l_partkey,
@@ -490,8 +495,9 @@ WHERE n_name = 'NATION_7'
 GROUP BY l_partkey
 HAVING CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)))
             AS DOUBLE) > (
-  SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                       AS DECIMAL(30,6))) AS DOUBLE) * 0.001
+  SELECT 2.0 * CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(30,6))) AS DOUBLE)
+             / COUNT(DISTINCT l_partkey)
   FROM lineitem
   JOIN supplier ON l_suppkey = s_suppkey
   JOIN nation   ON s_nationkey = n_nationkey
