@@ -110,16 +110,28 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_anti",
     oracle="""
 SELECT c_custkey, c_name FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey
+    AND o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+)
 """,
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Missing-key detection (left anti): R11's silently-absent keys
-    (reference test semantics at ``tests/.../test_ssm.py:25-30``)."""
+    """Missing-key detection (left anti): customers with no orders in
+    the opening half-year — R11's silently-absent keys (reference test
+    semantics at ``tests/.../test_ssm.py:25-30``). The right side is
+    date-sliced because EVERY customer has some order at every SF, so
+    the unsliced anti join was vacuously empty at sf0.01 and verified
+    nothing (LESSONS.md #20); the filter pushes to the orders scan
+    before the anti join's key dedup.
+    """
     customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    early = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1995-07-01"
+    )
     return customer.join(
-        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+        early, customer.c_custkey == early.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
 
 

@@ -80,20 +80,26 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "set_except",
     oracle="""
-SELECT c_nationkey AS nationkey FROM customer
+SELECT o_custkey AS custkey FROM orders
 EXCEPT
-SELECT s_nationkey AS nationkey FROM supplier
+SELECT o_custkey AS custkey FROM orders
+WHERE o_orderpriority = '1-URGENT'
 """,
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nations with customers but no suppliers (distinct EXCEPT)."""
-    c = load_table(spark, sf_dir, "customer").select(
-        F.col("c_nationkey").alias("nationkey")
-    )
-    s = load_table(spark, sf_dir, "supplier").select(
-        F.col("s_nationkey").alias("nationkey")
-    )
-    return c.subtract(s)
+    """Customers who ordered but never urgently (distinct EXCEPT).
+
+    The original nations-without-suppliers framing was vacuously empty
+    at every SF (all 25 nations have both) — an empty result
+    hash-matches without verifying anything (LESSONS.md #20); this
+    slice is ~10% of customers at every SF.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    all_c = orders.select(F.col("o_custkey").alias("custkey"))
+    urgent = orders.filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select(F.col("o_custkey").alias("custkey"))
+    return all_c.subtract(urgent)
 
 
 _SAMPLE_PCT = {"click": 5, "view": 2, "purchase": 100, "signup": 100, "error": 50}
