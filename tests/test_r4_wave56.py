@@ -198,3 +198,33 @@ class TestDegreeDistribution:
         rows = out.collect()
         assert all(r.degree >= 1 for r in rows)
         assert sum(r.n_vertices for r in rows) > 0
+
+
+class TestNoVacuousOracles:
+    def test_every_oracle_selects_rows_at_the_driver_gate_sf(self):
+        """LESSONS.md #20: an empty result hash-matches vacuously and
+        verifies nothing. Every oracle must return >= 1 row at sf0.01
+        (the driver's correctness gate). DuckDB-only — runs the whole
+        registry in seconds without a Spark session. Queries that are
+        legitimately empty at the tiny sf0.001 (hyper-selective chains
+        like Q20/Q21) are still covered here at the SF that counts.
+        """
+        import duckdb
+
+        qs = all_queries()
+        con = duckdb.connect()
+        for t in [
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "events", "documents", "embeddings",
+        ]:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"'/root/testdata/sf0.01/{t}.parquet'"
+            )
+        empty = []
+        for name, spec in qs.items():
+            if spec.oracle is None:
+                continue
+            if len(con.execute(spec.oracle).fetchall()) == 0:
+                empty.append(name)
+        assert not empty, f"vacuously-empty oracles at sf0.01: {empty}"
