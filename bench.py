@@ -147,6 +147,9 @@ HEADLINE = [
     "window_time_weighted_avg",
     "agg_ohlc_bars",
     "stream_topk_per_window",
+    # appended r4 wave 8
+    "join_lateral_topk",
+    "window_forward_fill",
 ]
 
 

@@ -1031,3 +1031,32 @@ def join_existence_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_EXISTENCE_SQL)
+
+
+_LATERAL_TOPK_SQL = """
+SELECT c_custkey, c_mktsegment, t.o_orderkey, t.o_totalprice
+FROM customer,
+LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_custkey = c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+"""
+
+
+@register("join_lateral_topk", oracle=_LATERAL_TOPK_SQL)
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT: each
+    customer joined to its own top-2 orders — the per-row-subquery
+    surface SQL users reach for before they know the window rewrite.
+
+    Catalyst decorrelates it into exactly the plan you'd hand-write:
+    a row_number window over orders WITH a PARTIAL WindowGroupLimit
+    below the exchange, so each map task forwards at most 2 rows per
+    customer — the shuffle carries ≤ 2·|customers|·|input partitions|
+    rows regardless of order volume. Pinned in tests/test_plans.py;
+    deterministic via the o_orderkey tie-break.
+    """
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_LATERAL_TOPK_SQL)

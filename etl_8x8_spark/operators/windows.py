@@ -953,3 +953,43 @@ def window_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+_FFILL_ORACLE = """
+SELECT event_id, user_id,
+       CASE WHEN event_type <> 'error' THEN value END AS raw_value,
+       last_value(CASE WHEN event_type <> 'error' THEN value END
+                  IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS filled_value
+FROM events
+"""
+
+
+@register("window_forward_fill", oracle=_FFILL_ORACLE)
+def window_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (pandas ``ffill`` at engine scale): carry the last
+    valid observation forward within each user's timeline. Error
+    events' readings are the planted missing values (a sensor in an
+    error state reports garbage); rows before any valid reading stay
+    NULL — ffill never invents data.
+
+    ``last(..., ignorenulls=True)`` over an UNBOUNDED PRECEDING rows
+    frame is the one-shuffle form; the naive rewrite (self as-of join
+    per missing row) reshuffles the fact once per gap. Same posture
+    as every user-partitioned window: per-task state is one user's
+    tail, constant as users grow.
+    """
+    events = load_table(spark, sf_dir, "events")
+    valid = F.when(F.col("event_type") != "error", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        valid.alias("raw_value"),
+        F.last(valid, ignorenulls=True).over(w).alias("filled_value"),
+    )

@@ -292,6 +292,29 @@ class TestNewOperatorPlans:
         win = plan.split("Window")[1]
         assert "seq" in win[:800]
 
+    def test_lateral_topk_gets_partial_window_group_limit(
+        self, spark, sf_dir, queries
+    ):
+        """The correlated LATERAL-LIMIT must decorrelate into a window
+        top-K with a PARTIAL WindowGroupLimit below the exchange (map
+        tasks forward <= K rows per key), never a per-row re-execution
+        or nested loop."""
+        plan = plan_of(spark, sf_dir, queries, "join_lateral_topk")
+        assert "WindowGroupLimit" in plan
+        assert "Partial" in plan.split("WindowGroupLimit")[-1][:200] or \
+            plan.count("WindowGroupLimit") >= 2
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_forward_fill_single_window_single_shuffle(
+        self, spark, sf_dir, queries
+    ):
+        """ffill is ONE user_id window: exactly one exchange over the
+        events relation, no self-join."""
+        plan = plan_of(spark, sf_dir, queries, "window_forward_fill")
+        assert plan.count("Exchange") == 1
+        assert "Join" not in plan
+
     def test_q6_scan_bound_no_wide_shuffle(self, spark, sf_dir, queries):
         """Q6 is filter+global-sum: all three predicates must reach the
         parquet scan, the read schema must be the 3 referenced columns,
