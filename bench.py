@@ -150,6 +150,9 @@ HEADLINE = [
     # appended r4 wave 8
     "join_lateral_topk",
     "window_forward_fill",
+    # appended r4 wave 9
+    "window_linear_interpolate",
+    "agg_weighted_median",
 ]
 
 

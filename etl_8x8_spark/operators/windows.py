@@ -993,3 +993,103 @@ def window_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         valid.alias("raw_value"),
         F.last(valid, ignorenulls=True).over(w).alias("filled_value"),
     )
+
+
+_INTERP_ORACLE = """
+WITH base AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t_us,
+         CASE WHEN event_type <> 'error' THEN value END AS v
+  FROM events
+),
+nb AS (
+  SELECT *,
+    last_value(CASE WHEN v IS NOT NULL THEN t_us END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY t_us, event_id
+            ROWS UNBOUNDED PRECEDING) AS pt,
+    last_value(v IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY t_us, event_id
+            ROWS UNBOUNDED PRECEDING) AS pv,
+    first_value(CASE WHEN v IS NOT NULL THEN t_us END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY t_us, event_id
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt,
+    first_value(v IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY t_us, event_id
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+  FROM base
+)
+SELECT event_id, user_id,
+       round(CASE
+         WHEN v IS NOT NULL THEN v
+         WHEN pt IS NOT NULL AND nt IS NOT NULL AND nt > pt
+           THEN pv + (nv - pv) * (t_us - pt) / (nt - pt)
+       END, 6) AS interp_value,
+       (v IS NULL AND pt IS NOT NULL AND nt IS NOT NULL)
+           AS was_interpolated
+FROM nb
+"""
+
+
+@register("window_linear_interpolate", oracle=_INTERP_ORACLE)
+def window_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of missing readings between each user's
+    surrounding valid observations, time-weighted on the actual
+    event-time axis (epoch micros) — the repair step for sensor /
+    metric series where ffill's step function biases downstream
+    aggregates. Rows before the first or after the last valid reading
+    stay NULL (interpolation never extrapolates).
+
+    Two frames over ONE (user_id, ts) sort: last(ignorenulls) looking
+    back carries (t, v) of the previous valid row, first(ignorenulls)
+    looking forward carries the next — still a single shuffle; the
+    naive form is two as-of self-joins (two extra fact shuffles). The
+    arithmetic runs on integer micros and IEEE doubles from identical
+    inputs, rounded once at the boundary.
+    """
+    events = load_table(spark, sf_dir, "events")
+    t_us = F.unix_micros(F.col("ts"))
+    v = F.when(F.col("event_type") != "error", F.col("value"))
+    base = events.select(
+        "event_id", "user_id", t_us.alias("t_us"), v.alias("v")
+    )
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    vt = F.when(F.col("v").isNotNull(), F.col("t_us"))
+    nb = base.select(
+        "event_id",
+        "user_id",
+        "t_us",
+        "v",
+        F.last(vt, ignorenulls=True).over(back).alias("pt"),
+        F.last("v", ignorenulls=True).over(back).alias("pv"),
+        F.first(vt, ignorenulls=True).over(fwd).alias("nt"),
+        F.first("v", ignorenulls=True).over(fwd).alias("nv"),
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        F.col("t_us") - F.col("pt")
+    ) / (F.col("nt") - F.col("pt"))
+    return nb.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.when(F.col("v").isNotNull(), F.col("v")).when(
+                F.col("pt").isNotNull()
+                & F.col("nt").isNotNull()
+                & (F.col("nt") > F.col("pt")),
+                interp,
+            ),
+            6,
+        ).alias("interp_value"),
+        (
+            F.col("v").isNull()
+            & F.col("pt").isNotNull()
+            & F.col("nt").isNotNull()
+        ).alias("was_interpolated"),
+    )

@@ -228,3 +228,34 @@ class TestNoVacuousOracles:
             if len(con.execute(spec.oracle).fetchall()) == 0:
                 empty.append(name)
         assert not empty, f"vacuously-empty oracles at sf0.01: {empty}"
+
+
+class TestWeightedMedian:
+    def test_constant_value_group_hits_width_zero_path(self, spark):
+        """All values equal in a group → bucket width 0 → every row
+        routes to bucket 0 and the residual pass sees the whole group;
+        the median must be the constant and the crossing test must not
+        divide by the zero width."""
+        import os
+        import shutil
+
+        from etl_8x8_spark.registry import all_queries
+        from etl_8x8_spark.sources.readers import scratch_dir
+
+        d = os.path.join(scratch_dir(), "wmedian_const")
+        shutil.rmtree(d, ignore_errors=True)
+        df = spark.createDataFrame(
+            [("A", 7.5, 3.0)] * 5 + [("B", 1.0, 1.0), ("B", 9.0, 9.0)],
+            "l_returnflag string, l_extendedprice double, l_quantity double",
+        )
+        df.write.parquet(os.path.join(d, "lineitem.parquet"))
+        out = {
+            r.l_returnflag: r
+            for r in all_queries()["agg_weighted_median"]
+            .builder(spark, d)
+            .collect()
+        }
+        assert out["A"].wmedian == 7.5
+        assert out["A"].total_weight == 15
+        # group B: weights 1 and 9; half of 10 is 5 -> 9.0 crosses
+        assert out["B"].wmedian == 9.0
