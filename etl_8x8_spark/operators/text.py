@@ -705,11 +705,6 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     corpus = seeded_pii_corpus(docs, keep=("lang",))
-    n_pii = (
-        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), F.lit(0)))
-        + F.size(F.regexp_extract_all("text", F.lit(_PHONE_RE), F.lit(0)))
-        + F.size(F.regexp_extract_all("text", F.lit(_IP_RE), F.lit(0)))
-    )
     red = F.regexp_replace(
         F.regexp_replace(
             F.regexp_replace("text", _EMAIL_RE, "[EMAIL]"),
@@ -719,10 +714,14 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         _IP_RE,
         "[IP]",
     )
+    # had_pii ⟺ some replacement fired ⟺ redacted differs from the
+    # original — one string compare instead of the three extra
+    # regexp_extract_all passes the standalone text_pii_redact needs
+    # for its per-type counts (the pipeline only reports the boolean).
     normed = corpus.select(
         "doc_id",
         "lang",
-        (n_pii > 0).alias("had_pii"),
+        (red != F.col("text")).alias("had_pii"),
         normalized(red).alias("norm"),
     ).withColumn("toks", F.split("norm", " "))
     ttr = F.size(F.array_distinct("toks")).cast("double") / F.size("toks")
