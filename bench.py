@@ -153,6 +153,10 @@ HEADLINE = [
     # appended r4 wave 9
     "window_linear_interpolate",
     "agg_weighted_median",
+    # appended r4 wave 10
+    "agg_audience_overlap",
+    "agg_ab_test_ttest",
+    "window_rank_change",
 ]
 
 

@@ -1915,3 +1915,178 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+_OVERLAP_ORACLE = """
+WITH flags AS (
+  SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_start,
+         user_id,
+         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+  GROUP BY 1, 2
+)
+SELECT day_start,
+       CAST(SUM(c) AS BIGINT) AS clickers,
+       CAST(SUM(p) AS BIGINT) AS purchasers,
+       CAST(SUM(c * p) AS BIGINT) AS both_n,
+       round(CAST(SUM(c * p) AS DOUBLE)
+             / nullif(SUM(c) + SUM(p) - SUM(c * p), 0), 6) AS jaccard
+FROM flags
+GROUP BY day_start
+ORDER BY day_start
+"""
+
+
+@register("agg_audience_overlap", oracle=_OVERLAP_ORACLE)
+def agg_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily audience overlap: distinct users who clicked, who
+    purchased, who did BOTH, and the Jaccard overlap — the segment
+    intersection every growth dashboard runs, and the relational form
+    of a bitmap AND (agg_bitmap_distinct holds the bitmap variant).
+
+    Two-level aggregate: the (day, user) flag table collapses
+    map-side (each task emits one row per user-day it saw), then the
+    per-day roll-up is |days| rows. Exact distinct-intersection
+    without count_distinct's dedup shuffle carrying event volume —
+    the first groupBy's output is bounded by active user-days.
+    """
+    events = load_table(spark, sf_dir, "events")
+    flags = (
+        events.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(
+            F.unix_timestamp(F.date_trunc("day", F.col("ts")))
+            .cast("long")
+            .alias("day_start"),
+            "user_id",
+        )
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("c"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("p"),
+        )
+    )
+    both = F.sum(F.col("c") * F.col("p"))
+    return (
+        flags.groupBy("day_start")
+        .agg(
+            F.sum("c").cast("long").alias("clickers"),
+            F.sum("p").cast("long").alias("purchasers"),
+            both.cast("long").alias("both_n"),
+            F.round(
+                both.cast("double")
+                / F.nullif(
+                    F.sum("c") + F.sum("p") - both, F.lit(0)
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("day_start")
+    )
+
+
+_TTEST_ORACLE = """
+WITH s AS (
+  SELECT CAST(user_id % 2 AS BIGINT) AS variant,
+         COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(30,6))) AS sx,
+         SUM(CAST(value AS DECIMAL(30,6))
+             * CAST(value AS DECIMAL(30,6))) AS sxx
+  FROM events
+  WHERE event_type = 'purchase'
+  GROUP BY 1
+),
+m AS (
+  SELECT variant, n,
+         CAST(sx AS DOUBLE) / n AS mean,
+         (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+           / (n - 1) AS var
+  FROM s
+),
+ab AS (
+  SELECT a.n AS n_a, a.mean AS mean_a, a.var AS var_a,
+         b.n AS n_b, b.mean AS mean_b, b.var AS var_b
+  FROM m a JOIN m b ON a.variant = 0 AND b.variant = 1
+)
+SELECT CAST(n_a AS BIGINT) AS n_a,
+       round(mean_a, 6) AS mean_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       round(mean_b, 6) AS mean_b,
+       round((mean_a - mean_b)
+             / sqrt(var_a / n_a + var_b / n_b), 6) AS t_stat,
+       round(pow(var_a / n_a + var_b / n_b, 2)
+             / (pow(var_a / n_a, 2) / (n_a - 1)
+                + pow(var_b / n_b, 2) / (n_b - 1)), 6) AS welch_df
+FROM ab
+"""
+
+
+@register("agg_ab_test_ttest", oracle=_TTEST_ORACLE)
+def agg_ab_test_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t-test over an A/B split (user_id parity):
+    per-variant mean and variance from EXACT decimal power sums, then
+    the t statistic and Welch–Satterthwaite degrees of freedom in
+    closed form — the experimentation-platform primitive, computed the
+    same deterministic way as agg_linear_regression (floats only at
+    finalization, so both engines hash identically).
+
+    One scan → two partial-aggregated rows → a 2-row self-join pairs
+    the variants. Scan-bound at any scale; the statistical math costs
+    nothing.
+    """
+    events = load_table(spark, sf_dir, "events")
+    x = F.col("value").cast(DEC)
+    s = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy((F.col("user_id") % 2).cast("long").alias("variant"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(x).alias("sx"),
+            F.sum(x * x).alias("sxx"),
+        )
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    m = s.select(
+        "variant",
+        n,
+        (sx / n).alias("mean"),
+        ((sxx - sx * sx / n) / (n - 1)).alias("var"),
+    )
+    a = m.filter(F.col("variant") == 0).select(
+        F.col("n").alias("n_a"),
+        F.col("mean").alias("mean_a"),
+        F.col("var").alias("var_a"),
+    )
+    b = m.filter(F.col("variant") == 1).select(
+        F.col("n").alias("n_b"),
+        F.col("mean").alias("mean_b"),
+        F.col("var").alias("var_b"),
+    )
+    ab = a.crossJoin(F.broadcast(b))
+    se2_a = F.col("var_a") / F.col("n_a")
+    se2_b = F.col("var_b") / F.col("n_b")
+    return ab.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.round("mean_a", 6).alias("mean_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round(
+            (F.col("mean_a") - F.col("mean_b"))
+            / F.sqrt(se2_a + se2_b),
+            6,
+        ).alias("t_stat"),
+        F.round(
+            F.pow(se2_a + se2_b, 2)
+            / (
+                F.pow(se2_a, 2) / (F.col("n_a") - 1)
+                + F.pow(se2_b, 2) / (F.col("n_b") - 1)
+            ),
+            6,
+        ).alias("welch_df"),
+    )

@@ -1093,3 +1093,72 @@ def window_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("nt").isNotNull()
         ).alias("was_interpolated"),
     )
+
+
+_RANK_CHANGE_ORACLE = """
+WITH daily AS (
+  SELECT CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS STRING)
+             AS month_str,
+         o_orderpriority,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+             AS revenue
+  FROM orders
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT month_str, o_orderpriority, revenue,
+         CAST(rank() OVER (PARTITION BY month_str
+                           ORDER BY revenue DESC, o_orderpriority)
+              AS BIGINT) AS rnk
+  FROM daily
+)
+SELECT month_str, o_orderpriority, revenue, rnk,
+       CAST(lag(rnk) OVER (PARTITION BY o_orderpriority
+                           ORDER BY month_str) - rnk
+            AS BIGINT) AS rank_gain
+FROM ranked
+ORDER BY month_str, rnk
+"""
+
+
+@register("window_rank_change", oracle=_RANK_CHANGE_ORACLE)
+def window_rank_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leaderboard rank tracking: each order priority's revenue rank
+    within the month, and how many places it gained (positive) or
+    lost (negative) versus the previous month — the movers-and-shakers
+    report. NULL gain on an entity's first month.
+
+    Two windows over the MONTHLY aggregate (|months × priorities|
+    rows — calendar-bounded, never the fact): rank within month, then
+    lag along each entity's month series. The fact-sized work is one
+    map-side-combined groupBy; both windows ride the tiny relation,
+    so this composes rank+lag without touching event volume twice.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate"))
+        .cast("date")
+        .cast("string")
+        .alias("month_str"),
+        "o_orderpriority",
+    ).agg(
+        F.sum(F.col("o_totalprice").cast(DEC))
+        .cast("double")
+        .alias("revenue")
+    )
+    w_rank = Window.partitionBy("month_str").orderBy(
+        F.desc("revenue"), F.asc("o_orderpriority")
+    )
+    ranked = daily.withColumn(
+        "rnk", F.rank().over(w_rank).cast("long")
+    )
+    w_series = Window.partitionBy("o_orderpriority").orderBy("month_str")
+    return ranked.select(
+        "month_str",
+        "o_orderpriority",
+        "revenue",
+        "rnk",
+        (F.lag("rnk").over(w_series) - F.col("rnk"))
+        .cast("long")
+        .alias("rank_gain"),
+    ).orderBy("month_str", "rnk")
