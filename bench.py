@@ -157,6 +157,10 @@ HEADLINE = [
     "agg_audience_overlap",
     "agg_ab_test_ttest",
     "window_rank_change",
+    # appended r4 wave 11
+    "sample_bootstrap_poisson",
+    "agg_gini_coefficient",
+    "window_max_drawdown",
 ]
 
 

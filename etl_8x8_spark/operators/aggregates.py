@@ -2090,3 +2090,63 @@ def agg_ab_test_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("welch_df"),
     )
+
+
+_GINI_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey,
+         SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS x
+  FROM orders
+  GROUP BY o_custkey
+),
+ranked AS (
+  SELECT x,
+         row_number() OVER (ORDER BY x, o_custkey) AS i,
+         COUNT(*) OVER () AS n
+  FROM spend
+)
+SELECT CAST(MIN(n) AS BIGINT) AS n_customers,
+       round((2.0 * CAST(SUM(CAST(i AS DECIMAL(30,6)) * x) AS DOUBLE))
+             / (MIN(n) * CAST(SUM(x) AS DOUBLE))
+             - (MIN(n) + 1.0) / MIN(n), 6) AS gini
+FROM ranked
+"""
+
+
+@register("agg_gini_coefficient", oracle=_GINI_ORACLE)
+def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend — the inequality /
+    concentration metric (revenue concentration risk, whale
+    detection): G = 2·Σ(i·xᵢ)/(n·Σxᵢ) − (n+1)/n over ascending-sorted
+    per-customer totals.
+
+    Plan: the fact collapses to per-customer totals first (map-side
+    combined groupBy), so the global row_number ranks a CUSTOMER-
+    cardinality relation — the same documented dim-sized-input caveat
+    as window_ntile_percentile; at a billion customers the rank would
+    move to the histogram-prune pattern agg_weighted_median uses.
+    Both Σ(i·x) and Σx accumulate in exact decimal (i is an exact
+    integer rank, x an exact decimal), so the final two-term formula
+    is IEEE on identical inputs.
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("x")
+    )
+    w = Window.orderBy("x", "o_custkey")
+    ranked = spend.select(
+        "x",
+        F.row_number().over(w).alias("i"),
+    )
+    n = F.count("*")
+    return ranked.agg(
+        n.cast("long").alias("n_customers"),
+        F.round(
+            (2.0 * F.sum(F.col("i").cast(DEC) * F.col("x")).cast("double"))
+            / (n * F.sum("x").cast("double"))
+            - (n + F.lit(1.0)) / n,
+            6,
+        ).alias("gini"),
+    )

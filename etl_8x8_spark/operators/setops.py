@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from etl_8x8_spark.functions.parity import DEC
 from etl_8x8_spark.registry import register
 from etl_8x8_spark.sources.readers import load_table
 
@@ -356,4 +357,103 @@ def sample_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         (F.col("hv") % _SHUF_SHARDS).cast("long").alias("shard"),
         (F.row_number().over(w) - 1).cast("long").alias("pos"),
+    )
+
+
+# Poisson(1) CDF breakpoints in 2^32 units (exp(-1)·Σ 1/i!), so the
+# resample count is a pure integer-compare on the 32-bit mixed hash —
+# identical arithmetic on both engines, no RNG.
+_POIS_T0 = 1580030169
+_POIS_T1 = 3160060337
+_POIS_T2 = 3950075422
+_POIS_T3 = 4213413783
+_BOOT_REPLICAS = 3
+
+_BOOT_ORACLE = f"""
+WITH reps AS (
+  SELECT o_orderkey, o_totalprice, r.replica
+  FROM orders,
+       (SELECT unnest(range({_BOOT_REPLICAS})) AS replica) r
+),
+weighted AS (
+  SELECT replica, o_totalprice,
+         CASE
+           WHEN u < {_POIS_T0} THEN 0
+           WHEN u < {_POIS_T1} THEN 1
+           WHEN u < {_POIS_T2} THEN 2
+           WHEN u < {_POIS_T3} THEN 3
+           ELSE 4
+         END AS k
+  FROM (
+    SELECT replica, o_totalprice,
+           ((o_orderkey % 2147483648) * 2654435761
+            + (replica + 1) * 40503) % 4294967296 AS u
+    FROM reps
+  )
+)
+SELECT CAST(replica AS BIGINT) AS replica,
+       CAST(SUM(k) AS BIGINT) AS resampled_rows,
+       CAST(SUM(CAST(k * o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+           AS resampled_revenue
+FROM weighted
+GROUP BY replica
+ORDER BY replica
+"""
+
+
+@register("sample_bootstrap_poisson", oracle=_BOOT_ORACLE)
+def sample_bootstrap_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap: {_BOOT_REPLICAS} deterministic resample
+    replicas of the orders table in ONE pass — the distributed way to
+    put confidence intervals on an aggregate. Instead of sampling n
+    rows WITH replacement (which needs global coordination), each row
+    independently receives a Poisson(1) multiplicity per replica; for
+    large n the replica is statistically indistinguishable from a true
+    bootstrap resample (Chamandy et al., "Estimating Uncertainty for
+    Massively Parallel Algorithms", Google 2012 — public report).
+
+    Determinism: the multiplicity comes from a Knuth-mixed 32-bit
+    integer hash of (orderkey, replica) compared against precomputed
+    Poisson CDF breakpoints — pure integer arithmetic, identical on
+    both engines (same overflow-safe masking as sample_systematic).
+    Plan: the replica explode is narrow (array of {_BOOT_REPLICAS}),
+    weights fold into the decimal partial sums map-side, and the
+    shuffle carries |replicas| rows. One scan regardless of replica
+    count.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    reps = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(_BOOT_REPLICAS - 1))
+        ).alias("replica"),
+    )
+    u = (
+        (F.col("o_orderkey") % F.lit(2147483648)) * F.lit(2654435761)
+        + (F.col("replica") + 1) * F.lit(40503)
+    ) % F.lit(4294967296)
+    k = (
+        F.when(u < _POIS_T0, 0)
+        .when(u < _POIS_T1, 1)
+        .when(u < _POIS_T2, 2)
+        .when(u < _POIS_T3, 3)
+        .otherwise(4)
+    )
+    return (
+        reps.select(
+            F.col("replica").cast("long").alias("replica"),
+            k.alias("k"),
+            "o_totalprice",
+        )
+        .groupBy("replica")
+        .agg(
+            F.sum("k").cast("long").alias("resampled_rows"),
+            F.sum(
+                (F.col("k") * F.col("o_totalprice")).cast(DEC)
+            )
+            .cast("double")
+            .alias("resampled_revenue"),
+        )
+        .orderBy("replica")
     )

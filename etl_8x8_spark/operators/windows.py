@@ -1162,3 +1162,69 @@ def window_rank_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rank_gain"),
     ).orderBy("month_str", "rnk")
+
+
+_DRAWDOWN_ORACLE = """
+WITH daily AS (
+  SELECT CAST(CAST(date_trunc('day', o_orderdate) AS DATE) AS STRING)
+             AS day_str,
+         SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS rev
+  FROM orders
+  GROUP BY 1
+),
+cums AS (
+  SELECT day_str,
+         SUM(rev) OVER (ORDER BY day_str
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM daily
+),
+curve AS (
+  SELECT day_str, cum,
+         MAX(cum) OVER (ORDER BY day_str
+                        ROWS UNBOUNDED PRECEDING) AS peak
+  FROM cums
+)
+SELECT day_str,
+       CAST(cum AS DOUBLE) AS cum_revenue,
+       CAST(peak AS DOUBLE) AS peak_revenue,
+       CAST(peak - cum AS DOUBLE) AS drawdown
+FROM curve
+ORDER BY day_str
+"""
+
+
+@register("window_max_drawdown", oracle=_DRAWDOWN_ORACLE)
+def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drawdown curve of cumulative daily revenue: running total,
+    running peak, and how far below the peak each day sits — the
+    finance risk primitive (max drawdown = max of this column),
+    equally useful on any cumulative KPI. Exact decimal all the way:
+    the running sum, and the running max OVER the running sum, never
+    leave decimal until the output cast, so peak − cum is exact.
+
+    The unpartitioned windows ride the DAILY aggregate (calendar-
+    bounded — thousands of rows at any fact size; the fact-sized work
+    is one map-side-combined groupBy), the same accepted posture as
+    window_pct_change.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate"))
+        .cast("date")
+        .cast("string")
+        .alias("day_str")
+    ).agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("rev"))
+    w = Window.orderBy("day_str").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    curve = daily.select(
+        "day_str", F.sum("rev").over(w).alias("cum")
+    ).select(
+        "day_str", "cum", F.max("cum").over(w).alias("peak")
+    )
+    return curve.select(
+        "day_str",
+        F.col("cum").cast("double").alias("cum_revenue"),
+        F.col("peak").cast("double").alias("peak_revenue"),
+        (F.col("peak") - F.col("cum")).cast("double").alias("drawdown"),
+    ).orderBy("day_str")
