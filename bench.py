@@ -161,6 +161,8 @@ HEADLINE = [
     "sample_bootstrap_poisson",
     "agg_gini_coefficient",
     "window_max_drawdown",
+    # appended r4 wave 12
+    "agg_survival_curve",
 ]
 
 

@@ -2150,3 +2150,163 @@ def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+_KM_HORIZON_H = 120  # administrative censoring horizon (hours)
+
+_KM_ORACLE = f"""
+WITH first_click AS (
+  SELECT user_id, MIN(ts) AS c_ts FROM events
+  WHERE event_type = 'click' GROUP BY user_id
+),
+conv AS (
+  SELECT f.user_id, f.c_ts, MIN(e.ts) AS p_ts
+  FROM first_click f
+  LEFT JOIN events e
+    ON e.user_id = f.user_id AND e.event_type = 'purchase'
+   AND e.ts > f.c_ts
+  GROUP BY f.user_id, f.c_ts
+),
+hrs AS (
+  SELECT user_id,
+         CASE WHEN p_ts IS NOT NULL
+              THEN (epoch_us(p_ts) - epoch_us(c_ts)) // 3600000000
+         END AS h
+  FROM conv
+),
+life AS (
+  SELECT user_id,
+         CASE WHEN h IS NOT NULL AND h <= {_KM_HORIZON_H}
+              THEN h ELSE {_KM_HORIZON_H} END AS t,
+         CASE WHEN h IS NOT NULL AND h <= {_KM_HORIZON_H}
+              THEN 0 ELSE 1 END AS censored
+  FROM hrs
+),
+per_t AS (
+  SELECT t, SUM(1 - censored) AS d, COUNT(*) AS ended
+  FROM life GROUP BY t
+),
+risk AS (
+  SELECT t, d,
+         SUM(ended) OVER (ORDER BY t
+                          ROWS BETWEEN CURRENT ROW
+                          AND UNBOUNDED FOLLOWING) AS n_risk
+  FROM per_t
+),
+terms AS (
+  SELECT t, d, n_risk,
+         CASE WHEN d >= n_risk THEN NULL
+              ELSE CAST(round(ln(1.0 - CAST(d AS DOUBLE) / n_risk), 9)
+                        AS DECIMAL(30,9)) END AS lnterm,
+         CASE WHEN d >= n_risk THEN 1 ELSE 0 END AS wipe
+  FROM risk WHERE d > 0
+)
+SELECT CAST(t AS BIGINT) AS t_hours,
+       CAST(n_risk AS BIGINT) AS n_at_risk,
+       CAST(d AS BIGINT) AS conversions,
+       CASE WHEN MAX(wipe) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) = 1
+            THEN 0.0
+            ELSE round(exp(CAST(SUM(lnterm)
+                       OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                       AS DOUBLE)), 6)
+       END AS survival
+FROM terms
+ORDER BY t_hours
+"""
+
+
+@register("agg_survival_curve", oracle=_KM_ORACLE)
+def agg_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-convert: hours from
+    each user's first click to their first subsequent purchase,
+    administratively censored at {_KM_HORIZON_H} h — S(t) = fraction
+    still unconverted at t, the churn/conversion analytics staple that
+    a plain average-time-to-convert gets wrong under censoring.
+
+    Determinism (LESSONS.md #21): the KM product Π(1 − dᵢ/nᵢ) is
+    computed as exp(Σ ln-terms) with each term rounded to 9 decimals
+    and summed in DECIMAL, so the cumulative product is order-free
+    and engine-identical; the degenerate d = n step (everyone left
+    converts) wipes survival to exactly 0 instead of ln(0).
+
+    Plan: per-user first-click and first-conversion are two map-side
+    aggregates plus one user-keyed join; everything after operates on
+    the |distinct event times| relation (hours — bounded by the
+    horizon), where the unpartitioned risk-set windows are free.
+    """
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    first_click = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    purchases = events.filter(
+        F.col("event_type") == "purchase"
+    ).select("user_id", F.col("ts").alias("p_ts"))
+    conv = (
+        first_click.join(
+            purchases,
+            (first_click.user_id == purchases.user_id)
+            & (F.col("p_ts") > F.col("c_ts")),
+            "left",
+        )
+        .groupBy(first_click.user_id, "c_ts")
+        .agg(F.min("p_ts").alias("p_ts"))
+    )
+    dt_h = (
+        F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("c_ts"))
+    ) / F.lit(3600 * 1_000_000)
+    hours = F.floor(dt_h)
+    converted = F.col("p_ts").isNotNull() & (hours <= _KM_HORIZON_H)
+    life = conv.select(
+        F.when(converted, hours)
+        .otherwise(F.lit(_KM_HORIZON_H))
+        .alias("t"),
+        F.when(converted, 0).otherwise(1).alias("censored"),
+    )
+    per_t = life.groupBy("t").agg(
+        F.sum(F.lit(1) - F.col("censored")).alias("d"),
+        F.count("*").alias("ended"),
+    )
+    w = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # at-risk at t = everyone whose observed time is >= t: a reverse
+    # cumulative sum — no eager count() action, single plan
+    w_rev = Window.orderBy("t").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    risk = per_t.select(
+        "t",
+        "d",
+        F.sum("ended").over(w_rev).alias("n_risk"),
+    )
+    terms = risk.filter(F.col("d") > 0).select(
+        "t",
+        "d",
+        "n_risk",
+        F.when(
+            F.col("d") < F.col("n_risk"),
+            F.round(
+                F.log(
+                    1.0 - F.col("d").cast("double") / F.col("n_risk")
+                ),
+                9,
+            ).cast("decimal(30,9)"),
+        ).alias("lnterm"),
+        F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0).alias(
+            "wipe"
+        ),
+    )
+    return terms.select(
+        F.col("t").cast("long").alias("t_hours"),
+        F.col("n_risk").cast("long").alias("n_at_risk"),
+        F.col("d").cast("long").alias("conversions"),
+        F.when(F.max("wipe").over(w) == 1, F.lit(0.0))
+        .otherwise(
+            F.round(F.exp(F.sum("lnterm").over(w).cast("double")), 6)
+        )
+        .alias("survival"),
+    ).orderBy("t_hours")
