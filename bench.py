@@ -163,6 +163,10 @@ HEADLINE = [
     "window_max_drawdown",
     # appended r4 wave 12
     "agg_survival_curve",
+    # appended r4 wave 13
+    "agg_basket_affinity",
+    "window_cusum_detect",
+    "graph_common_neighbors",
 ]
 
 

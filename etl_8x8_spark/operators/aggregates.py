@@ -2310,3 +2310,104 @@ def agg_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("survival"),
     ).orderBy("t_hours")
+
+
+# ---------------------------------------------------------------------------
+# market-basket association rules (support / confidence / lift)
+# ---------------------------------------------------------------------------
+
+_BASKET_MIN_SUPPORT = 0.005  # pair must appear in >= 0.5% of baskets
+
+_BASKET_ORACLE = f"""
+WITH items AS (
+  SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+n AS (
+  SELECT COUNT(DISTINCT ok) AS n_baskets FROM items
+),
+brand_n AS (
+  SELECT brand, COUNT(*) AS bn FROM items GROUP BY brand
+),
+pair_n AS (
+  SELECT a.brand AS brand_a, b.brand AS brand_b, COUNT(*) AS pn
+  FROM items a JOIN items b ON a.ok = b.ok AND a.brand < b.brand
+  GROUP BY a.brand, b.brand
+)
+SELECT p.brand_a, p.brand_b,
+       CAST(p.pn AS BIGINT) AS n_pair,
+       round(CAST(p.pn AS DOUBLE) / n.n_baskets, 6) AS support,
+       round(CAST(p.pn AS DOUBLE) / na.bn, 6) AS conf_a_to_b,
+       round(CAST(p.pn AS DOUBLE) * n.n_baskets / (na.bn * nb.bn), 6)
+         AS lift
+FROM pair_n p
+JOIN brand_n na ON na.brand = p.brand_a
+JOIN brand_n nb ON nb.brand = p.brand_b
+CROSS JOIN n
+WHERE CAST(p.pn AS DOUBLE) / n.n_baskets >= {_BASKET_MIN_SUPPORT}
+ORDER BY p.brand_a, p.brand_b
+"""
+
+
+@register("agg_basket_affinity", oracle=_BASKET_ORACLE)
+def agg_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules: for every brand pair bought
+    together in one order, support (share of baskets containing
+    both), confidence (P(b | a)), and lift (observed co-occurrence
+    over the independence expectation) — the recommender/affinity
+    primitive.
+
+    Plan: broadcast-join part onto lineitem, ONE distinct pass to
+    (order, brand) items, then a self-equi-join on the order key —
+    both sides shuffle on the SAME key so the exchange is reused, and
+    per-order fanout is basket_size² with basket size a data-model
+    constant, so candidate volume scales linearly with orders. Brand
+    marginals are a |brands|-row relation broadcast back in, and the
+    basket total is a 1-row broadcast cross join. All three metrics
+    are exact-integer ratios rounded to 6 dp — deterministic across
+    engines. The support threshold is scale-free (a fraction of
+    baskets, not an absolute count).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    items = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    n = items.agg(F.countDistinct("ok").alias("n_baskets"))
+    brand_n = items.groupBy("brand").agg(F.count("*").alias("bn"))
+    a, b = items.alias("a"), items.alias("b")
+    pair_n = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.brand") < F.col("b.brand")))
+        .groupBy(F.col("a.brand").alias("brand_a"), F.col("b.brand").alias("brand_b"))
+        .agg(F.count("*").alias("pn"))
+    )
+    na = F.broadcast(brand_n.select(F.col("brand").alias("brand_a"), F.col("bn").alias("na")))
+    nb = F.broadcast(brand_n.select(F.col("brand").alias("brand_b"), F.col("bn").alias("nb")))
+    return (
+        pair_n.join(na, "brand_a")
+        .join(nb, "brand_b")
+        .crossJoin(F.broadcast(n))
+        .filter(
+            F.col("pn").cast("double") / F.col("n_baskets") >= _BASKET_MIN_SUPPORT
+        )
+        .select(
+            "brand_a",
+            "brand_b",
+            F.col("pn").cast("long").alias("n_pair"),
+            F.round(F.col("pn").cast("double") / F.col("n_baskets"), 6).alias(
+                "support"
+            ),
+            F.round(F.col("pn").cast("double") / F.col("na"), 6).alias(
+                "conf_a_to_b"
+            ),
+            F.round(
+                F.col("pn").cast("double")
+                * F.col("n_baskets")
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("brand_a", "brand_b")
+    )

@@ -279,3 +279,83 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_vertices"))
         .orderBy("degree")
     )
+
+
+# ---------------------------------------------------------------------------
+# common-neighbors / Jaccard link prediction
+# ---------------------------------------------------------------------------
+
+_CN_MIN_COMMON = 3  # report pairs sharing at least this many parts
+
+_COMMON_NEIGHBORS_ORACLE = f"""
+WITH sp AS (
+  SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+),
+deg AS (
+  SELECT s, COUNT(*) AS d FROM sp GROUP BY s
+),
+pairs AS (
+  SELECT a.s AS supp_a, b.s AS supp_b, COUNT(*) AS common
+  FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s
+  GROUP BY a.s, b.s
+)
+SELECT p.supp_a, p.supp_b,
+       CAST(p.common AS BIGINT) AS n_common,
+       round(CAST(p.common AS DOUBLE)
+             / (da.d + db.d - p.common), 6) AS jaccard
+FROM pairs p
+JOIN deg da ON da.s = p.supp_a
+JOIN deg db ON db.s = p.supp_b
+WHERE p.common >= {_CN_MIN_COMMON}
+ORDER BY p.supp_a, p.supp_b
+"""
+
+
+@register("graph_common_neighbors", oracle=_COMMON_NEIGHBORS_ORACLE)
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the supplier–part bipartite graph:
+    for every supplier pair, the number of parts both supply
+    (common neighbors) and the Jaccard similarity of their part
+    sets — the classic who-is-substitutable-for-whom signal.
+
+    Plan: ONE distinct pass builds the (supplier, part) edge set;
+    the candidate pairs come from a self-join keyed on part (an
+    equi-join, so both sides shuffle on the SAME key and Catalyst
+    reuses the exchange for the self-join), never an all-pairs
+    cross. Per-part fanout is suppliers-per-part², which is a
+    data-model constant (TPC-H: ~4 suppliers/part regardless of
+    SF), so candidate volume grows linearly with the part count.
+    Degrees are a broadcast-sized |suppliers| relation joined in
+    twice. Jaccard is an exact-integer ratio rounded to 6 dp —
+    deterministic across engines.
+    """
+    sp = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    deg = sp.groupBy("s").agg(F.count("*").alias("d"))
+    a, b = sp.alias("a"), sp.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("supp_a"), F.col("b.s").alias("supp_b"))
+        .agg(F.count("*").alias("common"))
+        .filter(F.col("common") >= _CN_MIN_COMMON)
+    )
+    da = F.broadcast(deg.select(F.col("s").alias("supp_a"), F.col("d").alias("da")))
+    db = F.broadcast(deg.select(F.col("s").alias("supp_b"), F.col("d").alias("db")))
+    return (
+        pairs.join(da, "supp_a")
+        .join(db, "supp_b")
+        .select(
+            "supp_a",
+            "supp_b",
+            F.col("common").cast("long").alias("n_common"),
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("da") + F.col("db") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("supp_a", "supp_b")
+    )

@@ -1228,3 +1228,171 @@ def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("peak").cast("double").alias("peak_revenue"),
         (F.col("peak") - F.col("cum")).cast("double").alias("drawdown"),
     ).orderBy("day_str")
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection
+# ---------------------------------------------------------------------------
+
+_CUSUM_ORACLE = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(CAST(date_trunc('day', ts) AS DATE) AS STRING) AS day_str,
+         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(value)
+             AS daily_avg
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type,
+         CAST(SUM(CAST(daily_avg AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
+             AS mean,
+         CAST(SUM(CAST(floor(daily_avg * daily_avg * 1e6 + 0.5) AS BIGINT))
+              AS DOUBLE) / (1e6 * COUNT(*)) AS m2,
+         COUNT(*) AS nd
+  FROM daily GROUP BY 1
+),
+s2 AS (
+  SELECT event_type, mean,
+         CAST(floor(sqrt(greatest(m2 - mean * mean, 0)) * 1e6 + 0.5)
+              AS BIGINT) AS std_u
+  FROM stats
+),
+dev AS (
+  SELECT d.event_type, d.day_str, d.daily_avg, s.std_u,
+         CAST(floor((d.daily_avg - s.mean) * 1e6 + 0.5) AS BIGINT)
+           - (s.std_u // 4) AS dev_u
+  FROM daily d JOIN s2 s USING (event_type)
+),
+pre AS (
+  SELECT event_type, day_str, daily_avg, std_u,
+         SUM(dev_u) OVER (PARTITION BY event_type ORDER BY day_str
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS prefix_u
+  FROM dev
+),
+cm AS (
+  SELECT event_type, day_str, daily_avg, std_u, prefix_u,
+         MIN(prefix_u) OVER (PARTITION BY event_type ORDER BY day_str
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS runmin_u
+  FROM pre
+)
+SELECT event_type, day_str, daily_avg,
+       CAST(CASE WHEN runmin_u < 0 THEN prefix_u - runmin_u
+                 ELSE prefix_u END AS DOUBLE) / 1e6 AS cusum,
+       (CASE WHEN runmin_u < 0 THEN prefix_u - runmin_u
+             ELSE prefix_u END) > 3 * std_u AS is_alarm
+FROM cm
+ORDER BY event_type, day_str
+"""
+
+
+@register("window_cusum_detect", oracle=_CUSUM_ORACLE)
+def window_cusum_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM changepoint detection over per-type daily
+    means: flags the day a metric's level has drifted up by more
+    than the allowance (k = sigma/4) for long enough to accumulate
+    past the decision threshold (h = 3 sigma) — the classic
+    sequential-monitoring primitive.
+
+    The CUSUM recursion S_i = max(0, S_{i-1} + dev_i) is not a
+    window aggregate, but its closed form is: S_i = prefix_i -
+    min(0, min_{j<=i} prefix_j). That turns the sequential loop
+    into two stock window passes (running SUM, then running MIN)
+    over the SAME partition key — one shuffle, no recursion, no
+    UDF.
+
+    Scale posture: the only fact-sized work is the map-side-combined
+    daily rollup; the window input is calendar-bounded (days ×
+    event types) at any corpus size. Determinism: daily means are
+    decimal-exact doubles; deviations are quantized to integer
+    micro-units with floor(x*1e6 + 0.5) — floor over bitwise-
+    identical doubles is engine-independent, unlike round(), whose
+    tie-breaking differs between Spark and DuckDB (a 1-ulp tie
+    flipped the 6th digit at sf0.001) — and accumulated as BIGINTs,
+    so both window passes are exact integer arithmetic. sigma/4 is
+    an integer floor-div (Spark ``div`` == DuckDB ``//`` on
+    non-negative ints), and the alarm test is a pure integer
+    compare.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").cast("string").alias("day_str"),
+        )
+        .agg(
+            F.sum(F.col("value").cast(DEC)).alias("s"),
+            F.count("value").alias("c"),
+        )
+        .select(
+            "event_type",
+            "day_str",
+            (F.col("s").cast("double") / F.col("c")).alias("daily_avg"),
+        )
+    )
+    stats = (
+        daily.groupBy("event_type")
+        .agg(
+            (F.sum(F.col("daily_avg").cast(DEC)).cast("double") / F.count("*")).alias("mean"),
+            (
+                F.sum(
+                    F.floor(
+                        F.col("daily_avg") * F.col("daily_avg") * 1e6 + 0.5
+                    ).cast("long")
+                ).cast("double")
+                / (1e6 * F.count("*"))
+            ).alias("m2"),
+        )
+        .select(
+            "event_type",
+            "mean",
+            F.floor(
+                F.sqrt(F.greatest(F.col("m2") - F.col("mean") * F.col("mean"), F.lit(0.0)))
+                * 1e6
+                + 0.5
+            )
+            .cast("long")
+            .alias("std_u"),
+        )
+    )
+    dev = daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "day_str",
+        "daily_avg",
+        "std_u",
+        (
+            F.floor((F.col("daily_avg") - F.col("mean")) * 1e6 + 0.5).cast("long")
+            - F.expr("div(std_u, 4)")
+        ).alias("dev_u"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_str")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = dev.select(
+        "event_type",
+        "day_str",
+        "daily_avg",
+        "std_u",
+        F.sum("dev_u").over(w).alias("prefix_u"),
+    )
+    cm = pre.select(
+        "event_type",
+        "day_str",
+        "daily_avg",
+        "std_u",
+        "prefix_u",
+        F.min("prefix_u").over(w).alias("runmin_u"),
+    )
+    cusum_u = F.when(
+        F.col("runmin_u") < 0, F.col("prefix_u") - F.col("runmin_u")
+    ).otherwise(F.col("prefix_u"))
+    return cm.select(
+        "event_type",
+        "day_str",
+        "daily_avg",
+        (cusum_u.cast("double") / 1e6).alias("cusum"),
+        (cusum_u > 3 * F.col("std_u")).alias("is_alarm"),
+    ).orderBy("event_type", "day_str")

@@ -1,0 +1,147 @@
+"""Round-4 wave 7: behavioral invariants for the association-rules,
+CUSUM-changepoint, and common-neighbors operators that the oracle
+hash alone can't distinguish — metric identities (lift symmetry,
+Jaccard bounds), the max(0, ...) reset semantics of CUSUM, and
+candidate-generation sanity.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_8x8_spark.registry import all_queries
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return all_queries()
+
+
+class TestBasketAffinity:
+    def test_metric_identities_and_bounds(self, spark, sf_dir, queries):
+        """support <= confidence (since brand_n_a <= n_baskets), both in
+        (0, 1], lift > 0, and pairs are canonically ordered a < b."""
+        out = queries["agg_basket_affinity"].builder(spark, sf_dir).cache()
+        try:
+            assert out.count() > 0
+            bad = out.filter(
+                (F.col("support") <= 0)
+                | (F.col("support") > 1)
+                | (F.col("conf_a_to_b") <= 0)
+                | (F.col("conf_a_to_b") > 1)
+                | (F.col("lift") <= 0)
+                | (F.col("support") > F.col("conf_a_to_b") + 1e-9)
+                | (F.col("brand_a") >= F.col("brand_b"))
+            ).count()
+            assert bad == 0
+        finally:
+            out.unpersist()
+
+    def test_pair_count_never_exceeds_either_marginal(
+        self, spark, sf_dir, queries
+    ):
+        """n_pair <= baskets containing brand_a (confidence <= 1 checks
+        one side; re-derive brand_b's marginal and check the other)."""
+        from etl_8x8_spark.sources.readers import load_table
+
+        out = queries["agg_basket_affinity"].builder(spark, sf_dir)
+        li = load_table(spark, sf_dir, "lineitem")
+        part = load_table(spark, sf_dir, "part")
+        brand_n = (
+            li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .select("l_orderkey", F.col("p_brand").alias("brand_b"))
+            .distinct()
+            .groupBy("brand_b")
+            .agg(F.count("*").alias("bn"))
+        )
+        bad = (
+            out.join(brand_n, "brand_b")
+            .filter(F.col("n_pair") > F.col("bn"))
+            .count()
+        )
+        assert bad == 0
+
+
+class TestCusumDetect:
+    def test_cusum_nonnegative_and_resets(self, spark, sf_dir, queries):
+        """The closed form must reproduce max(0, S+dev): cusum >= 0
+        everywhere, and alarms only where cusum clears 3 sigma."""
+        out = queries["window_cusum_detect"].builder(spark, sf_dir).cache()
+        try:
+            assert out.count() > 0
+            assert out.filter(F.col("cusum") < 0).count() == 0
+            # alarm rows are a subset of positive-cusum rows
+            assert (
+                out.filter(F.col("is_alarm") & (F.col("cusum") <= 0)).count()
+                == 0
+            )
+        finally:
+            out.unpersist()
+
+    def test_closed_form_matches_sequential_recursion(self, spark, sf_dir, queries):
+        """Drive the literal S_i = max(0, S_{i-1} + dev_i) recursion in
+        the driver for one event type and compare against the
+        prefix-minus-running-min closed form."""
+        out = (
+            queries["window_cusum_detect"]
+            .builder(spark, sf_dir)
+            .filter(F.col("event_type") == "click")
+            .orderBy("day_str")
+        )
+        rows = out.collect()
+        assert rows
+        # re-derive deviations from the published daily_avg stream the
+        # same way the operator does (mean/std over the collected rows)
+        import math
+
+        avgs = [r["daily_avg"] for r in rows]
+        mean = sum(avgs) / len(avgs)
+        m2 = sum(round(a * a, 6) for a in avgs) / len(avgs)
+        std = round(math.sqrt(max(m2 - mean * mean, 0)), 6)
+        k = round(0.25 * std, 6)
+        s = 0.0
+        for r in rows:
+            dev = round(r["daily_avg"] - mean - k, 6)
+            s = max(0.0, s + dev)
+            assert abs(s - r["cusum"]) < 1e-6, (r["day_str"], s, r["cusum"])
+
+
+class TestCommonNeighbors:
+    def test_jaccard_bounds_and_canonical_order(self, spark, sf_dir, queries):
+        out = queries["graph_common_neighbors"].builder(spark, sf_dir).cache()
+        try:
+            assert out.count() > 0
+            bad = out.filter(
+                (F.col("jaccard") <= 0)
+                | (F.col("jaccard") > 1)
+                | (F.col("supp_a") >= F.col("supp_b"))
+                | (F.col("n_common") < 3)
+            ).count()
+            assert bad == 0
+        finally:
+            out.unpersist()
+
+    def test_common_count_matches_set_intersection_for_one_pair(
+        self, spark, sf_dir, queries
+    ):
+        """Pick the first reported pair and recompute |A ∩ B| from the
+        raw edge set."""
+        from etl_8x8_spark.sources.readers import load_table
+
+        out = queries["graph_common_neighbors"].builder(spark, sf_dir)
+        first = out.orderBy("supp_a", "supp_b").limit(1).collect()[0]
+        sp = (
+            load_table(spark, sf_dir, "lineitem")
+            .select("l_suppkey", "l_partkey")
+            .distinct()
+        )
+        a_parts = {
+            r["l_partkey"]
+            for r in sp.filter(F.col("l_suppkey") == first["supp_a"]).collect()
+        }
+        b_parts = {
+            r["l_partkey"]
+            for r in sp.filter(F.col("l_suppkey") == first["supp_b"]).collect()
+        }
+        assert len(a_parts & b_parts) == first["n_common"]
