@@ -167,6 +167,10 @@ HEADLINE = [
     "agg_basket_affinity",
     "window_cusum_detect",
     "graph_common_neighbors",
+    # appended r4 wave 14
+    "text_bm25_rank",
+    "agg_chi_square",
+    "window_rolling_corr",
 ]
 
 

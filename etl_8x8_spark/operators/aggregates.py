@@ -2411,3 +2411,106 @@ def agg_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand_a", "brand_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# chi-square test of independence
+# ---------------------------------------------------------------------------
+
+_CHI2_ORACLE = """
+WITH obs AS (
+  SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
+         COUNT(*) AS n_obs
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT segment, priority, n_obs,
+         SUM(n_obs) OVER (PARTITION BY segment) AS row_n,
+         SUM(n_obs) OVER (PARTITION BY priority) AS col_n,
+         SUM(n_obs) OVER () AS grand_n
+  FROM obs
+),
+cells AS (
+  SELECT segment, priority, n_obs,
+         CAST(row_n AS DOUBLE) * col_n / grand_n AS expected,
+         CAST(floor(
+           (n_obs - CAST(row_n AS DOUBLE) * col_n / grand_n)
+           * (n_obs - CAST(row_n AS DOUBLE) * col_n / grand_n)
+           / (CAST(row_n AS DOUBLE) * col_n / grand_n) * 1e6 + 0.5
+         ) AS BIGINT) AS contrib_u
+  FROM tot
+)
+SELECT segment, priority,
+       CAST(n_obs AS BIGINT) AS n_obs,
+       CAST(floor(expected * 1e6 + 0.5) AS BIGINT) / 1e6 AS expected,
+       CAST(contrib_u AS DOUBLE) / 1e6 AS contribution,
+       CAST(SUM(contrib_u) OVER () AS DOUBLE) / 1e6 AS chi2_total
+FROM cells
+ORDER BY segment, priority
+"""
+
+
+@register("agg_chi_square", oracle=_CHI2_ORACLE)
+def agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between customer
+    market segment and order priority: per-cell observed vs expected
+    counts, each cell's (O-E)²/E contribution, and the overall
+    statistic — the categorical-association primitive behind
+    segmentation and A/B sanity checks.
+
+    Plan: the fact-sized work is one shuffle join (orders ⋈
+    customer on the key both engines index) feeding a map-side-
+    combined groupBy to the |segments|×|priorities| contingency
+    table; every window after that runs over ≤ cells rows. The
+    marginals are window sums over the cell table (no second scan of
+    the fact). Determinism: expected counts are double expressions
+    of exact integers (identical in both engines); contributions are
+    floor-quantized to micro-units and the statistic is their exact
+    integer sum — no order-dependent double accumulation.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    obs = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count("*").alias("n_obs"))
+    )
+    from pyspark.sql import Window
+
+    w_row = Window.partitionBy("segment")
+    w_col = Window.partitionBy("priority")
+    w_all = Window.partitionBy()
+    tot = obs.select(
+        "segment",
+        "priority",
+        "n_obs",
+        F.sum("n_obs").over(w_row).alias("row_n"),
+        F.sum("n_obs").over(w_col).alias("col_n"),
+        F.sum("n_obs").over(w_all).alias("grand_n"),
+    )
+    expected = F.col("row_n").cast("double") * F.col("col_n") / F.col("grand_n")
+    contrib_u = (
+        F.floor(
+            (F.col("n_obs") - expected) * (F.col("n_obs") - expected) / expected * 1e6
+            + 0.5
+        )
+    ).cast("long")
+    cells = tot.select(
+        "segment",
+        "priority",
+        F.col("n_obs").cast("long").alias("n_obs"),
+        (F.floor(expected * 1e6 + 0.5).cast("long") / F.lit(1e6)).alias("expected"),
+        contrib_u.alias("contrib_u"),
+    )
+    return cells.select(
+        "segment",
+        "priority",
+        "n_obs",
+        "expected",
+        (F.col("contrib_u").cast("double") / 1e6).alias("contribution"),
+        (F.sum("contrib_u").over(w_all).cast("double") / 1e6).alias("chi2_total"),
+    ).orderBy("segment", "priority")

@@ -1019,3 +1019,121 @@ def dedup_lines_corpus_wide(corpus: DataFrame) -> DataFrame:
         .cast("long")
         .alias("n_dropped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranking against a fixed query
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["hash", "join", "merge"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 100
+_BM25_TERMS_SQL = "('" + "', '".join(_BM25_TERMS) + "')"
+
+_BM25_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+),
+dl AS (
+  SELECT doc_id, len(toks) AS dl FROM docs
+),
+corpus AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM docs)
+  WHERE term IN {_BM25_TERMS_SQL}
+  GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+),
+scored AS (
+  SELECT t.doc_id,
+         CAST(floor(
+           ln((c.n_docs - d.df + 0.5) / (d.df + 0.5) + 1)
+           * (t.tf * ({_BM25_K1} + 1))
+           / (t.tf + {_BM25_K1} * (1 - {_BM25_B}
+              + {_BM25_B} * l.dl / c.avgdl))
+           * 1e6 + 0.5) AS BIGINT) AS score_u
+  FROM tf t
+  JOIN df d USING (term)
+  JOIN dl l USING (doc_id)
+  CROSS JOIN corpus c
+)
+SELECT doc_id,
+       CAST(SUM(score_u) AS DOUBLE) / 1e6 AS bm25
+FROM scored
+GROUP BY doc_id
+ORDER BY SUM(score_u) DESC, doc_id
+LIMIT {_BM25_TOPK}
+"""
+
+
+@register("text_bm25_rank", oracle=_BM25_ORACLE)
+def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance ranking of every document against a fixed
+    keyword query — the lexical-retrieval primitive under corpus
+    search and RAG candidate generation (Robertson/Spärck Jones
+    weighting, k1=1.2, b=0.75, Lucene's +1 idf smoothing).
+
+    Plan: one explode→filter→groupBy(doc, term) pass computes term
+    frequencies — the filter keeps only the |query| terms, so the
+    shuffled volume is O(matching tokens), not O(all tokens). Document
+    frequencies aggregate that tiny relation again (|query| rows) and
+    broadcast back; document lengths ride a |docs|-row join keyed the
+    same as the tf relation. The final score is a per-(doc,term)
+    expression floor-quantized to integer micro-units and summed
+    exactly — ln() of bitwise-identical doubles plus floor beats
+    round()'s engine-specific decimal tie-breaking (LESSONS #21).
+    Top-k selection is a sort-limit (TakeOrdered, no full sort).
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens().alias("toks")
+    )
+    dl = docs.select("doc_id", F.size("toks").alias("dl"))
+    corpus = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        docs.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            F.floor(
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+                )
+                * (F.col("tf") * (_BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + _BM25_K1
+                    * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+                * 1e6
+                + 0.5
+            )
+            .cast("long")
+            .alias("score_u"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("score_u").alias("su"))
+        .orderBy(F.col("su").desc(), "doc_id")
+        .limit(_BM25_TOPK)
+        .select("doc_id", (F.col("su").cast("double") / 1e6).alias("bm25"))
+    )

@@ -1396,3 +1396,144 @@ def window_cusum_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         (cusum_u.cast("double") / 1e6).alias("cusum"),
         (cusum_u > 3 * F.col("std_u")).alias("is_alarm"),
     ).orderBy("event_type", "day_str")
+
+
+# ---------------------------------------------------------------------------
+# rolling correlation between two metric series
+# ---------------------------------------------------------------------------
+
+_RCORR_DAYS = 7  # trailing window, in rows over the daily grid
+
+_ROLLING_CORR_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS STRING) AS day_str,
+         CAST(SUM(CASE WHEN event_type = 'click'
+                       THEN CAST(value AS DECIMAL(30,6)) END) AS DOUBLE)
+             AS x,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(value AS DECIMAL(30,6)) END) AS DOUBLE)
+             AS y
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+  GROUP BY 1
+),
+q AS (
+  SELECT day_str,
+         coalesce(x, 0) AS x, coalesce(y, 0) AS y,
+         CAST(floor(coalesce(x, 0) * 1e6 + 0.5) AS BIGINT) AS x_u,
+         CAST(floor(coalesce(y, 0) * 1e6 + 0.5) AS BIGINT) AS y_u,
+         CAST(floor(coalesce(x, 0) * coalesce(y, 0) * 1e2 + 0.5) AS BIGINT)
+             AS xy_u,
+         CAST(floor(coalesce(x, 0) * coalesce(x, 0) * 1e2 + 0.5) AS BIGINT)
+             AS xx_u,
+         CAST(floor(coalesce(y, 0) * coalesce(y, 0) * 1e2 + 0.5) AS BIGINT)
+             AS yy_u
+  FROM daily
+),
+wsum AS (
+  SELECT day_str, x, y,
+         COUNT(*) OVER w AS n,
+         SUM(x_u) OVER w AS sx, SUM(y_u) OVER w AS sy,
+         SUM(xy_u) OVER w AS sxy,
+         SUM(xx_u) OVER w AS sxx, SUM(yy_u) OVER w AS syy
+  FROM q
+  WINDOW w AS (ORDER BY day_str
+               ROWS BETWEEN {_RCORR_DAYS - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT day_str, x AS click_value, y AS purchase_value,
+       CASE WHEN n >= 2 AND
+                 (n * (CAST(sxx AS DOUBLE) / 1e2)
+                  - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sx AS DOUBLE) / 1e6))
+                 * (n * (CAST(syy AS DOUBLE) / 1e2)
+                  - (CAST(sy AS DOUBLE) / 1e6) * (CAST(sy AS DOUBLE) / 1e6))
+                 > 0
+            THEN CAST(floor(
+              (n * (CAST(sxy AS DOUBLE) / 1e2)
+               - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sy AS DOUBLE) / 1e6))
+              / sqrt(
+                 (n * (CAST(sxx AS DOUBLE) / 1e2)
+                  - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sx AS DOUBLE) / 1e6))
+                 * (n * (CAST(syy AS DOUBLE) / 1e2)
+                  - (CAST(sy AS DOUBLE) / 1e6) * (CAST(sy AS DOUBLE) / 1e6)))
+              * 1e6 + 0.5) AS BIGINT) / 1e6
+       END AS rolling_corr
+FROM wsum
+ORDER BY day_str
+"""
+
+
+@register("window_rolling_corr", oracle=_ROLLING_CORR_ORACLE)
+def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing {7}-day Pearson correlation between the daily click
+    and purchase value series — the co-movement monitor behind
+    metric-health dashboards ("did purchases decouple from
+    clicks?").
+
+    Plan: the fact collapses to one conditional-sum daily rollup
+    (map-side combined, two metrics in one pass); the rolling window
+    runs over the calendar-bounded daily grid. Correlation comes
+    from the five component sums (Σx, Σy, Σxy, Σx², Σy²), each
+    floor-quantized to integer units and window-summed EXACTLY, so
+    the only double math is the final closed-form ratio of
+    identical integers — deterministic across engines without any
+    round() tie-break exposure. Degenerate windows (n < 2 or zero
+    variance) yield NULL, not NaN.
+    """
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    daily = events.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").cast("string").alias("day_str")
+    ).agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", F.col("value").cast(DEC))
+        )
+        .cast("double")
+        .alias("x"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value").cast(DEC))
+        )
+        .cast("double")
+        .alias("y"),
+    )
+    x = F.coalesce(F.col("x"), F.lit(0.0))
+    y = F.coalesce(F.col("y"), F.lit(0.0))
+    q = daily.select(
+        "day_str",
+        x.alias("x"),
+        y.alias("y"),
+        F.floor(x * 1e6 + 0.5).cast("long").alias("x_u"),
+        F.floor(y * 1e6 + 0.5).cast("long").alias("y_u"),
+        F.floor(x * y * 1e2 + 0.5).cast("long").alias("xy_u"),
+        F.floor(x * x * 1e2 + 0.5).cast("long").alias("xx_u"),
+        F.floor(y * y * 1e2 + 0.5).cast("long").alias("yy_u"),
+    )
+    w = Window.orderBy("day_str").rowsBetween(-(_RCORR_DAYS - 1), Window.currentRow)
+    wsum = q.select(
+        "day_str",
+        "x",
+        "y",
+        F.count("*").over(w).alias("n"),
+        F.sum("x_u").over(w).alias("sx"),
+        F.sum("y_u").over(w).alias("sy"),
+        F.sum("xy_u").over(w).alias("sxy"),
+        F.sum("xx_u").over(w).alias("sxx"),
+        F.sum("yy_u").over(w).alias("syy"),
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double") / 1e6
+    sy = F.col("sy").cast("double") / 1e6
+    sxy = F.col("sxy").cast("double") / 1e2
+    sxx = F.col("sxx").cast("double") / 1e2
+    syy = F.col("syy").cast("double") / 1e2
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    corr = F.floor(
+        (n * sxy - sx * sy) / F.sqrt(varx * vary) * 1e6 + 0.5
+    ).cast("long") / F.lit(1e6)
+    return wsum.select(
+        "day_str",
+        F.col("x").alias("click_value"),
+        F.col("y").alias("purchase_value"),
+        F.when((n >= 2) & (varx * vary > 0), corr).alias("rolling_corr"),
+    ).orderBy("day_str")

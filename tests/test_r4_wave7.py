@@ -145,3 +145,90 @@ class TestCommonNeighbors:
             for r in sp.filter(F.col("l_suppkey") == first["supp_b"]).collect()
         }
         assert len(a_parts & b_parts) == first["n_common"]
+
+
+class TestBm25Rank:
+    def test_scores_positive_descending_and_docs_contain_terms(
+        self, spark, sf_dir, queries
+    ):
+        from etl_8x8_spark.operators.text import _BM25_TERMS, _BM25_TOPK
+        from etl_8x8_spark.sources.readers import load_table
+
+        out = queries["text_bm25_rank"].builder(spark, sf_dir)
+        rows = out.collect()
+        assert 0 < len(rows) <= _BM25_TOPK
+        scores = [r["bm25"] for r in rows]
+        assert all(s > 0 for s in scores)
+        assert scores == sorted(scores, reverse=True)
+        # the top document really contains at least one query term
+        top_text = (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") == rows[0]["doc_id"])
+            .collect()[0]["text"]
+            .lower()
+        )
+        assert any(t in top_text.split() for t in _BM25_TERMS)
+
+    def test_saturation_bounds_score(self, spark, sf_dir, queries):
+        """BM25 term scores saturate at idf*(k1+1); with 3 query terms
+        the total is bounded by 3 * max_idf * (k1+1)."""
+        import math
+
+        from etl_8x8_spark.operators.text import _BM25_K1, _BM25_TERMS
+        from etl_8x8_spark.sources.readers import load_table
+
+        n_docs = load_table(spark, sf_dir, "documents").count()
+        max_idf = math.log(n_docs + 1)  # df >= 1 keeps idf below ln(N+1)
+        out = queries["text_bm25_rank"].builder(spark, sf_dir)
+        top = out.limit(1).collect()[0]["bm25"]
+        assert top <= len(_BM25_TERMS) * max_idf * (_BM25_K1 + 1) + 1e-6
+
+
+class TestChiSquare:
+    def test_contingency_identities(self, spark, sf_dir, queries):
+        """Observed total equals the join cardinality, expected mass
+        equals observed mass, and chi2_total is the contribution sum."""
+        from etl_8x8_spark.sources.readers import load_table
+
+        out = queries["agg_chi_square"].builder(spark, sf_dir)
+        rows = out.collect()
+        assert rows
+        orders = load_table(spark, sf_dir, "orders")
+        cust = load_table(spark, sf_dir, "customer")
+        joined = orders.join(cust, orders.o_custkey == cust.c_custkey).count()
+        assert sum(r["n_obs"] for r in rows) == joined
+        assert abs(sum(r["expected"] for r in rows) - joined) < 1e-3
+        chi2 = rows[0]["chi2_total"]
+        assert all(abs(r["chi2_total"] - chi2) < 1e-9 for r in rows)
+        assert abs(sum(r["contribution"] for r in rows) - chi2) < 1e-3
+
+
+class TestRollingCorr:
+    def test_bounds_and_warmup_null(self, spark, sf_dir, queries):
+        out = queries["window_rolling_corr"].builder(spark, sf_dir)
+        rows = out.collect()
+        assert rows
+        # first row has a 1-point window -> no correlation
+        assert rows[0]["rolling_corr"] is None
+        for r in rows:
+            c = r["rolling_corr"]
+            if c is not None:
+                assert -1 - 1e-6 <= c <= 1 + 1e-6
+
+    def test_matches_driver_recompute_for_last_row(self, spark, sf_dir, queries):
+        import math
+
+        from etl_8x8_spark.operators.windows import _RCORR_DAYS
+
+        rows = queries["window_rolling_corr"].builder(spark, sf_dir).collect()
+        tail = rows[-_RCORR_DAYS:]
+        xs = [r["click_value"] for r in tail]
+        ys = [r["purchase_value"] for r in tail]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        sxx = sum(a * a for a in xs)
+        syy = sum(b * b for b in ys)
+        denom = math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        expect = (n * sxy - sx * sy) / denom
+        assert abs(rows[-1]["rolling_corr"] - expect) < 1e-3
