@@ -171,6 +171,10 @@ HEADLINE = [
     "text_bm25_rank",
     "agg_chi_square",
     "window_rolling_corr",
+    # appended r4 wave 15
+    "agg_benford_digit",
+    "ml_naive_bayes",
+    "text_pmi_cooccur",
 ]
 
 

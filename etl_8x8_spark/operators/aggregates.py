@@ -2514,3 +2514,122 @@ def agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("contrib_u").cast("double") / 1e6).alias("contribution"),
         (F.sum("contrib_u").over(w_all).cast("double") / 1e6).alias("chi2_total"),
     ).orderBy("segment", "priority")
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+# log10(1 + 1/d), precomputed so neither engine's log10 is in the path.
+_BENFORD = {
+    1: 0.30103, 2: 0.176091, 3: 0.124939, 4: 0.09691, 5: 0.079181,
+    6: 0.066947, 7: 0.057992, 8: 0.051153, 9: 0.045757,
+}
+
+# Pick the power-of-ten scale with integer range comparisons (prices sit
+# in [1, 1e8)) — floor(log10(x)) would hang engine-specific log ulps on
+# exact powers of ten; a CASE ladder is pure comparisons.
+_BENFORD_SCALE_SQL = """CASE
+  WHEN o_totalprice >= 10000000 THEN 10000000.0
+  WHEN o_totalprice >= 1000000 THEN 1000000.0
+  WHEN o_totalprice >= 100000 THEN 100000.0
+  WHEN o_totalprice >= 10000 THEN 10000.0
+  WHEN o_totalprice >= 1000 THEN 1000.0
+  WHEN o_totalprice >= 100 THEN 100.0
+  WHEN o_totalprice >= 10 THEN 10.0
+  ELSE 1.0 END"""
+
+_BENFORD_CASE_DOUBLE = "\n".join(
+    f"  WHEN digit = {d} THEN {s}" for d, s in _BENFORD.items()
+)
+
+_BENFORD_ORACLE = f"""
+WITH digits AS (
+  SELECT CAST(floor(o_totalprice / ({_BENFORD_SCALE_SQL})) AS BIGINT)
+             AS digit
+  FROM orders WHERE o_totalprice >= 1
+),
+counts AS (
+  SELECT digit, COUNT(*) AS n_obs FROM digits GROUP BY digit
+),
+tot AS (
+  SELECT digit, n_obs, SUM(n_obs) OVER () AS n_total FROM counts
+),
+cells AS (
+  SELECT digit, n_obs, n_total,
+         CAST(n_obs AS DOUBLE) / n_total AS obs_share,
+         CASE {_BENFORD_CASE_DOUBLE} END AS benford_share
+  FROM tot
+)
+SELECT digit,
+       CAST(n_obs AS BIGINT) AS n_obs,
+       CAST(floor(obs_share * 1e6 + 0.5) AS BIGINT) / 1e6 AS obs_share,
+       benford_share,
+       CAST(floor(
+         (obs_share - benford_share) * (obs_share - benford_share)
+         / benford_share * n_total * 1e6 + 0.5) AS BIGINT) / 1e6
+           AS contribution
+FROM cells
+ORDER BY digit
+"""
+
+
+@register("agg_benford_digit", oracle=_BENFORD_ORACLE)
+def agg_benford_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals: observed
+    leading-digit shares vs the log10(1 + 1/d) expectation, with each
+    digit's chi-square contribution — the classic fabricated-data /
+    fraud screen for financial columns.
+
+    Plan: the leading digit comes from a pure comparison CASE ladder
+    (no log10 — engine log ulps on exact powers of ten would flip
+    floor), then ONE map-side-combined groupBy to at most 9 groups;
+    everything after runs over ≤ 9 rows. Expected shares are inlined
+    literal constants, observed shares are exact-integer ratios, and
+    contributions are floor-quantized — nothing order- or
+    engine-dependent anywhere.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    p = F.col("o_totalprice")
+    scale = (
+        F.when(p >= 10_000_000, 1e7)
+        .when(p >= 1_000_000, 1e6)
+        .when(p >= 100_000, 1e5)
+        .when(p >= 10_000, 1e4)
+        .when(p >= 1_000, 1e3)
+        .when(p >= 100, 1e2)
+        .when(p >= 10, 1e1)
+        .otherwise(1.0)
+    )
+    counts = (
+        orders.select(F.floor(p / scale).cast("long").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").alias("n_obs"))
+    )
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()
+    tot = counts.select(
+        "digit", "n_obs", F.sum("n_obs").over(w_all).alias("n_total")
+    )
+    benford = F.create_map(
+        *[F.lit(x) for kv in _BENFORD.items() for x in kv]
+    )[F.col("digit").cast("int")]
+    obs_share = F.col("n_obs").cast("double") / F.col("n_total")
+    return tot.select(
+        "digit",
+        F.col("n_obs").cast("long").alias("n_obs"),
+        (F.floor(obs_share * 1e6 + 0.5).cast("long") / F.lit(1e6)).alias("obs_share"),
+        benford.alias("benford_share"),
+        (
+            F.floor(
+                (obs_share - benford)
+                * (obs_share - benford)
+                / benford
+                * F.col("n_total")
+                * 1e6
+                + 0.5
+            ).cast("long")
+            / F.lit(1e6)
+        ).alias("contribution"),
+    ).orderBy("digit")

@@ -1137,3 +1137,210 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_BM25_TOPK)
         .select("doc_id", (F.col("su").cast("double") / 1e6).alias("bm25"))
     )
+
+
+# ---------------------------------------------------------------------------
+# multinomial naive Bayes trainer (lang classifier model table)
+# ---------------------------------------------------------------------------
+
+_NB_TOPK = 20  # top terms published per class
+
+_NB_ORACLE = f"""
+WITH toks AS (
+  SELECT lang, unnest({_TOKENS_SQL}) AS term FROM documents
+),
+tf AS (
+  SELECT lang, term, COUNT(*) AS n FROM toks GROUP BY lang, term
+),
+lang_tot AS (
+  SELECT lang, SUM(n) AS lang_n FROM tf GROUP BY lang
+),
+vocab AS (
+  SELECT COUNT(DISTINCT term) AS v FROM tf
+),
+doc_n AS (
+  SELECT lang, COUNT(*) AS docs FROM documents GROUP BY lang
+),
+doc_tot AS (
+  SELECT SUM(docs) AS total_docs FROM doc_n
+),
+ranked AS (
+  SELECT t.lang, t.term, t.n,
+         row_number() OVER (PARTITION BY t.lang
+                            ORDER BY t.n DESC, t.term) AS rk,
+         lt.lang_n, v.v
+  FROM tf t
+  JOIN lang_tot lt ON lt.lang = t.lang
+  CROSS JOIN vocab v
+)
+SELECT r.lang, r.term,
+       CAST(r.n AS BIGINT) AS n,
+       CAST(floor(ln((r.n + 1.0) / (r.lang_n + r.v)) * 1e6 + 0.5)
+            AS BIGINT) / 1e6 AS log_likelihood,
+       CAST(floor(ln(CAST(d.docs AS DOUBLE) / dt.total_docs) * 1e6 + 0.5)
+            AS BIGINT) / 1e6 AS log_prior
+FROM ranked r
+JOIN doc_n d ON d.lang = r.lang
+CROSS JOIN doc_tot dt
+WHERE r.rk <= {_NB_TOPK}
+ORDER BY r.lang, r.n DESC, r.term
+"""
+
+
+@register("ml_naive_bayes", oracle=_NB_ORACLE)
+def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive-Bayes trainer over the labeled corpus
+    (class = lang): Laplace-smoothed log P(term | lang) for each
+    class's top terms plus the class log-prior — the model table a
+    downstream classifier would broadcast.
+
+    Plan: one explode→groupBy(lang, term) pass is the only
+    fact-sized work (map-side combined; the key space is vocab ×
+    langs); class totals, vocabulary size, and doc priors are tiny
+    re-aggregations of that relation joined back by broadcast. The
+    top-k cut is a row_number window partitioned by lang over exact
+    integer counts with a term tiebreak — fully deterministic — and
+    both log terms are floor-quantized micro-units (ln() of
+    identical doubles; no round() tie-break exposure).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("lang", F.explode(tokens()).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count("*").alias("n"))
+    )
+    lang_tot = tf.groupBy("lang").agg(F.sum("n").alias("lang_n"))
+    vocab = tf.agg(F.countDistinct("term").alias("v"))
+    doc_n = docs.groupBy("lang").agg(F.count("*").alias("docs"))
+    doc_tot = doc_n.agg(F.sum("docs").alias("total_docs"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), "term")
+    ranked = (
+        tf.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _NB_TOPK)
+        .join(F.broadcast(lang_tot), "lang")
+        .crossJoin(F.broadcast(vocab))
+        .join(F.broadcast(doc_n), "lang")
+        .crossJoin(F.broadcast(doc_tot))
+    )
+    return ranked.select(
+        "lang",
+        "term",
+        F.col("n").cast("long").alias("n"),
+        (
+            F.floor(
+                F.log((F.col("n") + 1.0) / (F.col("lang_n") + F.col("v"))) * 1e6 + 0.5
+            ).cast("long")
+            / F.lit(1e6)
+        ).alias("log_likelihood"),
+        (
+            F.floor(
+                F.log(F.col("docs").cast("double") / F.col("total_docs")) * 1e6 + 0.5
+            ).cast("long")
+            / F.lit(1e6)
+        ).alias("log_prior"),
+    ).orderBy("lang", F.col("n").desc(), "term")
+
+
+# ---------------------------------------------------------------------------
+# PMI co-occurrence over the top vocabulary
+# ---------------------------------------------------------------------------
+
+_PMI_VOCAB = 30  # top-df terms considered
+_PMI_MIN_PAIR = 5  # pair must co-occur in at least this many docs
+
+_PMI_ORACLE = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents
+),
+df AS (
+  SELECT term, COUNT(*) AS df FROM toks GROUP BY term
+),
+vocab AS (
+  SELECT term, df FROM df
+  ORDER BY df DESC, term LIMIT {_PMI_VOCAB}
+),
+vt AS (
+  SELECT t.doc_id, t.term FROM toks t JOIN vocab v USING (term)
+),
+n AS (
+  SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents
+),
+pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b, COUNT(*) AS n_ab
+  FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term
+)
+SELECT p.term_a, p.term_b,
+       CAST(p.n_ab AS BIGINT) AS n_ab,
+       CAST(floor(
+         ln(CAST(p.n_ab AS DOUBLE) * n.n_docs / (va.df * vb.df))
+         * 1e6 + 0.5) AS BIGINT) / 1e6 AS pmi
+FROM pairs p
+JOIN vocab va ON va.term = p.term_a
+JOIN vocab vb ON vb.term = p.term_b
+CROSS JOIN n
+WHERE p.n_ab >= {_PMI_MIN_PAIR}
+ORDER BY p.term_a, p.term_b
+"""
+
+
+@register("text_pmi_cooccur", oracle=_PMI_ORACLE)
+def text_pmi_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between top-vocabulary terms
+    co-occurring in the same document — the collocation /
+    phrase-mining signal (PMI = ln(P(a,b) / P(a)P(b)) over document
+    probabilities).
+
+    Plan: candidate pairs come ONLY from the broadcast top-|V| df
+    vocabulary (deterministic df-then-term ranking), so the per-doc
+    fanout is capped at |V|² regardless of document length, and the
+    self-join is an equi-join on doc_id (same-key shuffle both
+    sides, exchange reused) — never an all-pairs cross of the term
+    space. df and the doc total re-aggregate the same distinct
+    (doc, term) relation. PMI is ln() of an exact-integer ratio,
+    floor-quantized — deterministic across engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens()).alias("term")).distinct()
+    df = toks.groupBy("term").agg(F.count("*").alias("df"))
+    vocab = df.orderBy(F.col("df").desc(), "term").limit(_PMI_VOCAB)
+    vt = toks.join(F.broadcast(vocab.select("term")), "term").select(
+        "doc_id", "term"
+    )
+    n = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    a, b = vt.alias("a"), vt.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.term") < F.col("b.term")),
+        )
+        .groupBy(F.col("a.term").alias("term_a"), F.col("b.term").alias("term_b"))
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= _PMI_MIN_PAIR)
+    )
+    va = F.broadcast(vocab.select(F.col("term").alias("term_a"), F.col("df").alias("dfa")))
+    vb = F.broadcast(vocab.select(F.col("term").alias("term_b"), F.col("df").alias("dfb")))
+    return (
+        pairs.join(va, "term_a")
+        .join(vb, "term_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "term_a",
+            "term_b",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            (
+                F.floor(
+                    F.log(
+                        F.col("n_ab").cast("double")
+                        * F.col("n_docs")
+                        / (F.col("dfa") * F.col("dfb"))
+                    )
+                    * 1e6
+                    + 0.5
+                ).cast("long")
+                / F.lit(1e6)
+            ).alias("pmi"),
+        )
+        .orderBy("term_a", "term_b")
+    )

@@ -232,3 +232,97 @@ class TestRollingCorr:
         denom = math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
         expect = (n * sxy - sx * sy) / denom
         assert abs(rows[-1]["rolling_corr"] - expect) < 1e-3
+
+
+class TestBenford:
+    def test_shares_sum_to_one_and_digits_valid(self, spark, sf_dir, queries):
+        rows = queries["agg_benford_digit"].builder(spark, sf_dir).collect()
+        assert rows
+        assert {r["digit"] for r in rows} <= set(range(1, 10))
+        assert abs(sum(r["obs_share"] for r in rows) - 1.0) < 1e-4
+        assert abs(sum(r["benford_share"] for r in rows) - 1.0) < 1e-4
+        assert all(r["contribution"] >= 0 for r in rows)
+
+    def test_digit_extraction_matches_string_form(self, spark, sf_dir, queries):
+        """The CASE-ladder digit must equal the first significant digit
+        of the printed price, re-derived from the raw table."""
+        from etl_8x8_spark.sources.readers import load_table
+
+        rows = queries["agg_benford_digit"].builder(spark, sf_dir).collect()
+        got = {r["digit"]: r["n_obs"] for r in rows}
+        prices = (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_totalprice") >= 1)
+            .select("o_totalprice")
+            .collect()
+        )
+        import collections
+
+        expect = collections.Counter(
+            int(str(float(p["o_totalprice"])).lstrip("0.")[0]) for p in prices
+        )
+        assert got == dict(expect)
+
+
+class TestNaiveBayes:
+    def test_model_shape_and_logprob_bounds(self, spark, sf_dir, queries):
+        from etl_8x8_spark.operators.text import _NB_TOPK
+
+        rows = queries["ml_naive_bayes"].builder(spark, sf_dir).collect()
+        assert rows
+        import collections
+
+        per_lang = collections.Counter(r["lang"] for r in rows)
+        assert all(c <= _NB_TOPK for c in per_lang.values())
+        # log-probabilities are negative; priors sum to ~1 in prob space
+        assert all(r["log_likelihood"] < 0 for r in rows)
+        import math
+
+        priors = {r["lang"]: math.exp(r["log_prior"]) for r in rows}
+        assert abs(sum(priors.values()) - 1.0) < 1e-3
+
+    def test_likelihoods_rank_with_counts(self, spark, sf_dir, queries):
+        """Within one lang, smoothed likelihood must be monotone in the
+        raw count (same denominator)."""
+        rows = [
+            r
+            for r in queries["ml_naive_bayes"].builder(spark, sf_dir).collect()
+            if r["lang"] == "en"
+        ]
+        assert rows
+        pairs = sorted((r["n"], r["log_likelihood"]) for r in rows)
+        lls = [ll for _, ll in pairs]
+        assert lls == sorted(lls)
+
+
+class TestPmiCooccur:
+    def test_pair_counts_bounded_by_marginals(self, spark, sf_dir, queries):
+        """n_ab <= min(df_a, df_b), PMI <= ln(N/max(df_a,df_b)) bound
+        implies pmi <= ln(N); spot-check the first pair exactly."""
+        from etl_8x8_spark.sources.readers import load_table
+        from etl_8x8_spark.operators.dedup import tokens
+
+        out = queries["text_pmi_cooccur"].builder(spark, sf_dir)
+        first = out.limit(1).collect()[0]
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", tokens().alias("toks")
+        )
+        has_a = docs.filter(F.array_contains("toks", first["term_a"]))
+        n_both = has_a.filter(F.array_contains("toks", first["term_b"])).count()
+        assert n_both == first["n_ab"]
+
+    def test_canonical_order_and_min_support(self, spark, sf_dir, queries):
+        from etl_8x8_spark.operators.text import _PMI_MIN_PAIR
+
+        out = queries["text_pmi_cooccur"].builder(spark, sf_dir).cache()
+        try:
+            assert out.count() > 0
+            assert (
+                out.filter(
+                    (F.col("term_a") >= F.col("term_b"))
+                    | (F.col("n_ab") < _PMI_MIN_PAIR)
+                ).count()
+                == 0
+            )
+        finally:
+            out.unpersist()
