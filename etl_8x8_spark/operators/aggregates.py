@@ -2633,3 +2633,107 @@ def agg_benford_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e6)
         ).alias("contribution"),
     ).orderBy("digit")
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch build + point-query audit
+# ---------------------------------------------------------------------------
+
+# d=4 hash rows (distinct odd Knuth-style multipliers), w=64 buckets.
+_CMS_MULTS = [2654435761, 2246822519, 3266489917, 668265263]
+_CMS_W = 64
+_CMS_TOPN = 5  # audit the estimate for the N heaviest true keys
+
+_CMS_HASH_SQL = "(((user_id % 2147483648) * {m}) % 4294967296) % {w}"
+
+_CMS_ORACLE = f"""
+WITH truth AS (
+  SELECT user_id, COUNT(*) AS true_n FROM events GROUP BY user_id
+),
+heavy AS (
+  SELECT user_id, true_n FROM truth
+  ORDER BY true_n DESC, user_id LIMIT {_CMS_TOPN}
+),
+cells AS (
+  {" UNION ALL ".join(
+      f'''SELECT {i} AS row_i,
+          {_CMS_HASH_SQL.format(m=m, w=_CMS_W)} AS bucket,
+          COUNT(*) AS cell_n
+      FROM events GROUP BY 2'''
+      for i, m in enumerate(_CMS_MULTS))}
+),
+est AS (
+  SELECT h.user_id, h.true_n, MIN(c.cell_n) AS est_n
+  FROM heavy h
+  JOIN cells c
+    ON c.bucket = CASE c.row_i
+         {" ".join(
+             f"WHEN {i} THEN {_CMS_HASH_SQL.format(m=m, w=_CMS_W)}"
+             for i, m in enumerate(_CMS_MULTS))}
+       END
+  GROUP BY h.user_id, h.true_n
+)
+SELECT user_id,
+       CAST(true_n AS BIGINT) AS true_n,
+       CAST(est_n AS BIGINT) AS est_n
+FROM est
+ORDER BY true_n DESC, user_id
+"""
+
+
+@register("agg_count_min_sketch", oracle=_CMS_ORACLE)
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over event owners: build the d×w counter
+    matrix in one pass, then audit it by answering point queries for
+    the heaviest true keys (est = min over rows; CMS guarantees
+    est ≥ truth). The mergeable-sketch primitive behind frequency
+    estimation when the key space is too large to count exactly.
+
+    Plan: the sketch build is d map-side-combined groupBys over the
+    SAME scan (Catalyst caches the scan; each groupBy's key space is w
+    buckets, so the shuffle is d×w rows total at ANY corpus size —
+    that fixed size is the whole point of a sketch). The audit joins
+    the 256-cell sketch (broadcast) against the top-N true keys.
+    Hashes are masked Knuth multiplies — exact 64-bit integer math in
+    both engines, no engine hash function in the path.
+    """
+    events = load_table(spark, sf_dir, "events")
+
+    def bucket(m: int):
+        return ((F.col("user_id") % F.lit(2147483648)) * F.lit(m)) % F.lit(
+            4294967296
+        ) % F.lit(_CMS_W)
+
+    cells = None
+    for i, m in enumerate(_CMS_MULTS):
+        c = events.groupBy(bucket(m).alias("bucket")).agg(
+            F.count("*").alias("cell_n")
+        ).select(F.lit(i).alias("row_i"), "bucket", "cell_n")
+        cells = c if cells is None else cells.unionByName(c)
+
+    truth = events.groupBy("user_id").agg(F.count("*").alias("true_n"))
+    heavy = truth.orderBy(F.col("true_n").desc(), "user_id").limit(_CMS_TOPN)
+    probe = heavy.select(
+        "user_id",
+        "true_n",
+        *[
+            bucket(m).alias(f"b{i}")
+            for i, m in enumerate(_CMS_MULTS)
+        ],
+    )
+    bucket_match = F.col("bucket") == F.when(
+        F.col("row_i") == 0, F.col("b0")
+    ).when(F.col("row_i") == 1, F.col("b1")).when(
+        F.col("row_i") == 2, F.col("b2")
+    ).otherwise(F.col("b3"))
+    return (
+        probe.join(F.broadcast(cells), bucket_match)
+        .groupBy("user_id", "true_n")
+        .agg(F.min("cell_n").alias("est_n"))
+        .select(
+            "user_id",
+            F.col("true_n").cast("long").alias("true_n"),
+            F.col("est_n").cast("long").alias("est_n"),
+        )
+        .orderBy(F.col("true_n").desc(), "user_id")
+    )

@@ -1537,3 +1537,118 @@ def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("y").alias("purchase_value"),
         F.when((n >= 2) & (varx * vary > 0), corr).alias("rolling_corr"),
     ).orderBy("day_str")
+
+
+# ---------------------------------------------------------------------------
+# Bollinger bands over daily revenue
+# ---------------------------------------------------------------------------
+
+_BOLL_DAYS = 20  # trailing window length in rows over the daily grid
+
+_BOLLINGER_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(CAST(date_trunc('day', o_orderdate) AS DATE) AS STRING)
+             AS day_str,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+             AS revenue
+  FROM orders GROUP BY 1
+),
+q AS (
+  SELECT day_str, revenue,
+         CAST(floor(revenue * 1e2 + 0.5) AS BIGINT) AS x_u,
+         CAST(floor(revenue * revenue + 0.5) AS BIGINT) AS xx_u
+  FROM daily
+),
+wsum AS (
+  SELECT day_str, revenue,
+         COUNT(*) OVER w AS n,
+         SUM(x_u) OVER w AS sx,
+         SUM(xx_u) OVER w AS sxx
+  FROM q
+  WINDOW w AS (ORDER BY day_str
+               ROWS BETWEEN {_BOLL_DAYS - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT day_str, revenue,
+       CAST(floor(CAST(sx AS DOUBLE) / 1e2 / n * 1e6 + 0.5) AS BIGINT) / 1e6
+           AS mid_band,
+       CAST(floor((CAST(sx AS DOUBLE) / 1e2 / n
+             - 2 * sqrt(greatest(
+                 CAST(sxx AS DOUBLE) / n
+                 - (CAST(sx AS DOUBLE) / 1e2 / n)
+                   * (CAST(sx AS DOUBLE) / 1e2 / n), 0))) * 1e6 + 0.5)
+            AS BIGINT) / 1e6 AS lower_band,
+       CAST(floor((CAST(sx AS DOUBLE) / 1e2 / n
+             + 2 * sqrt(greatest(
+                 CAST(sxx AS DOUBLE) / n
+                 - (CAST(sx AS DOUBLE) / 1e2 / n)
+                   * (CAST(sx AS DOUBLE) / 1e2 / n), 0))) * 1e6 + 0.5)
+            AS BIGINT) / 1e6 AS upper_band,
+       n >= {_BOLL_DAYS}
+         AND (revenue > CAST(floor((CAST(sx AS DOUBLE) / 1e2 / n
+             + 2 * sqrt(greatest(
+                 CAST(sxx AS DOUBLE) / n
+                 - (CAST(sx AS DOUBLE) / 1e2 / n)
+                   * (CAST(sx AS DOUBLE) / 1e2 / n), 0))) * 1e6 + 0.5)
+             AS BIGINT) / 1e6
+           OR revenue < CAST(floor((CAST(sx AS DOUBLE) / 1e2 / n
+             - 2 * sqrt(greatest(
+                 CAST(sxx AS DOUBLE) / n
+                 - (CAST(sx AS DOUBLE) / 1e2 / n)
+                   * (CAST(sx AS DOUBLE) / 1e2 / n), 0))) * 1e6 + 0.5)
+             AS BIGINT) / 1e6) AS is_breach
+FROM wsum
+ORDER BY day_str
+"""
+
+
+@register("window_bollinger_bands", oracle=_BOLLINGER_ORACLE)
+def window_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands over daily revenue: trailing 20-day mean ±2σ
+    envelope with breach flags (warm-up rows never flag) — the
+    volatility-envelope monitor behind metric alerting and
+    trading-style dashboards.
+
+    Plan: fact collapses to one decimal-exact daily rollup; the
+    trailing window runs over the calendar-bounded grid. Mean and
+    variance come from floor-quantized integer component sums (Σx at
+    1e2 units, Σx² at whole units — revenue² overflows 1e2 scaling),
+    window-summed exactly; the band math is a closed-form double
+    expression of identical integers, floor-quantized once on output.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).cast("date").cast("string").alias("day_str")
+    ).agg(F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue"))
+    q = daily.select(
+        "day_str",
+        "revenue",
+        F.floor(F.col("revenue") * 1e2 + 0.5).cast("long").alias("x_u"),
+        F.floor(F.col("revenue") * F.col("revenue") + 0.5).cast("long").alias("xx_u"),
+    )
+    w = Window.orderBy("day_str").rowsBetween(-(_BOLL_DAYS - 1), Window.currentRow)
+    wsum = q.select(
+        "day_str",
+        "revenue",
+        F.count("*").over(w).alias("n"),
+        F.sum("x_u").over(w).alias("sx"),
+        F.sum("xx_u").over(w).alias("sxx"),
+    )
+    mean = F.col("sx").cast("double") / 1e2 / F.col("n")
+    var = F.greatest(
+        F.col("sxx").cast("double") / F.col("n") - mean * mean, F.lit(0.0)
+    )
+    sd2 = 2 * F.sqrt(var)
+    quant = lambda c: F.floor(c * 1e6 + 0.5).cast("long") / F.lit(1e6)  # noqa: E731
+    lower = quant(mean - sd2)
+    upper = quant(mean + sd2)
+    return wsum.select(
+        "day_str",
+        "revenue",
+        quant(mean).alias("mid_band"),
+        lower.alias("lower_band"),
+        upper.alias("upper_band"),
+        (
+            (F.col("n") >= _BOLL_DAYS)
+            & ((F.col("revenue") > upper) | (F.col("revenue") < lower))
+        ).alias("is_breach"),
+    ).orderBy("day_str")
