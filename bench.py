@@ -179,6 +179,10 @@ HEADLINE = [
     "join_feature_store_pit",
     "agg_count_min_sketch",
     "window_bollinger_bands",
+    # appended r4 wave 17
+    "window_seasonal_decompose",
+    "text_zipf_fit",
+    "agg_bounce_rate",
 ]
 
 

@@ -2737,3 +2737,108 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("true_n").desc(), "user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# sessionized bounce rate
+# ---------------------------------------------------------------------------
+
+_BOUNCE_GAP_US = 30 * 60 * 1_000_000  # same 30-min gap as window_sessionize
+
+_BOUNCE_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                   >= {_BOUNCE_GAP_US}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS sid
+  FROM seq
+),
+s2 AS (
+  SELECT user_id, sid,
+         MIN(ts) AS start_ts,
+         COUNT(*) AS n_events
+  FROM sess GROUP BY user_id, sid
+)
+SELECT CAST(CAST(date_trunc('day', start_ts) AS DATE) AS STRING) AS day_str,
+       CAST(COUNT(*) AS BIGINT) AS sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS bounces,
+       CAST(floor(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                       AS DOUBLE) / COUNT(*) * 1e6 + 0.5) AS BIGINT) / 1e6
+           AS bounce_rate
+FROM s2
+GROUP BY 1
+ORDER BY day_str
+"""
+
+
+@register("agg_bounce_rate", oracle=_BOUNCE_ORACLE)
+def agg_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: sessionize each user's event stream with the
+    standard 30-minute inactivity gap, then the share of
+    single-event sessions per session-start day — the
+    engagement-health KPI composed from sessionization + rollup.
+
+    Plan: ONE (user_id, ts) window shuffle marks session starts and
+    numbers them with a running sum (same pattern as
+    window_sessionize); the per-session rollup re-shuffles on
+    (user, session) — a key strictly finer than the window key, so
+    AQE coalesces it cheaply — and the daily rollup is
+    calendar-bounded. The rate is an exact-integer ratio,
+    floor-quantized.
+    """
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.unix_micros(F.col("ts"))
+    seq = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (t - F.unix_micros(F.lag("ts").over(w)) >= _BOUNCE_GAP_US),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = seq.select(
+        "user_id", "ts", F.sum("new_s").over(run).alias("sid")
+    )
+    s2 = sess.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("start_ts"), F.count("*").alias("n_events")
+    )
+    bounces = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return (
+        s2.groupBy(
+            F.date_trunc("day", F.col("start_ts"))
+            .cast("date")
+            .cast("string")
+            .alias("day_str")
+        )
+        .agg(
+            F.count("*").cast("long").alias("sessions"),
+            bounces.cast("long").alias("bounces"),
+            (
+                F.floor(
+                    bounces.cast("double") / F.count("*") * 1e6 + 0.5
+                ).cast("long")
+                / F.lit(1e6)
+            ).alias("bounce_rate"),
+        )
+        .orderBy("day_str")
+    )

@@ -1344,3 +1344,132 @@ def text_pmi_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("term_a", "term_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf's-law fit over the term frequency distribution
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOP = 100  # fit over the top-N ranks
+
+_ZIPF_ORACLE = f"""
+WITH tf AS (
+  SELECT term, COUNT(*) AS n
+  FROM (SELECT unnest({_TOKENS_SQL}) AS term FROM documents)
+  GROUP BY term
+),
+ranked AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, term) AS rank
+  FROM tf
+),
+pts AS (
+  SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS x_u,
+         CAST(floor(ln(CAST(n AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS y_u
+  FROM ranked WHERE rank <= {_ZIPF_TOP}
+),
+q AS (
+  SELECT x_u, y_u,
+         CAST(floor((CAST(x_u AS DOUBLE) / 1e6) * (CAST(y_u AS DOUBLE) / 1e6)
+                    * 1e6 + 0.5) AS BIGINT) AS xy_u,
+         CAST(floor((CAST(x_u AS DOUBLE) / 1e6) * (CAST(x_u AS DOUBLE) / 1e6)
+                    * 1e6 + 0.5) AS BIGINT) AS xx_u,
+         CAST(floor((CAST(y_u AS DOUBLE) / 1e6) * (CAST(y_u AS DOUBLE) / 1e6)
+                    * 1e6 + 0.5) AS BIGINT) AS yy_u
+  FROM pts
+),
+s AS (
+  SELECT COUNT(*) AS n, SUM(x_u) AS sx, SUM(y_u) AS sy,
+         SUM(xy_u) AS sxy, SUM(xx_u) AS sxx, SUM(yy_u) AS syy
+  FROM q
+)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       CAST(floor(
+         (n * (CAST(sxy AS DOUBLE) / 1e6)
+          - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sy AS DOUBLE) / 1e6))
+         / (n * (CAST(sxx AS DOUBLE) / 1e6)
+            - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sx AS DOUBLE) / 1e6))
+         * 1e6 + 0.5) AS BIGINT) / 1e6 AS slope,
+       CAST(floor(
+         ((CAST(sy AS DOUBLE) / 1e6)
+          - (n * (CAST(sxy AS DOUBLE) / 1e6)
+             - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sy AS DOUBLE) / 1e6))
+            / (n * (CAST(sxx AS DOUBLE) / 1e6)
+               - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sx AS DOUBLE) / 1e6))
+            * (CAST(sx AS DOUBLE) / 1e6)) / n * 1e6 + 0.5) AS BIGINT) / 1e6
+           AS intercept,
+       CAST(floor(
+         (n * (CAST(sxy AS DOUBLE) / 1e6)
+          - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sy AS DOUBLE) / 1e6))
+         * (n * (CAST(sxy AS DOUBLE) / 1e6)
+            - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sy AS DOUBLE) / 1e6))
+         / ((n * (CAST(sxx AS DOUBLE) / 1e6)
+             - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sx AS DOUBLE) / 1e6))
+            * (n * (CAST(syy AS DOUBLE) / 1e6)
+               - (CAST(sy AS DOUBLE) / 1e6) * (CAST(sy AS DOUBLE) / 1e6)))
+         * 1e6 + 0.5) AS BIGINT) / 1e6 AS r2
+FROM s
+"""
+
+
+@register("text_zipf_fit", oracle=_ZIPF_ORACLE)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus: OLS of ln(frequency) on ln(rank)
+    over the top terms — slope ≈ -1 is the healthy-natural-text
+    signature, and drift from it is a synthetic/template-corpus
+    smell worth alarming on in a training-data pipeline.
+
+    Plan: one explode→groupBy(term) pass (map-side combined) is the
+    fact-sized work; the rank window and the regression run over the
+    top-{100} rows. The (rank, count) points are exact integers;
+    ln() of them floor-quantizes to micro-units, products re-quantize,
+    and the closed-form OLS is a double expression over six exact
+    integer sums — deterministic across engines end to end.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(tokens()).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), "term")
+    ranked = tf.select("n", F.row_number().over(w).alias("rank")).filter(
+        F.col("rank") <= _ZIPF_TOP
+    )
+    x_u = F.floor(F.log(F.col("rank").cast("double")) * 1e6 + 0.5).cast("long")
+    y_u = F.floor(F.log(F.col("n").cast("double")) * 1e6 + 0.5).cast("long")
+    pts = ranked.select(x_u.alias("x_u"), y_u.alias("y_u"))
+    x = F.col("x_u").cast("double") / 1e6
+    y = F.col("y_u").cast("double") / 1e6
+    q = pts.select(
+        "x_u",
+        "y_u",
+        F.floor(x * y * 1e6 + 0.5).cast("long").alias("xy_u"),
+        F.floor(x * x * 1e6 + 0.5).cast("long").alias("xx_u"),
+        F.floor(y * y * 1e6 + 0.5).cast("long").alias("yy_u"),
+    )
+    s = q.agg(
+        F.count("*").alias("n"),
+        F.sum("x_u").alias("sx"),
+        F.sum("y_u").alias("sy"),
+        F.sum("xy_u").alias("sxy"),
+        F.sum("xx_u").alias("sxx"),
+        F.sum("yy_u").alias("syy"),
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double") / 1e6
+    sy = F.col("sy").cast("double") / 1e6
+    sxy = F.col("sxy").cast("double") / 1e6
+    sxx = F.col("sxx").cast("double") / 1e6
+    syy = F.col("syy").cast("double") / 1e6
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    r2 = (n * sxy - sx * sy) * (n * sxy - sx * sy) / (
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    quant = lambda c: F.floor(c * 1e6 + 0.5).cast("long") / F.lit(1e6)  # noqa: E731
+    return s.select(
+        n.cast("long").alias("n_terms"),
+        quant(slope).alias("slope"),
+        quant(intercept).alias("intercept"),
+        quant(r2).alias("r2"),
+    )

@@ -1652,3 +1652,121 @@ def window_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             & ((F.col("revenue") > upper) | (F.col("revenue") < lower))
         ).alias("is_breach"),
     ).orderBy("day_str")
+
+
+# ---------------------------------------------------------------------------
+# seasonal decomposition (trend / weekly seasonal / residual)
+# ---------------------------------------------------------------------------
+
+_SD_HALF = 3  # centered moving-average half-width (7-day trend)
+
+_SEASONAL_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+             AS revenue
+  FROM orders GROUP BY 1
+),
+tr AS (
+  SELECT day, revenue,
+         CASE WHEN COUNT(*) OVER w = {2 * _SD_HALF + 1}
+              THEN CAST(SUM(CAST(floor(revenue * 1e2 + 0.5) AS BIGINT))
+                        OVER w AS DOUBLE) / 1e2 / {2 * _SD_HALF + 1}
+         END AS trend
+  FROM daily
+  WINDOW w AS (ORDER BY day
+               ROWS BETWEEN {_SD_HALF} PRECEDING AND {_SD_HALF} FOLLOWING)
+),
+det AS (
+  SELECT day, revenue, trend,
+         CAST(floor((revenue - trend) * 1e6 + 0.5) AS BIGINT) AS det_u
+  FROM tr
+),
+seas AS (
+  SELECT day, revenue, trend, det_u,
+         CASE WHEN COUNT(det_u) OVER dw > 0
+              THEN CAST(floor(
+                     CAST(SUM(det_u) OVER dw AS DOUBLE)
+                     / COUNT(det_u) OVER dw + 0.5) AS BIGINT)
+         END AS seas_u
+  FROM det
+  WINDOW dw AS (PARTITION BY dayofweek(day))
+)
+SELECT CAST(day AS STRING) AS day_str, revenue,
+       CAST(floor(trend * 1e6 + 0.5) AS BIGINT) / 1e6 AS trend,
+       CAST(seas_u AS DOUBLE) / 1e6 AS seasonal,
+       CASE WHEN det_u IS NOT NULL
+            THEN CAST(det_u - seas_u AS DOUBLE) / 1e6 END AS residual
+FROM seas
+ORDER BY day_str
+"""
+
+
+@register("window_seasonal_decompose", oracle=_SEASONAL_ORACLE)
+def window_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of daily revenue:
+    centered 7-day moving-average trend, day-of-week seasonal means
+    of the detrended series, and the residual — the
+    trend-vs-seasonality-vs-noise split behind forecasting and
+    anomaly triage.
+
+    Plan: the fact collapses to one decimal-exact daily rollup; the
+    centered trend window and the day-of-week partition both run
+    over the calendar grid. Edge days (incomplete 7-day window) get
+    NULL trend and propagate NULL through seasonal/residual, exactly
+    as both engines' frames count them. All intermediates live in
+    floor-quantized integer units; the seasonal mean's integer sum /
+    count division is floor-quantized the same way on both sides, so
+    the residual identity revenue = trend + seasonal + residual is
+    exact in micro-units.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("day")
+    ).agg(F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue"))
+    span = 2 * _SD_HALF + 1
+    w = Window.orderBy("day").rowsBetween(-_SD_HALF, _SD_HALF)
+    tr = daily.select(
+        "day",
+        "revenue",
+        F.when(
+            F.count("*").over(w) == span,
+            F.sum(F.floor(F.col("revenue") * 1e2 + 0.5).cast("long"))
+            .over(w)
+            .cast("double")
+            / 1e2
+            / span,
+        ).alias("trend"),
+    )
+    det = tr.select(
+        "day",
+        "revenue",
+        "trend",
+        F.floor((F.col("revenue") - F.col("trend")) * 1e6 + 0.5)
+        .cast("long")
+        .alias("det_u"),
+    )
+    dw = Window.partitionBy(F.dayofweek("day") - 1)
+    seas = det.select(
+        "day",
+        "revenue",
+        "trend",
+        "det_u",
+        F.when(
+            F.count("det_u").over(dw) > 0,
+            F.floor(
+                F.sum("det_u").over(dw).cast("double") / F.count("det_u").over(dw)
+                + 0.5
+            ).cast("long"),
+        ).alias("seas_u"),
+    )
+    return seas.select(
+        F.col("day").cast("string").alias("day_str"),
+        "revenue",
+        (F.floor(F.col("trend") * 1e6 + 0.5).cast("long") / F.lit(1e6)).alias("trend"),
+        (F.col("seas_u").cast("double") / 1e6).alias("seasonal"),
+        F.when(
+            F.col("det_u").isNotNull(),
+            (F.col("det_u") - F.col("seas_u")).cast("double") / 1e6,
+        ).alias("residual"),
+    ).orderBy("day_str")

@@ -429,3 +429,89 @@ class TestBollingerBands:
                     r["revenue"] > r["upper_band"]
                     or r["revenue"] < r["lower_band"]
                 )
+
+
+class TestSeasonalDecompose:
+    def test_additive_identity_and_edge_nulls(self, spark, sf_dir, queries):
+        from etl_8x8_spark.operators.windows import _SD_HALF
+
+        rows = queries["window_seasonal_decompose"].builder(spark, sf_dir).collect()
+        assert rows
+        # first/last half-window rows have no trend
+        for r in rows[:_SD_HALF] + rows[-_SD_HALF:]:
+            assert r["trend"] is None and r["residual"] is None
+        # interior rows satisfy revenue ≈ trend + seasonal + residual
+        mids = [r for r in rows if r["trend"] is not None]
+        assert mids
+        for r in mids[:50]:
+            recon = r["trend"] + r["seasonal"] + r["residual"]
+            assert abs(recon - r["revenue"]) < 2e-2, r
+
+    def test_seasonal_constant_per_weekday(self, spark, sf_dir, queries):
+        import datetime
+
+        rows = queries["window_seasonal_decompose"].builder(spark, sf_dir).collect()
+        by_dow = {}
+        for r in rows:
+            if r["seasonal"] is None:
+                continue
+            dow = datetime.date.fromisoformat(r["day_str"]).isoweekday() % 7
+            by_dow.setdefault(dow, set()).add(r["seasonal"])
+        assert by_dow
+        assert all(len(v) == 1 for v in by_dow.values())
+
+
+class TestZipfFit:
+    def test_slope_negative_and_fit_tight(self, spark, sf_dir, queries):
+        row = queries["text_zipf_fit"].builder(spark, sf_dir).collect()[0]
+        assert row["n_terms"] > 10
+        assert row["slope"] < 0  # frequency falls with rank
+        assert 0 <= row["r2"] <= 1
+
+    def test_matches_driver_ols(self, spark, sf_dir, queries):
+        """Recompute the OLS on the true (rank, count) points."""
+        import math
+
+        from etl_8x8_spark.operators.dedup import tokens
+        from etl_8x8_spark.operators.text import _ZIPF_TOP
+        from etl_8x8_spark.sources.readers import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        tf = (
+            docs.select(F.explode(tokens()).alias("term"))
+            .groupBy("term")
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.col("n").desc(), "term")
+            .limit(_ZIPF_TOP)
+            .collect()
+        )
+        xs = [math.log(i + 1) for i in range(len(tf))]
+        ys = [math.log(r["n"]) for r in tf]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        sxx = sum(a * a for a in xs)
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        row = queries["text_zipf_fit"].builder(spark, sf_dir).collect()[0]
+        assert abs(row["slope"] - slope) < 1e-3
+
+
+class TestBounceRate:
+    def test_rate_consistent_and_bounded(self, spark, sf_dir, queries):
+        rows = queries["agg_bounce_rate"].builder(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert 0 <= r["bounces"] <= r["sessions"]
+            assert abs(r["bounce_rate"] - r["bounces"] / r["sessions"]) < 2e-6
+
+    def test_session_total_matches_sessionize(self, spark, sf_dir, queries):
+        """Total sessions must equal the distinct session count of the
+        window_sessionize operator (same 30-min gap)."""
+        rows = queries["agg_bounce_rate"].builder(spark, sf_dir).collect()
+        total_sessions = sum(r["sessions"] for r in rows)
+        sessionized = queries["window_sessionize"].builder(spark, sf_dir)
+        cols = sessionized.columns
+        assert "session_id" in cols or "session_seq" in cols, cols
+        key = "session_id" if "session_id" in cols else "session_seq"
+        distinct = sessionized.select("user_id", key).distinct().count()
+        assert distinct == total_sessions
