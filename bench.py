@@ -186,6 +186,8 @@ HEADLINE = [
     # appended r4 wave 18
     "scan_metadata_stats",
     "sink_compaction",
+    # appended r4 wave 19
+    "pipeline_feature_dataset",
 ]
 
 

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from etl_8x8_spark.functions.parity import DEC
 from etl_8x8_spark.registry import register
 from etl_8x8_spark.sources.readers import load_table
 
@@ -1126,4 +1127,124 @@ def join_feature_store_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_click_value",
         "last_view_value",
         F.coalesce(F.col("err_n"), F.lit(0)).cast("long").alias("errors_so_far"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# end-to-end supervised training-data pipeline (PIT features → label →
+# deterministic split → leakage-safe summary)
+# ---------------------------------------------------------------------------
+
+_FD_SPLIT_PCT = 80  # train share of the Knuth-hash split
+
+_FEATURE_DATASET_ORACLE = f"""
+WITH feats AS (
+  SELECT p.event_id AS purchase_id,
+         p.value,
+         (SELECT c.value FROM events c
+          WHERE c.event_type = 'click' AND c.user_id = p.user_id
+            AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id))
+          ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS last_click_value
+  FROM events p
+  WHERE p.event_type = 'purchase'
+),
+mean_v AS (
+  SELECT CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(value)
+             AS mv
+  FROM feats
+),
+labeled AS (
+  SELECT purchase_id,
+         CASE WHEN ((purchase_id % 2147483648) * 2654435761)
+                   % 4294967296 % 100 < {_FD_SPLIT_PCT}
+              THEN 'train' ELSE 'test' END AS split,
+         last_click_value IS NOT NULL AS had_click,
+         CASE WHEN value >= m.mv THEN 1 ELSE 0 END AS label,
+         last_click_value
+  FROM feats CROSS JOIN mean_v m
+)
+SELECT split, had_click,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(floor(CAST(SUM(label) AS DOUBLE) / COUNT(*) * 1e6 + 0.5)
+            AS BIGINT) / 1e6 AS label_rate,
+       CAST(SUM(CAST(coalesce(last_click_value, 0) AS DECIMAL(30,6)))
+            AS DOUBLE) / COUNT(*) AS avg_click_value
+FROM labeled
+GROUP BY split, had_click
+ORDER BY split, had_click
+"""
+
+
+@register("pipeline_feature_dataset", oracle=_FEATURE_DATASET_ORACLE)
+def pipeline_feature_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The supervised-training-data pipeline end to end, in ONE plan:
+    point-in-time feature attachment (no future leakage), scale-free
+    labeling (purchase value above the corpus mean), a deterministic
+    Knuth-hash 80/20 train/test split, and the per-split class-
+    balance / feature-coverage summary a dataset card reports.
+
+    Plan: the PIT features ride the single-shuffle union-window
+    pattern (join_feature_store_pit); the label threshold is a 1-row
+    broadcast; the split is a pure expression on the row id (same
+    masked Knuth hash as sample_train_test_split — the same row
+    always lands in the same split, shard-count independent); and
+    the summary is a 4-group aggregate. Catalyst fuses all of it
+    into one window pass + two small aggregates — no operator
+    boundary materializes anything.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_v = F.when(F.col("event_type") == "click", F.col("value"))
+    feats = (
+        events.select(
+            "event_id",
+            "event_type",
+            "value",
+            F.last(click_v, ignorenulls=True).over(w).alias("last_click_value"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"), "value", "last_click_value"
+        )
+    )
+    mean_v = feats.agg(
+        (F.sum(F.col("value").cast(DEC)).cast("double") / F.count("value")).alias(
+            "mv"
+        )
+    )
+    split = F.when(
+        ((F.col("purchase_id") % F.lit(2147483648)) * F.lit(2654435761))
+        % F.lit(4294967296)
+        % 100
+        < _FD_SPLIT_PCT,
+        "train",
+    ).otherwise("test")
+    labeled = feats.crossJoin(F.broadcast(mean_v)).select(
+        split.alias("split"),
+        F.col("last_click_value").isNotNull().alias("had_click"),
+        F.when(F.col("value") >= F.col("mv"), 1).otherwise(0).alias("label"),
+        "last_click_value",
+    )
+    return (
+        labeled.groupBy("split", "had_click")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            (
+                F.floor(
+                    F.sum("label").cast("double") / F.count("*") * 1e6 + 0.5
+                ).cast("long")
+                / F.lit(1e6)
+            ).alias("label_rate"),
+            (
+                F.sum(
+                    F.coalesce(F.col("last_click_value"), F.lit(0.0)).cast(DEC)
+                ).cast("double")
+                / F.count("*")
+            ).alias("avg_click_value"),
+        )
+        .orderBy("split", "had_click")
     )

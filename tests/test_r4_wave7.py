@@ -558,3 +558,26 @@ class TestSinkCompaction:
         for part_dir in glob.glob(os.path.join(base, "o_orderstatus=*")):
             files = glob.glob(os.path.join(part_dir, "*.parquet"))
             assert len(files) == 1, (part_dir, files)
+
+
+class TestPipelineFeatureDataset:
+    def test_split_shares_and_rates_bounded(self, spark, sf_dir, queries):
+        rows = queries["pipeline_feature_dataset"].builder(spark, sf_dir).collect()
+        assert rows
+        n_train = sum(r["n"] for r in rows if r["split"] == "train")
+        n_test = sum(r["n"] for r in rows if r["split"] == "test")
+        assert n_train > n_test > 0
+        total = n_train + n_test
+        assert 0.6 < n_train / total < 0.95  # hash split near 80/20
+        for r in rows:
+            assert 0 <= r["label_rate"] <= 1
+            if not r["had_click"]:
+                assert r["avg_click_value"] == 0.0
+
+    def test_totals_match_feature_join(self, spark, sf_dir, queries):
+        """The dataset's row count must equal the PIT feature join's
+        purchase count (no rows invented or dropped by the pipeline)."""
+        rows = queries["pipeline_feature_dataset"].builder(spark, sf_dir).collect()
+        total = sum(r["n"] for r in rows)
+        purchases = queries["join_feature_store_pit"].builder(spark, sf_dir).count()
+        assert total == purchases
