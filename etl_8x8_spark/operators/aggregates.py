@@ -2842,3 +2842,97 @@ def agg_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_str")
     )
+
+
+# ---------------------------------------------------------------------------
+# Lorenz curve (inequality deciles; companion to agg_gini_coefficient)
+# ---------------------------------------------------------------------------
+
+_LORENZ_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS s
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT s,
+         row_number() OVER (ORDER BY s, o_custkey) AS rk,
+         COUNT(*) OVER () AS n,
+         ntile(10) OVER (ORDER BY s, o_custkey) AS decile
+  FROM spend
+),
+cum AS (
+  SELECT decile, rk, n,
+         SUM(CAST(floor(s * 1e2 + 0.5) AS BIGINT))
+           OVER (ORDER BY rk ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS cum_u,
+         SUM(CAST(floor(s * 1e2 + 0.5) AS BIGINT)) OVER () AS tot_u
+  FROM ranked
+)
+SELECT decile,
+       CAST(MAX(rk) AS BIGINT) AS n_customers_cum,
+       CAST(floor(CAST(MAX(rk) AS DOUBLE) / MAX(n) * 1e6 + 0.5) AS BIGINT)
+           / 1e6 AS pop_share_cum,
+       CAST(floor(CAST(MAX(cum_u) AS DOUBLE) / MAX(tot_u) * 1e6 + 0.5)
+            AS BIGINT) / 1e6 AS spend_share_cum
+FROM cum
+GROUP BY decile
+ORDER BY decile
+"""
+
+
+@register("agg_lorenz_curve", oracle=_LORENZ_ORACLE)
+def agg_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve in deciles: customers ranked by total spend, the
+    cumulative population share vs cumulative spend share at each
+    decile boundary — the curve the Gini coefficient integrates, and
+    the direct "top 10% drive X% of revenue" readout.
+
+    Plan: the fact collapses to per-customer totals (map-side
+    combined); the global rank/ntile/cumulative windows run over the
+    CUSTOMER dimension — the same accepted dim-sized-window caveat as
+    agg_gini_coefficient, documented there. Spend quantizes to
+    integer cents so the cumulative sums are exact; both shares are
+    floor-quantized integer ratios.
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("s")
+    )
+    w_rank = Window.orderBy("s", "o_custkey")
+    ranked = spend.select(
+        "s",
+        F.row_number().over(w_rank).alias("rk"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+        F.ntile(10).over(w_rank).alias("decile"),
+    )
+    s_u = F.floor(F.col("s") * 1e2 + 0.5).cast("long")
+    w_cum = Window.orderBy("rk").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = ranked.select(
+        "decile",
+        "rk",
+        "n",
+        F.sum(s_u).over(w_cum).alias("cum_u"),
+        F.sum(s_u).over(Window.partitionBy()).alias("tot_u"),
+    )
+    return (
+        cum.groupBy("decile")
+        .agg(
+            F.max("rk").cast("long").alias("n_customers_cum"),
+            (
+                F.floor(
+                    F.max("rk").cast("double") / F.max("n") * 1e6 + 0.5
+                ).cast("long")
+                / F.lit(1e6)
+            ).alias("pop_share_cum"),
+            (
+                F.floor(
+                    F.max("cum_u").cast("double") / F.max("tot_u") * 1e6 + 0.5
+                ).cast("long")
+                / F.lit(1e6)
+            ).alias("spend_share_cum"),
+        )
+        .orderBy("decile")
+    )

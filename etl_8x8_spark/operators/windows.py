@@ -1770,3 +1770,105 @@ def window_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("det_u") - F.col("seas_u")).cast("double") / 1e6,
         ).alias("residual"),
     ).orderBy("day_str")
+
+
+# ---------------------------------------------------------------------------
+# relative strength index (RSI)
+# ---------------------------------------------------------------------------
+
+_RSI_DAYS = 14
+
+_RSI_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(CAST(date_trunc('day', o_orderdate) AS DATE) AS STRING)
+             AS day_str,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+             AS revenue
+  FROM orders GROUP BY 1
+),
+diffs AS (
+  SELECT day_str, revenue,
+         CAST(floor(revenue * 1e2 + 0.5) AS BIGINT)
+           - lag(CAST(floor(revenue * 1e2 + 0.5) AS BIGINT))
+             OVER (ORDER BY day_str) AS d_u
+  FROM daily
+),
+gl AS (
+  SELECT day_str, revenue,
+         CASE WHEN d_u > 0 THEN d_u ELSE 0 END AS gain_u,
+         CASE WHEN d_u < 0 THEN -d_u ELSE 0 END AS loss_u,
+         CASE WHEN d_u IS NULL THEN 0 ELSE 1 END AS has_d
+  FROM diffs
+),
+wsum AS (
+  SELECT day_str, revenue,
+         SUM(gain_u) OVER w AS sg,
+         SUM(loss_u) OVER w AS sl,
+         SUM(has_d) OVER w AS nd
+  FROM gl
+  WINDOW w AS (ORDER BY day_str
+               ROWS BETWEEN {_RSI_DAYS - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT day_str, revenue,
+       CASE WHEN nd >= {_RSI_DAYS}
+            THEN CASE WHEN sl = 0 THEN CAST(100.0 AS DOUBLE)
+                 ELSE CAST(floor(
+                   (100 - 100.0 / (1 + CAST(sg AS DOUBLE) / sl)) * 1e6 + 0.5)
+                   AS BIGINT) / 1e6
+                 END
+       END AS rsi
+FROM wsum
+ORDER BY day_str
+"""
+
+
+@register("window_rsi", oracle=_RSI_ORACLE)
+def window_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative Strength Index over daily revenue (Wilder's
+    simple-average form, {14}-day window): the bounded [0, 100]
+    momentum oscillator — overbought/oversold detection for any
+    metric series, not just prices.
+
+    Plan: decimal daily rollup, then lag-diff and trailing sums over
+    the calendar grid. Revenue quantizes to integer cents BEFORE the
+    diff, so gains/losses and their window sums are exact integers;
+    RSI is a closed-form double over two integers, floor-quantized.
+    Warm-up rows (fewer than {14} diffs in the window) are NULL, and
+    an all-gain window pins RSI to exactly 100.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).cast("date").cast("string").alias("day_str")
+    ).agg(F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue"))
+    r_u = F.floor(F.col("revenue") * 1e2 + 0.5).cast("long")
+    w_lag = Window.orderBy("day_str")
+    diffs = daily.select(
+        "day_str", "revenue", (r_u - F.lag(r_u).over(w_lag)).alias("d_u")
+    )
+    gl = diffs.select(
+        "day_str",
+        "revenue",
+        F.when(F.col("d_u") > 0, F.col("d_u")).otherwise(0).alias("gain_u"),
+        F.when(F.col("d_u") < 0, -F.col("d_u")).otherwise(0).alias("loss_u"),
+        F.when(F.col("d_u").isNull(), 0).otherwise(1).alias("has_d"),
+    )
+    w = Window.orderBy("day_str").rowsBetween(-(_RSI_DAYS - 1), Window.currentRow)
+    wsum = gl.select(
+        "day_str",
+        "revenue",
+        F.sum("gain_u").over(w).alias("sg"),
+        F.sum("loss_u").over(w).alias("sl"),
+        F.sum("has_d").over(w).alias("nd"),
+    )
+    rsi = F.when(F.col("sl") == 0, F.lit(100.0)).otherwise(
+        F.floor(
+            (100 - 100.0 / (1 + F.col("sg").cast("double") / F.col("sl"))) * 1e6
+            + 0.5
+        ).cast("long")
+        / F.lit(1e6)
+    )
+    return wsum.select(
+        "day_str",
+        "revenue",
+        F.when(F.col("nd") >= _RSI_DAYS, rsi).alias("rsi"),
+    ).orderBy("day_str")

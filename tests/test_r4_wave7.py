@@ -581,3 +581,59 @@ class TestPipelineFeatureDataset:
         total = sum(r["n"] for r in rows)
         purchases = queries["join_feature_store_pit"].builder(spark, sf_dir).count()
         assert total == purchases
+
+
+class TestLorenzCurve:
+    def test_curve_convex_and_anchored(self, spark, sf_dir, queries):
+        rows = queries["agg_lorenz_curve"].builder(spark, sf_dir).collect()
+        assert len(rows) == 10
+        # cumulative shares increase and end at 1
+        pops = [r["pop_share_cum"] for r in rows]
+        spends = [r["spend_share_cum"] for r in rows]
+        assert pops == sorted(pops) and spends == sorted(spends)
+        assert abs(pops[-1] - 1.0) < 1e-6 and abs(spends[-1] - 1.0) < 1e-6
+        # Lorenz curve sits under the diagonal (ascending-spend order)
+        for r in rows[:-1]:
+            assert r["spend_share_cum"] <= r["pop_share_cum"] + 1e-6
+
+    def test_consistent_with_gini(self, spark, sf_dir, queries):
+        """Trapezoid-integrate the decile curve; the implied Gini must
+        land near agg_gini_coefficient's exact value."""
+        rows = queries["agg_lorenz_curve"].builder(spark, sf_dir).collect()
+        pts = [(0.0, 0.0)] + [
+            (r["pop_share_cum"], r["spend_share_cum"]) for r in rows
+        ]
+        area = sum(
+            (x1 - x0) * (y0 + y1) / 2
+            for (x0, y0), (x1, y1) in zip(pts, pts[1:])
+        )
+        gini_from_curve = 1 - 2 * area
+        gini_rows = queries["agg_gini_coefficient"].builder(spark, sf_dir).collect()
+        gini_col = [c for c in gini_rows[0].asDict() if "gini" in c.lower()]
+        exact = gini_rows[0][gini_col[0]] if gini_col else None
+        if exact is not None:
+            assert abs(gini_from_curve - exact) < 0.05
+
+
+class TestRsi:
+    def test_bounds_warmup_and_allgain_pin(self, spark, sf_dir, queries):
+        from etl_8x8_spark.operators.windows import _RSI_DAYS
+
+        rows = queries["window_rsi"].builder(spark, sf_dir).collect()
+        assert rows
+        for r in rows[:_RSI_DAYS - 1]:
+            assert r["rsi"] is None
+        vals = [r["rsi"] for r in rows if r["rsi"] is not None]
+        assert vals and all(0 <= v <= 100 for v in vals)
+
+    def test_matches_driver_recompute_for_last_row(self, spark, sf_dir, queries):
+        from etl_8x8_spark.operators.windows import _RSI_DAYS
+
+        rows = queries["window_rsi"].builder(spark, sf_dir).collect()
+        cents = [round(r["revenue"] * 100) for r in rows]
+        diffs = [b - a for a, b in zip(cents, cents[1:])]
+        tail = diffs[-_RSI_DAYS:]
+        sg = sum(d for d in tail if d > 0)
+        sl = sum(-d for d in tail if d < 0)
+        expect = 100.0 if sl == 0 else 100 - 100.0 / (1 + sg / sl)
+        assert abs(rows[-1]["rsi"] - expect) < 1e-3
