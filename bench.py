@@ -191,6 +191,8 @@ HEADLINE = [
     # appended r4 wave 20
     "agg_lorenz_curve",
     "window_rsi",
+    # appended r4 wave 21
+    "text_bigram_perplexity",
 ]
 
 

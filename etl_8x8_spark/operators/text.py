@@ -1473,3 +1473,110 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         quant(intercept).alias("intercept"),
         quant(r2).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# bigram-LM perplexity (the next rung above text_unigram_logprob)
+# ---------------------------------------------------------------------------
+
+_BIGRAM_SQL = (
+    f"list_transform(generate_series(1, greatest(len({_TOKENS_SQL}) - 1, 0)),"
+    f" i -> array_to_string(({_TOKENS_SQL})[i:i+1], ' '))"
+)
+
+_BIGRAM_PPL_ORACLE = f"""
+WITH big AS (
+  SELECT doc_id, unnest({_BIGRAM_SQL}) AS bigram FROM documents
+),
+split AS (
+  SELECT doc_id, bigram,
+         string_split(bigram, ' ')[1] AS w1
+  FROM big
+),
+bf AS (SELECT bigram, COUNT(*) AS c12 FROM split GROUP BY bigram),
+uf AS (SELECT w1, COUNT(*) AS c1 FROM split GROUP BY w1),
+v AS (SELECT COUNT(DISTINCT w1) AS vocab FROM split),
+terms AS (
+  SELECT s.doc_id,
+         CAST(floor(ln((b.c12 + 1.0) / (u.c1 + vv.vocab)) * 1e6 + 0.5)
+              AS BIGINT) AS lp_u
+  FROM split s
+  JOIN bf b USING (bigram)
+  JOIN uf u USING (w1)
+  CROSS JOIN v vv
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(floor(CAST(-SUM(lp_u) AS DOUBLE) / 1e6 / COUNT(*) * 1e6 + 0.5)
+            AS BIGINT) / 1e6 AS cross_entropy
+FROM terms
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register("text_bigram_perplexity", oracle=_BIGRAM_PPL_ORACLE)
+def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram language-model cross-entropy (add-one
+    smoothed, trained on the corpus itself) — the perplexity filter
+    one rung above text_unigram_logprob: word-ORDER anomalies
+    (shuffled text, keyword stuffing, wrong-language runs) that
+    unigram stats can't see raise the bigram cross-entropy. exp() of
+    the score is perplexity; ranking is monotone either way so the
+    exp is left to the caller.
+
+    Plan: bigrams come from the shifted-slice zip (same
+    O(tokens)-per-row trick as the shingle builder — never a
+    positional lambda that re-splits per element); the LM is two
+    count aggregates (bigram, then first-word marginal) joined back
+    by broadcast at test SF — at 100 TB vocabulary both become
+    shuffle equi-joins on the same key, same plan shape. Per-bigram
+    ln() terms floor-quantize to integer micro-units and the per-doc
+    mean divides two exact integers — order-proof across engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens()
+    m = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, m),
+        F.slice(toks, 2, m),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    big = docs.select("doc_id", F.explode(bigrams).alias("bigram"))
+    split = big.select(
+        "doc_id",
+        "bigram",
+        F.split(F.col("bigram"), " ").getItem(0).alias("w1"),
+    )
+    bf = split.groupBy("bigram").agg(F.count("*").alias("c12"))
+    uf = split.groupBy("w1").agg(F.count("*").alias("c1"))
+    v = split.agg(F.countDistinct("w1").alias("vocab"))
+    terms = (
+        split.join(F.broadcast(bf), "bigram")
+        .join(F.broadcast(uf), "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.floor(
+                F.log((F.col("c12") + 1.0) / (F.col("c1") + F.col("vocab")))
+                * 1e6
+                + 0.5
+            )
+            .cast("long")
+            .alias("lp_u"),
+        )
+    )
+    return (
+        terms.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            (
+                F.floor(
+                    (-F.sum("lp_u")).cast("double") / 1e6 / F.count("*") * 1e6
+                    + 0.5
+                ).cast("long")
+                / F.lit(1e6)
+            ).alias("cross_entropy"),
+        )
+        .orderBy("doc_id")
+    )

