@@ -193,6 +193,8 @@ HEADLINE = [
     "window_rsi",
     # appended r4 wave 21
     "text_bigram_perplexity",
+    # appended r4 wave 22
+    "quality_referential_integrity",
 ]
 
 

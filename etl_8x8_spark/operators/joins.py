@@ -1248,3 +1248,87 @@ def pipeline_feature_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "had_click")
     )
+
+
+# ---------------------------------------------------------------------------
+# referential-integrity audit
+# ---------------------------------------------------------------------------
+
+_RI_ORACLE = """
+SELECT 'lineitem.l_orderkey -> orders' AS relationship,
+       CAST(COUNT(*) AS BIGINT) AS n_child_rows,
+       CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_orphans,
+       CAST(floor(CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                       AS DOUBLE) / COUNT(*) * 1e6 + 0.5) AS BIGINT) / 1e6
+           AS orphan_rate
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+UNION ALL
+SELECT 'lineitem.l_partkey -> part',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(floor(CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)
+                       AS DOUBLE) / COUNT(*) * 1e6 + 0.5) AS BIGINT) / 1e6
+FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+UNION ALL
+SELECT 'orders.o_custkey -> customer',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(floor(CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                       AS DOUBLE) / COUNT(*) * 1e6 + 0.5) AS BIGINT) / 1e6
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY relationship
+"""
+
+
+@register("quality_referential_integrity", oracle=_RI_ORACLE)
+def quality_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema's foreign
+    keys: per relationship, the child row count, orphaned-key count,
+    and orphan rate — the first report run against any new 100 TB
+    drop, and the one that decides whether downstream inner joins
+    silently drop data.
+
+    Plan: each relationship is ONE left join probed only for parent
+    NULLness — the parent side projects just its key, so the
+    broadcast (dims) or shuffle (fact-fact) carries keys, not rows,
+    and the per-relationship aggregate is a 1-row partial-combined
+    count. Rates are exact-integer ratios, floor-quantized. Adding a
+    relationship is one more UNION arm; nothing is quadratic in
+    anything.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def audit(child, ckey, parent, pkey, label):
+        pk = parent.select(F.col(pkey))
+        j = child.select(F.col(ckey)).join(
+            pk, F.col(ckey) == F.col(pkey), "left"
+        )
+        orphans = F.sum(F.when(F.col(pkey).isNull(), 1).otherwise(0))
+        return j.agg(
+            F.lit(label).alias("relationship"),
+            F.count("*").cast("long").alias("n_child_rows"),
+            orphans.cast("long").alias("n_orphans"),
+            (
+                F.floor(
+                    orphans.cast("double") / F.count("*") * 1e6 + 0.5
+                ).cast("long")
+                / F.lit(1e6)
+            ).alias("orphan_rate"),
+        ).select("relationship", "n_child_rows", "n_orphans", "orphan_rate")
+
+    return (
+        audit(li, "l_orderkey", orders, "o_orderkey", "lineitem.l_orderkey -> orders")
+        .unionByName(
+            audit(li, "l_partkey", part, "p_partkey", "lineitem.l_partkey -> part")
+        )
+        .unionByName(
+            audit(
+                orders, "o_custkey", cust, "c_custkey", "orders.o_custkey -> customer"
+            )
+        )
+        .orderBy("relationship")
+    )

@@ -677,3 +677,30 @@ class TestBigramPerplexity:
             .collect()
         )
         assert counts[0]["c"] > counts[-1]["c"]  # domain is non-degenerate
+
+
+class TestReferentialIntegrity:
+    def test_counts_match_anti_join_truth(self, spark, sf_dir, queries):
+        """n_orphans must equal the left-anti join count for each
+        relationship, and child totals match the raw tables."""
+        from etl_8x8_spark.sources.readers import load_table
+
+        rows = {
+            r["relationship"]: r
+            for r in queries["quality_referential_integrity"]
+            .builder(spark, sf_dir)
+            .collect()
+        }
+        assert len(rows) == 3
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders")
+        r = rows["lineitem.l_orderkey -> orders"]
+        assert r["n_child_rows"] == li.count()
+        anti = li.join(
+            orders, li.l_orderkey == orders.o_orderkey, "left_anti"
+        ).count()
+        assert r["n_orphans"] == anti
+        for rel in rows.values():
+            assert 0 <= rel["orphan_rate"] <= 1
+            expect = rel["n_orphans"] / rel["n_child_rows"]
+            assert abs(rel["orphan_rate"] - expect) < 2e-6
