@@ -1,8 +1,12 @@
 """Engine benchmark — the driver's per-round feedback loop.
 
 Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
-/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
-JSON line: {"metric", "value", "unit", "queries", "sf"}.
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``. Stdout carries
+one compact JSON line per query as it finishes ({"q", "s", "c"}) and
+ends with the summary JSON line {"metric", "value", "unit", "queries",
+"sf"} — LAST, so a bounded stdout-tail always keeps it. Spark console
+progress is disabled in the session so no non-JSON line lands between
+them.
 
 Each query is forced end-to-end with a noop sink (full computation,
 no driver-side collect). A JVM/catalog warmup query runs first so the
@@ -242,6 +246,17 @@ def main() -> None:
             timings[name] = min(per_run[1:])
         except Exception as exc:  # noqa: BLE001 — survive any query
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+        # Stream one compact line per query so a stdout-tail window
+        # truncates the OLDEST results, never the final summary line
+        # (BENCH_r04 kept only the last 67 of 136 queries because the
+        # single end-of-run line sat behind progress-bar spam).
+        if name in timings:
+            print(
+                json.dumps({"q": name, "s": timings[name], "c": cold[name]}),
+                flush=True,
+            )
+        elif name in errors:
+            print(json.dumps({"q": name, "err": errors[name][:120]}), flush=True)
         # queries that persist internal relations (minhash, CC, knn)
         # would otherwise accumulate cached blocks across the suite —
         # by query 30 the session is under memory pressure and timings
@@ -270,7 +285,9 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+    # The summary is the LAST stdout line, after the per-query stream,
+    # so any tail window that holds >=1 line always holds the total.
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

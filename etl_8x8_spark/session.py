@@ -44,6 +44,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # Progress bars write to stdout in local mode; on a 140-query
+        # bench they overflow the driver's stdout-tail window and
+        # truncate the one JSON line that matters (BENCH_r04 lost the
+        # first 69 per-query numbers to them).
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     for k, v in (extra_conf or {}).items():
