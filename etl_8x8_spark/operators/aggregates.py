@@ -2336,10 +2336,12 @@ pair_n AS (
 )
 SELECT p.brand_a, p.brand_b,
        CAST(p.pn AS BIGINT) AS n_pair,
-       round(CAST(p.pn AS DOUBLE) / n.n_baskets, 6) AS support,
-       round(CAST(p.pn AS DOUBLE) / na.bn, 6) AS conf_a_to_b,
-       round(CAST(p.pn AS DOUBLE) * n.n_baskets / (na.bn * nb.bn), 6)
-         AS lift
+       CAST(floor(CAST(p.pn AS DOUBLE) / n.n_baskets * 1e6 + 0.5) AS BIGINT)
+         / 1e6 AS support,
+       CAST(floor(CAST(p.pn AS DOUBLE) / na.bn * 1e6 + 0.5) AS BIGINT)
+         / 1e6 AS conf_a_to_b,
+       CAST(floor(CAST(p.pn AS DOUBLE) * n.n_baskets / (na.bn * nb.bn)
+                  * 1e6 + 0.5) AS BIGINT) / 1e6 AS lift
 FROM pair_n p
 JOIN brand_n na ON na.brand = p.brand_a
 JOIN brand_n nb ON nb.brand = p.brand_b
@@ -2364,9 +2366,10 @@ def agg_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant, so candidate volume scales linearly with orders. Brand
     marginals are a |brands|-row relation broadcast back in, and the
     basket total is a 1-row broadcast cross join. All three metrics
-    are exact-integer ratios rounded to 6 dp — deterministic across
-    engines. The support threshold is scale-free (a fraction of
-    baskets, not an absolute count).
+    are exact-integer ratios floor-quantized to 6 dp (floor(x*1e6+0.5),
+    tie-stable across engines) — deterministic across engines. The
+    support threshold is scale-free (a fraction of baskets, not an
+    absolute count).
     """
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
@@ -2396,17 +2399,29 @@ def agg_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "brand_a",
             "brand_b",
             F.col("pn").cast("long").alias("n_pair"),
-            F.round(F.col("pn").cast("double") / F.col("n_baskets"), 6).alias(
-                "support"
-            ),
-            F.round(F.col("pn").cast("double") / F.col("na"), 6).alias(
-                "conf_a_to_b"
-            ),
-            F.round(
-                F.col("pn").cast("double")
-                * F.col("n_baskets")
-                / (F.col("na") * F.col("nb")),
-                6,
+            # floor-quantize, not round(): Spark's round() HALF_UPs the
+            # shortest decimal repr while DuckDB rounds the binary
+            # value — a 1-ulp tie flips the 6th digit (LESSONS #22).
+            (
+                F.floor(F.col("pn").cast("double") / F.col("n_baskets") * 1e6 + 0.5)
+                .cast("long")
+                / F.lit(1e6)
+            ).alias("support"),
+            (
+                F.floor(F.col("pn").cast("double") / F.col("na") * 1e6 + 0.5)
+                .cast("long")
+                / F.lit(1e6)
+            ).alias("conf_a_to_b"),
+            (
+                F.floor(
+                    F.col("pn").cast("double")
+                    * F.col("n_baskets")
+                    / (F.col("na") * F.col("nb"))
+                    * 1e6
+                    + 0.5
+                )
+                .cast("long")
+                / F.lit(1e6)
             ).alias("lift"),
         )
         .orderBy("brand_a", "brand_b")

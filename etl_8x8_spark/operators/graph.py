@@ -301,8 +301,9 @@ pairs AS (
 )
 SELECT p.supp_a, p.supp_b,
        CAST(p.common AS BIGINT) AS n_common,
-       round(CAST(p.common AS DOUBLE)
-             / (da.d + db.d - p.common), 6) AS jaccard
+       CAST(floor(CAST(p.common AS DOUBLE)
+             / (da.d + db.d - p.common) * 1e6 + 0.5) AS BIGINT)
+         / 1e6 AS jaccard
 FROM pairs p
 JOIN deg da ON da.s = p.supp_a
 JOIN deg db ON db.s = p.supp_b
@@ -326,8 +327,8 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     data-model constant (TPC-H: ~4 suppliers/part regardless of
     SF), so candidate volume grows linearly with the part count.
     Degrees are a broadcast-sized |suppliers| relation joined in
-    twice. Jaccard is an exact-integer ratio rounded to 6 dp —
-    deterministic across engines.
+    twice. Jaccard is an exact-integer ratio floor-quantized to 6 dp
+    (floor(x*1e6+0.5)) — tie-stable and deterministic across engines.
     """
     sp = (
         load_table(spark, sf_dir, "lineitem")
@@ -351,10 +352,18 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_a",
             "supp_b",
             F.col("common").cast("long").alias("n_common"),
-            F.round(
-                F.col("common").cast("double")
-                / (F.col("da") + F.col("db") - F.col("common")),
-                6,
+            # floor-quantize, not round(): tie-stable across engines
+            # (Spark HALF_UP on decimal repr vs DuckDB on binary value
+            # diverges on 1-ulp ties — LESSONS #22).
+            (
+                F.floor(
+                    F.col("common").cast("double")
+                    / (F.col("da") + F.col("db") - F.col("common"))
+                    * 1e6
+                    + 0.5
+                )
+                .cast("long")
+                / F.lit(1e6)
             ).alias("jaccard"),
         )
         .orderBy("supp_a", "supp_b")

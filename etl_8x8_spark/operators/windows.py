@@ -1556,7 +1556,9 @@ WITH daily AS (
 q AS (
   SELECT day_str, revenue,
          CAST(floor(revenue * 1e2 + 0.5) AS BIGINT) AS x_u,
-         CAST(floor(revenue * revenue + 0.5) AS BIGINT) AS xx_u
+         CAST(CAST(floor(revenue * 1e2 + 0.5) AS BIGINT) AS DECIMAL(19,0))
+           * CAST(CAST(floor(revenue * 1e2 + 0.5) AS BIGINT) AS DECIMAL(19,0))
+           AS xx_u
   FROM daily
 ),
 wsum AS (
@@ -1573,26 +1575,26 @@ SELECT day_str, revenue,
            AS mid_band,
        CAST(floor((CAST(sx AS DOUBLE) / 1e2 / n
              - 2 * sqrt(greatest(
-                 CAST(sxx AS DOUBLE) / n
+                 CAST(sxx AS DOUBLE) / 1e4 / n
                  - (CAST(sx AS DOUBLE) / 1e2 / n)
                    * (CAST(sx AS DOUBLE) / 1e2 / n), 0))) * 1e6 + 0.5)
             AS BIGINT) / 1e6 AS lower_band,
        CAST(floor((CAST(sx AS DOUBLE) / 1e2 / n
              + 2 * sqrt(greatest(
-                 CAST(sxx AS DOUBLE) / n
+                 CAST(sxx AS DOUBLE) / 1e4 / n
                  - (CAST(sx AS DOUBLE) / 1e2 / n)
                    * (CAST(sx AS DOUBLE) / 1e2 / n), 0))) * 1e6 + 0.5)
             AS BIGINT) / 1e6 AS upper_band,
        n >= {_BOLL_DAYS}
          AND (revenue > CAST(floor((CAST(sx AS DOUBLE) / 1e2 / n
              + 2 * sqrt(greatest(
-                 CAST(sxx AS DOUBLE) / n
+                 CAST(sxx AS DOUBLE) / 1e4 / n
                  - (CAST(sx AS DOUBLE) / 1e2 / n)
                    * (CAST(sx AS DOUBLE) / 1e2 / n), 0))) * 1e6 + 0.5)
              AS BIGINT) / 1e6
            OR revenue < CAST(floor((CAST(sx AS DOUBLE) / 1e2 / n
              - 2 * sqrt(greatest(
-                 CAST(sxx AS DOUBLE) / n
+                 CAST(sxx AS DOUBLE) / 1e4 / n
                  - (CAST(sx AS DOUBLE) / 1e2 / n)
                    * (CAST(sx AS DOUBLE) / 1e2 / n), 0))) * 1e6 + 0.5)
              AS BIGINT) / 1e6) AS is_breach
@@ -1610,8 +1612,9 @@ def window_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: fact collapses to one decimal-exact daily rollup; the
     trailing window runs over the calendar-bounded grid. Mean and
-    variance come from floor-quantized integer component sums (Σx at
-    1e2 units, Σx² at whole units — revenue² overflows 1e2 scaling),
+    variance come from exact integer component sums (Σx at 1e2 units
+    in BIGINT; Σx² as the DECIMAL square of the same 1e2-unit
+    integer, so no int64 saturation at any plausible daily revenue),
     window-summed exactly; the band math is a closed-form double
     expression of identical integers, floor-quantized once on output.
     """
@@ -1623,7 +1626,15 @@ def window_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_str",
         "revenue",
         F.floor(F.col("revenue") * 1e2 + 0.5).cast("long").alias("x_u"),
-        F.floor(F.col("revenue") * F.col("revenue") + 0.5).cast("long").alias("xx_u"),
+        # x^2 in exact DECIMAL from the quantized 1e2-unit integer:
+        # BIGINT floor(revenue^2) saturates past revenue ~3.04e9
+        # (Spark saturates, DuckDB errors — silent divergence), while
+        # (x_u)^2 <= ~1e24 sits comfortably in DECIMAL(38,0).
+        (
+            F.floor(F.col("revenue") * 1e2 + 0.5)
+            .cast("decimal(19,0)")
+            * F.floor(F.col("revenue") * 1e2 + 0.5).cast("decimal(19,0)")
+        ).alias("xx_u"),
     )
     w = Window.orderBy("day_str").rowsBetween(-(_BOLL_DAYS - 1), Window.currentRow)
     wsum = q.select(
@@ -1635,7 +1646,7 @@ def window_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mean = F.col("sx").cast("double") / 1e2 / F.col("n")
     var = F.greatest(
-        F.col("sxx").cast("double") / F.col("n") - mean * mean, F.lit(0.0)
+        F.col("sxx").cast("double") / 1e4 / F.col("n") - mean * mean, F.lit(0.0)
     )
     sd2 = 2 * F.sqrt(var)
     quant = lambda c: F.floor(c * 1e6 + 0.5).cast("long") / F.lit(1e6)  # noqa: E731

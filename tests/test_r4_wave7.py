@@ -368,20 +368,30 @@ class TestFeatureStorePit:
         """errors_so_far must be non-decreasing across a user's
         successive purchases."""
         out = queries["join_feature_store_pit"].builder(spark, sf_dir)
-        w = F.col("errors_so_far")
         from pyspark.sql import Window as W
 
-        lagged = out.select(
+        from etl_8x8_spark.sources.readers import load_table
+
+        # purchase_id is the purchase's event_id — join ts back in so
+        # the lag runs in true event-time order, then assert the
+        # running error count never decreases along it.
+        ts = load_table(spark, sf_dir, "events").select(
+            F.col("event_id").alias("purchase_id"), "ts"
+        )
+        lagged = out.join(ts, "purchase_id").select(
             "user_id",
-            "purchase_id",
-            w.alias("e"),
-            F.lag(w)
-            .over(W.partitionBy("user_id").orderBy("purchase_id"))
+            F.col("errors_so_far").alias("e"),
+            F.lag("errors_so_far")
+            .over(W.partitionBy("user_id").orderBy("ts", "purchase_id"))
             .alias("prev_e"),
         )
-        # purchase_id order == time order only per generation; weaker
-        # invariant: counts are never negative
         assert lagged.filter(F.col("e") < 0).count() == 0
+        assert (
+            lagged.filter(
+                F.col("prev_e").isNotNull() & (F.col("prev_e") > F.col("e"))
+            ).count()
+            == 0
+        )
 
 
 class TestCountMinSketch:
@@ -527,10 +537,19 @@ class TestMetadataStats:
             "o_totalprice",
             "o_orderpriority",
         }
+        numeric_cols = {"o_custkey", "o_totalprice"}
         for r in rows:
             assert r["n_nonnull"] <= r["n_rows"]
             assert r["n_distinct"] <= r["n_nonnull"]
-            assert r["min_val"] <= r["max_val"] or r["n_nonnull"] == 0
+            if r["n_nonnull"] == 0:
+                continue
+            # min/max are stringified — compare numerically where the
+            # source column is numeric (lexicographic "857" > "555285"
+            # would fail spuriously on other datasets).
+            if r["col"] in numeric_cols:
+                assert float(r["min_val"]) <= float(r["max_val"])
+            else:
+                assert r["min_val"] <= r["max_val"]
         # enum columns have tiny domains
         assert by_col["o_orderstatus"]["n_distinct"] <= 3
         assert by_col["o_orderpriority"]["n_distinct"] <= 5
@@ -549,12 +568,14 @@ class TestSinkCompaction:
 
         rows = queries["sink_compaction"].builder(spark, sf_dir).collect()
         assert rows and all(r["n_orders"] > 0 for r in rows)
-        tag = os.path.basename(sf_dir.rstrip("/")).replace("sf", "sf")
-        base = None
-        for d in glob.glob(os.path.join(scratch_dir(), "orders_compact_*")):
-            if tag.replace(".", "_") in d or True:
-                base = d
-        assert base is not None
+        # Match THIS sf's output dir exactly — a glob that settles for
+        # any orders_compact_* dir can assert on a stale run at a
+        # different SF.
+        from etl_8x8_spark.sources.scans import _sf_tag
+
+        base = os.path.join(scratch_dir(), f"orders_compact_{_sf_tag(sf_dir)}")
+        assert os.path.isdir(base), base
+        assert glob.glob(os.path.join(base, "o_orderstatus=*"))
         for part_dir in glob.glob(os.path.join(base, "o_orderstatus=*")):
             files = glob.glob(os.path.join(part_dir, "*.parquet"))
             assert len(files) == 1, (part_dir, files)
