@@ -359,72 +359,202 @@ _BANDS = 8
 _ROWS_PER_BAND = _MINHASH_FUNCS // _BANDS
 
 
-# Universal hashing: h_i(s) = (a + i·b) mod P where a, b are two
-# independent xxhash64s of the shingle (masked so the arithmetic never
-# nears Long overflow — ANSI mode would throw). The mod-P wraparound is
-# essential: without it the shingle with the smallest (a, b) wins the
-# min for EVERY i, signatures collapse to near-identical vectors, and
-# the band buckets go quadratic. The string is hashed only twice per
-# shingle instead of once per function — ~16× cheaper.
-_MASK_A = (1 << 53) - 1
-_MASK_B = (1 << 32) - 1
-_MERSENNE_P = (1 << 31) - 1
+# Engine-portable hash family (round 5): every hash below is plain
+# integer arithmetic both Spark and DuckDB evaluate identically, so
+# the whole LSH family is value-hash oracle-checkable — the r1-r4
+# builds used xxhash64, which has no DuckDB twin and forced the
+# weaker rows-only driver check. Components:
+#   token hash   t = fold chars: (acc·131 + ascii(c)) mod P
+#   shingle hash a = fold the n token hashes: (acc·1000003 + t) mod P
+#   second hash  b = (a · 2654435761) mod 2^32   (Knuth multiplicative)
+#   minhash_i    h_i = (a + i·b) mod P
+# P = 2^31-1 keeps every intermediate < 2^63 (a·2654435761 < 2^63), so
+# the arithmetic never overflows — a throw under ANSI mode and DuckDB
+# alike. The mod-P wraparound in h_i is essential: without it the
+# shingle with the smallest (a, b) wins the min for EVERY i,
+# signatures collapse, and the band buckets go quadratic.
+_PH_P = (1 << 31) - 1
+_PH_CHAR_MUL = 131
+_PH_TOK_MUL = 1_000_003
+_PH_B_MUL = 2_654_435_761
+_PH_B_MOD = 1 << 32
 
 
-def minhash_base_hashes(sset: Column) -> Column:
-    """Per-shingle (a, b) base hash pairs — compute once, materialize
-    as a column, then feed to :func:`minhash_signature` (passing the
-    expression directly would re-hash the shingles once per function).
-    """
+def token_hashes(tok_col: Column) -> Column:
+    """Portable per-token polynomial hash (char left-fold mod P).
+
+    One fold per token — shingle hashes then combine these O(1) per
+    shingle instead of re-hashing ~3x the characters per shingle.
+    Pass a MATERIALIZED column to consumers that slice it (each slice
+    reference re-evaluates the expression)."""
     return F.transform(
-        sset,
-        lambda s: F.struct(
-            F.xxhash64(s).bitwiseAND(F.lit(_MASK_A)).alias("a"),
-            F.xxhash64(s, F.lit(1)).bitwiseAND(F.lit(_MASK_B)).alias("b"),
+        tok_col,
+        lambda t: F.aggregate(
+            F.transform(F.split(t, ""), lambda c: F.ascii(c).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, v: (acc * _PH_CHAR_MUL + v) % _PH_P,
         ),
     )
 
 
-def minhash_signature(ab: Column) -> Column:
+def _token_hashes_sql(toks: str) -> str:
+    """DuckDB twin of :func:`token_hashes` (string_split(t, '') splits
+    into characters in DuckDB, matching Spark's split(t, ''))."""
+    return (
+        f"list_transform({toks}, t -> list_reduce("
+        f"list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))), "
+        f"(acc, v) -> (acc * {_PH_CHAR_MUL} + v) % {_PH_P}))"
+    )
+
+
+def shingle_hashes(th: Column, n: int = 3) -> Column:
+    """Order-sensitive hash of every word n-gram, combined from the
+    per-token hashes with the same shifted-slice zip as
+    :func:`shingles` (short docs truncate identically: a NULL slice
+    element leaves the accumulator unchanged, mirroring concat_ws
+    skipping NULLs)."""
+    m = F.greatest(F.size(th) - (n - 1), F.lit(1))
+    acc = F.slice(th, 1, m)
+    for k in range(2, n + 1):
+        acc = F.zip_with(
+            acc,
+            F.slice(th, k, m),
+            lambda a, b: F.when(b.isNull(), a).otherwise(
+                (a * _PH_TOK_MUL + b) % _PH_P
+            ),
+        )
+    return acc
+
+
+def _shingle_hashes_sql(th: str, n: int = 3) -> str:
+    """DuckDB twin of :func:`shingle_hashes` — out-of-range list
+    indexing yields NULL, matching the zip_with padding."""
+    acc = f"({th})[i]"
+    for k in range(2, n + 1):
+        acc = (
+            f"CASE WHEN ({th})[i+{k - 1}] IS NULL THEN {acc} "
+            f"ELSE (({acc}) * {_PH_TOK_MUL} + ({th})[i+{k - 1}]) % {_PH_P} END"
+        )
+    return (
+        f"list_transform(generate_series(1, greatest(len({th}) - {n - 1}, 1)), "
+        f"i -> {acc})"
+    )
+
+
+def minhash_signature(sh: Column) -> Column:
     """32-function MinHash signature as a SINGLE left fold over the
-    base-hash pairs: acc_i = min(acc_i, (a + i·b) mod P).
+    shingle hashes: acc_i = min(acc_i, (a + i·b) mod P) with
+    b = Knuth-multiplicative(a).
 
     Written as one ``aggregate`` (not 32 ``array_min`` passes) so the
-    ``ab`` expression is referenced exactly once — Catalyst's
+    ``sh`` expression is referenced exactly once — Catalyst's
     CollapseProject duplicates multiply-referenced projection
     expressions, which would otherwise re-hash every shingle once per
-    function."""
+    function. min over the multiset == min over the set, so the input
+    needs no array_distinct."""
     init = F.array_repeat(F.lit(1 << 62).cast("long"), _MINHASH_FUNCS)
     idx = F.sequence(F.lit(0), F.lit(_MINHASH_FUNCS - 1))
+    pairs = F.transform(
+        sh, lambda a: F.array(a, (a * _PH_B_MUL) % _PH_B_MOD)
+    )
     return F.aggregate(
-        ab,
+        pairs,
         init,
         lambda acc, p: F.zip_with(
             acc,
             idx,
-            lambda m, i: F.least(m, (p["a"] + i * p["b"]) % _MERSENNE_P),
+            lambda m, i: F.least(
+                m, (F.element_at(p, 1) + i * F.element_at(p, 2)) % _PH_P
+            ),
         ),
     )
 
 
-def band_hashes(sig: Column) -> Column:
-    """Band the signature: one xxhash64 over each r-row slice (slices
-    addressed positionally so ``sig`` should be a materialized column,
-    not a re-evaluated expression)."""
-    return F.array(
-        *[
-            F.xxhash64(
-                *[
-                    F.element_at(sig, b * _ROWS_PER_BAND + r + 1)
-                    for r in range(_ROWS_PER_BAND)
-                ]
-            )
-            for b in range(_BANDS)
-        ]
+def _minhash_signature_sql(sh: str) -> str:
+    """DuckDB twin of :func:`minhash_signature`. The accumulator and
+    the (a, b) pairs are both BIGINT lists so list_reduce's
+    init-via-prepend trick type-checks."""
+    init = (
+        f"list_transform(generate_series(0, {_MINHASH_FUNCS - 1}), "
+        f"i -> CAST({1 << 62} AS BIGINT))"
+    )
+    return (
+        f"list_reduce(list_prepend({init}, "
+        f"list_transform({sh}, a -> [a, (a * {_PH_B_MUL}) % {_PH_B_MOD}])), "
+        f"(acc, p) -> list_transform(generate_series(0, {_MINHASH_FUNCS - 1}), "
+        f"i -> least(acc[i+1], (p[1] + i * p[2]) % {_PH_P})))"
     )
 
 
-@register("dedup_minhash_near", oracle=None)
+def band_hashes(sig: Column) -> Column:
+    """Band the signature: a polynomial fold over each r-row slice
+    (slices addressed positionally so ``sig`` should be a materialized
+    column, not a re-evaluated expression). Signature entries are
+    < P, so the fold never overflows."""
+    bands = []
+    for b in range(_BANDS):
+        h = F.lit(0).cast("long")
+        for r in range(_ROWS_PER_BAND):
+            h = (h * _PH_TOK_MUL + F.element_at(sig, b * _ROWS_PER_BAND + r + 1)) % _PH_P
+        bands.append(h)
+    return F.array(*bands)
+
+
+def _band_hash_sql(sig: str, band_idx: str) -> str:
+    """DuckDB twin of one band's hash, with the band index a SQL
+    expression (the oracle unnests band indices to rows)."""
+    h = "CAST(0 AS BIGINT)"
+    for r in range(_ROWS_PER_BAND):
+        h = (
+            f"(({h}) * {_PH_TOK_MUL} "
+            f"+ ({sig})[({band_idx}) * {_ROWS_PER_BAND} + {r + 1}]) % {_PH_P}"
+        )
+    return h
+
+
+_MINHASH_ORACLE = f"""
+WITH corpus AS ({_NEAR_SQL}),
+tok AS (
+  SELECT doc_id, {_TOKENS_SQL} AS toks FROM corpus
+),
+th AS (
+  SELECT doc_id, {_shingles_sql("toks")} AS sset,
+         {_token_hashes_sql("toks")} AS th
+  FROM tok
+),
+sig AS (
+  SELECT doc_id, sset,
+         {_minhash_signature_sql(_shingle_hashes_sql("th"))} AS sig
+  FROM th
+),
+buckets AS (
+  SELECT doc_id, j AS band_idx, {_band_hash_sql("sig", "j")} AS band_hash
+  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, {_BANDS - 1})) AS j) g
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a JOIN buckets b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+paired AS (
+  SELECT c.doc_a, c.doc_b, sa.sset AS sa, sb.sset AS sb
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b,
+       CAST(floor(CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+             / len(list_distinct(sa || sb)) * 1e6 + 0.5) AS BIGINT) / 1e6
+         AS jaccard
+FROM paired
+WHERE CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+      / len(list_distinct(sa || sb)) >= {_JACCARD_THRESHOLD}
+"""
+
+
+@register("dedup_minhash_near", oracle=_MINHASH_ORACLE)
 def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup via banded MinHash LSH: shingle -> 32-hash signature ->
     8 bands × 4 rows -> bucket join -> exact-Jaccard verification of
@@ -433,10 +563,11 @@ def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the 100 TB path: candidate generation is a groupBy/join on
     (band, band_hash) — O(bands × corpus) shuffle, never O(n²). The
     exact-Jaccard check then makes the output deterministic (and
-    precision 1.0), so the LSH parameters only affect recall. No
-    DuckDB oracle (xxhash64 has no DuckDB twin) — driver records
-    rows-only; tests/test_llm_ops.py asserts recall against the exact
-    n-gram Jaccard result.
+    precision 1.0), so the LSH parameters only affect recall. The
+    whole hash family is engine-portable integer arithmetic (see the
+    block comment above), so the driver value-hash-checks this against
+    a full DuckDB twin; tests/test_llm_ops.py additionally asserts
+    recall against the exact n-gram Jaccard result.
     """
     corpus = seeded_near_corpus(load_table(spark, sf_dir, "documents"))
     # (doc_id, shingle set, signature) computed in ONE pass and
@@ -446,13 +577,17 @@ def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CollapseProject + plan duplication re-derive it per consumer.
     # (At warehouse scale this persist is a materialized signature
     # table; 8-byte×32 signatures are ~0.3% of corpus bytes.)
+    # token_hashes is materialized as its own column first: the three
+    # shifted-slice references in shingle_hashes would each re-run the
+    # per-char fold if handed the raw expression.
     sig_df = corpus.select(
         "doc_id",
         shingles(tokens()).alias("sset"),
+        token_hashes(tokens()).alias("th"),
     ).select(
         "doc_id",
         "sset",
-        minhash_signature(minhash_base_hashes(F.col("sset"))).alias("sig"),
+        minhash_signature(shingle_hashes(F.col("th"))).alias("sig"),
     ).persist()  # lifecycle: see the persist-barrier note in dedup_ngram_jaccard
     sh = sig_df.select("doc_id", "sset")
     # Bucket rows carry ONLY (doc_id, band): the shingle arrays must
@@ -489,35 +624,57 @@ def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = inter.cast("double") / union
     return (
         paired.filter(jac >= _JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .select(
+            "doc_a",
+            "doc_b",
+            # floor-quantize (not round): tie-stable across engines
+            (F.floor(jac * 1e6 + 0.5).cast("long") / F.lit(1e6)).alias("jaccard"),
+        )
     )
 
 
 # ---------------------------------------------------------------------------
-# SimHash near-dup (rows-only + pytest)
+# SimHash near-dup (portable-hash, oracle-checkable)
 # ---------------------------------------------------------------------------
 
 _SIMHASH_BITS = 64
 _HAM_THRESHOLD = 6  # max Hamming distance for a near-dup verdict
 _SIM_BANDS = 4  # block on 16-bit chunks: d<=6 pairs share >=1 of 4 exact
 
+# Four Knuth-style odd multipliers (the xxhash/Murmur constants —
+# public-domain mixing constants, used here as plain integer literals).
+# Each shingle's 64 fingerprint bits are the TOP 16 bits of the four
+# 32-bit products (a·M_k mod 2^32): multiplicative hashing's high bits
+# are the well-mixed ones. a < 2^31 and M_k < 2^32 keep products
+# < 2^63 — no overflow under ANSI mode or DuckDB.
+_SIM_MULTS = [2_654_435_761, 2_246_822_519, 3_266_489_917, 668_265_263]
 
-def simhash_counters(tok_col: Column) -> Column:
-    """64 SimHash bit counters: per distinct token, xxhash64
-    contributes ±1 per bit position, folded over the token set."""
-    toks = F.array_distinct(tok_col)
+
+def simhash_counters(sh: Column) -> Column:
+    """64 SimHash bit counters folded over the DISTINCT shingle
+    hashes: bit j of a shingle is bit (16 + j mod 16) of
+    (a · M_{j div 16}) mod 2^32, contributing ±1. The four products
+    are materialized once per shingle via an inner transform, not
+    recomputed per bit."""
+    dh = F.array_distinct(sh)
+    gs = F.transform(
+        dh, lambda a: F.array(*[(a * m) % _PH_B_MOD for m in _SIM_MULTS])
+    )
     return F.aggregate(
-        toks,
+        gs,
         F.array_repeat(F.lit(0), _SIMHASH_BITS),
-        lambda acc, t: F.zip_with(
+        lambda acc, g: F.zip_with(
             acc,
             F.array(
                 *[
                     F.when(
-                        F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1,
+                        F.shiftright(
+                            F.element_at(g, j // 16 + 1), 16 + (j % 16)
+                        ).bitwiseAND(F.lit(1))
+                        == 1,
                         1,
                     ).otherwise(-1)
-                    for i in range(_SIMHASH_BITS)
+                    for j in range(_SIMHASH_BITS)
                 ]
             ),
             lambda a, v: a + v,
@@ -547,7 +704,62 @@ def simhash_from_counters(counters: Column) -> Column:
     )
 
 
-@register("dedup_simhash", oracle=None)
+def _simhash_powers_sql() -> str:
+    """SQL CASE mapping bit index j to its power-of-two (bit 63 is the
+    BIGINT sign bit, hence the two's-complement literal)."""
+    return (
+        f"CASE WHEN j = 63 THEN CAST({-(1 << 63)} AS BIGINT) "
+        f"ELSE (CAST(1 AS BIGINT) << CAST(j AS INT)) END"
+    )
+
+
+_SIMHASH_ORACLE = f"""
+WITH corpus AS ({_NEAR_SQL}),
+tok AS (
+  SELECT doc_id, {_TOKENS_SQL} AS toks FROM corpus
+),
+th AS (
+  SELECT doc_id, {_token_hashes_sql("toks")} AS th FROM tok
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct({_shingle_hashes_sql("th")}) AS dh
+  FROM th
+),
+ex AS (
+  SELECT doc_id, unnest(dh) AS a FROM sh
+),
+bits AS (
+  SELECT doc_id, j,
+         SUM(CASE WHEN ((a * ([{", ".join(str(m) for m in _SIM_MULTS)}])[(j // 16) + 1])
+                        % {_PH_B_MOD} >> (16 + (j % 16))) & 1 = 1
+                  THEN 1 ELSE -1 END) AS c
+  FROM ex CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) g
+  GROUP BY doc_id, j
+),
+fp AS (
+  -- SUM(BIGINT) is HUGEINT in DuckDB; without the cast the xor /
+  -- bit_count below run 128-bit and negative fingerprints count 64
+  -- phantom sign bits.
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN c > 0 THEN {_simhash_powers_sql()}
+                  ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS fp
+  FROM bits GROUP BY doc_id
+),
+ch AS (
+  SELECT doc_id, fp, j AS chunk_idx, (fp >> (j * 16)) & 65535 AS chunk_val
+  FROM fp CROSS JOIN (SELECT unnest(generate_series(0, {_SIM_BANDS - 1})) AS j) g
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+FROM ch a JOIN ch b
+  ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+ AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp, b.fp)) <= {_HAM_THRESHOLD}
+"""
+
+
+@register("dedup_simhash", oracle=_SIMHASH_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 64-bit fingerprints, blocked by 16-bit chunks
     (pigeonhole: Hamming distance ≤ 6 over 4 chunks guarantees ≥ 1
@@ -555,8 +767,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Same scale shape as MinHash LSH: candidate generation is an
     equi-join on (chunk_idx, chunk_value); fingerprints are 8 bytes per
-    doc, so the candidate join shuffles fingerprints, not text. No
-    DuckDB oracle (xxhash64) — rows-only + pytest.
+    doc, so the candidate join shuffles fingerprints, not text. The
+    portable hash family (see the minhash block comment) makes the
+    fingerprints — and therefore the output — value-hash-checkable
+    against the DuckDB twin.
     """
     corpus = seeded_near_corpus(load_table(spark, sf_dir, "documents"))
     # features = word-3-gram shingles: unigram features would make all
@@ -567,8 +781,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CollapseProject would otherwise re-derive the whole fold per
     # reference.
     fp = (
-        corpus.select(
-            "doc_id", simhash_counters(shingles(tokens())).alias("counters")
+        corpus.select("doc_id", tokens().alias("toks"))
+        .select("doc_id", token_hashes(F.col("toks")).alias("th"))
+        .select(
+            "doc_id", simhash_counters(shingle_hashes(F.col("th"))).alias("counters")
         )
         .select("doc_id", simhash_from_counters(F.col("counters")).alias("fp"))
         .persist()  # lifecycle: see persist-barrier note in dedup_ngram_jaccard

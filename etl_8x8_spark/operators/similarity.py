@@ -251,7 +251,62 @@ def lsh_bucket(emb_col: F.Column, dim: int) -> F.Column:
     return out
 
 
-@register("sim_search_lsh_topk", oracle=None)
+_LSH_DIM = 64  # embeddings are 64-d (TESTDATA.md)
+
+
+def _lsh_proj_sql(p: int) -> str:
+    """DuckDB projection of ``embedding`` onto plane ``p`` — the SAME
+    float literals the Spark plan embeds (``_plane_component`` runs in
+    Python; repr() round-trips doubles exactly), folded left like
+    :func:`etl_8x8_spark.functions.vectors.oracle_dot`."""
+    plane = ", ".join(repr(_plane_component(p, d)) for d in range(_LSH_DIM))
+    return (
+        f"list_reduce(list_transform(generate_series(1, len(embedding)), "
+        f"i -> CAST(embedding[i] AS DOUBLE) * ([{plane}])[i]), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+def _lsh_oracle() -> str:
+    bucket = " + ".join(
+        f"(CASE WHEN {_lsh_proj_sql(p)} > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(_N_PLANES)
+    )
+    probe_list = ", ".join(
+        ["qb"] + [f"xor(qb, {1 << p})" for p in range(_N_PLANES)]
+    )
+    return f"""
+WITH normed AS (
+  SELECT vec_id, embedding, {oracle_norm("embedding")} AS nrm,
+         {bucket} AS bucket
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS q_id, embedding AS qe, nrm AS qn, bucket AS qb
+  FROM normed WHERE vec_id < {_N_QUERIES}
+),
+probes AS (
+  SELECT q_id, qe, qn, unnest([{probe_list}]) AS bucket FROM q
+),
+scored AS (
+  SELECT p.q_id, n.vec_id,
+         {oracle_dot("p.qe", "n.embedding")} / (p.qn * n.nrm) AS sim
+  FROM probes p JOIN normed n ON n.bucket = p.bucket
+  WHERE n.vec_id <> p.q_id
+),
+ranked AS (
+  SELECT q_id, vec_id, sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC)
+           AS rank
+  FROM scored
+)
+SELECT q_id, vec_id,
+       CAST(floor(sim * 1e6 + 0.5) AS BIGINT) / 1e6 AS sim, rank
+FROM ranked WHERE rank <= {_LSH_TOP_K}
+"""
+
+
+@register("sim_search_lsh_topk", oracle=_lsh_oracle())
 def sim_search_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k: random-hyperplane signatures
     partition the corpus into 2^P buckets; each query scores ONLY
@@ -263,16 +318,17 @@ def sim_search_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring touches |corpus| × (P+1)/2^P rows in expectation instead
     of |corpus| × |queries|; P grows with log2(corpus size) to hold
     bucket sizes constant. Recall vs the exact ``sim_search_topk`` is
-    asserted in tests/test_llm_ops.py. Rows-only for the driver (the
-    plane derivation has no DuckDB twin).
+    asserted in tests/test_llm_ops.py. Oracle-checkable since round 5:
+    the plane matrix is a Python-derived float literal embedded in
+    BOTH plans, and dot products fold left in both engines, so bucket
+    assignment and scores are bit-identical.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    dim = 64  # embeddings are 64-d (TESTDATA.md)
     normed = emb.select(
         "vec_id",
         "embedding",
         norm(F.col("embedding")).alias("nrm"),
-        lsh_bucket(F.col("embedding"), dim).alias("bucket"),
+        lsh_bucket(F.col("embedding"), _LSH_DIM).alias("bucket"),
     )
     q = normed.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
@@ -310,7 +366,15 @@ def sim_search_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _LSH_TOP_K)
-        .select("q_id", "vec_id", F.round("sim", 6).alias("sim"), "rank")
+        .select(
+            "q_id",
+            "vec_id",
+            # floor-quantize (not round): tie-stable across engines
+            (F.floor(F.col("sim") * 1e6 + 0.5).cast("long") / F.lit(1e6)).alias(
+                "sim"
+            ),
+            "rank",
+        )
     )
 
 

@@ -341,21 +341,16 @@ class TestRegistryContract:
         assert len(set(_SAMPLE_PRIORITY)) == len(_SAMPLE_PRIORITY)
 
     def test_every_query_has_oracle_or_documented_rows_only(self):
-        """Every registered key carries a DuckDB oracle except the
-        four rows-only-by-design keys (LSH/SimHash signatures use
-        xxhash64, which has no DuckDB twin; late-data semantics have
-        no batch SQL equivalent)."""
+        """Every registered key carries a DuckDB oracle except the one
+        rows-only-by-design key (late-data semantics have no batch SQL
+        equivalent). The LSH family gained exact portable-hash oracles
+        in round 5."""
         from etl_8x8_spark.registry import all_queries
 
         rows_only = {
             name for name, spec in all_queries().items() if spec.oracle is None
         }
-        assert rows_only == {
-            "dedup_minhash_near",
-            "dedup_simhash",
-            "sim_search_lsh_topk",
-            "stream_watermark_late_data",
-        }
+        assert rows_only == {"stream_watermark_late_data"}
 
 
 class TestLineDedupHotLine:
