@@ -477,6 +477,12 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_assign = Window.partitionBy("vec_id").orderBy(
         csim.desc(), F.col("cid").asc()
     )
+    # Shape note (r5 re-pin): an ids-only rank exchange with the
+    # embeddings re-joined afterward was A/B-tested and is 3× SLOWER
+    # warm at sf0.1 (3.1s vs 1.05s): the two re-attach joins cost more
+    # than the narrower window shuffle saves, and the dominant term at
+    # every scale — the map-side csim fold over |corpus|·n_cells rows,
+    # evaluated BEFORE the exchange — is identical in both shapes.
     ranked = (
         normed.crossJoin(F.broadcast(cent))
         .withColumn("rk", F.row_number().over(w_assign))
