@@ -10,7 +10,7 @@ these safe at 100 TB. Low-cardinality keys (returnflag × linestatus =
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_8x8_spark.functions.parity import (
@@ -2317,11 +2317,23 @@ def agg_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _BASKET_MIN_SUPPORT = 0.005  # pair must appear in >= 0.5% of baskets
+# Hub cap: one mega-basket with B brands contributes B^2/2 pairs, so a
+# single adversarial order (a crawler cart, a wholesale bulk order)
+# makes the self-join quadratic on its key. Keep the K
+# lexicographically-smallest brands per basket — deterministic in both
+# engines and a no-op on TPC-H-shaped orders (<= 7 lineitems/order).
+_BASKET_CAP = 32
 
 _BASKET_ORACLE = f"""
-WITH items AS (
+WITH items_all AS (
   SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
   FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+items AS (
+  SELECT ok, brand FROM (
+    SELECT ok, brand, row_number() OVER (PARTITION BY ok ORDER BY brand) AS rk
+    FROM items_all
+  ) WHERE rk <= {_BASKET_CAP}
 ),
 n AS (
   SELECT COUNT(DISTINCT ok) AS n_baskets FROM items
@@ -2373,10 +2385,21 @@ def agg_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    items = (
+    items_all = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
         .distinct()
+    )
+    # Hub cap (see _BASKET_CAP): rank brands within each basket and
+    # keep the K smallest. The window partitions on ok — the SAME key
+    # the pair self-join shuffles on (exchange reuse), and the
+    # WindowGroupLimit pushdown truncates mega-baskets to K rows
+    # before they fan out.
+    w_cap = Window.partitionBy("ok").orderBy("brand")
+    items = (
+        items_all.withColumn("rk", F.row_number().over(w_cap))
+        .filter(F.col("rk") <= _BASKET_CAP)
+        .drop("rk")
     )
     n = items.agg(F.countDistinct("ok").alias("n_baskets"))
     brand_n = items.groupBy("brand").agg(F.count("*").alias("bn"))

@@ -14,7 +14,7 @@ integer division, so the scores are bit-identical across engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_8x8_spark.registry import register
@@ -286,10 +286,25 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _CN_MIN_COMMON = 3  # report pairs sharing at least this many parts
+# Hub cap: a part supplied by f suppliers contributes f^2/2 candidate
+# pairs, so ONE hub part (a part in every catalog, a brand in every
+# basket) makes the self-join quadratic on that key. Cap each part's
+# supplier list at the K smallest supplier keys — deterministic in
+# both engines, a no-op on TPC-H-shaped data (~4 suppliers/part), and
+# a hard fanout^2 bound on adversarial co-occurrence graphs. The cap
+# is applied to the EDGE SET once; degrees and pairs both derive from
+# the capped edges, so the Jaccard stays internally consistent.
+_CN_DEG_CAP = 32
 
 _COMMON_NEIGHBORS_ORACLE = f"""
-WITH sp AS (
+WITH sp_all AS (
   SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+),
+sp AS (
+  SELECT s, p FROM (
+    SELECT s, p, row_number() OVER (PARTITION BY p ORDER BY s) AS rk
+    FROM sp_all
+  ) WHERE rk <= {_CN_DEG_CAP}
 ),
 deg AS (
   SELECT s, COUNT(*) AS d FROM sp GROUP BY s
@@ -330,10 +345,21 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     twice. Jaccard is an exact-integer ratio floor-quantized to 6 dp
     (floor(x*1e6+0.5)) — tie-stable and deterministic across engines.
     """
-    sp = (
+    sp_all = (
         load_table(spark, sf_dir, "lineitem")
         .select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
         .distinct()
+    )
+    # Hub cap (see _CN_DEG_CAP): rank suppliers within each part and
+    # keep the K smallest. The rank window partitions on p — the SAME
+    # key the candidate self-join shuffles on, so the exchange is
+    # reused, and the WindowGroupLimit pushdown truncates hub parts
+    # to K rows per partition BEFORE they fan out.
+    w_cap = Window.partitionBy("p").orderBy("s")
+    sp = (
+        sp_all.withColumn("rk", F.row_number().over(w_cap))
+        .filter(F.col("rk") <= _CN_DEG_CAP)
+        .drop("rk")
     )
     deg = sp.groupBy("s").agg(F.count("*").alias("d"))
     a, b = sp.alias("a"), sp.alias("b")
