@@ -199,6 +199,8 @@ HEADLINE = [
     "text_bigram_perplexity",
     # appended r4 wave 22
     "quality_referential_integrity",
+    # appended r5
+    "scan_metadata_stats_approx",
 ]
 
 

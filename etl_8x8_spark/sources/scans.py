@@ -674,6 +674,100 @@ def scan_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# approximate (HLL) dataset profile — the 100 TB ANALYZE path
+# ---------------------------------------------------------------------------
+
+_PROFILE_APPROX_ORACLE = """
+SELECT 'o_custkey' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(o_custkey) AS BIGINT) AS n_nonnull,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+       CAST(1 AS INTEGER) AS within_rsd
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(o_orderpriority) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT), CAST(1 AS INTEGER)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(o_orderstatus) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT), CAST(1 AS INTEGER)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(o_totalprice) AS BIGINT),
+       CAST(COUNT(DISTINCT o_totalprice) AS BIGINT), CAST(1 AS INTEGER)
+FROM orders
+ORDER BY col
+"""
+
+
+def profile_approx_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production shape: HLL sketches only — ONE scan, ONE
+    partial-aggregate pass, NO count-distinct Expand (the exact
+    profile multiplies rows ~|cols|+1-fold through Spark's distinct
+    expansion; this one is a plain scan-shaped aggregate at any
+    scale). Returns engine-specific estimates, so it backs the plan
+    pytest rather than the driver gate."""
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = [F.count("*").alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"{c}__nonnull"),
+            F.approx_count_distinct(c, rsd=0.01).alias(f"{c}__est"),
+        ]
+    return orders.agg(*aggs)
+
+
+@register("scan_metadata_stats_approx", oracle=_PROFILE_APPROX_ORACLE)
+def scan_metadata_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANALYZE profile a 100 TB table actually runs: per-column
+    non-null counts plus HyperLogLog++ distinct sketches (rsd=1%) —
+    fixed memory per column, one scan, and, in the production shape
+    (:func:`profile_approx_plan`), no count-distinct Expand at all.
+
+    For the driver's cross-engine gate the raw HLL estimate is
+    engine-specific, so — exactly like ``agg_approx_distinct`` — the
+    registered output carries the exact distinct plus a ``within_rsd``
+    flag the oracle predicts as 1: the sketch is still built and
+    accuracy-checked per column, but the hash comparison is on
+    deterministic columns. A plan pytest pins the approx-only variant
+    to zero Expand nodes.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = [F.count("*").alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"{c}__nonnull"),
+            F.approx_count_distinct(c, rsd=0.01).alias(f"{c}__est"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+        ]
+    wide = orders.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("col"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col(f"{c}__nonnull").cast("long").alias("n_nonnull"),
+            F.col(f"{c}__distinct").cast("long").alias("n_distinct"),
+            (
+                F.abs(F.col(f"{c}__est") - F.col(f"{c}__distinct"))
+                <= F.greatest(
+                    F.lit(2.0), F.col(f"{c}__distinct") * 0.04
+                )
+            )
+            .cast("int")
+            .alias("within_rsd"),
+        )
+        for c in _PROFILE_COLS
+    ]
+    return (
+        wide.select(F.explode(F.array(*per_col)).alias("s"))
+        .select("s.*")
+        .orderBy("col")
+    )
+
+
+# ---------------------------------------------------------------------------
 # small-file compaction
 # ---------------------------------------------------------------------------
 
