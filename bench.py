@@ -212,6 +212,16 @@ def _sf_from_dir(sf_dir: str) -> float:
         return -1.0
 
 
+# Queries per SparkSession: even with per-query clearCache + dual-heap
+# GC, a 140-query session slowly accretes JVM state (code cache,
+# broadcast cleanup backlogs, driver-side listener queues) that
+# inflated the 10 slowest in-suite numbers 20-40% over their
+# standalone times in r4. A fresh session every N queries resets that
+# baseline; the restart cost lands between queries, never inside a
+# timing, and JIT-compiled code survives in the shared JVM.
+_CHUNK = 45
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -223,15 +233,18 @@ def main() -> None:
     qs = entry_mod.queries()
     names = [n for n in HEADLINE if n in qs]
 
-    spark = get_spark("bench", cpus=cpus, shuffle_partitions=int(cpus))
-
-    # Warmup: touch the catalog + codegen paths once.
-    spark.range(1000).selectExpr("sum(id)").collect()
+    spark = None
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in names:
+    for qi, name in enumerate(names):
+        if qi % _CHUNK == 0:
+            if spark is not None:
+                spark.stop()
+            spark = get_spark("bench", cpus=cpus, shuffle_partitions=int(cpus))
+            # Warmup: touch the catalog + codegen paths once.
+            spark.range(1000).selectExpr("sum(id)").collect()
         # cold + two warm runs; record the BEST warm — single warm
         # samples showed multi-second GC outliers on a 40-query suite.
         # Per-query try/except: one broken builder must never zero the
