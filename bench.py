@@ -201,6 +201,12 @@ HEADLINE = [
     "quality_referential_integrity",
     # appended r5
     "scan_metadata_stats_approx",
+    # appended r5 wave 2
+    "ml_feature_scaling",
+    "agg_decay_sum",
+    "join_grid_proximity",
+    "scan_manifest_pruned",
+    "sink_merge_upsert",
 ]
 
 

@@ -1332,3 +1332,116 @@ def quality_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("relationship")
     )
+
+
+# ---------------------------------------------------------------------------
+# grid-blocked proximity join (the spatial/metric epsilon-join pattern)
+# ---------------------------------------------------------------------------
+
+# Epsilon box: purchases within $5 AND 1 hour of each other. Grid cells
+# are exactly the epsilon sizes, so any qualifying pair lands in the
+# same or an adjacent cell — candidate generation probes the 3x3 cell
+# neighborhood (one side explodes 9 offsets, then a plain equi-join)
+# and an exact predicate verifies. All arithmetic is integer (cents /
+# micros), so cell assignment is deterministic in both engines.
+_PROX_EPS_CENTS = 500
+_PROX_EPS_US = 3_600_000_000
+
+_GRID_PROX_ORACLE = f"""
+WITH pts AS (
+  SELECT event_id,
+         CAST(floor(value * 1e2 + 0.5) AS BIGINT) AS cents,
+         epoch_us(ts) AS tus
+  FROM events WHERE event_type = 'purchase'
+),
+cells AS (
+  SELECT event_id, cents, tus,
+         cents // {_PROX_EPS_CENTS} AS gx,
+         tus // {_PROX_EPS_US} AS gy
+  FROM pts
+),
+probes AS (
+  SELECT event_id, cents, tus, gx + dx.d AS gx, gy + dy.d AS gy
+  FROM cells
+  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dx
+  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dy
+)
+SELECT a.event_id AS event_a, b.event_id AS event_b,
+       CAST(abs(a.cents - b.cents) AS BIGINT) AS d_cents,
+       CAST(abs(a.tus - b.tus) AS BIGINT) AS d_us
+FROM probes a JOIN cells b ON a.gx = b.gx AND a.gy = b.gy
+WHERE a.event_id < b.event_id
+  AND abs(a.cents - b.cents) <= {_PROX_EPS_CENTS}
+  AND abs(a.tus - b.tus) <= {_PROX_EPS_US}
+ORDER BY event_a, event_b
+"""
+
+
+@register("join_grid_proximity", oracle=_GRID_PROX_ORACLE)
+def join_grid_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epsilon-proximity self-join over a 2-D point set (price x
+    time): every pair of purchases within $5 AND one hour — the
+    grid-blocked form of the spatial join (geohash buckets, H3 cells,
+    trajectory matching all reduce to it).
+
+    Plan: cell ids are integer floor-divisions of exact cent/micro
+    coordinates at epsilon granularity, so qualifying pairs are
+    guaranteed to fall in adjacent cells; one side explodes its 3x3
+    cell neighborhood (a 9x row multiplication of the SMALL projected
+    point set, ids + 2 ints) and candidates come from a plain
+    equi-join on cell id — never an all-pairs cross. The exact
+    epsilon-box predicate then verifies candidates. At 100 TB the
+    equi-join shuffles both sides on cell id; skewed (dense) cells
+    split via AQE skew handling, and epsilon sets the work bound:
+    cost = sum over cells of |cell| x |3x3 neighborhood|.
+    """
+    pts = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            F.floor(F.col("value") * 1e2 + 0.5).cast("long").alias("cents"),
+            F.unix_micros("ts").alias("tus"),
+        )
+    )
+    cells = pts.select(
+        "event_id",
+        "cents",
+        "tus",
+        F.floor(F.col("cents") / _PROX_EPS_CENTS).cast("long").alias("gx"),
+        F.floor(F.col("tus") / _PROX_EPS_US).cast("long").alias("gy"),
+    )
+    offsets = F.expr(
+        "explode(array("
+        + ", ".join(
+            f"struct({dx} AS dx, {dy} AS dy)"
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        )
+        + "))"
+    )
+    probes = cells.select("event_id", "cents", "tus", "gx", "gy", offsets.alias("o")).select(
+        "event_id",
+        "cents",
+        "tus",
+        (F.col("gx") + F.col("o.dx")).alias("gx"),
+        (F.col("gy") + F.col("o.dy")).alias("gy"),
+    )
+    a, b = probes.alias("a"), cells.alias("b")
+    d_cents = F.abs(F.col("a.cents") - F.col("b.cents"))
+    d_us = F.abs(F.col("a.tus") - F.col("b.tus"))
+    return (
+        a.join(b, (F.col("a.gx") == F.col("b.gx")) & (F.col("a.gy") == F.col("b.gy")))
+        .filter(
+            (F.col("a.event_id") < F.col("b.event_id"))
+            & (d_cents <= _PROX_EPS_CENTS)
+            & (d_us <= _PROX_EPS_US)
+        )
+        .select(
+            F.col("a.event_id").alias("event_a"),
+            F.col("b.event_id").alias("event_b"),
+            d_cents.cast("long").alias("d_cents"),
+            d_us.cast("long").alias("d_us"),
+        )
+        .orderBy("event_a", "event_b")
+    )

@@ -52,6 +52,7 @@ _QUERY_MODULES = [
     "etl_8x8_spark.operators.joins",
     "etl_8x8_spark.operators.cdc",
     "etl_8x8_spark.operators.graph",
+    "etl_8x8_spark.operators.features",
 ]
 
 # ORDER MATTERS for driver sampling: the driver evaluates only the first

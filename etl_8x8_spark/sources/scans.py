@@ -839,3 +839,196 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# manifest-pruned scan — the lakehouse file-skipping pattern
+# ---------------------------------------------------------------------------
+
+# Query window over the manifest lake: one year of a ~7-year table, so
+# pruning must skip ~85% of partition directories before any parquet
+# footer is touched.
+_MANIFEST_LO = "1996-01-01"
+_MANIFEST_HI = "1996-12-31"
+
+_MANIFEST_ORACLE = f"""
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {oracle_dsum("o_totalprice", "sum_price")}
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{_MANIFEST_LO} 00:00:00'
+  AND o_orderdate <= TIMESTAMP '{_MANIFEST_HI} 23:59:59.999999'
+GROUP BY 1
+ORDER BY month
+"""
+
+
+def build_manifest_lake(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write the orders table as a month-partitioned lake plus a JSON
+    manifest of per-partition min/max o_orderdate stats (the
+    Iceberg/Delta metadata layer, scaled down). Returns
+    (lake_path, manifest_path)."""
+    orders = load_table(spark, sf_dir, "orders")
+    lake = os.path.join(scratch_dir(), f"orders_lake_{_sf_tag(sf_dir)}")
+    manifest = os.path.join(scratch_dir(), f"orders_manifest_{_sf_tag(sf_dir)}")
+    with_month = orders.withColumn(
+        "o_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    write_parquet_partitioned(with_month, lake, ["o_month"])
+    # o_orderdate reads as TIMESTAMP_NTZ; unix_micros needs TIMESTAMP
+    # (session TZ pinned UTC, so the cast is value-preserving)
+    ts_us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    stats = with_month.groupBy("o_month").agg(
+        F.min(ts_us).alias("min_us"),
+        F.max(ts_us).alias("max_us"),
+        F.count("*").alias("n_rows"),
+    )
+    stats.coalesce(1).write.mode("overwrite").json(manifest)
+    return lake, manifest
+
+
+def manifest_pruned_dirs(
+    spark: SparkSession, lake: str, manifest: str, lo_us: int, hi_us: int
+) -> tuple[list[str], int]:
+    """Partition directories whose [min, max] stats intersect the
+    predicate window, from the manifest alone — no parquet footer is
+    read for a skipped partition. Returns (kept_dirs, total)."""
+    m = spark.read.json(manifest)
+    total = m.count()
+    # the collect is bounded by the MANIFEST size (one row per
+    # partition, thousands at 100 TB — metadata, not data); a
+    # manifest too large to collect joins against the file index
+    # distributed instead
+    kept = (
+        m.filter((F.col("max_us") >= lo_us) & (F.col("min_us") <= hi_us))
+        .select("o_month")
+        .collect()
+    )
+    return [os.path.join(lake, f"o_month={r['o_month']}") for r in kept], total
+
+
+@register("scan_manifest_pruned", oracle=_MANIFEST_ORACLE)
+def scan_manifest_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-driven file skipping: a month-partitioned lake with a
+    JSON stats manifest (per-partition min/max of the sort column),
+    queried for a one-year window by reading ONLY the partitions whose
+    stat ranges intersect — the Iceberg/Delta/Hudi scan pattern where
+    pruning happens in metadata before any data file opens.
+
+    Plan: the manifest is tiny (one row per partition), so pruning is
+    a metadata filter + bounded collect; the data read then lists only
+    the surviving directories (~12 of ~80 here, proven by
+    tests/test_r5_ops.py), with ``basePath`` preserving the partition
+    column. The residual exact predicate still applies after the
+    coarse prune — stats skipping is an optimization, never the
+    correctness boundary. At 100 TB this is the difference between
+    listing 85 and 7000 partition directories.
+    """
+    lake, manifest = build_manifest_lake(spark, sf_dir)
+    lo = f"{_MANIFEST_LO} 00:00:00"
+    hi = f"{_MANIFEST_HI} 23:59:59.999999"
+    lo_us, hi_us = (
+        spark.sql(
+            f"SELECT unix_micros(TIMESTAMP '{lo}'), unix_micros(TIMESTAMP '{hi}')"
+        ).first()
+    )
+    dirs, _total = manifest_pruned_dirs(spark, lake, manifest, lo_us, hi_us)
+    back = spark.read.option("basePath", lake).parquet(*dirs)
+    return (
+        back.filter(
+            (F.col("o_orderdate") >= F.lit(lo).cast("timestamp_ntz"))
+            & (F.col("o_orderdate") <= F.lit(hi).cast("timestamp_ntz"))
+        )
+        .groupBy(F.col("o_month").alias("month"))
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            dsum("o_totalprice", "sum_price"),
+        )
+        .orderBy("month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# row-level MERGE (upsert) — the lakehouse MERGE INTO pattern
+# ---------------------------------------------------------------------------
+
+_MERGE_ORACLE = f"""
+WITH source AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice * 1.05 AS o_totalprice,
+         'update' AS action
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_orderstatus, o_totalprice,
+         'insert' AS action
+  FROM orders WHERE o_orderkey % 100 = 0
+),
+merged AS (
+  SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+         COALESCE(s.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+         COALESCE(s.o_totalprice, t.o_totalprice) AS o_totalprice,
+         COALESCE(s.action, 'keep') AS last_action
+  FROM (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders) t
+  FULL OUTER JOIN source s ON s.o_orderkey = t.o_orderkey
+)
+SELECT o_orderstatus, last_action,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {oracle_dsum("o_totalprice", "sum_price")}
+FROM merged
+GROUP BY o_orderstatus, last_action
+ORDER BY o_orderstatus, last_action
+"""
+
+
+@register("sink_merge_upsert", oracle=_MERGE_ORACLE)
+def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level MERGE INTO: a change set (5% price corrections on
+    every 10th order + brand-new orders) merges into the target
+    snapshot — matched rows update, unmatched source rows insert,
+    everything else carries over — then the merged table is WRITTEN,
+    read back, and audited per (status, action). The Delta/Iceberg
+    MERGE primitive, built from a full-outer join.
+
+    Plan: target and source shuffle once on the merge key (a plain
+    full-outer sort-merge join — at 100 TB the join is key-partitioned
+    and AQE splits skewed keys; a real lakehouse would additionally
+    prune untouched FILES via the manifest pattern above). The audit
+    aggregates the read-back, so the oracle verifies the durable
+    result, not the in-memory plan.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = (
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 1.05)
+        .withColumn("action", F.lit("update"))
+    )
+    inserts = (
+        orders.filter(F.col("o_orderkey") % 100 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 100_000_000)
+        .withColumn("action", F.lit("insert"))
+    )
+    source = updates.unionByName(inserts)
+    t = orders.alias("t")
+    s = source.alias("s")
+    merged = t.join(s, F.col("t.o_orderkey") == F.col("s.o_orderkey"), "full_outer").select(
+        F.coalesce(F.col("s.o_orderkey"), F.col("t.o_orderkey")).alias("o_orderkey"),
+        F.coalesce(F.col("s.o_orderstatus"), F.col("t.o_orderstatus")).alias(
+            "o_orderstatus"
+        ),
+        F.coalesce(F.col("s.o_totalprice"), F.col("t.o_totalprice")).alias(
+            "o_totalprice"
+        ),
+        F.coalesce(F.col("s.action"), F.lit("keep")).alias("last_action"),
+    )
+    path = os.path.join(scratch_dir(), f"orders_merged_{_sf_tag(sf_dir)}")
+    merged.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("o_orderstatus", "last_action")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            dsum("o_totalprice", "sum_price"),
+        )
+        .orderBy("o_orderstatus", "last_action")
+    )
