@@ -207,6 +207,12 @@ HEADLINE = [
     "join_grid_proximity",
     "scan_manifest_pruned",
     "sink_merge_upsert",
+    # appended r5 wave 3
+    "window_vwap",
+    "agg_cohort_ltv",
+    "scan_incremental_watermark",
+    "sample_stratified_neyman",
+    "quality_key_skew_report",
 ]
 
 

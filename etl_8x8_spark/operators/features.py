@@ -199,3 +199,183 @@ def agg_decay_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e6)
         ).alias("decay_score"),
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# VWAP — volume-weighted average price, running per month
+# ---------------------------------------------------------------------------
+
+_VWAP_ORACLE = """
+WITH daily AS (
+  SELECT CAST(CAST(date_trunc('day', l_shipdate) AS DATE) AS STRING)
+             AS day_str,
+         strftime(date_trunc('month', l_shipdate), '%Y-%m') AS month,
+         SUM(CAST(floor(l_extendedprice * 1e2 + 0.5) AS BIGINT)
+             * CAST(floor(l_quantity + 0.5) AS BIGINT)) AS pv_u,
+         SUM(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS vol
+  FROM lineitem GROUP BY 1, 2
+),
+run AS (
+  SELECT day_str, month, vol,
+         SUM(pv_u) OVER w AS run_pv,
+         SUM(vol) OVER w AS run_vol
+  FROM daily
+  WINDOW w AS (PARTITION BY month ORDER BY day_str
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT day_str, month, CAST(vol AS BIGINT) AS day_volume,
+       CAST(run_vol AS BIGINT) AS cum_volume,
+       CAST(floor(CAST(run_pv AS DOUBLE) / 1e2 / run_vol * 1e6 + 0.5)
+            AS BIGINT) / 1e6 AS vwap
+FROM run
+ORDER BY day_str
+"""
+
+
+@register("window_vwap", oracle=_VWAP_ORACLE)
+def window_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running volume-weighted average price per calendar month (reset
+    at month boundaries): cumulative Σ(price·qty)/Σ(qty) over the
+    daily grid — the execution-quality benchmark of trading systems
+    and the weighted-running-ratio template (cost-per-unit, blended
+    CPM) everywhere else.
+
+    Exactness: price quantized to 1e2 units and quantity to integers
+    BEFORE the window, so both running sums are exact integers in both
+    engines (DECIMAL-summed; a day's pv fits but a year's needs the
+    wide type) and the ratio is formed once per row from identical
+    integers, floor-quantized on output. Plan: one daily rollup
+    (map-side partial), one window partitioned by month — the same
+    key the rollup shuffled on.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pv = F.floor(F.col("l_extendedprice") * 1e2 + 0.5).cast("long") * F.floor(
+        F.col("l_quantity") + 0.5
+    ).cast("long")
+    vol = F.floor(F.col("l_quantity") + 0.5).cast("long")
+    daily = li.groupBy(
+        F.date_trunc("day", "l_shipdate").cast("date").cast("string").alias("day_str"),
+        F.date_format("l_shipdate", "yyyy-MM").alias("month"),
+    ).agg(
+        F.sum(pv).alias("pv_u"),
+        F.sum(vol).alias("vol"),
+    )
+    w = (
+        Window.partitionBy("month")
+        .orderBy("day_str")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "day_str",
+        "month",
+        F.col("vol").cast("long").alias("day_volume"),
+        F.sum("vol").over(w).cast("long").alias("cum_volume"),
+        (
+            F.floor(
+                F.sum("pv_u").over(w).cast("double")
+                / 1e2
+                / F.sum("vol").over(w)
+                * 1e6
+                + 0.5
+            ).cast("long")
+            / F.lit(1e6)
+        ).alias("vwap"),
+    ).orderBy("day_str")
+
+
+# ---------------------------------------------------------------------------
+# cohort LTV — cumulative revenue per signup cohort x month-age
+# ---------------------------------------------------------------------------
+
+_LTV_ORACLE = """
+WITH first_order AS (
+  SELECT o_custkey,
+         MIN(date_trunc('month', o_orderdate)) AS cohort_month
+  FROM orders GROUP BY o_custkey
+),
+rev AS (
+  SELECT f.cohort_month,
+         (CAST(date_part('year', o.o_orderdate) AS BIGINT)
+          - date_part('year', f.cohort_month)) * 12
+         + (CAST(date_part('month', o.o_orderdate) AS BIGINT)
+            - date_part('month', f.cohort_month)) AS month_age,
+         SUM(CAST(floor(o.o_totalprice * 1e2 + 0.5) AS BIGINT)) AS rev_u,
+         COUNT(DISTINCT o.o_custkey) AS active_customers
+  FROM orders o JOIN first_order f ON f.o_custkey = o.o_custkey
+  GROUP BY 1, 2
+),
+sized AS (
+  SELECT cohort_month, COUNT(*) AS cohort_size FROM first_order GROUP BY 1
+)
+SELECT strftime(r.cohort_month, '%Y-%m') AS cohort,
+       CAST(r.month_age AS BIGINT) AS month_age,
+       CAST(s.cohort_size AS BIGINT) AS cohort_size,
+       CAST(r.active_customers AS BIGINT) AS active_customers,
+       CAST(floor(CAST(SUM(r.rev_u) OVER (
+           PARTITION BY r.cohort_month ORDER BY r.month_age
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS DOUBLE) / 1e2 / s.cohort_size * 1e6 + 0.5) AS BIGINT) / 1e6
+         AS cum_ltv_per_customer
+FROM rev r JOIN sized s ON s.cohort_month = r.cohort_month
+WHERE r.month_age <= 24
+ORDER BY cohort, month_age
+"""
+
+
+@register("agg_cohort_ltv", oracle=_LTV_ORACLE)
+def agg_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime value: customers grouped by first-order month;
+    for each cohort x month-age cell, active customers and CUMULATIVE
+    revenue per cohort member — the curve every growth/retention
+    dashboard draws next to `agg_retention_cohorts`' activity view.
+
+    Plan: first-order month is one groupBy on custkey; the fact joins
+    it on the same key (exchange reuse), rolls up to cohort x age
+    (map-side partial), and one running-sum window per cohort
+    finishes. Revenue is 1e2-unit integer-exact; the per-customer
+    normalization divides once by the broadcast cohort size.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    first = orders.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", "o_orderdate")).alias("cohort_month")
+    )
+    sized = first.groupBy("cohort_month").agg(F.count("*").alias("cohort_size"))
+    age = (F.year("o_orderdate") - F.year("cohort_month")) * 12 + (
+        F.month("o_orderdate") - F.month("cohort_month")
+    )
+    rev = (
+        orders.join(first, "o_custkey")
+        .groupBy("cohort_month", age.cast("long").alias("month_age"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 1e2 + 0.5).cast("long")
+            ).alias("rev_u"),
+            F.countDistinct("o_custkey").alias("active_customers"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("month_age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        rev.join(F.broadcast(sized), "cohort_month")
+        .filter(F.col("month_age") <= 24)
+        .select(
+            F.date_format("cohort_month", "yyyy-MM").alias("cohort"),
+            F.col("month_age").cast("long").alias("month_age"),
+            F.col("cohort_size").cast("long").alias("cohort_size"),
+            F.col("active_customers").cast("long").alias("active_customers"),
+            (
+                F.floor(
+                    F.sum("rev_u").over(w).cast("double")
+                    / 1e2
+                    / F.col("cohort_size")
+                    * 1e6
+                    + 0.5
+                ).cast("long")
+                / F.lit(1e6)
+            ).alias("cum_ltv_per_customer"),
+        )
+        .orderBy("cohort", "month_age")
+    )

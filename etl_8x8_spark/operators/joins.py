@@ -1445,3 +1445,77 @@ def join_grid_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_a", "event_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# join-key skew report — the "do I need to salt this" diagnostic
+# ---------------------------------------------------------------------------
+
+def _skew_oracle_one(table: str, col: str) -> str:
+    return f"""
+SELECT '{table}.{col}' AS join_key,
+       CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(MAX(cnt) AS BIGINT) AS max_key_rows,
+       CAST(floor(CAST(MAX(cnt) AS DOUBLE)
+                  / (CAST(SUM(cnt) AS DOUBLE) / COUNT(*))
+                  * 1e6 + 0.5) AS BIGINT) / 1e6 AS skew_ratio
+FROM (SELECT {col}, COUNT(*) AS cnt FROM {table} GROUP BY {col}) t
+"""
+
+
+_SKEW_KEYS = [
+    ("lineitem", "l_partkey"),
+    ("lineitem", "l_suppkey"),
+    ("orders", "o_custkey"),
+    ("events", "user_id"),
+]
+
+_SKEW_ORACLE = (
+    "SELECT * FROM ("
+    + " UNION ALL ".join(f"({_skew_oracle_one(t, c)})" for t, c in _SKEW_KEYS)
+    + ") ORDER BY join_key"
+)
+
+
+@register("quality_key_skew_report", oracle=_SKEW_ORACLE)
+def quality_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile across the schema's four fact join keys:
+    per key, total rows, distinct keys, the hottest key's row count,
+    and the skew ratio (hottest / average) — the diagnostic that
+    decides between a plain shuffle join, AQE skew splitting, and
+    manual salting (`join_salted_skew`) BEFORE a 100 TB join runs for
+    six hours on one straggler task.
+
+    Plan: each key profiles with one partial-aggregated groupBy
+    collapsed to a 1-row summary — per-key cost is a scan plus a
+    |keys|-row exchange; the four summaries union. The same numbers
+    feed AQE's skew thresholds; ratios are floor-quantized.
+    """
+
+    def one(table: str, col: str) -> DataFrame:
+        per_key = (
+            load_table(spark, sf_dir, table)
+            .groupBy(col)
+            .agg(F.count("*").alias("cnt"))
+        )
+        return per_key.agg(
+            F.lit(f"{table}.{col}").alias("join_key"),
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.count("*").cast("long").alias("n_keys"),
+            F.max("cnt").cast("long").alias("max_key_rows"),
+            (
+                F.floor(
+                    F.max("cnt").cast("double")
+                    / (F.sum("cnt").cast("double") / F.count("*"))
+                    * 1e6
+                    + 0.5
+                ).cast("long")
+                / F.lit(1e6)
+            ).alias("skew_ratio"),
+        )
+
+    out = one(*_SKEW_KEYS[0])
+    for t, c in _SKEW_KEYS[1:]:
+        out = out.unionByName(one(t, c))
+    return out.orderBy("join_key")

@@ -457,3 +457,126 @@ def sample_bootstrap_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("replica")
     )
+
+
+# ---------------------------------------------------------------------------
+# Neyman-allocated stratified sampling (variance-proportional)
+# ---------------------------------------------------------------------------
+
+# Target sample fraction of the whole table; each stratum's share is
+# proportional to N_h * S_h (size x stddev), the allocation that
+# minimizes the variance of the estimated mean for a fixed budget —
+# high-variance strata are oversampled, near-constant ones barely
+# sampled. Membership is a Knuth hash of the row id against the
+# stratum's ppm rate, so the SAME rows are in the sample on every run,
+# engine, and partitioning (the sample_systematic contract).
+_NEYMAN_FRACTION = 0.10
+
+_NEYMAN_ORACLE = f"""
+WITH strata AS (
+  SELECT event_type,
+         COUNT(*) AS n_rows,
+         CAST(SUM(CAST(floor(value * 1e2 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 1e2 AS s1,
+         CAST(SUM(CAST(floor(value * 1e2 + 0.5) AS BIGINT)
+                  * CAST(floor(value * 1e2 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 1e4 AS s2
+  FROM events GROUP BY 1
+),
+alloc AS (
+  SELECT event_type, n_rows,
+         n_rows * sqrt(greatest(s2 / n_rows - (s1 / n_rows) * (s1 / n_rows),
+                                0)) AS nh_sh,
+         SUM(n_rows) OVER () AS n_total,
+         SUM(n_rows * sqrt(greatest(
+             s2 / n_rows - (s1 / n_rows) * (s1 / n_rows), 0))) OVER ()
+           AS sum_nh_sh
+  FROM strata
+),
+rates AS (
+  SELECT event_type, n_rows,
+         LEAST(CAST(1000000 AS BIGINT),
+               CAST(floor({_NEYMAN_FRACTION} * n_total * (nh_sh / sum_nh_sh)
+                          / n_rows * 1e6) AS BIGINT)) AS rate_ppm
+  FROM alloc
+)
+SELECT r.event_type,
+       CAST(r.n_rows AS BIGINT) AS n_rows,
+       r.rate_ppm,
+       CAST(COUNT(CASE WHEN ((e.event_id % 2147483648) * 2654435761)
+                            % 4294967296 % 1000000 < r.rate_ppm
+                       THEN 1 END) AS BIGINT) AS n_sampled
+FROM events e JOIN rates r ON r.event_type = e.event_type
+GROUP BY r.event_type, r.n_rows, r.rate_ppm
+ORDER BY r.event_type
+"""
+
+
+@register("sample_stratified_neyman", oracle=_NEYMAN_ORACLE)
+def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-allocation stratified sampling: a fixed 10% budget is
+    split across event-type strata proportional to N_h·S_h, the
+    allocation that minimizes estimator variance — then membership is
+    decided by a Knuth hash of the row id against each stratum's ppm
+    rate, so the sample is REPRODUCIBLE across runs, engines, and
+    repartitions (`rand()` would redraw it every execution).
+
+    Plan: stratum moments are one groupBy over exact 1e2-unit
+    integers; the |strata|-row rate table broadcasts back onto the
+    fact scan, so sampling is map-side — one scan + one tiny
+    broadcast at any scale. The output audits per-stratum rates and
+    realized counts (the sampled rows themselves are the same query
+    minus the final aggregate).
+    """
+    events = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 1e2 + 0.5).cast("long")
+    strata = events.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        (F.sum(cents).cast("double") / 1e2).alias("s1"),
+        (F.sum(cents * cents).cast("double") / 1e4).alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n_rows")
+    sd = F.sqrt(
+        F.greatest(F.col("s2") / F.col("n_rows") - mean * mean, F.lit(0.0))
+    )
+    w_all = Window.partitionBy()
+    alloc = strata.select(
+        "event_type",
+        "n_rows",
+        (F.col("n_rows") * sd).alias("nh_sh"),
+        F.sum("n_rows").over(w_all).alias("n_total"),
+        F.sum(F.col("n_rows") * sd).over(w_all).alias("sum_nh_sh"),
+    )
+    rates = alloc.select(
+        "event_type",
+        "n_rows",
+        F.least(
+            F.lit(1_000_000).cast("long"),
+            F.floor(
+                _NEYMAN_FRACTION
+                * F.col("n_total")
+                * (F.col("nh_sh") / F.col("sum_nh_sh"))
+                / F.col("n_rows")
+                * 1e6
+            ).cast("long"),
+        ).alias("rate_ppm"),
+    )
+    khash = (
+        (F.col("event_id") % F.lit(2147483648)) * F.lit(2654435761)
+    ) % F.lit(4294967296) % F.lit(1_000_000)
+    return (
+        events.join(F.broadcast(rates), "event_type")
+        .groupBy("event_type", "n_rows", "rate_ppm")
+        .agg(
+            F.count(F.when(khash < F.col("rate_ppm"), 1))
+            .cast("long")
+            .alias("n_sampled")
+        )
+        .select(
+            "event_type",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            "rate_ppm",
+            "n_sampled",
+        )
+        .orderBy("event_type")
+    )

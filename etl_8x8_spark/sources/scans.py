@@ -1032,3 +1032,64 @@ def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus", "last_action")
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental watermark ingest — the batch-CDC ingestion pattern
+# ---------------------------------------------------------------------------
+
+# The incremental boundary: everything up to the watermark was ingested
+# by "yesterday's" run; today's run must pick up EXACTLY the rows after
+# it, exactly once, and advance the checkpoint.
+_WM_CUTOFF = "2000-01-01 00:00:00"
+
+_INCREMENTAL_ORACLE = f"""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_new,
+       {oracle_dsum("o_totalprice", "sum_price")},
+       CAST(MAX(epoch_us(o_orderdate)) AS BIGINT) AS new_watermark_us
+FROM orders
+WHERE epoch_us(o_orderdate) > epoch_us(TIMESTAMP '{_WM_CUTOFF}')
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register("scan_incremental_watermark", oracle=_INCREMENTAL_ORACLE)
+def scan_incremental_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental batch ingestion with a persisted watermark: run 1
+    ingests everything up to a cutoff and CHECKPOINTS the max ingested
+    timestamp; run 2 (the returned query) reads ONLY rows strictly
+    after the stored watermark and reports the next watermark — the
+    exactly-once daily-ingest contract every batch CDC pipeline
+    implements (and the batch twin of `stream_events`' watermarking).
+
+    Plan: the checkpoint is a 1-row JSON in the scratch area, read
+    back and applied as a pushed-down predicate — at 100 TB combined
+    with the partition layout (see scan_manifest_pruned) the
+    incremental read lists only new partitions. The strict `>`
+    boundary plus a monotone source column gives exactly-once across
+    runs; the new watermark is computed in the SAME query that reads
+    the increment, so a crash between read and checkpoint-write
+    re-reads (at-least-once) rather than skips.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    ckpt = os.path.join(scratch_dir(), f"wm_checkpoint_{_sf_tag(sf_dir)}")
+    ts_us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    # run 1: ingest history up to the cutoff, checkpoint its max ts
+    run1_wm = orders.filter(
+        F.col("o_orderdate") <= F.lit(_WM_CUTOFF).cast("timestamp_ntz")
+    ).agg(F.max(ts_us).alias("wm_us"))
+    run1_wm.coalesce(1).write.mode("overwrite").json(ckpt)
+    # run 2: read strictly past the persisted watermark
+    wm_us = spark.read.json(ckpt).first()["wm_us"]
+    return (
+        orders.filter(ts_us > F.lit(int(wm_us)))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_new"),
+            dsum("o_totalprice", "sum_price"),
+            F.max(ts_us).cast("long").alias("new_watermark_us"),
+        )
+        .orderBy("o_orderstatus")
+    )

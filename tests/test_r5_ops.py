@@ -160,3 +160,103 @@ class TestFeatureScaling:
             # z-scores are centered: mean ~ 0
             m = sum(r["z_score"] for r in rs) / len(rs)
             assert math.isclose(m, 0.0, abs_tol=1e-3), (seg, m)
+
+
+class TestVwap:
+    def test_vwap_within_day_price_bounds_and_cum_monotone(
+        self, spark, sf_dir, queries
+    ):
+        rows = queries["window_vwap"].builder(spark, sf_dir).collect()
+        assert rows
+        by_month = {}
+        for r in rows:
+            by_month.setdefault(r["month"], []).append(r)
+        for month, rs in by_month.items():
+            rs.sort(key=lambda r: r["day_str"])
+            cums = [r["cum_volume"] for r in rs]
+            assert cums == sorted(cums), month  # running volume monotone
+            assert all(r["vwap"] > 0 for r in rs), month
+
+
+class TestCohortLtv:
+    def test_ltv_curves_monotone_and_cohorts_complete(
+        self, spark, sf_dir, queries
+    ):
+        from etl_8x8_spark.sources.readers import load_table
+
+        rows = queries["agg_cohort_ltv"].builder(spark, sf_dir).collect()
+        assert rows
+        by_cohort = {}
+        for r in rows:
+            by_cohort.setdefault(r["cohort"], []).append(r)
+        for cohort, rs in by_cohort.items():
+            rs.sort(key=lambda r: r["month_age"])
+            ltv = [r["cum_ltv_per_customer"] for r in rs]
+            assert ltv == sorted(ltv), cohort  # LTV can only grow
+            assert all(
+                r["active_customers"] <= r["cohort_size"] for r in rs
+            ), cohort
+        # every customer belongs to exactly one cohort
+        n_customers = (
+            load_table(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+        )
+        assert sum(rs[0]["cohort_size"] for rs in by_cohort.values()) == n_customers
+
+
+class TestIncrementalWatermark:
+    def test_increment_plus_history_covers_table_once(
+        self, spark, sf_dir, queries
+    ):
+        from etl_8x8_spark.operators.scalar_fns import F as _  # noqa: F401
+        from etl_8x8_spark.sources.readers import load_table
+
+        rows = queries["scan_incremental_watermark"].builder(spark, sf_dir).collect()
+        n_new = sum(r["n_new"] for r in rows)
+        orders = load_table(spark, sf_dir, "orders")
+        total = orders.count()
+        n_hist = orders.filter(
+            F.col("o_orderdate") <= F.lit("2000-01-01 00:00:00").cast("timestamp_ntz")
+        ).count()
+        assert n_new == total - n_hist  # exactly-once: no gap, no overlap
+        assert n_new > 0
+
+
+class TestNeymanSampling:
+    def test_allocation_tracks_variance_and_rates_realized(
+        self, spark, sf_dir, queries
+    ):
+        rows = queries["sample_stratified_neyman"].builder(spark, sf_dir).collect()
+        assert rows
+        total = sum(r["n_rows"] for r in rows)
+        sampled = sum(r["n_sampled"] for r in rows)
+        # realized sample near the 10% budget (hash-binomial noise)
+        assert 0.05 * total < sampled < 0.2 * total
+        for r in rows:
+            # realized rate within a loose band of the target rate
+            expected = r["n_rows"] * r["rate_ppm"] / 1e6
+            assert abs(r["n_sampled"] - expected) <= max(10, 0.5 * expected), r
+
+    def test_membership_is_deterministic(self, spark, sf_dir, queries):
+        a = queries["sample_stratified_neyman"].builder(spark, sf_dir).collect()
+        b = queries["sample_stratified_neyman"].builder(spark, sf_dir).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+class TestKeySkewReport:
+    def test_report_identifies_the_planted_hot_supplier_key(
+        self, spark, sf_dir, queries
+    ):
+        rows = {
+            r["join_key"]: r
+            for r in queries["quality_key_skew_report"].builder(spark, sf_dir).collect()
+        }
+        assert set(rows) == {
+            "lineitem.l_partkey",
+            "lineitem.l_suppkey",
+            "orders.o_custkey",
+            "events.user_id",
+        }
+        for r in rows.values():
+            assert r["n_keys"] <= r["n_rows"]
+            assert r["max_key_rows"] * r["n_keys"] >= r["n_rows"]  # max >= avg
+            assert r["skew_ratio"] >= 1.0
