@@ -1076,15 +1076,19 @@ def scan_incremental_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     ckpt = os.path.join(scratch_dir(), f"wm_checkpoint_{_sf_tag(sf_dir)}")
     ts_us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
-    # run 1: ingest history up to the cutoff, checkpoint its max ts
+    # run 1: ingest history up to the cutoff, checkpoint its max ts AS
+    # A TIMESTAMP STRING — the run-2 filter must compare the raw
+    # column (not unix_micros(cast(...)) of it) or the predicate stays
+    # in the Filter node instead of reaching the parquet scan
     run1_wm = orders.filter(
         F.col("o_orderdate") <= F.lit(_WM_CUTOFF).cast("timestamp_ntz")
-    ).agg(F.max(ts_us).alias("wm_us"))
+    ).agg(F.max(F.col("o_orderdate")).cast("string").alias("wm"))
     run1_wm.coalesce(1).write.mode("overwrite").json(ckpt)
-    # run 2: read strictly past the persisted watermark
-    wm_us = spark.read.json(ckpt).first()["wm_us"]
+    # run 2: read strictly past the persisted watermark (pushed down:
+    # .explain shows PushedFilters: [GreaterThan(o_orderdate, ...)])
+    wm = spark.read.json(ckpt).first()["wm"]
     return (
-        orders.filter(ts_us > F.lit(int(wm_us)))
+        orders.filter(F.col("o_orderdate") > F.lit(wm).cast("timestamp_ntz"))
         .groupBy("o_orderstatus")
         .agg(
             F.count("*").cast("long").alias("n_new"),

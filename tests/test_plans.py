@@ -461,3 +461,43 @@ class TestR3Plans:
         plan = plan_of(spark, sf_dir, queries, "graph_pagerank_iter")
         body = plan.split("== Physical Plan ==")[-1]
         assert body.count("Exchange hashpartitioning") == 3
+
+
+class TestRound5Plans:
+    def test_incremental_watermark_predicate_pushes_down(
+        self, spark, sf_dir, queries
+    ):
+        """The strict > boundary must reach the parquet scan — the
+        whole point of incremental ingest is NOT scanning history."""
+        plan = plan_of(spark, sf_dir, queries, "scan_incremental_watermark")
+        pushed = plan.split("PushedFilters:")[1].split("]")[0]
+        assert "GreaterThan(o_orderdate" in pushed
+
+    def test_feature_scaling_broadcasts_moments(self, spark, sf_dir, queries):
+        plan = plan_of(spark, sf_dir, queries, "ml_feature_scaling")
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+    def test_neyman_rates_broadcast_onto_fact(self, spark, sf_dir, queries):
+        plan = plan_of(spark, sf_dir, queries, "sample_stratified_neyman")
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+    def test_grid_proximity_is_equi_join_not_cartesian(
+        self, spark, sf_dir, queries
+    ):
+        plan = plan_of(spark, sf_dir, queries, "join_grid_proximity")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_hub_caps_use_window_group_limit(self, spark, sf_dir, queries):
+        """The degree caps must truncate hub keys BEFORE the self-join
+        fanout — WindowGroupLimit pushes the rank cutoff below the
+        rank exchange."""
+        for name in ("graph_common_neighbors", "agg_basket_affinity"):
+            plan = plan_of(spark, sf_dir, queries, name)
+            assert "WindowGroupLimit" in plan, name
+
+    def test_approx_profile_production_shape_no_expand(self, spark, sf_dir):
+        from etl_8x8_spark.plans.audit import plan_string
+        from etl_8x8_spark.sources.scans import profile_approx_plan
+
+        assert "Expand" not in plan_string(profile_approx_plan(spark, sf_dir))
