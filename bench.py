@@ -213,6 +213,9 @@ HEADLINE = [
     "scan_incremental_watermark",
     "sample_stratified_neyman",
     "quality_key_skew_report",
+    # appended r5 wave 4
+    "fn_variant",
+    "fn_udtf_installments",
 ]
 
 

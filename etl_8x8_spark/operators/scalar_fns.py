@@ -522,3 +522,122 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# VARIANT — Spark 4's open semi-structured type
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fn_variant",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_long,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) IS NULL
+           AS k_missing,
+       CASE WHEN json_valid(props) THEN 'OBJECT<k: BIGINT>' END
+           AS variant_schema,
+       CAST(json_extract_string(props, '$.missing') AS BIGINT)
+           AS absent_path
+FROM events
+ORDER BY event_id
+""",
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT: ``parse_json`` ingests arbitrary
+    semi-structured JSON into the open binary VARIANT encoding (no
+    schema declared up front, unlike ``from_json``), then
+    ``try_variant_get`` does typed path extraction, ``schema_of_
+    variant`` reports the inferred shape, and absent paths yield NULL
+    instead of erroring — the engine's schema-on-read path for
+    payloads whose structure drifts.
+
+    Scale: VARIANT values are a binary columnar encoding with
+    shredded-path pushdown in Spark 4 — the 100 TB upgrade from
+    string-JSON + repeated get_json_object parses (each of which
+    re-parses the full string). All expressions here are JVM
+    built-ins; the DuckDB twin works from its native JSON functions.
+    """
+    events = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return (
+        events.select(
+            "event_id",
+            F.try_variant_get(v, "$.k", "long").alias("k_long"),
+            F.try_variant_get(v, "$.k", "long").isNull().alias("k_missing"),
+            F.schema_of_variant(v).alias("variant_schema"),
+            F.try_variant_get(v, "$.missing", "long").alias("absent_path"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF — Spark 4's user-defined TABLE function surface
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fn_udtf_installments",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey,
+         CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT) AS cents,
+         o_orderkey % 3 + 1 AS n
+  FROM orders
+),
+expanded AS (
+  SELECT o_orderkey, n, cents,
+         unnest(generate_series(1, CAST(n AS INT))) AS seq
+  FROM base
+)
+SELECT o_orderkey,
+       CAST(seq AS INT) AS seq,
+       CAST(n AS INT) AS n_inst,
+       CAST(CASE WHEN seq = 1 THEN cents - (n - 1) * (cents // n)
+                 ELSE cents // n END AS BIGINT) AS amount_cents
+FROM expanded
+ORDER BY o_orderkey, seq
+""",
+)
+def fn_udtf_installments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python UDTF (user-defined TABLE function): each order
+    row expands to its installment schedule — a VARIABLE number of
+    output rows with imperative per-row logic (remainder cents land on
+    the first installment), invoked with ``LATERAL`` — the escape
+    hatch when row expansion carries logic ``explode`` can't express.
+
+    The arithmetic is all integer cents so the Python rows are
+    bit-reproducible and the whole table function hash-verifies
+    against a generate_series oracle. Scale: a UDTF is partition-
+    parallel Python (the batch-eval node feeds Python workers per
+    partition, no shuffle introduced) — fine for row expansion,
+    still the wrong tool for scalar math (built-ins stay 10-100×
+    faster; see fn_math).
+    """
+    import math
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="seq INT, n_inst INT, amount_cents BIGINT")
+    class Installments:
+        def eval(self, orderkey: int, totalprice: float):
+            cents = int(math.floor(totalprice * 1e2 + 0.5))
+            n = orderkey % 3 + 1
+            base = cents // n
+            for i in range(1, n + 1):
+                yield i, n, (cents - (n - 1) * base) if i == 1 else base
+
+    spark.udtf.register("installments", Installments)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_for_udtf"
+    )
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, t.seq, t.n_inst, t.amount_cents
+        FROM orders_for_udtf o,
+             LATERAL installments(o.o_orderkey, o.o_totalprice) t
+        ORDER BY o.o_orderkey, t.seq
+        """
+    )

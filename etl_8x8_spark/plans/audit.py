@@ -41,7 +41,13 @@ def audit(df: DataFrame) -> dict:
                 "PythonDataSource",
             )
         ),
-        "row_at_a_time_python": "BatchEvalPython" in plan,
+        # a UDTF node is a sanctioned table-function surface, not a
+        # scalar row-loop smell — match BatchEvalPython NOT followed
+        # by UDTF
+        "row_at_a_time_python": bool(
+            re.search(r"BatchEvalPython(?!UDTF)", plan)
+        ),
+        "python_udtf": "EvalPythonUDTF" in plan,
         "whole_stage_codegen": "WholeStageCodegen" in plan,
         "window_group_limit": "WindowGroupLimit" in plan,
         "take_ordered": "TakeOrderedAndProject" in plan,

@@ -155,6 +155,9 @@ class TestNoSlowPaths:
             # a Python DataSource is Python by definition — the point
             # of the operator is the custom-connector path itself
             "scan_custom_source",
+            # the UDTF surface demo — partition-parallel Python table
+            # function IS the operator
+            "fn_udtf_installments",
         }
         for name, facts in audit_all(spark, sf_dir).items():
             assert not facts["row_at_a_time_python"], (
