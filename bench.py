@@ -216,6 +216,7 @@ HEADLINE = [
     # appended r5 wave 4
     "fn_variant",
     "fn_udtf_installments",
+    "view_incremental_refresh",
 ]
 
 
