@@ -614,7 +614,10 @@ def fn_udtf_installments(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallel Python (the batch-eval node feeds Python workers per
     partition, no shuffle introduced) — fine for row expansion,
     still the wrong tool for scalar math (built-ins stay 10-100×
-    faster; see fn_math).
+    faster; see fn_math). ``useArrow=True`` was A/B-measured 10×
+    SLOWER here (2.7 s → 28 s at sf0.1): Arrow batch framing per
+    yielded row swamps the pickle path for small-row generators —
+    measure before reaching for the Arrow knob on UDTFs.
     """
     import math
 
