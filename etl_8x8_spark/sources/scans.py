@@ -172,7 +172,9 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_parquet_partitioned(
         orders, path, ["o_orderstatus"], files_per_partition=2
     )
-    back = spark.read.parquet(path)
+    # explicit schema: a 0-row partitioned write leaves no data files
+    # and schema inference would fail (the empty-partition day)
+    back = spark.read.schema(orders.schema).parquet(path)
     return back.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_orders"),
         dsum("o_totalprice", "sum_price"),
@@ -210,7 +212,7 @@ def sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice", F.col("o_totalprice") * 1.1
     )
     overwrite_partitions(updated_f, path, ["o_orderstatus"])
-    back = spark.read.parquet(path)
+    back = spark.read.schema(orders.schema).parquet(path)
     return back.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_orders"),
         dsum("o_totalprice", "sum_price"),
@@ -556,6 +558,9 @@ def sink_zorder_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("l_suppkey"),
             F.max("l_suppkey"),
         ).collect()[0]
+        # empty table -> null bounds; any constants produce a valid
+        # (empty) layout
+        bounds = [b if b is not None else 0 for b in bounds]
         z = _zorder_value(
             F.col("l_partkey"),
             F.col("l_suppkey"),
@@ -826,11 +831,11 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partition value, so partitions compact in parallel and the
     # dynamic-overwrite writer emits exactly one file under each
     # directory.
-    frag = spark.read.parquet(path)
+    frag = spark.read.schema(orders.schema).parquet(path)
     n_parts = frag.select("o_orderstatus").distinct().count()
     compacted = frag.repartition(max(n_parts, 1), "o_orderstatus")
     overwrite_partitions(compacted, path, ["o_orderstatus"])
-    back = spark.read.parquet(path)
+    back = spark.read.schema(orders.schema).parquet(path)
     return (
         back.groupBy("o_orderstatus")
         .agg(
@@ -893,7 +898,11 @@ def manifest_pruned_dirs(
     """Partition directories whose [min, max] stats intersect the
     predicate window, from the manifest alone — no parquet footer is
     read for a skipped partition. Returns (kept_dirs, total)."""
-    m = spark.read.json(manifest)
+    # explicit schema: an EMPTY manifest (empty table day) infers no
+    # columns and the stat filter would fail to resolve
+    m = spark.read.schema(
+        "o_month STRING, min_us LONG, max_us LONG, n_rows LONG"
+    ).json(manifest)
     total = m.count()
     # the collect is bounded by the MANIFEST size (one row per
     # partition, thousands at 100 TB — metadata, not data); a
@@ -933,6 +942,12 @@ def scan_manifest_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).first()
     )
     dirs, _total = manifest_pruned_dirs(spark, lake, manifest, lo_us, hi_us)
+    if not dirs:
+        # nothing intersects the window (or the table is empty): the
+        # pruned scan reads NOTHING — return the empty result shape
+        return spark.createDataFrame(
+            [], "month STRING, n_orders BIGINT, sum_price DOUBLE"
+        )
     back = spark.read.option("basePath", lake).parquet(*dirs)
     return (
         back.filter(
@@ -1085,8 +1100,11 @@ def scan_incremental_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.max(F.col("o_orderdate")).cast("string").alias("wm"))
     run1_wm.coalesce(1).write.mode("overwrite").json(ckpt)
     # run 2: read strictly past the persisted watermark (pushed down:
-    # .explain shows PushedFilters: [GreaterThan(o_orderdate, ...)])
-    wm = spark.read.json(ckpt).first()["wm"]
+    # .explain shows PushedFilters: [GreaterThan(o_orderdate, ...)]).
+    # Typed read + epoch fallback: an empty history writes a NULL (or
+    # no) watermark — then the increment is the whole table.
+    row = spark.read.schema("wm STRING").json(ckpt).first()
+    wm = (row and row["wm"]) or "1970-01-01 00:00:00"
     return (
         orders.filter(F.col("o_orderdate") > F.lit(wm).cast("timestamp_ntz"))
         .groupBy("o_orderstatus")
