@@ -277,3 +277,95 @@ def test_label_propagation_matches_union_find(spark, edges):
             break
     got = {r.doc_id: r.label for r in labels.collect()}
     assert got == _cc_union_find(n, edges)
+
+
+# ---------------------------------------------------------------------------
+# portable-hash family: Spark vs DuckDB vs pure-Python reference
+# ---------------------------------------------------------------------------
+
+token_lists = st.lists(
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        min_size=0,
+        max_size=8,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _py_token_hash(tok: str) -> int:
+    from etl_8x8_spark.operators.dedup import _PH_CHAR_MUL, _PH_P
+
+    acc = 0
+    for ch in tok:
+        acc = (acc * _PH_CHAR_MUL + ord(ch)) % _PH_P
+    return acc
+
+
+def _py_signature(tokens: list[str]) -> list[int]:
+    from etl_8x8_spark.operators.dedup import (
+        _MINHASH_FUNCS,
+        _PH_B_MOD,
+        _PH_B_MUL,
+        _PH_P,
+        _PH_TOK_MUL,
+    )
+
+    th = [_py_token_hash(t) for t in tokens]
+    m = max(len(th) - 2, 1)
+    sh = []
+    for i in range(m):
+        acc = th[i]
+        for k in (1, 2):
+            if i + k < len(th):
+                acc = (acc * _PH_TOK_MUL + th[i + k]) % _PH_P
+        sh.append(acc)
+    sig = [1 << 62] * _MINHASH_FUNCS
+    for a in sh:
+        b = (a * _PH_B_MUL) % _PH_B_MOD
+        for i in range(_MINHASH_FUNCS):
+            sig[i] = min(sig[i], (a + i * b) % _PH_P)
+    return sig
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(tokens=token_lists)
+def test_minhash_signature_triple_parity(spark, tokens):
+    """The r5 portable hash family must agree bit-for-bit across
+    Spark, DuckDB, and a pure-Python reference on ADVERSARIAL token
+    lists (empty tokens, 1-token docs, punctuation) — this is the
+    property the LSH oracles stand on. ascii('') is 0 in both engines
+    (pinned here via the empty-token case)."""
+    import duckdb
+
+    from etl_8x8_spark.operators.dedup import (
+        _minhash_signature_sql,
+        _shingle_hashes_sql,
+        _token_hashes_sql,
+        minhash_signature,
+        shingle_hashes,
+        token_hashes,
+    )
+
+    expected = _py_signature(tokens)
+
+    df = spark.createDataFrame([(tokens,)], "toks array<string>")
+    srow = (
+        df.select(token_hashes(F.col("toks")).alias("th"))
+        .select(minhash_signature(shingle_hashes(F.col("th"))).alias("sig"))
+        .first()
+    )
+    assert list(srow["sig"]) == expected
+
+    con = duckdb.connect()
+    sql_toks = "[" + ", ".join("'" + t.replace("'", "''") + "'" for t in tokens) + "]"
+    drow = con.execute(
+        f"SELECT {_minhash_signature_sql(_shingle_hashes_sql('th'))} AS sig "
+        f"FROM (SELECT {_token_hashes_sql(f'{sql_toks}')} AS th)"
+    ).fetchone()
+    assert list(drow[0]) == expected
