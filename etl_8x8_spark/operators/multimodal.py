@@ -107,6 +107,7 @@ def _decode_payload(payload: bytes) -> tuple[int, int, int]:
     The fake derives (width, height, checksum) from the bytes so the
     pipeline stays testable and oracle-checkable.
     """
+    payload = payload or b""  # null payload == empty asset, not a crash
     width = 16 + payload[0] % 64 if payload else 0
     height = 16 + payload[-1] % 64 if payload else 0
     checksum = sum(payload) % 1_000_000_007
@@ -123,7 +124,7 @@ def decode_media_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"].astype("int64"),
-                "n_bytes": [len(p) for p in pdf["payload"]],
+                "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
                 "fake_width": [d[0] for d in decoded],
                 "fake_height": [d[1] for d in decoded],
                 "checksum": [d[2] for d in decoded],
@@ -191,6 +192,7 @@ def sample_frames_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
     for pdf in batches:
         out = {"doc_id": [], "frame_idx": [], "byte_offset": [], "frame_checksum": []}
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            payload = payload or b""  # null payload == empty asset
             n_frames = max(1, len(payload) // _FRAME_SIZE)
             for i in range(0, n_frames, _FRAME_STRIDE):
                 chunk = payload[i * _FRAME_SIZE : (i + 1) * _FRAME_SIZE]
@@ -254,6 +256,7 @@ def extract_features_batch(
     for pdf in batches:
         feats = []
         for payload in pdf["payload"]:
+            payload = payload or b""  # null payload == empty asset
             hist = [0] * _N_FEATURES
             for b in payload:
                 hist[b % _N_FEATURES] += 1
@@ -361,7 +364,7 @@ def multimodal_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             with open(
                 os.path.join(asset_dir, f"doc_{r.doc_id}.bin"), "wb"
             ) as f:
-                f.write(r.prefix.encode("utf-8"))
+                f.write((r.prefix or "").encode("utf-8"))
         open(marker, "w").close()
     files = spark.read.format("binaryFile").option(
         "pathGlobFilter", "*.bin"

@@ -626,6 +626,8 @@ def fn_udtf_installments(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="seq INT, n_inst INT, amount_cents BIGINT")
     class Installments:
         def eval(self, orderkey: int, totalprice: float):
+            if orderkey is None or totalprice is None:
+                return  # null inputs expand to zero rows (LATERAL drop)
             cents = int(math.floor(totalprice * 1e2 + 0.5))
             n = orderkey % 3 + 1
             base = cents // n

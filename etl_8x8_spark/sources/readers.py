@@ -91,7 +91,12 @@ def read_json_lines(
     malformed-JSON -> 415 routing: bad rows land in ``_corrupt_record``
     instead of failing the job.
     """
-    full = schema.add("_corrupt_record", T.StringType())
+    # StructType.add MUTATES self (and returns it): calling this twice
+    # on a shared schema object would append a duplicate column and
+    # fail the second read in the same session. Build a fresh copy.
+    full = T.StructType(
+        list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
+    )
     return (
         spark.read.schema(full)
         .option("mode", "PERMISSIVE")

@@ -134,7 +134,12 @@ def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = os.path.join(scratch_dir(), f"csv_{_sf_tag(sf_dir)}")
     lines.coalesce(1).write.mode("overwrite").text(path)
-    full_schema = _CSV_SCHEMA.add("_corrupt_record", T.StringType())
+    # copy, don't .add(): StructType.add mutates the shared module
+    # schema and a second call in the same session would crash
+    full_schema = T.StructType(
+        list(_CSV_SCHEMA.fields)
+        + [T.StructField("_corrupt_record", T.StringType())]
+    )
     parsed = (
         spark.read.schema(full_schema)
         .option("header", "false")
