@@ -39,15 +39,25 @@ def empty_sf(spark, sf_dir, tmp_path_factory):
 
 
 def test_every_batch_operator_survives_empty_tables(spark, empty_sf):
+    """Each builder runs TWICE: the second invocation catches builders
+    that mutate shared module state (StructType.add grew a duplicate
+    _corrupt_record column per call until this sweep caught it — any
+    long-lived session, including the driver's 3-run bench, hits
+    that)."""
     failures = []
     for name, spec in all_queries().items():
         if name.startswith("stream_"):
             continue  # streaming semantics tested in test_streaming
-        try:
-            n = spec.builder(spark, empty_sf).count()
-            assert n >= 0
-        except Exception as exc:  # noqa: BLE001 — collect all failures
-            failures.append(f"{name}: {type(exc).__name__}: {str(exc)[:120]}")
+        for attempt in (1, 2):
+            try:
+                n = spec.builder(spark, empty_sf).count()
+                assert n >= 0
+            except Exception as exc:  # noqa: BLE001 — collect all failures
+                failures.append(
+                    f"{name} (call {attempt}): "
+                    f"{type(exc).__name__}: {str(exc)[:120]}"
+                )
+                break
         spark.catalog.clearCache()
     assert not failures, "\n".join(failures)
 
