@@ -192,6 +192,14 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(swap, F.col("v")).otherwise(F.col("u")).alias("s"),
             F.when(swap, F.col("u")).otherwise(F.col("v")).alias("t"),
         )
+        # THREE consumers (both wedge roles + the closing edge set):
+        # without the barrier the whole edge pipeline — order
+        # self-join, two distincts, two degree joins — recomputes per
+        # consumer (exchange reuse does not cover differently-
+        # projected subtrees). Measured 3.2 s → 2.4 s best-warm at sf0.1.
+        # Lifecycle: persist-barrier contract (clearCache between
+        # queries), as in dedup_ngram_jaccard.
+        .persist()
     )
     w1 = oriented.select(F.col("s").alias("a"), F.col("t").alias("b"))
     w2 = oriented.select(F.col("s").alias("b2"), F.col("t").alias("c"))
