@@ -217,6 +217,11 @@ HEADLINE = [
     "fn_variant",
     "fn_udtf_installments",
     "view_incremental_refresh",
+    # appended r5 wave 5
+    "agg_rfm_segments",
+    "agg_abc_classification",
+    "agg_conversion_latency",
+    "agg_fulfillment_latency",
 ]
 
 

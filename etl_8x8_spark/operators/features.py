@@ -379,3 +379,309 @@ def agg_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort", "month_age")
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation — recency / frequency / monetary quintiles
+# ---------------------------------------------------------------------------
+
+_RFM_ORACLE = """
+WITH ref AS (
+  SELECT MAX(epoch_us(o_orderdate)) AS ref_us FROM orders
+),
+per_cust AS (
+  SELECT o.o_custkey AS custkey,
+         MIN((r.ref_us - epoch_us(o.o_orderdate)) // 86400000000)
+           AS recency_days,
+         COUNT(*) AS frequency,
+         SUM(CAST(floor(o.o_totalprice * 1e2 + 0.5) AS BIGINT)) AS monetary_u
+  FROM orders o CROSS JOIN ref r
+  GROUP BY 1
+),
+scored AS (
+  SELECT custkey,
+         CAST(recency_days AS BIGINT) AS recency_days,
+         CAST(frequency AS BIGINT) AS frequency,
+         CAST(monetary_u AS DOUBLE) / 1e2 AS monetary,
+         6 - ntile(5) OVER (ORDER BY recency_days, custkey) AS r_score,
+         ntile(5) OVER (ORDER BY frequency, custkey) AS f_score,
+         ntile(5) OVER (ORDER BY monetary_u, custkey) AS m_score
+  FROM per_cust
+)
+SELECT custkey, recency_days, frequency, monetary,
+       r_score, f_score, m_score,
+       CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS rfm_cell
+FROM scored
+ORDER BY custkey
+"""
+
+
+@register("agg_rfm_segments", oracle=_RFM_ORACLE)
+def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: every customer scored 1-5 on Recency (low
+    days since last order = 5), Frequency, and Monetary quintiles,
+    plus the combined 555-style cell — the classic marketing
+    segmentation every CRM ships.
+
+    Plan: one groupBy collapses the fact to |customers| rows; the
+    three ntile windows run over that collapsed relation (global
+    windows over the CUSTOMER dim, not the fact — same discipline as
+    agg_lorenz_curve). Ties break on custkey so quintile boundaries
+    are deterministic in both engines; monetary is integer-cent
+    exact.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    ref = orders.agg(
+        F.max(F.unix_micros(F.col("o_orderdate").cast("timestamp"))).alias("ref_us")
+    )
+    per_cust = (
+        orders.crossJoin(F.broadcast(ref))
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.min(
+                F.floor(
+                    (F.col("ref_us") - F.unix_micros(F.col("o_orderdate").cast("timestamp")))
+                    / 86_400_000_000
+                )
+            )
+            .cast("long")
+            .alias("recency_days"),
+            F.count("*").cast("long").alias("frequency"),
+            F.sum(F.floor(F.col("o_totalprice") * 1e2 + 0.5).cast("long")).alias(
+                "monetary_u"
+            ),
+        )
+    )
+    w_r = Window.orderBy("recency_days", "custkey")
+    w_f = Window.orderBy("frequency", "custkey")
+    w_m = Window.orderBy("monetary_u", "custkey")
+    scored = per_cust.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        (F.col("monetary_u").cast("double") / 1e2).alias("monetary"),
+        (F.lit(6) - F.ntile(5).over(w_r)).alias("r_score"),
+        F.ntile(5).over(w_f).alias("f_score"),
+        F.ntile(5).over(w_m).alias("m_score"),
+    )
+    return scored.select(
+        "*",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"))
+        .cast("int")
+        .alias("rfm_cell"),
+    ).orderBy("custkey")
+
+
+# ---------------------------------------------------------------------------
+# ABC (Pareto) classification — cumulative-revenue-share classes
+# ---------------------------------------------------------------------------
+
+_ABC_ORACLE = """
+WITH per_cust AS (
+  SELECT o_custkey AS custkey,
+         SUM(CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT)) AS rev_u
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT custkey, rev_u,
+         SUM(rev_u) OVER (ORDER BY rev_u DESC, custkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_u,
+         SUM(rev_u) OVER () AS tot_u
+  FROM per_cust
+)
+SELECT custkey,
+       CAST(rev_u AS DOUBLE) / 1e2 AS revenue,
+       CAST(floor(CAST(cum_u AS DOUBLE) / tot_u * 1e6 + 0.5) AS BIGINT) / 1e6
+         AS cum_share,
+       CASE WHEN CAST(cum_u AS DOUBLE) / tot_u <= 0.8 THEN 'A'
+            WHEN CAST(cum_u AS DOUBLE) / tot_u <= 0.95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM ranked
+ORDER BY custkey
+"""
+
+
+@register("agg_abc_classification", oracle=_ABC_ORACLE)
+def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification: customers ranked by revenue,
+    classified A (first 80% of cumulative revenue), B (to 95%), C
+    (tail) — the 80/20 analysis behind inventory and account
+    prioritization, and the classifying twin of `agg_lorenz_curve`.
+
+    Plan: fact collapses to |customers| integer-cent rows; one
+    descending running-sum window plus a 1-row total computes the
+    cumulative share; the class is a threshold CASE on an exact
+    integer ratio (identical doubles both engines). Scale note: the
+    global window runs over the collapsed CUSTOMER dim; at extreme
+    customer counts the same classification distributes via a
+    2-pass percentile split.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 1e2 + 0.5).cast("long")).alias("rev_u")
+    )
+    w_run = (
+        Window.orderBy(F.col("rev_u").desc(), F.col("custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy()
+    ranked = per_cust.select(
+        "custkey",
+        "rev_u",
+        F.sum("rev_u").over(w_run).alias("cum_u"),
+        F.sum("rev_u").over(w_all).alias("tot_u"),
+    )
+    share = F.col("cum_u").cast("double") / F.col("tot_u")
+    return ranked.select(
+        "custkey",
+        (F.col("rev_u").cast("double") / 1e2).alias("revenue"),
+        (F.floor(share * 1e6 + 0.5).cast("long") / F.lit(1e6)).alias("cum_share"),
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C").alias(
+            "abc_class"
+        ),
+    ).orderBy("custkey")
+
+
+# ---------------------------------------------------------------------------
+# conversion latency — first click -> first purchase, bucketed
+# ---------------------------------------------------------------------------
+
+_CONV_ORACLE = """
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS c_us,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p_us
+  FROM events GROUP BY user_id
+),
+lat AS (
+  SELECT user_id, (p_us - c_us) // 60000000 AS latency_min
+  FROM firsts WHERE c_us IS NOT NULL AND p_us IS NOT NULL AND p_us >= c_us
+)
+SELECT CAST(CASE WHEN latency_min < 60 THEN 0
+            WHEN latency_min < 1440 THEN 1
+            ELSE 2 END AS INT) AS bucket,
+       CASE WHEN latency_min < 60 THEN '<1h'
+            WHEN latency_min < 1440 THEN '1h-1d' ELSE '>1d' END AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(MIN(latency_min) AS BIGINT) AS min_minutes,
+       CAST(MAX(latency_min) AS BIGINT) AS max_minutes
+FROM lat
+GROUP BY 1, 2
+ORDER BY bucket
+"""
+
+
+@register("agg_conversion_latency", oracle=_CONV_ORACLE)
+def agg_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per user, minutes from FIRST
+    click to FIRST purchase (users converting before any click are
+    excluded), bucketed <1h / 1h-1d / >1d — the activation-latency
+    histogram growth teams watch alongside the funnel.
+
+    Plan: ONE conditional-min groupBy per user (no click⋈purchase
+    self-join — the fact is scanned once), then a |users|-row bucket
+    rollup. Latency is exact integer micros -> minutes.
+    """
+    events = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros("ts")
+    firsts = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", ts_us)).alias("c_us"),
+        F.min(F.when(F.col("event_type") == "purchase", ts_us)).alias("p_us"),
+    )
+    lat = firsts.filter(
+        F.col("c_us").isNotNull()
+        & F.col("p_us").isNotNull()
+        & (F.col("p_us") >= F.col("c_us"))
+    ).select(
+        "user_id",
+        F.floor((F.col("p_us") - F.col("c_us")) / 60_000_000).alias("latency_min"),
+    )
+    bucket = (
+        F.when(F.col("latency_min") < 60, 0)
+        .when(F.col("latency_min") < 1440, 1)
+        .otherwise(2)
+    )
+    label = (
+        F.when(F.col("latency_min") < 60, "<1h")
+        .when(F.col("latency_min") < 1440, "1h-1d")
+        .otherwise(">1d")
+    )
+    return (
+        lat.groupBy(bucket.cast("int").alias("bucket"), label.alias("label"))
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.min("latency_min").cast("long").alias("min_minutes"),
+            F.max("latency_min").cast("long").alias("max_minutes"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# fulfillment latency — order date -> ship date, per priority
+# ---------------------------------------------------------------------------
+
+_FULFILL_ORACLE = """
+WITH lat AS (
+  SELECT o.o_orderpriority AS priority,
+         (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)) // 86400000000
+           AS days
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_shipdate >= o.o_orderdate
+)
+SELECT priority,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+       CAST(MIN(days) AS BIGINT) AS min_days,
+       CAST(MAX(days) AS BIGINT) AS max_days,
+       CAST(floor(CAST(SUM(days) AS DOUBLE) / COUNT(*) * 1e6 + 0.5)
+            AS BIGINT) / 1e6 AS avg_days,
+       CAST(median(days) AS DOUBLE) AS median_days
+FROM lat
+GROUP BY priority
+ORDER BY priority
+"""
+
+
+@register("agg_fulfillment_latency", oracle=_FULFILL_ORACLE)
+def agg_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency per order priority: min/max/mean/median
+    days between order date and each lineitem's ship date — the SLA
+    report every fulfillment dashboard leads with (does URGENT
+    actually ship faster?).
+
+    Plan: fact-fact equi-join on the order key (both sides shuffle on
+    it), latencies as exact integer days, one groupBy on the tiny
+    priority dim. The exact median uses Spark's percentile on integer
+    days (deterministic; DuckDB's median of an even count averages the
+    two middles — identical on integers cast to double).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    days = F.floor(
+        (
+            F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+            - F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+        )
+        / 86_400_000_000
+    )
+    lat = j.filter(F.col("l_shipdate") >= F.col("o_orderdate")).select(
+        F.col("o_orderpriority").alias("priority"), days.alias("days")
+    )
+    return (
+        lat.groupBy("priority")
+        .agg(
+            F.count("*").cast("long").alias("n_lineitems"),
+            F.min("days").cast("long").alias("min_days"),
+            F.max("days").cast("long").alias("max_days"),
+            (
+                F.floor(
+                    F.sum("days").cast("double") / F.count("*") * 1e6 + 0.5
+                ).cast("long")
+                / F.lit(1e6)
+            ).alias("avg_days"),
+            F.expr("percentile(days, 0.5)").alias("median_days"),
+        )
+        .orderBy("priority")
+    )
