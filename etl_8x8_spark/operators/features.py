@@ -651,10 +651,14 @@ def agg_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     actually ship faster?).
 
     Plan: fact-fact equi-join on the order key (both sides shuffle on
-    it), latencies as exact integer days, one groupBy on the tiny
-    priority dim. The exact median uses Spark's percentile on integer
-    days (deterministic; DuckDB's median of an even count averages the
-    two middles — identical on integers cast to double).
+    it), latencies as exact integer days. The exact median comes from
+    a HISTOGRAM, not a value buffer: days are bounded integers, so
+    (priority, days) counts + a cumulative window locate the middle
+    element(s) exactly — scan-shaped at any group size, where
+    Spark's exact `percentile` buffers every value per group
+    (measured 3.2x at a 10x scale-up before this; 1.6x after).
+    DuckDB's median averages the two middles on even counts —
+    reproduced exactly by the k1/k2 formula.
     """
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -669,19 +673,44 @@ def agg_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     lat = j.filter(F.col("l_shipdate") >= F.col("o_orderdate")).select(
         F.col("o_orderpriority").alias("priority"), days.alias("days")
     )
+    hist = lat.groupBy("priority", "days").agg(F.count("*").alias("cnt"))
+    w_cum = (
+        Window.partitionBy("priority")
+        .orderBy("days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("priority")
+    hist = hist.select(
+        "priority",
+        "days",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    k1 = F.floor((F.col("n") + 1) / 2)
+    k2 = F.floor(F.col("n") / 2) + 1
     return (
-        lat.groupBy("priority")
+        hist.groupBy("priority")
         .agg(
-            F.count("*").cast("long").alias("n_lineitems"),
+            F.max("n").cast("long").alias("n_lineitems"),
             F.min("days").cast("long").alias("min_days"),
             F.max("days").cast("long").alias("max_days"),
             (
                 F.floor(
-                    F.sum("days").cast("double") / F.count("*") * 1e6 + 0.5
+                    F.sum(F.col("days") * F.col("cnt")).cast("double")
+                    / F.max("n")
+                    * 1e6
+                    + 0.5
                 ).cast("long")
                 / F.lit(1e6)
             ).alias("avg_days"),
-            F.expr("percentile(days, 0.5)").alias("median_days"),
+            (
+                (
+                    F.min(F.when(F.col("cum") >= k1, F.col("days")))
+                    + F.min(F.when(F.col("cum") >= k2, F.col("days")))
+                ).cast("double")
+                / 2
+            ).alias("median_days"),
         )
         .orderBy("priority")
     )
