@@ -222,6 +222,9 @@ HEADLINE = [
     "agg_abc_classification",
     "agg_conversion_latency",
     "agg_fulfillment_latency",
+    "agg_new_vs_returning",
+    "window_streak_detection",
+    "agg_stickiness_dau_mau",
 ]
 
 

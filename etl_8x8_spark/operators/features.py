@@ -714,3 +714,201 @@ def agg_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# new vs returning users per day
+# ---------------------------------------------------------------------------
+
+_NVR_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS first_day
+  FROM events GROUP BY user_id
+),
+daily AS (
+  SELECT CAST(CAST(date_trunc('day', e.ts) AS DATE) AS STRING) AS day_str,
+         e.user_id,
+         CAST(date_trunc('day', e.ts) AS DATE) = f.first_day AS is_new
+  FROM events e JOIN firsts f ON f.user_id = e.user_id
+  GROUP BY 1, 2, 3
+)
+SELECT day_str,
+       CAST(COUNT(CASE WHEN is_new THEN 1 END) AS BIGINT) AS new_users,
+       CAST(COUNT(CASE WHEN NOT is_new THEN 1 END) AS BIGINT)
+         AS returning_users
+FROM daily
+GROUP BY day_str
+ORDER BY day_str
+"""
+
+
+@register("agg_new_vs_returning", oracle=_NVR_ORACLE)
+def agg_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning user split: a user is NEW on their
+    first-ever active day and RETURNING on every later active day —
+    the first chart on every growth dashboard.
+
+    Plan: first-seen day is one groupBy on user_id; the fact joins it
+    back on the SAME key (exchange reuse), collapses to distinct
+    (day, user) actives, and rolls up per day. No window needed.
+    """
+    events = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("date")
+    firsts = events.groupBy("user_id").agg(F.min(day).alias("first_day"))
+    daily = (
+        events.join(firsts, "user_id")
+        .select(
+            day.cast("string").alias("day_str"),
+            "user_id",
+            (day == F.col("first_day")).alias("is_new"),
+        )
+        .distinct()
+    )
+    return (
+        daily.groupBy("day_str")
+        .agg(
+            F.count(F.when(F.col("is_new"), 1)).cast("long").alias("new_users"),
+            F.count(F.when(~F.col("is_new"), 1))
+            .cast("long")
+            .alias("returning_users"),
+        )
+        .orderBy("day_str")
+    )
+
+
+# ---------------------------------------------------------------------------
+# longest consecutive-day activity streak per user
+# ---------------------------------------------------------------------------
+
+_STREAK_ORACLE = """
+WITH active AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events GROUP BY 1, 2
+),
+grp AS (
+  SELECT user_id, day,
+         CAST(day - CAST(row_number() OVER (
+             PARTITION BY user_id ORDER BY day) AS INT) AS DATE) AS anchor
+  FROM active
+),
+streaks AS (
+  SELECT user_id, anchor, COUNT(*) AS len
+  FROM grp GROUP BY user_id, anchor
+)
+SELECT user_id,
+       CAST(MAX(len) AS BIGINT) AS longest_streak_days,
+       CAST(SUM(len) AS BIGINT) AS active_days,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks
+FROM streaks
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("window_streak_detection", oracle=_STREAK_ORACLE)
+def window_streak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user (plus total
+    active days and streak count) — the gaps-and-islands pattern
+    keyed to the retention/gamification question every engagement
+    team asks.
+
+    Plan: distinct (user, day) actives, then the classic island
+    anchor (day minus row_number is constant within a run of
+    consecutive days), one groupBy per island, one per user — all
+    shuffles on user_id, so the rank window and both aggregates
+    reuse one exchange.
+    """
+    events = load_table(spark, sf_dir, "events")
+    active = events.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = active.select(
+        "user_id",
+        "day",
+        F.date_sub(F.col("day"), F.row_number().over(w)).alias("anchor"),
+    )
+    streaks = grp.groupBy("user_id", "anchor").agg(F.count("*").alias("len"))
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.max("len").cast("long").alias("longest_streak_days"),
+            F.sum("len").cast("long").alias("active_days"),
+            F.count("*").cast("long").alias("n_streaks"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DAU/MAU stickiness per calendar month
+# ---------------------------------------------------------------------------
+
+_STICKY_ORACLE = """
+WITH active AS (
+  SELECT strftime(date_trunc('month', ts), '%Y-%m') AS month,
+         CAST(date_trunc('day', ts) AS DATE) AS day,
+         user_id
+  FROM events GROUP BY 1, 2, 3
+),
+dau AS (
+  SELECT month, day, COUNT(*) AS dau FROM active GROUP BY 1, 2
+),
+mau AS (
+  SELECT month, COUNT(DISTINCT user_id) AS mau FROM active GROUP BY 1
+)
+SELECT d.month,
+       CAST(SUM(d.dau) AS BIGINT) AS active_user_days,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(m.mau AS BIGINT) AS mau,
+       CAST(floor(CAST(SUM(d.dau) AS DOUBLE) / COUNT(*) / m.mau * 1e6 + 0.5)
+            AS BIGINT) / 1e6 AS stickiness
+FROM dau d JOIN mau m ON m.month = d.month
+GROUP BY d.month, m.mau
+ORDER BY d.month
+"""
+
+
+@register("agg_stickiness_dau_mau", oracle=_STICKY_ORACLE)
+def agg_stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per calendar month: average daily active
+    users over monthly active users — the habit-formation ratio
+    (1.0 = every monthly user active every day).
+
+    Plan: ONE distinct pass to (month, day, user) actives feeds both
+    the per-day counts and the per-month distinct users; the final
+    join is |months|-row. Ratio floor-quantized from exact integers.
+    """
+    events = load_table(spark, sf_dir, "events")
+    active = events.select(
+        F.date_format("ts", "yyyy-MM").alias("month"),
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        "user_id",
+    ).distinct()
+    dau = active.groupBy("month", "day").agg(F.count("*").alias("dau"))
+    mau = active.groupBy("month").agg(F.countDistinct("user_id").alias("mau"))
+    return (
+        dau.join(F.broadcast(mau), "month")
+        .groupBy("month", "mau")
+        .agg(
+            F.sum("dau").cast("long").alias("active_user_days"),
+            F.count("*").cast("long").alias("n_days"),
+        )
+        .select(
+            "month",
+            "active_user_days",
+            "n_days",
+            F.col("mau").cast("long").alias("mau"),
+            (
+                F.floor(
+                    F.col("active_user_days").cast("double")
+                    / F.col("n_days")
+                    / F.col("mau")
+                    * 1e6
+                    + 0.5
+                ).cast("long")
+                / F.lit(1e6)
+            ).alias("stickiness"),
+        )
+        .orderBy("month")
+    )
