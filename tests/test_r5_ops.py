@@ -260,3 +260,57 @@ class TestKeySkewReport:
             assert r["n_keys"] <= r["n_rows"]
             assert r["max_key_rows"] * r["n_keys"] >= r["n_rows"]  # max >= avg
             assert r["skew_ratio"] >= 1.0
+
+
+class TestBiAnalytics:
+    def test_rfm_scores_in_range_and_cells_consistent(self, spark, sf_dir, queries):
+        rows = queries["agg_rfm_segments"].builder(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert 1 <= r["r_score"] <= 5
+            assert 1 <= r["f_score"] <= 5
+            assert 1 <= r["m_score"] <= 5
+            assert r["rfm_cell"] == r["r_score"] * 100 + r["f_score"] * 10 + r["m_score"]
+
+    def test_abc_classes_partition_by_share(self, spark, sf_dir, queries):
+        rows = queries["agg_abc_classification"].builder(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert 0 < r["cum_share"] <= 1.000001
+            if r["cum_share"] <= 0.8:
+                assert r["abc_class"] == "A"
+        # A-class revenue concentration: fewer A customers than C
+        n = {c: sum(1 for r in rows if r["abc_class"] == c) for c in "ABC"}
+        assert n["A"] > 0 and n["C"] > 0
+
+    def test_fulfillment_latency_ordering(self, spark, sf_dir, queries):
+        rows = queries["agg_fulfillment_latency"].builder(spark, sf_dir).collect()
+        assert len(rows) == 5
+        for r in rows:
+            assert r["min_days"] <= r["median_days"] <= r["max_days"]
+            assert r["min_days"] <= r["avg_days"] <= r["max_days"]
+
+    def test_new_vs_returning_day_one_all_new(self, spark, sf_dir, queries):
+        rows = sorted(
+            queries["agg_new_vs_returning"].builder(spark, sf_dir).collect(),
+            key=lambda r: r["day_str"],
+        )
+        assert rows[0]["returning_users"] == 0  # nobody returns on day 1
+        total_new = sum(r["new_users"] for r in rows)
+        from etl_8x8_spark.sources.readers import load_table
+
+        n_users = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+        assert total_new == n_users  # every user is new exactly once
+
+    def test_streaks_bounded_by_active_days(self, spark, sf_dir, queries):
+        rows = queries["window_streak_detection"].builder(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert 1 <= r["longest_streak_days"] <= r["active_days"]
+            assert r["n_streaks"] >= 1
+
+    def test_stickiness_in_unit_interval(self, spark, sf_dir, queries):
+        rows = queries["agg_stickiness_dau_mau"].builder(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert 0 < r["stickiness"] <= 1.000001
