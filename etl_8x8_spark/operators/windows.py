@@ -1556,49 +1556,51 @@ WITH daily AS (
 q AS (
   SELECT day_str, revenue,
          CAST(floor(revenue * 1e2 + 0.5) AS BIGINT) AS x_u,
-         CAST(CAST(floor(revenue * 1e2 + 0.5) AS BIGINT) AS DECIMAL(19,0))
-           * CAST(CAST(floor(revenue * 1e2 + 0.5) AS BIGINT) AS DECIMAL(19,0))
-           AS xx_u
+         CAST(floor(revenue + 0.5) AS BIGINT) AS xd,
+         CAST(CAST(floor(revenue + 0.5) AS BIGINT) AS DECIMAL(19,0))
+           * CAST(CAST(floor(revenue + 0.5) AS BIGINT) AS DECIMAL(19,0))
+           AS xxd
   FROM daily
 ),
 wsum AS (
   SELECT day_str, revenue,
          COUNT(*) OVER w AS n,
          SUM(x_u) OVER w AS sx,
-         SUM(xx_u) OVER w AS sxx
+         SUM(xd) OVER w AS sxd,
+         SUM(xxd) OVER w AS sxxd
   FROM q
   WINDOW w AS (ORDER BY day_str
                ROWS BETWEEN {_BOLL_DAYS - 1} PRECEDING AND CURRENT ROW)
+),
+-- var_u = n*Sxd^2 - (Sxd)^2 cancels EXACTLY in integer space; the
+-- variance term runs in WHOLE-DOLLAR units so the cancelled result
+-- fits BIGINT with 4 orders of headroom (the cents-unit version
+-- overflowed at sf0.1), and casting the huge raw Sxd^2 decimal to
+-- double (engine-specific rounding; 1-ulp band flips) never happens
+vu AS (
+  SELECT day_str, revenue, n, sx,
+         CAST(CAST(n AS DECIMAL(38,0)) * sxxd
+              - CAST(sxd AS DECIMAL(38,0)) * CAST(sxd AS DECIMAL(38,0))
+              AS BIGINT) AS var_u
+  FROM wsum
 )
 SELECT day_str, revenue,
        CAST(floor(CAST(sx AS DOUBLE) / 1e2 / n * 1e6 + 0.5) AS BIGINT) / 1e6
            AS mid_band,
        CAST(floor((CAST(sx AS DOUBLE) / 1e2 / n
-             - 2 * sqrt(greatest(
-                 CAST(sxx AS DOUBLE) / 1e4 / n
-                 - (CAST(sx AS DOUBLE) / 1e2 / n)
-                   * (CAST(sx AS DOUBLE) / 1e2 / n), 0))) * 1e6 + 0.5)
+             - 2 * sqrt(CAST(var_u AS DOUBLE) / n / n)) * 1e6 + 0.5)
             AS BIGINT) / 1e6 AS lower_band,
        CAST(floor((CAST(sx AS DOUBLE) / 1e2 / n
-             + 2 * sqrt(greatest(
-                 CAST(sxx AS DOUBLE) / 1e4 / n
-                 - (CAST(sx AS DOUBLE) / 1e2 / n)
-                   * (CAST(sx AS DOUBLE) / 1e2 / n), 0))) * 1e6 + 0.5)
+             + 2 * sqrt(CAST(var_u AS DOUBLE) / n / n)) * 1e6 + 0.5)
             AS BIGINT) / 1e6 AS upper_band,
        n >= {_BOLL_DAYS}
          AND (revenue > CAST(floor((CAST(sx AS DOUBLE) / 1e2 / n
-             + 2 * sqrt(greatest(
-                 CAST(sxx AS DOUBLE) / 1e4 / n
-                 - (CAST(sx AS DOUBLE) / 1e2 / n)
-                   * (CAST(sx AS DOUBLE) / 1e2 / n), 0))) * 1e6 + 0.5)
+             + 2 * sqrt(CAST(var_u AS DOUBLE) / n / n)) * 1e6 + 0.5)
              AS BIGINT) / 1e6
            OR revenue < CAST(floor((CAST(sx AS DOUBLE) / 1e2 / n
-             - 2 * sqrt(greatest(
-                 CAST(sxx AS DOUBLE) / 1e4 / n
-                 - (CAST(sx AS DOUBLE) / 1e2 / n)
-                   * (CAST(sx AS DOUBLE) / 1e2 / n), 0))) * 1e6 + 0.5)
+             - 2 * sqrt(CAST(var_u AS DOUBLE) / n / n)) * 1e6 + 0.5)
              AS BIGINT) / 1e6) AS is_breach
-FROM wsum
+FROM vu
 ORDER BY day_str
 """
 
@@ -1611,12 +1613,14 @@ def window_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     trading-style dashboards.
 
     Plan: fact collapses to one decimal-exact daily rollup; the
-    trailing window runs over the calendar-bounded grid. Mean and
-    variance come from exact integer component sums (Σx at 1e2 units
-    in BIGINT; Σx² as the DECIMAL square of the same 1e2-unit
-    integer, so no int64 saturation at any plausible daily revenue),
-    window-summed exactly; the band math is a closed-form double
-    expression of identical integers, floor-quantized once on output.
+    trailing window runs over the calendar-bounded grid. The mean is
+    exact 1e2-unit integers; the VARIANCE cancels n·Σx²−(Σx)² exactly
+    in integer space (whole-dollar units, DECIMAL intermediates) so
+    the only decimal→double conversion is of a BIGINT-ranged value —
+    converting the raw ~1e24 Σx² rounds differently across engines
+    (found as 1-ulp band flips at sf0.1). Every double then derives
+    from an exactly-representable long via the same IEEE op sequence;
+    bands floor-quantize once on output.
     """
     orders = load_table(spark, sf_dir, "orders")
     daily = orders.groupBy(
@@ -1626,15 +1630,15 @@ def window_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_str",
         "revenue",
         F.floor(F.col("revenue") * 1e2 + 0.5).cast("long").alias("x_u"),
-        # x^2 in exact DECIMAL from the quantized 1e2-unit integer:
-        # BIGINT floor(revenue^2) saturates past revenue ~3.04e9
-        # (Spark saturates, DuckDB errors — silent divergence), while
-        # (x_u)^2 <= ~1e24 sits comfortably in DECIMAL(38,0).
+        # variance components in WHOLE-DOLLAR units (see oracle note):
+        # squares in exact DECIMAL — BIGINT floor(revenue^2) saturates
+        # past revenue ~3e9 (Spark saturates, DuckDB errors)
+        F.floor(F.col("revenue") + 0.5).cast("long").alias("xd"),
         (
-            F.floor(F.col("revenue") * 1e2 + 0.5)
+            F.floor(F.col("revenue") + 0.5)
             .cast("decimal(19,0)")
-            * F.floor(F.col("revenue") * 1e2 + 0.5).cast("decimal(19,0)")
-        ).alias("xx_u"),
+            * F.floor(F.col("revenue") + 0.5).cast("decimal(19,0)")
+        ).alias("xxd"),
     )
     w = Window.orderBy("day_str").rowsBetween(-(_BOLL_DAYS - 1), Window.currentRow)
     wsum = q.select(
@@ -1642,12 +1646,26 @@ def window_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         F.count("*").over(w).alias("n"),
         F.sum("x_u").over(w).alias("sx"),
-        F.sum("xx_u").over(w).alias("sxx"),
+        F.sum("xd").over(w).alias("sxd"),
+        F.sum("xxd").over(w).alias("sxxd"),
+    )
+    # var_u = n·Σx² − (Σx)²: the cancellation happens EXACTLY in
+    # integer space and the result fits BIGINT — casting the raw Σx²
+    # decimal (~1e24) to double rounds differently across engines
+    # (Java BigDecimal vs DuckDB int128 paths; 1-ulp flips crossed
+    # the 1e-6 quantization boundary at sf0.1). From here every
+    # double derives from an exactly-representable long through the
+    # same IEEE op sequence in both engines.
+    wsum = wsum.withColumn(
+        "var_u",
+        (
+            F.col("n").cast("decimal(38,0)") * F.col("sxxd")
+            - F.col("sxd").cast("decimal(38,0)")
+            * F.col("sxd").cast("decimal(38,0)")
+        ).cast("long"),
     )
     mean = F.col("sx").cast("double") / 1e2 / F.col("n")
-    var = F.greatest(
-        F.col("sxx").cast("double") / 1e4 / F.col("n") - mean * mean, F.lit(0.0)
-    )
+    var = F.col("var_u").cast("double") / F.col("n") / F.col("n")
     sd2 = 2 * F.sqrt(var)
     quant = lambda c: F.floor(c * 1e6 + 0.5).cast("long") / F.lit(1e6)  # noqa: E731
     lower = quant(mean - sd2)
