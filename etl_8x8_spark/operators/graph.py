@@ -408,3 +408,121 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("supp_a", "supp_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# converged PageRank — the ITERATIVE algorithm, hash-verified
+# ---------------------------------------------------------------------------
+
+_PR_ROUNDS = 8
+_PR_PART_OFFSET = 10_000_000  # part node ids live above supplier ids
+
+
+def _pr_round_sql(prev: str, rnd: int) -> str:
+    """One exact-integer PageRank round as a CTE pair."""
+    return f"""
+contrib_{rnd} AS (
+  SELECT e.dst AS node, SUM(r.rank_u // e.deg) AS c
+  FROM edges e JOIN {prev} r ON r.node = e.src
+  GROUP BY e.dst
+),
+rank_{rnd} AS (
+  SELECT n.node,
+         {150_000_000_000} + (85 * COALESCE(c.c, 0)) // 100 AS rank_u
+  FROM nodes n LEFT JOIN contrib_{rnd} c ON c.node = n.node
+)"""
+
+
+def _pagerank_oracle() -> str:
+    rounds = ",".join(_pr_round_sql(f"rank_{i - 1}", i) for i in range(1, _PR_ROUNDS + 1))
+    return f"""
+WITH base AS (
+  SELECT DISTINCT l_suppkey AS s, l_partkey + {_PR_PART_OFFSET} AS p
+  FROM lineitem
+),
+edges_dir AS (
+  SELECT s AS src, p AS dst FROM base
+  UNION ALL
+  SELECT p AS src, s AS dst FROM base
+),
+deg AS (
+  SELECT src, COUNT(*) AS deg FROM edges_dir GROUP BY src
+),
+edges AS (
+  SELECT e.src, e.dst, d.deg FROM edges_dir e JOIN deg d ON d.src = e.src
+),
+nodes AS (
+  SELECT DISTINCT src AS node FROM edges_dir
+),
+rank_0 AS (
+  SELECT node, CAST({10 ** 12} AS BIGINT) AS rank_u FROM nodes
+),
+{rounds}
+SELECT node, CAST(rank_u AS BIGINT) AS rank_u,
+       CAST(rank_u AS DOUBLE) / {10 ** 12} AS pr_score
+FROM rank_{_PR_ROUNDS}
+ORDER BY rank_u DESC, node
+LIMIT 100
+"""
+
+
+@register("graph_pagerank_converged", oracle=_pagerank_oracle())
+def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank run to (near-)convergence: {_PR_ROUNDS} power-iteration
+    rounds over the symmetrized supplier↔part graph, top-100 nodes by
+    final rank — the full ITERATIVE distributed algorithm
+    (`graph_pagerank_iter` is its single-round building block), with
+    a driver loop over declarative rounds, `localCheckpoint` lineage
+    truncation per round (the GraphX/Pregel shape), and — unusually —
+    an exact value-hash oracle: rank mass lives in integer micro-units
+    with floor division everywhere, so EIGHT chained rounds produce
+    bit-identical numbers in DuckDB's unrolled-CTE replay of the same
+    arithmetic. Iterative ≠ unverifiable.
+
+    Scale: per-round cost is one (edges ⋈ ranks) equi-join + a
+    groupBy — both shuffle on node keys, so at 100 TB each round is a
+    fixed two-exchange job and total cost is rounds × that; lineage
+    truncation keeps the plan from growing with rounds (the failure
+    mode of naive loops). Teleport/damping use exact rationals
+    (0.15·1e12 and ·85//100).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_suppkey").alias("s"),
+        (F.col("l_partkey") + _PR_PART_OFFSET).alias("p"),
+    ).distinct()
+    edges_dir = base.select(F.col("s").alias("src"), F.col("p").alias("dst")).unionAll(
+        base.select(F.col("p").alias("src"), F.col("s").alias("dst"))
+    )
+    deg = edges_dir.groupBy("src").agg(F.count("*").alias("deg"))
+    edges = edges_dir.join(deg, "src").persist()  # reused every round
+    nodes = edges_dir.select(F.col("src").alias("node")).distinct()
+    ranks = nodes.select("node", F.lit(10**12).cast("long").alias("rank_u"))
+    ranks = ranks.localCheckpoint(eager=True)
+    for _ in range(_PR_ROUNDS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .select("dst", F.expr("rank_u div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = nodes.join(
+            contrib, nodes.node == contrib.dst, "left"
+        ).select(
+            "node",
+            (
+                F.lit(150_000_000_000).cast("long")
+                + F.expr("85 * coalesce(c, 0) div 100")
+            ).alias("rank_u"),
+        )
+        # truncate lineage so round N's plan doesn't embed rounds 1..N-1
+        ranks = ranks.localCheckpoint(eager=True)
+    return (
+        ranks.select(
+            "node",
+            F.col("rank_u").cast("long").alias("rank_u"),
+            (F.col("rank_u").cast("double") / 10**12).alias("pr_score"),
+        )
+        .orderBy(F.desc("rank_u"), "node")
+        .limit(100)
+    )

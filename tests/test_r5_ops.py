@@ -314,3 +314,30 @@ class TestBiAnalytics:
         assert rows
         for r in rows:
             assert 0 < r["stickiness"] <= 1.000001
+
+
+class TestPagerankConverged:
+    def test_mass_and_monotone_structure(self, spark, sf_dir, queries):
+        rows = queries["graph_pagerank_converged"].builder(spark, sf_dir).collect()
+        assert len(rows) == 100
+        # ranks positive and sorted descending
+        scores = [r["pr_score"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+        assert all(s > 0.15 for s in scores)  # every node keeps teleport mass
+
+    def test_more_rounds_changes_little(self, spark, sf_dir, queries):
+        """Near-convergence check: the top-10 node SET is stable
+        between round 8 (registered) and a 4-round rerun of the same
+        loop — power iteration has settled the head of the ranking."""
+        from etl_8x8_spark.operators.graph import graph_pagerank_converged
+
+        full = graph_pagerank_converged(spark, sf_dir).limit(10).collect()
+        import etl_8x8_spark.operators.graph as G
+
+        orig = G._PR_ROUNDS
+        try:
+            G._PR_ROUNDS = 4
+            half = graph_pagerank_converged(spark, sf_dir).limit(10).collect()
+        finally:
+            G._PR_ROUNDS = orig
+        assert {r["node"] for r in full} == {r["node"] for r in half}
