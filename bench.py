@@ -229,6 +229,7 @@ HEADLINE = [
     # ~12 s at sf0.1 is 8 sequential join+agg jobs (per-round ~1.5 s),
     # not a plan defect (see docstring + BASELINE.md)
     "graph_pagerank_converged",
+    "ml_kmeans_converged",
 ]
 
 

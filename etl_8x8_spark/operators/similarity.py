@@ -769,3 +769,123 @@ def embed_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q_l1"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# converged k-means — the multi-round Lloyd loop, hash-verified
+# --------------------------------------------------------------------------
+
+_KMC_ROUNDS = 4
+
+
+def _kmc_round_sql(prev_c: str, rnd: int) -> str:
+    """One Lloyd round (assign -> decimal means) as a CTE chain."""
+    return f"""
+a_{rnd} AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_sql_dist2("e.embedding", "c.ce")} ASC, c.cid ASC
+           ) AS rk
+    FROM e CROSS JOIN {prev_c} c
+  ) WHERE rk = 1
+),
+comp_{rnd} AS (
+  SELECT cid, t.i AS i,
+         CAST(round(CAST(embedding[t.i] AS DOUBLE), 9) AS DECIMAL(28, 12)) AS x
+  FROM a_{rnd} CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) t
+),
+m_{rnd} AS (
+  SELECT cid, i, CAST(SUM(x) AS DOUBLE) / COUNT(*) AS v
+  FROM comp_{rnd} GROUP BY cid, i
+),
+c_{rnd} AS (SELECT cid, array_agg(v ORDER BY i) AS ce FROM m_{rnd} GROUP BY cid)"""
+
+
+def _kmc_oracle() -> str:
+    rounds = ",".join(
+        _kmc_round_sql("c_0" if i == 1 else f"c_{i - 1}", i)
+        for i in range(1, _KMC_ROUNDS + 1)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+c_0 AS (SELECT vec_id AS cid, embedding AS ce FROM e WHERE vec_id < {_KM_K}),
+{rounds},
+a_final AS (
+  SELECT vec_id, cid, d2 FROM (
+    SELECT e.vec_id, c.cid, {_sql_dist2("e.embedding", "c.ce")} AS d2,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_sql_dist2("e.embedding", "c.ce")} ASC, c.cid ASC
+           ) AS rk
+    FROM e CROSS JOIN c_{_KMC_ROUNDS} c
+  ) WHERE rk = 1
+)
+SELECT cid,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       round(CAST(SUM(CAST(round(d2, 12) AS DECIMAL(38, 12))) AS DOUBLE), 6)
+         AS inertia
+FROM a_final GROUP BY cid
+"""
+
+
+@register("ml_kmeans_converged", oracle=_kmc_oracle())
+def ml_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means run for {_KMC_ROUNDS} full rounds (assign →
+    DECIMAL-exact mean recompute, looped from the driver with
+    per-round lineage truncation) + a final assignment summary —
+    the converged companion to `ml_kmeans_lloyd`'s single round, and
+    the second iterative algorithm (after `graph_pagerank_converged`)
+    whose EVERY round is bit-reproduced by an unrolled-CTE DuckDB
+    oracle: assignment argmins compare identical left-fold doubles,
+    and centroid means are summation-order-proof decimal sums.
+
+    Scale: per round, assignment broadcasts K×dim centroids (map-side
+    argmin, zero corpus shuffle) and the mean recompute shuffles K×dim
+    partial sums — per-round cost is ONE corpus scan regardless of K
+    or rounds; centroids localCheckpoint so round N's plan doesn't
+    embed rounds 1..N-1.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "embedding")
+    cents = e.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    cents = cents.localCheckpoint(eager=True)
+
+    d2 = _dist2(F.col("embedding"), F.col("ce"))
+    w = Window.partitionBy("vec_id").orderBy(d2.asc(), F.col("cid").asc())
+
+    def assign(points, cs):
+        return (
+            points.crossJoin(F.broadcast(cs))
+            .withColumn("d2", d2)
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+        )
+
+    for _ in range(_KMC_ROUNDS):
+        a = assign(e, cents).select("vec_id", "embedding", "cid")
+        comp = a.select("cid", F.posexplode("embedding").alias("i", "x")).select(
+            "cid",
+            "i",
+            F.round(F.col("x").cast("double"), 9).cast("decimal(28,12)").alias("x"),
+        )
+        m = comp.groupBy("cid", "i").agg(
+            (F.sum("x").cast("double") / F.count("*")).alias("v")
+        )
+        cents = m.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "v"))), lambda s: s.v
+            ).alias("ce")
+        )
+        cents = cents.localCheckpoint(eager=True)
+
+    final = assign(e, cents).select("vec_id", "cid", "d2")
+    return final.groupBy("cid").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.round(
+            F.sum(F.round("d2", 12).cast("decimal(38,12)")).cast("double"), 6
+        ).alias("inertia"),
+    )

@@ -341,3 +341,26 @@ class TestPagerankConverged:
         finally:
             G._PR_ROUNDS = orig
         assert {r["node"] for r in full} == {r["node"] for r in half}
+
+
+class TestKmeansConverged:
+    def test_inertia_not_worse_than_single_round(self, spark, sf_dir, queries):
+        """More Lloyd rounds can only reduce (or hold) total inertia —
+        the monotone-improvement property of the algorithm."""
+        one = sum(
+            r["inertia"]
+            for r in queries["ml_kmeans_lloyd"].builder(spark, sf_dir).collect()
+        )
+        four = sum(
+            r["inertia"]
+            for r in queries["ml_kmeans_converged"].builder(spark, sf_dir).collect()
+        )
+        assert four <= one + 1e-6
+        # membership conserved
+        n = sum(
+            r["n_members"]
+            for r in queries["ml_kmeans_converged"].builder(spark, sf_dir).collect()
+        )
+        from etl_8x8_spark.sources.readers import load_table
+
+        assert n == load_table(spark, sf_dir, "embeddings").count()
