@@ -65,8 +65,8 @@ def ml_feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
     applies before training, computed for every row in ONE pass.
 
     Plan: segment moments come from a |segments|-row aggregate of
-    exact DECIMAL component sums (broadcast back), so mean/variance
-    are identical doubles in both engines; percent_rank is one window
+    exact integer-cent component sums (broadcast back), so
+    mean/variance are identical doubles in both engines; percent_rank is one window
     on the same segment key the join shuffles on (exchange reuse).
     All three outputs floor-quantized to 6 dp (tie-stable). At 100 TB
     this is a scan + one broadcast join + one window — no per-feature
