@@ -230,6 +230,7 @@ HEADLINE = [
     # not a plan defect (see docstring + BASELINE.md)
     "graph_pagerank_converged",
     "ml_kmeans_converged",
+    "quality_expectations",
 ]
 
 

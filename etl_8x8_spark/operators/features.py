@@ -912,3 +912,112 @@ def agg_stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# ---------------------------------------------------------------------------
+# declarative data-quality expectation suite
+# ---------------------------------------------------------------------------
+
+_EXPECT_ORACLE = """
+WITH checks AS (
+  SELECT
+    COUNT(*) AS n_rows,
+    COUNT(*) - COUNT(o_orderkey) AS null_orderkey,
+    COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS dup_orderkey,
+    COUNT(CASE WHEN o_totalprice <= 0 THEN 1 END) AS nonpositive_price,
+    COUNT(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 END)
+      AS bad_status,
+    COUNT(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+                 OR o_orderdate > TIMESTAMP '2030-01-01' THEN 1 END)
+      AS date_out_of_range,
+    COUNT(CASE WHEN o_orderpriority NOT LIKE '_-%' THEN 1 END)
+      AS bad_priority_format
+  FROM orders
+)
+SELECT rule, n_violations, n_rows,
+       CAST(n_violations = 0 AS BOOLEAN) AS passed
+FROM (
+  SELECT 'orderkey_not_null' AS rule, CAST(null_orderkey AS BIGINT)
+           AS n_violations, CAST(n_rows AS BIGINT) AS n_rows FROM checks
+  UNION ALL SELECT 'orderkey_unique', CAST(dup_orderkey AS BIGINT),
+           CAST(n_rows AS BIGINT) FROM checks
+  UNION ALL SELECT 'price_positive', CAST(nonpositive_price AS BIGINT),
+           CAST(n_rows AS BIGINT) FROM checks
+  UNION ALL SELECT 'status_in_enum', CAST(bad_status AS BIGINT),
+           CAST(n_rows AS BIGINT) FROM checks
+  UNION ALL SELECT 'date_in_range', CAST(date_out_of_range AS BIGINT),
+           CAST(n_rows AS BIGINT) FROM checks
+  UNION ALL SELECT 'priority_format', CAST(bad_priority_format AS BIGINT),
+           CAST(n_rows AS BIGINT) FROM checks
+)
+ORDER BY rule
+"""
+
+
+@register("quality_expectations", oracle=_EXPECT_ORACLE)
+def quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectation suite over the orders table: not-null,
+    uniqueness, positive-range, enum-membership, date-window, and
+    format rules evaluated in ONE pass, reported one row per rule
+    with violation counts — the data-contract gate (the
+    Great-Expectations/dbt-test primitive) a pipeline runs before
+    promoting a 100 TB drop, and the generalization of the
+    reference's per-request schema boundary
+    (``swagger_api_models.yml:6-32``, R14) to set-level contracts.
+
+    Plan: all rules are sibling conditional-count aggregates in a
+    single scan (the uniqueness rule adds the one count-distinct
+    expansion); the rule table is unpivoted from the 1-row result, so
+    adding a rule never adds a scan. At 100 TB: one pass, map-side
+    partials, |rules| output rows.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    checks = orders.agg(
+        F.count("*").alias("n_rows"),
+        (F.count("*") - F.count("o_orderkey")).alias("orderkey_not_null"),
+        # duplicates among NON-NULL keys (nulls are the not_null
+        # rule's violation, not a uniqueness one)
+        (F.count("o_orderkey") - F.countDistinct("o_orderkey")).alias(
+            "orderkey_unique"
+        ),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("price_positive"),
+        F.count(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)
+        ).alias("status_in_enum"),
+        F.count(
+            F.when(
+                (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp_ntz"))
+                | (F.col("o_orderdate") > F.lit("2030-01-01").cast("timestamp_ntz")),
+                1,
+            )
+        ).alias("date_in_range"),
+        F.count(
+            F.when(~F.col("o_orderpriority").rlike(r"^.-"), 1)
+        ).alias("priority_format"),
+    )
+    rules = [
+        "orderkey_not_null",
+        "orderkey_unique",
+        "price_positive",
+        "status_in_enum",
+        "date_in_range",
+        "priority_format",
+    ]
+    per_rule = [
+        F.struct(
+            F.lit(r).alias("rule"),
+            F.col(r).cast("long").alias("n_violations"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+        )
+        for r in rules
+    ]
+    return (
+        checks.select(F.explode(F.array(*per_rule)).alias("s"))
+        .select(
+            "s.rule",
+            "s.n_violations",
+            "s.n_rows",
+            (F.col("s.n_violations") == 0).alias("passed"),
+        )
+        .orderBy("rule")
+    )

@@ -364,3 +364,43 @@ class TestKmeansConverged:
         from etl_8x8_spark.sources.readers import load_table
 
         assert n == load_table(spark, sf_dir, "embeddings").count()
+
+
+class TestQualityExpectations:
+    def test_clean_data_passes_all_rules(self, spark, sf_dir, queries):
+        rows = queries["quality_expectations"].builder(spark, sf_dir).collect()
+        assert len(rows) == 6
+        assert all(r["passed"] for r in rows), rows
+
+    def test_planted_violations_are_counted(self, spark, sf_dir, tmp_path):
+        """Plant one null key, one duplicate key, and one negative
+        price; the suite must count exactly those."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from etl_8x8_spark.registry import all_queries
+        from etl_8x8_spark.sources.readers import load_table
+
+        orders = load_table(spark, sf_dir, "orders")
+        bad = orders.limit(2).select(
+            F.lit(None).cast("long").alias("o_orderkey"),
+            "o_custkey",
+            "o_orderstatus",
+            (F.col("o_totalprice") * -1).alias("o_totalprice"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        dup = orders.limit(1)
+        d = str(tmp_path)
+        orders.unionByName(bad).unionByName(dup).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(d, "orders.parquet"))
+        rows = {
+            r["rule"]: r
+            for r in all_queries()["quality_expectations"].builder(spark, d).collect()
+        }
+        assert rows["orderkey_not_null"]["n_violations"] == 2
+        assert rows["orderkey_unique"]["n_violations"] == 1
+        assert rows["price_positive"]["n_violations"] == 2
+        assert not rows["orderkey_unique"]["passed"]
