@@ -369,3 +369,28 @@ def test_minhash_signature_triple_parity(spark, tokens):
         f"FROM (SELECT {_token_hashes_sql(f'{sql_toks}')} AS th)"
     ).fetchone()
     assert list(drow[0]) == expected
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(tokens=token_lists)
+def test_shingle_strings_cross_engine_parity(spark, tokens):
+    """The STRING shingles (used by the exact-Jaccard verify step and
+    the containment oracle) must agree between Spark's shifted-slice
+    zip_with build and DuckDB's generate_series slice build, including
+    the short-document truncation path (< n tokens)."""
+    import duckdb
+
+    from etl_8x8_spark.operators.dedup import _shingles_sql, shingles
+
+    df = spark.createDataFrame([(tokens,)], "toks array<string>")
+    srow = df.select(shingles(F.col("toks")).alias("s")).first()
+    con = duckdb.connect()
+    sql_toks = "[" + ", ".join("'" + t.replace("'", "''") + "'" for t in tokens) + "]"
+    drow = con.execute(
+        f"SELECT {_shingles_sql(f'{sql_toks}')} AS s"
+    ).fetchone()
+    assert sorted(srow["s"]) == sorted(drow[0])
