@@ -225,9 +225,9 @@ HEADLINE = [
     "agg_new_vs_returning",
     "window_streak_detection",
     "agg_stickiness_dau_mau",
-    # appended r5 wave 7 — NOTE: an 8-round iterative algorithm; its
-    # ~12 s at sf0.1 is 8 sequential join+agg jobs (per-round ~1.5 s),
-    # not a plan defect (see docstring + BASELINE.md)
+    # appended r5 wave 7 — NOTE: a 5-round iterative algorithm; its
+    # ~10 s at sf0.1 is 5 sequential join+agg jobs plus setup, not a
+    # plan defect (see docstring + BASELINE.md)
     "graph_pagerank_converged",
     "ml_kmeans_converged",
     "quality_expectations",
