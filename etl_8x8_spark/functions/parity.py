@@ -43,3 +43,29 @@ def oracle_davg(expr: str, alias: str) -> str:
         f"CAST(SUM(CAST(({expr}) AS DECIMAL(30,6))) AS DOUBLE)"
         f" / COUNT({expr}) AS {alias}"
     )
+
+
+def q6(col: Column | str, alias: str | None = None, k: int = 6) -> Column:
+    """Tie-stable output quantization: floor(x*10^k + 0.5) / 10^k.
+
+    NOT ``F.round``: Spark rounds HALF_UP on the value's shortest
+    decimal repr while DuckDB rounds the binary double, so the same
+    double can round differently across engines whenever it sits
+    within 1 ulp of a .5 boundary (LESSONS #22 — bit window_cusum,
+    bollinger, and the kmeans family before their retrofits). The
+    floor form is pure IEEE arithmetic (multiply, add, floor) that
+    both engines execute bit-identically, for negatives too (half
+    rounds toward +inf in both). Spark's floor(double) yields BIGINT,
+    so |x| must stay below ~9.2e12 at k=6 — output-column scale, not
+    raw-sum scale; quantize AFTER the final division/ratio.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    e = (F.floor(c * (10**k) + 0.5).cast("long") / F.lit(float(10**k)))
+    return e.alias(alias) if alias else e
+
+
+def oracle_q6(expr: str, alias: str | None = None, k: int = 6) -> str:
+    """DuckDB twin of :func:`q6` (floor is double-returning there, so
+    an explicit BIGINT cast keeps the arithmetic path identical)."""
+    s = f"CAST(floor(({expr}) * 1e{k} + 0.5) AS BIGINT) / 1e{k}"
+    return f"{s} AS {alias}" if alias else s

@@ -242,9 +242,9 @@ def agg_map_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_quantile_sketch",
     oracle="""
 SELECT l_returnflag,
-       round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
-       round(quantile_cont(l_extendedprice, 0.95), 6) AS p95,
-       round(quantile_cont(l_extendedprice, 0.99), 6) AS p99,
+       CAST(floor((quantile_cont(l_extendedprice, 0.5)) * 1e6 + 0.5) AS BIGINT) / 1e6 AS p50,
+       CAST(floor((quantile_cont(l_extendedprice, 0.95)) * 1e6 + 0.5) AS BIGINT) / 1e6 AS p95,
+       CAST(floor((quantile_cont(l_extendedprice, 0.99)) * 1e6 + 0.5) AS BIGINT) / 1e6 AS p99,
        CAST(1 AS INTEGER) AS p50_ok,
        CAST(1 AS INTEGER) AS p95_ok,
        CAST(1 AS INTEGER) AS p99_ok,
@@ -288,9 +288,9 @@ def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return agg.select(
         "l_returnflag",
-        F.round(F.col("pe")[0], 6).alias("p50"),
-        F.round(F.col("pe")[1], 6).alias("p95"),
-        F.round(F.col("pe")[2], 6).alias("p99"),
+        (F.floor((F.col("pe")[0]) * 1e6 + 0.5).cast("long") / F.lit(1e6)).alias("p50"),
+        (F.floor((F.col("pe")[1]) * 1e6 + 0.5).cast("long") / F.lit(1e6)).alias("p95"),
+        (F.floor((F.col("pe")[2]) * 1e6 + 0.5).cast("long") / F.lit(1e6)).alias("p99"),
         ok(0).alias("p50_ok"),
         ok(1).alias("p95_ok"),
         ok(2).alias("p99_ok"),
@@ -607,13 +607,12 @@ WITH s AS (
 )
 SELECT event_type,
        n,
-       round(CAST(sx AS DOUBLE) / n, 6) AS mean_value,
-       round(sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
-                  / (n - 1)), 6) AS stddev_value,
-       round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+       CAST(floor((CAST(sx AS DOUBLE) / n) * 1e6 + 0.5) AS BIGINT) / 1e6 AS mean_value,
+       CAST(floor((sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                  / (n - 1))) * 1e6 + 0.5) AS BIGINT) / 1e6 AS stddev_value,
+       CAST(floor(((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
              / (sqrt(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
-                * sqrt(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)),
-             6) AS corr_value_user
+                * sqrt(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n))) * 1e6 + 0.5) AS BIGINT) / 1e6 AS corr_value_user
 FROM s
 """
 
@@ -659,11 +658,9 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "event_type",
         "n",
-        F.round(sx / n, 6).alias("mean_value"),
-        F.round(F.sqrt(var_x / (n - 1)), 6).alias("stddev_value"),
-        F.round(
-            (sxy - sx * sy / n) / (F.sqrt(var_x) * F.sqrt(var_y)), 6
-        ).alias("corr_value_user"),
+        (F.floor((sx / n) * 1e6 + 0.5).cast("long") / F.lit(1e6)).alias("mean_value"),
+        (F.floor((F.sqrt(var_x / (n - 1))) * 1e6 + 0.5).cast("long") / F.lit(1e6)).alias("stddev_value"),
+        (F.floor(((sxy - sx * sy / n) / (F.sqrt(var_x) * F.sqrt(var_y))) * 1e6 + 0.5).cast("long") / F.lit(1e6)).alias("corr_value_user"),
     )
 
 
@@ -754,8 +751,8 @@ SELECT CAST(CASE WHEN o_totalprice < {_HIST_LO} THEN 0
                        / {(_HIST_HI - _HIST_LO) / _HIST_BINS}) + 1 END
             AS INT) AS bucket,
        COUNT(*) AS n,
-       round(CAST(MIN(o_totalprice) AS DOUBLE), 6) AS lo,
-       round(CAST(MAX(o_totalprice) AS DOUBLE), 6) AS hi
+       CAST(floor((CAST(MIN(o_totalprice) AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) / 1e6 AS lo,
+       CAST(floor((CAST(MAX(o_totalprice) AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) / 1e6 AS hi
 FROM orders
 GROUP BY 1
 """,
@@ -790,8 +787,8 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.min("o_totalprice").cast("double"), 6).alias("lo"),
-            F.round(F.max("o_totalprice").cast("double"), 6).alias("hi"),
+            (F.floor((F.min("o_totalprice").cast("double")) * 1e6 + 0.5).cast("long") / F.lit(1e6)).alias("lo"),
+            (F.floor((F.max("o_totalprice").cast("double")) * 1e6 + 0.5).cast("long") / F.lit(1e6)).alias("hi"),
         )
     )
 
@@ -895,7 +892,7 @@ def agg_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_unpivot",
     oracle="""
 SELECT l_orderkey, l_linenumber, measure,
-       round(value, 6) AS value
+       CAST(floor((value) * 1e6 + 0.5) AS BIGINT) / 1e6 AS value
 FROM (
   SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
          CAST(l_quantity AS DOUBLE) AS value
@@ -935,7 +932,7 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_orderkey",
             "l_linenumber",
             "measure",
-            F.round("raw_value", 6).alias("value"),
+            (F.floor((F.col("raw_value")) * 1e6 + 0.5).cast("long") / F.lit(1e6)).alias("value"),
         )
     )
 
@@ -944,9 +941,9 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_percentile_exact",
     oracle="""
 SELECT l_returnflag,
-       round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
-       round(quantile_cont(l_extendedprice, 0.95), 6) AS p95,
-       round(CAST(quantile_disc(l_extendedprice, 0.5) AS DOUBLE), 6)
+       CAST(floor((quantile_cont(l_extendedprice, 0.5)) * 1e6 + 0.5) AS BIGINT) / 1e6 AS p50,
+       CAST(floor((quantile_cont(l_extendedprice, 0.95)) * 1e6 + 0.5) AS BIGINT) / 1e6 AS p95,
+       CAST(floor((CAST(quantile_disc(l_extendedprice, 0.5) AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) / 1e6
          AS p50_disc
 FROM lineitem
 GROUP BY l_returnflag
@@ -964,16 +961,13 @@ def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("p50"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 6).alias("p95"),
+        (F.floor((F.percentile("l_extendedprice", F.lit(0.5))) * 1e6 + 0.5).cast("long") / F.lit(1e6)).alias("p50"),
+        (F.floor((F.percentile("l_extendedprice", F.lit(0.95))) * 1e6 + 0.5).cast("long") / F.lit(1e6)).alias("p95"),
         # percentile_approx at max accuracy degenerates to the exact
         # discrete quantile — the same value DuckDB's quantile_disc picks
-        F.round(
-            F.expr(
+        (F.floor((F.expr(
                 "percentile_approx(l_extendedprice, 0.5, 2147483647)"
-            ).cast("double"),
-            6,
-        ).alias("p50_disc"),
+            ).cast("double")) * 1e6 + 0.5).cast("long") / F.lit(1e6)).alias("p50_disc"),
     )
 
 
@@ -1019,8 +1013,8 @@ WITH ranked AS (
 SELECT o_custkey,
        MAX(CASE WHEN rmax = 1 THEN o_orderkey END) AS biggest_order,
        MAX(CASE WHEN rmin = 1 THEN o_orderkey END) AS smallest_order,
-       round(MAX(o_totalprice), 6) AS max_price,
-       round(MIN(o_totalprice), 6) AS min_price
+       CAST(floor((MAX(o_totalprice)) * 1e6 + 0.5) AS BIGINT) / 1e6 AS max_price,
+       CAST(floor((MIN(o_totalprice)) * 1e6 + 0.5) AS BIGINT) / 1e6 AS min_price
 FROM ranked
 GROUP BY o_custkey
 """,
@@ -1048,8 +1042,8 @@ def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by(
             "o_orderkey", F.struct("o_totalprice", "o_orderkey")
         ).alias("smallest_order"),
-        F.round(F.max("o_totalprice"), 6).alias("max_price"),
-        F.round(F.min("o_totalprice"), 6).alias("min_price"),
+        (F.floor((F.max("o_totalprice")) * 1e6 + 0.5).cast("long") / F.lit(1e6)).alias("max_price"),
+        (F.floor((F.min("o_totalprice")) * 1e6 + 0.5).cast("long") / F.lit(1e6)).alias("min_price"),
     )
 
 
@@ -1151,14 +1145,12 @@ tot AS (
 ),
 terms AS (
   SELECT c.event_type,
-         CAST(round(
-           ((c.ca + 0.5) / (t.na + 5.0) - (c.cb + 0.5) / (t.nb + 5.0))
-           * ln(((c.ca + 0.5) / (t.na + 5.0)) / ((c.cb + 0.5) / (t.nb + 5.0))),
-           12) AS DECIMAL(28, 12)) AS term
+         CAST(CAST(floor((((c.ca + 0.5) / (t.na + 5.0) - (c.cb + 0.5) / (t.nb + 5.0))
+           * ln(((c.ca + 0.5) / (t.na + 5.0)) / ((c.cb + 0.5) / (t.nb + 5.0)))) * 1e12 + 0.5) AS BIGINT) / 1e12 AS DECIMAL(28, 12)) AS term
   FROM cells c JOIN tot t USING (event_type)
 )
 SELECT event_type,
-       round(CAST(SUM(term) AS DOUBLE), 6) AS psi,
+       CAST(floor((CAST(SUM(term) AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) / 1e6 AS psi,
        SUM(term) > 0.1 AS drifted
 FROM terms GROUP BY event_type
 """,
@@ -1199,12 +1191,12 @@ def agg_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     pb = (F.col("cb") + 0.5) / (F.col("nb") + 5.0)
     terms = cells.join(F.broadcast(tot), "event_type").select(
         "event_type",
-        F.round((pa - pb) * F.log(pa / pb), 12)
+        (F.floor(((pa - pb) * F.log(pa / pb)) * 1e12 + 0.5).cast("long") / F.lit(1e12))
         .cast("decimal(28,12)")
         .alias("term"),
     )
     return terms.groupBy("event_type").agg(
-        F.round(F.sum("term").cast("double"), 6).alias("psi"),
+        (F.floor((F.sum("term").cast("double")) * 1e6 + 0.5).cast("long") / F.lit(1e6)).alias("psi"),
         (F.sum("term") > 0.1).alias("drifted"),
     )
 
@@ -1227,7 +1219,7 @@ WITH partials AS (  -- the per-(type, day) partial state a daily job persists
 SELECT event_type,
        CAST(SUM(pcnt) AS BIGINT) AS n,
        CAST(SUM(psum) AS DOUBLE) AS total,
-       round(CAST(SUM(psum) AS DOUBLE) / SUM(pcnt), 6) AS mean,
+       CAST(floor((CAST(SUM(psum) AS DOUBLE) / SUM(pcnt)) * 1e6 + 0.5) AS BIGINT) / 1e6 AS mean,
        MIN(pmin) AS vmin, MAX(pmax) AS vmax,
        CAST(COUNT(*) AS BIGINT) AS n_partials
 FROM partials GROUP BY event_type
@@ -1262,9 +1254,7 @@ def agg_partial_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partials.groupBy("event_type").agg(
         F.sum("pcnt").cast("long").alias("n"),
         F.sum("psum").cast("double").alias("total"),
-        F.round(
-            F.sum("psum").cast("double") / F.sum("pcnt"), 6
-        ).alias("mean"),
+        (F.floor((F.sum("psum").cast("double") / F.sum("pcnt")) * 1e6 + 0.5).cast("long") / F.lit(1e6)).alias("mean"),
         F.min("pmin").alias("vmin"),
         F.max("pmax").alias("vmax"),
         F.count("*").cast("long").alias("n_partials"),
@@ -1366,7 +1356,7 @@ def _corr_matrix_oracle() -> str:
         var_b = f"(n * CAST(ss_{b} AS DOUBLE) - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
         branches.append(
             f"SELECT '{a}' AS col_x, '{b}' AS col_y,"
-            f" round({cov} / sqrt({var_a} * {var_b}), 6) AS corr FROM s"
+            f" CAST(floor(({cov} / sqrt({var_a} * {var_b})) * 1e6 + 0.5) AS BIGINT) / 1e6 AS corr FROM s"
         )
     return (
         "WITH s AS (SELECT "
@@ -1418,7 +1408,7 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         var_a = n * ssa - sa * sa
         var_b = n * ssb - sb * sb
         corr_cols.append(
-            F.round(cov / F.sqrt(var_a * var_b), 6).alias(f"c_{a}_{b}")
+            (F.floor((cov / F.sqrt(var_a * var_b)) * 1e6 + 0.5).cast("long") / F.lit(1e6)).alias(f"c_{a}_{b}")
         )
     wide = s.select(*corr_cols)
     stack_args = ", ".join(
@@ -1449,18 +1439,16 @@ WITH s AS (
 )
 SELECT l_returnflag,
        CAST(n AS BIGINT) AS n,
-       round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-             / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
-             6) AS slope,
-       round((CAST(sy AS DOUBLE)
+       CAST(floor(((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * 1e6 + 0.5) AS BIGINT) / 1e6 AS slope,
+       CAST(floor(((CAST(sy AS DOUBLE)
               - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                * CAST(sx AS DOUBLE)) / n, 6) AS intercept,
-       round(((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                * CAST(sx AS DOUBLE)) / n) * 1e6 + 0.5) AS BIGINT) / 1e6 AS intercept,
+       CAST(floor((((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
               * (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
              / ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
-             6) AS r2
+                * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) * 1e6 + 0.5) AS BIGINT) / 1e6 AS r2
 FROM s
 ORDER BY l_returnflag
 """
@@ -1505,9 +1493,9 @@ def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "l_returnflag",
         n.cast("long").alias("n"),
-        F.round(slope, 6).alias("slope"),
-        F.round((sy - slope * sx) / n, 6).alias("intercept"),
-        F.round(cov * cov / (var_x * var_y), 6).alias("r2"),
+        (F.floor((slope) * 1e6 + 0.5).cast("long") / F.lit(1e6)).alias("slope"),
+        (F.floor(((sy - slope * sx) / n) * 1e6 + 0.5).cast("long") / F.lit(1e6)).alias("intercept"),
+        (F.floor((cov * cov / (var_x * var_y)) * 1e6 + 0.5).cast("long") / F.lit(1e6)).alias("r2"),
     ).orderBy("l_returnflag")
 
 
@@ -1521,13 +1509,13 @@ WITH counts AS (
 ),
 terms AS (
   SELECT cohort,
-         CAST(round(c * ln(c), 6) AS DECIMAL(30,6)) AS term,
+         CAST(CAST(floor((c * ln(c)) * 1e6 + 0.5) AS BIGINT) / 1e6 AS DECIMAL(30,6)) AS term,
          c
   FROM counts
 )
 SELECT cohort,
        CAST(SUM(c) AS BIGINT) AS n_events,
-       round(ln(SUM(c)) - CAST(SUM(term) AS DOUBLE) / SUM(c), 6)
+       CAST(floor((ln(SUM(c)) - CAST(SUM(term) AS DOUBLE) / SUM(c)) * 1e6 + 0.5) AS BIGINT) / 1e6
            AS entropy
 FROM terms
 GROUP BY cohort
@@ -1557,17 +1545,14 @@ def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = counts.select(
         "cohort",
         "c",
-        F.round(F.col("c") * F.log(F.col("c")), 6).cast(DEC).alias("term"),
+        (F.floor((F.col("c") * F.log(F.col("c"))) * 1e6 + 0.5).cast("long") / F.lit(1e6)).cast(DEC).alias("term"),
     )
     return (
         terms.groupBy("cohort")
         .agg(
             F.sum("c").cast("long").alias("n_events"),
-            F.round(
-                F.log(F.sum("c"))
-                - F.sum("term").cast("double") / F.sum("c"),
-                6,
-            ).alias("entropy"),
+            (F.floor((F.log(F.sum("c"))
+                - F.sum("term").cast("double") / F.sum("c")) * 1e6 + 0.5).cast("long") / F.lit(1e6)).alias("entropy"),
         )
         .orderBy("cohort")
     )
@@ -1588,8 +1573,8 @@ trans AS (
 )
 SELECT from_type, to_type,
        CAST(n AS BIGINT) AS n_transitions,
-       round(CAST(n AS DOUBLE)
-             / SUM(n) OVER (PARTITION BY from_type), 6) AS prob
+       CAST(floor((CAST(n AS DOUBLE)
+             / SUM(n) OVER (PARTITION BY from_type)) * 1e6 + 0.5) AS BIGINT) / 1e6 AS prob
 FROM trans
 ORDER BY from_type, to_type
 """
@@ -1629,9 +1614,7 @@ def agg_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "from_type",
         "to_type",
         F.col("n").cast("long").alias("n_transitions"),
-        F.round(
-            F.col("n").cast("double") / F.sum("n").over(w_from), 6
-        ).alias("prob"),
+        (F.floor((F.col("n").cast("double") / F.sum("n").over(w_from)) * 1e6 + 0.5).cast("long") / F.lit(1e6)).alias("prob"),
     ).orderBy("from_type", "to_type")
 
 
@@ -1654,8 +1637,8 @@ mad AS (
 )
 SELECT d.event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
-       round(MIN(d.med), 6) AS med,
-       round(MIN(m.mad), 6) AS mad,
+       CAST(floor((MIN(d.med)) * 1e6 + 0.5) AS BIGINT) / 1e6 AS med,
+       CAST(floor((MIN(m.mad)) * 1e6 + 0.5) AS BIGINT) / 1e6 AS mad,
        CAST(SUM(CASE WHEN d.ad > {_MAD_K} * {_MAD_SCALE} * m.mad
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
 FROM dev d JOIN mad m ON d.event_type = m.event_type
@@ -1701,8 +1684,8 @@ def agg_robust_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("*").cast("long").alias("n"),
-            F.round(F.min("med"), 6).alias("med"),
-            F.round(F.min("mad"), 6).alias("mad"),
+            (F.floor((F.min("med")) * 1e6 + 0.5).cast("long") / F.lit(1e6)).alias("med"),
+            (F.floor((F.min("mad")) * 1e6 + 0.5).cast("long") / F.lit(1e6)).alias("mad"),
             F.sum(
                 F.when(
                     F.col("ad") > _MAD_K * _MAD_SCALE * F.col("mad"), 1
@@ -1931,8 +1914,8 @@ SELECT day_start,
        CAST(SUM(c) AS BIGINT) AS clickers,
        CAST(SUM(p) AS BIGINT) AS purchasers,
        CAST(SUM(c * p) AS BIGINT) AS both_n,
-       round(CAST(SUM(c * p) AS DOUBLE)
-             / nullif(SUM(c) + SUM(p) - SUM(c * p), 0), 6) AS jaccard
+       CAST(floor((CAST(SUM(c * p) AS DOUBLE)
+             / nullif(SUM(c) + SUM(p) - SUM(c * p), 0)) * 1e6 + 0.5) AS BIGINT) / 1e6 AS jaccard
 FROM flags
 GROUP BY day_start
 ORDER BY day_start
@@ -1977,13 +1960,10 @@ def agg_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c").cast("long").alias("clickers"),
             F.sum("p").cast("long").alias("purchasers"),
             both.cast("long").alias("both_n"),
-            F.round(
-                both.cast("double")
+            (F.floor((both.cast("double")
                 / F.nullif(
                     F.sum("c") + F.sum("p") - both, F.lit(0)
-                ),
-                6,
-            ).alias("jaccard"),
+                )) * 1e6 + 0.5).cast("long") / F.lit(1e6)).alias("jaccard"),
         )
         .orderBy("day_start")
     )
@@ -2013,14 +1993,14 @@ ab AS (
   FROM m a JOIN m b ON a.variant = 0 AND b.variant = 1
 )
 SELECT CAST(n_a AS BIGINT) AS n_a,
-       round(mean_a, 6) AS mean_a,
+       CAST(floor((mean_a) * 1e6 + 0.5) AS BIGINT) / 1e6 AS mean_a,
        CAST(n_b AS BIGINT) AS n_b,
-       round(mean_b, 6) AS mean_b,
-       round((mean_a - mean_b)
-             / sqrt(var_a / n_a + var_b / n_b), 6) AS t_stat,
-       round(pow(var_a / n_a + var_b / n_b, 2)
+       CAST(floor((mean_b) * 1e6 + 0.5) AS BIGINT) / 1e6 AS mean_b,
+       CAST(floor(((mean_a - mean_b)
+             / sqrt(var_a / n_a + var_b / n_b)) * 1e6 + 0.5) AS BIGINT) / 1e6 AS t_stat,
+       CAST(floor((pow(var_a / n_a + var_b / n_b, 2)
              / (pow(var_a / n_a, 2) / (n_a - 1)
-                + pow(var_b / n_b, 2) / (n_b - 1)), 6) AS welch_df
+                + pow(var_b / n_b, 2) / (n_b - 1))) * 1e6 + 0.5) AS BIGINT) / 1e6 AS welch_df
 FROM ab
 """
 
@@ -2073,22 +2053,16 @@ def agg_ab_test_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     se2_b = F.col("var_b") / F.col("n_b")
     return ab.select(
         F.col("n_a").cast("long").alias("n_a"),
-        F.round("mean_a", 6).alias("mean_a"),
+        (F.floor((F.col("mean_a")) * 1e6 + 0.5).cast("long") / F.lit(1e6)).alias("mean_a"),
         F.col("n_b").cast("long").alias("n_b"),
-        F.round("mean_b", 6).alias("mean_b"),
-        F.round(
-            (F.col("mean_a") - F.col("mean_b"))
-            / F.sqrt(se2_a + se2_b),
-            6,
-        ).alias("t_stat"),
-        F.round(
-            F.pow(se2_a + se2_b, 2)
+        (F.floor((F.col("mean_b")) * 1e6 + 0.5).cast("long") / F.lit(1e6)).alias("mean_b"),
+        (F.floor(((F.col("mean_a") - F.col("mean_b"))
+            / F.sqrt(se2_a + se2_b)) * 1e6 + 0.5).cast("long") / F.lit(1e6)).alias("t_stat"),
+        (F.floor((F.pow(se2_a + se2_b, 2)
             / (
                 F.pow(se2_a, 2) / (F.col("n_a") - 1)
                 + F.pow(se2_b, 2) / (F.col("n_b") - 1)
-            ),
-            6,
-        ).alias("welch_df"),
+            )) * 1e6 + 0.5).cast("long") / F.lit(1e6)).alias("welch_df"),
     )
 
 
@@ -2106,9 +2080,9 @@ ranked AS (
   FROM spend
 )
 SELECT CAST(MIN(n) AS BIGINT) AS n_customers,
-       round((2.0 * CAST(SUM(CAST(i AS DECIMAL(30,6)) * x) AS DOUBLE))
+       CAST(floor(((2.0 * CAST(SUM(CAST(i AS DECIMAL(30,6)) * x) AS DOUBLE))
              / (MIN(n) * CAST(SUM(x) AS DOUBLE))
-             - (MIN(n) + 1.0) / MIN(n), 6) AS gini
+             - (MIN(n) + 1.0) / MIN(n)) * 1e6 + 0.5) AS BIGINT) / 1e6 AS gini
 FROM ranked
 """
 
@@ -2143,12 +2117,9 @@ def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.count("*")
     return ranked.agg(
         n.cast("long").alias("n_customers"),
-        F.round(
-            (2.0 * F.sum(F.col("i").cast(DEC) * F.col("x")).cast("double"))
+        (F.floor(((2.0 * F.sum(F.col("i").cast(DEC) * F.col("x")).cast("double"))
             / (n * F.sum("x").cast("double"))
-            - (n + F.lit(1.0)) / n,
-            6,
-        ).alias("gini"),
+            - (n + F.lit(1.0)) / n) * 1e6 + 0.5).cast("long") / F.lit(1e6)).alias("gini"),
     )
 
 
@@ -2196,7 +2167,7 @@ risk AS (
 terms AS (
   SELECT t, d, n_risk,
          CASE WHEN d >= n_risk THEN NULL
-              ELSE CAST(round(ln(1.0 - CAST(d AS DOUBLE) / n_risk), 9)
+              ELSE CAST(CAST(floor((ln(1.0 - CAST(d AS DOUBLE) / n_risk)) * 1e9 + 0.5) AS BIGINT) / 1e9
                         AS DECIMAL(30,9)) END AS lnterm,
          CASE WHEN d >= n_risk THEN 1 ELSE 0 END AS wipe
   FROM risk WHERE d > 0
@@ -2206,9 +2177,9 @@ SELECT CAST(t AS BIGINT) AS t_hours,
        CAST(d AS BIGINT) AS conversions,
        CASE WHEN MAX(wipe) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) = 1
             THEN 0.0
-            ELSE round(exp(CAST(SUM(lnterm)
+            ELSE CAST(floor((exp(CAST(SUM(lnterm)
                        OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
-                       AS DOUBLE)), 6)
+                       AS DOUBLE))) * 1e6 + 0.5) AS BIGINT) / 1e6
        END AS survival
 FROM terms
 ORDER BY t_hours
@@ -2289,12 +2260,9 @@ def agg_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_risk",
         F.when(
             F.col("d") < F.col("n_risk"),
-            F.round(
-                F.log(
+            (F.floor((F.log(
                     1.0 - F.col("d").cast("double") / F.col("n_risk")
-                ),
-                9,
-            ).cast("decimal(30,9)"),
+                )) * 1e9 + 0.5).cast("long") / F.lit(1e9)).cast("decimal(30,9)"),
         ).alias("lnterm"),
         F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0).alias(
             "wipe"
@@ -2306,7 +2274,7 @@ def agg_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").cast("long").alias("conversions"),
         F.when(F.max("wipe").over(w) == 1, F.lit(0.0))
         .otherwise(
-            F.round(F.exp(F.sum("lnterm").over(w).cast("double")), 6)
+            (F.floor((F.exp(F.sum("lnterm").over(w).cast("double"))) * 1e6 + 0.5).cast("long") / F.lit(1e6))
         )
         .alias("survival"),
     ).orderBy("t_hours")

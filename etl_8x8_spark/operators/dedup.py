@@ -192,8 +192,8 @@ sh AS (
   FROM corpus
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       round(CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
-             / len(list_distinct(a.sset || b.sset)), 6) AS jaccard
+       CAST(floor((CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+             / len(list_distinct(a.sset || b.sset))) * 1e6 + 0.5) AS BIGINT) / 1e6 AS jaccard
 FROM sh a JOIN sh b
   ON a.block_key = b.block_key AND a.doc_id < b.doc_id
 WHERE CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
@@ -241,7 +241,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.round(jac, 6).alias("jaccard"),
+            (F.floor((jac) * 1e6 + 0.5).cast("long") / F.lit(1e6)).alias("jaccard"),
         )
     )
 
@@ -295,8 +295,8 @@ sh AS (
   FROM corpus
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       round(CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
-             / least(len(a.sset), len(b.sset)), 6) AS containment
+       CAST(floor((CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+             / least(len(a.sset), len(b.sset))) * 1e6 + 0.5) AS BIGINT) / 1e6 AS containment
 FROM sh a JOIN sh b
   ON a.block_key = b.block_key AND a.doc_id < b.doc_id
 WHERE CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
@@ -345,7 +345,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.round(cont, 6).alias("containment"),
+            (F.floor((cont) * 1e6 + 0.5).cast("long") / F.lit(1e6)).alias("containment"),
         )
     )
 
@@ -847,7 +847,7 @@ normed AS (
   FROM base
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round({oracle_dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6)
+       CAST(floor(({oracle_dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm)) * 1e6 + 0.5) AS BIGINT) / 1e6
          AS cos_sim
 FROM normed a JOIN normed b
   ON a.block_key = b.block_key AND a.vec_id < b.vec_id
@@ -886,7 +886,7 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.round(sim, 6).alias("cos_sim"),
+            (F.floor((sim) * 1e6 + 0.5).cast("long") / F.lit(1e6)).alias("cos_sim"),
         )
     )
 
@@ -1113,7 +1113,7 @@ survivors AS (  -- exact dedup: min doc_id per normalized text
 gated AS (      -- quality gate on the surviving docs
   SELECT s.doc_id, n.lang,
          CAST(len(n.toks) AS BIGINT) AS n_tokens,
-         round(CAST(len(list_distinct(n.toks)) AS DOUBLE) / len(n.toks), 6)
+         CAST(floor((CAST(len(list_distinct(n.toks)) AS DOUBLE) / len(n.toks)) * 1e6 + 0.5) AS BIGINT) / 1e6
            AS ttr
   FROM survivors s JOIN normed n ON n.doc_id = s.doc_id
   WHERE len(n.toks) >= 10
@@ -1122,7 +1122,7 @@ gated AS (      -- quality gate on the surviving docs
 SELECT lang,
        COUNT(*) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-       round(CAST(SUM(CAST(ttr AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*), 6)
+       CAST(floor((CAST(SUM(CAST(ttr AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)) * 1e6 + 0.5) AS BIGINT) / 1e6
          AS avg_ttr
 FROM gated
 GROUP BY lang
@@ -1153,7 +1153,7 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated = (
         survivors.join(normed.drop("norm"), "doc_id")
         .withColumn("n_tokens", n.cast("long"))
-        .withColumn("ttr", F.round(ttr, 6))
+        .withColumn("ttr", (F.floor((ttr) * 1e6 + 0.5).cast("long") / F.lit(1e6)))
         .filter((n >= 10) & (ttr >= 0.3))
     )
     from etl_8x8_spark.functions.parity import DEC
@@ -1161,7 +1161,5 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gated.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
-        F.round(
-            F.sum(F.col("ttr").cast(DEC)).cast("double") / F.count("*"), 6
-        ).alias("avg_ttr"),
+        (F.floor((F.sum(F.col("ttr").cast(DEC)).cast("double") / F.count("*")) * 1e6 + 0.5).cast("long") / F.lit(1e6)).alias("avg_ttr"),
     )

@@ -257,7 +257,12 @@ def window_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", "l_shipdate").cast("date").cast("string").alias("day_str"),
         F.date_format("l_shipdate", "yyyy-MM").alias("month"),
     ).agg(
-        F.sum(pv).alias("pv_u"),
+        # decimal(38,0), not BIGINT: a month's cumulative Σ(cents·qty)
+        # reaches ~2e18 at the 100 TB scale point — one skewed month
+        # from int64 wrap (silent in non-ANSI Spark). DuckDB's BIGINT
+        # SUM already promotes to HUGEINT, so the wide type also keeps
+        # the two engines' arithmetic identical.
+        F.sum(pv.cast("decimal(38,0)")).alias("pv_u"),
         F.sum(vol).alias("vol"),
     )
     w = (

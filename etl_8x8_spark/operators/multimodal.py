@@ -45,7 +45,7 @@ SELECT d.doc_id,
          n_chars := d.n_chars,
          dim := len(e.embedding)
        )) AS VARCHAR) AS modality_meta,
-       round(CAST(e.embedding[1] AS DOUBLE), 6) + 0.0 AS first_component,
+       CAST(floor((CAST(e.embedding[1] AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) / 1e6 + 0.0 AS first_component,
        e.label
 FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
 """,
@@ -74,7 +74,7 @@ def multimodal_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.to_json(meta).alias("modality_meta"),
         # + 0.0 normalizes IEEE -0.0 (DuckDB round preserves the sign)
-        (F.round(F.element_at("embedding", 1).cast("double"), 6) + 0.0).alias(
+        ((F.floor((F.element_at("embedding", 1).cast("double")) * 1e6 + 0.5).cast("long") / F.lit(1e6)) + 0.0).alias(
             "first_component"
         ),
         "label",
@@ -321,7 +321,7 @@ def resize_media_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
     oracle="""
 WITH p AS (
   SELECT doc_id, substr(text, 1, 64) AS prefix FROM documents
-  WHERE doc_id % 50 = 0
+  WHERE doc_id % 50 = 0 AND doc_id < 1000000
 )
 SELECT 'doc_' || doc_id || '.bin' AS file_name,
        CAST(length(prefix) AS BIGINT) AS n_bytes,
@@ -355,8 +355,17 @@ def multimodal_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     marker = os.path.join(asset_dir, "_DONE")
     if not os.path.exists(marker):
         os.makedirs(asset_dir, exist_ok=True)
+        # FIXTURE SETUP, not operator dataflow: this collect writes the
+        # synthetic .bin asset directory the binaryFile scan below then
+        # reads — in production the asset bucket pre-exists and this
+        # whole branch never runs. The doc_id < 1e6 cap (mirrored in
+        # the oracle, deterministic at every SF, unlike limit()) bounds
+        # the collect at 20k assets ≈ 1.3 MB driver-side, so no SF can
+        # turn the fixture into an accidental full collect.
         rows = (
-            docs.filter(F.col("doc_id") % 50 == 0)
+            docs.filter(
+                (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 1_000_000)
+            )
             .select("doc_id", F.substring("text", 1, 64).alias("prefix"))
             .collect()
         )

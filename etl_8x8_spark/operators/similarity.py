@@ -44,7 +44,7 @@ ranked AS (
            AS rank
   FROM scored
 )
-SELECT q_id, vec_id, round(sim, 6) AS sim, rank
+SELECT q_id, vec_id, CAST(floor((sim) * 1e6 + 0.5) AS BIGINT) / 1e6 AS sim, rank
 FROM ranked WHERE rank <= {_TOP_K}
 """
 
@@ -82,7 +82,7 @@ def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _TOP_K)
-        .select("q_id", "vec_id", F.round("sim", 6).alias("sim"), "rank")
+        .select("q_id", "vec_id", (F.floor((F.col("sim")) * 1e6 + 0.5).cast("long") / F.lit(1e6)).alias("sim"), "rank")
     )
 
 
@@ -136,7 +136,7 @@ scored AS (
   FROM probes p JOIN assigned a ON a.cid = p.cid
   WHERE a.vec_id <> p.q_id
 )
-SELECT q_id, vec_id, round(sim, 6) AS sim, rank FROM (
+SELECT q_id, vec_id, CAST(floor((sim) * 1e6 + 0.5) AS BIGINT) / 1e6 AS sim, rank FROM (
   SELECT q_id, vec_id, sim,
          row_number() OVER (PARTITION BY q_id
                             ORDER BY sim DESC, vec_id ASC) AS rank
@@ -204,7 +204,7 @@ def sim_search_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _IVF_TOP_K)
-        .select("q_id", "vec_id", F.round("sim", 6).alias("sim"), "rank")
+        .select("q_id", "vec_id", (F.floor((F.col("sim")) * 1e6 + 0.5).cast("long") / F.lit(1e6)).alias("sim"), "rank")
     )
 
 
@@ -427,7 +427,7 @@ scored AS (
   FROM probes p JOIN assigned a ON a.cid = p.cid
   WHERE a.vec_id <> p.q_id
 )
-SELECT q_id, vec_id, round(sim, 6) AS sim, rank FROM (
+SELECT q_id, vec_id, CAST(floor((sim) * 1e6 + 0.5) AS BIGINT) / 1e6 AS sim, rank FROM (
   SELECT q_id, vec_id, sim,
          row_number() OVER (PARTITION BY q_id
                             ORDER BY sim DESC, vec_id ASC) AS rank
@@ -518,7 +518,7 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _KNN_K)
-        .select("q_id", "vec_id", F.round("sim", 6).alias("sim"), "rank")
+        .select("q_id", "vec_id", (F.floor((F.col("sim")) * 1e6 + 0.5).cast("long") / F.lit(1e6)).alias("sim"), "rank")
     )
 
 
@@ -536,7 +536,7 @@ WITH normed AS (
 q AS (SELECT vec_id AS q_id, embedding AS qe, nrm AS qn
       FROM normed WHERE vec_id < {_N_QUERIES})
 SELECT q.q_id, c.vec_id,
-       round({oracle_dot("q.qe", "c.embedding")} / (q.qn * c.nrm), 6) AS sim
+       CAST(floor(({oracle_dot("q.qe", "c.embedding")} / (q.qn * c.nrm)) * 1e6 + 0.5) AS BIGINT) / 1e6 AS sim
 FROM q JOIN normed c ON c.vec_id <> q.q_id
 WHERE {oracle_dot("q.qe", "c.embedding")} / (q.qn * c.nrm) >= {_RANGE_TAU}
 """
@@ -568,7 +568,7 @@ def sim_search_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         normed.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
         .filter(sim >= _RANGE_TAU)
-        .select("q_id", "vec_id", F.round(sim, 6).alias("sim"))
+        .select("q_id", "vec_id", (F.floor((sim) * 1e6 + 0.5).cast("long") / F.lit(1e6)).alias("sim"))
     )
 
 
@@ -613,11 +613,11 @@ a1 AS (
 ),
 comp AS (
   SELECT cid, t.i AS i,
-         CAST(round(CAST(embedding[t.i] AS DOUBLE), 9) AS DECIMAL(28, 12)) AS x
+         CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1e9 + 0.5) AS DECIMAL(38, 0)) AS x
   FROM a1 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) t
 ),
 m AS (
-  SELECT cid, i, CAST(SUM(x) AS DOUBLE) / COUNT(*) AS v
+  SELECT cid, i, CAST(SUM(x) AS DOUBLE) / COUNT(*) / 1e9 AS v
   FROM comp GROUP BY cid, i
 ),
 c1 AS (SELECT cid, array_agg(v ORDER BY i) AS ce FROM m GROUP BY cid),
@@ -633,7 +633,8 @@ a2 AS (
 )
 SELECT cid,
        CAST(COUNT(*) AS BIGINT) AS n_members,
-       round(CAST(SUM(CAST(round(d2, 12) AS DECIMAL(38, 12))) AS DOUBLE), 6)
+       CAST(floor(CAST(SUM(CAST(floor(d2 * 1e12 + 0.5) AS DECIMAL(38, 0)))
+                  AS DOUBLE) / 1e12 * 1e6 + 0.5) AS BIGINT) / 1e6
          AS inertia
 FROM a2 GROUP BY cid
 """
@@ -650,9 +651,12 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     The determinism recipe: squared-L2 as an index-ordered left fold
     (bit-identical both engines); argmin by (distance, cid) —
     distances are identical doubles, so ties break identically;
-    centroid means from DECIMAL-summed rounded components (summation-
-    order-proof, LESSONS #9) finalized to double once; inertia terms
-    decimal-rounded before the final sum.
+    centroid means from DECIMAL-summed floor-quantized integer
+    nano-units (summation-order-proof, LESSONS #9; floor(x*1e9+0.5)
+    not round() — round() HALF_UPs Spark's shortest-repr decimal while
+    DuckDB rounds the binary value, the 1-ulp tie class of LESSONS
+    #22) finalized to double once; inertia terms floor-quantized to
+    pico-units before the final decimal sum.
 
     Scale (the production shape this miniature preserves): assignment
     is a broadcast of K×dim centroids + one map-side argmin per row —
@@ -687,10 +691,12 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "cid",
         "i",
-        F.round(F.col("x").cast("double"), 9).cast("decimal(28,12)").alias("x"),
+        F.floor(F.col("x").cast("double") * 1e9 + 0.5)
+        .cast("decimal(38,0)")
+        .alias("x"),
     )
     m = comp.groupBy("cid", "i").agg(
-        (F.sum("x").cast("double") / F.count("*")).alias("v")
+        (F.sum("x").cast("double") / F.count("*") / F.lit(1e9)).alias("v")
     )
     c1 = m.groupBy("cid").agg(
         F.transform(
@@ -700,8 +706,16 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     a2 = assign(e, c1)
     return a2.groupBy("cid").agg(
         F.count("*").cast("long").alias("n_members"),
-        F.round(
-            F.sum(F.round("d2", 12).cast("decimal(38,12)")).cast("double"), 6
+        (
+            F.floor(
+                F.sum(
+                    F.floor(F.col("d2") * 1e12 + 0.5).cast("decimal(38,0)")
+                ).cast("double")
+                / 1e12
+                * 1e6
+                + 0.5
+            ).cast("long")
+            / F.lit(1e6)
         ).alias("inertia"),
     )
 
@@ -719,7 +733,7 @@ WITH base AS (
   FROM embeddings
 )
 SELECT vec_id,
-       round(l2, 6) AS l2_norm,
+       CAST(floor((l2) * 1e6 + 0.5) AS BIGINT) / 1e6 AS l2_norm,
        CAST(to_json(list_transform(
          generate_series(1, len(embedding)),
          i -> CAST(round(CAST(embedding[i] AS DOUBLE) / l2 * 127)
@@ -762,7 +776,7 @@ def embed_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("q", q)
         .select(
             "vec_id",
-            F.round("l2", 6).alias("l2_norm"),
+            (F.floor((F.col("l2")) * 1e6 + 0.5).cast("long") / F.lit(1e6)).alias("l2_norm"),
             F.to_json(qcol).alias("q_vec"),
             F.aggregate(
                 qcol, F.lit(0).cast("long"), lambda acc, v: acc + F.abs(v)
@@ -793,11 +807,11 @@ a_{rnd} AS (
 ),
 comp_{rnd} AS (
   SELECT cid, t.i AS i,
-         CAST(round(CAST(embedding[t.i] AS DOUBLE), 9) AS DECIMAL(28, 12)) AS x
+         CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1e9 + 0.5) AS DECIMAL(38, 0)) AS x
   FROM a_{rnd} CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) t
 ),
 m_{rnd} AS (
-  SELECT cid, i, CAST(SUM(x) AS DOUBLE) / COUNT(*) AS v
+  SELECT cid, i, CAST(SUM(x) AS DOUBLE) / COUNT(*) / 1e9 AS v
   FROM comp_{rnd} GROUP BY cid, i
 ),
 c_{rnd} AS (SELECT cid, array_agg(v ORDER BY i) AS ce FROM m_{rnd} GROUP BY cid)"""
@@ -824,7 +838,8 @@ a_final AS (
 )
 SELECT cid,
        CAST(COUNT(*) AS BIGINT) AS n_members,
-       round(CAST(SUM(CAST(round(d2, 12) AS DECIMAL(38, 12))) AS DOUBLE), 6)
+       CAST(floor(CAST(SUM(CAST(floor(d2 * 1e12 + 0.5) AS DECIMAL(38, 0)))
+                  AS DOUBLE) / 1e12 * 1e6 + 0.5) AS BIGINT) / 1e6
          AS inertia
 FROM a_final GROUP BY cid
 """
@@ -839,7 +854,9 @@ def ml_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     the second iterative algorithm (after `graph_pagerank_converged`)
     whose EVERY round is bit-reproduced by an unrolled-CTE DuckDB
     oracle: assignment argmins compare identical left-fold doubles,
-    and centroid means are summation-order-proof decimal sums.
+    and centroid means are summation-order-proof decimal sums of
+    floor-quantized nano-units (no round() anywhere — see
+    ml_kmeans_lloyd on the 1-ulp tie class it avoids).
 
     Scale: per round, assignment broadcasts K×dim centroids (map-side
     argmin, zero corpus shuffle) and the mean recompute shuffles K×dim
@@ -870,10 +887,12 @@ def ml_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
         comp = a.select("cid", F.posexplode("embedding").alias("i", "x")).select(
             "cid",
             "i",
-            F.round(F.col("x").cast("double"), 9).cast("decimal(28,12)").alias("x"),
+            F.floor(F.col("x").cast("double") * 1e9 + 0.5)
+        .cast("decimal(38,0)")
+        .alias("x"),
         )
         m = comp.groupBy("cid", "i").agg(
-            (F.sum("x").cast("double") / F.count("*")).alias("v")
+            (F.sum("x").cast("double") / F.count("*") / F.lit(1e9)).alias("v")
         )
         cents = m.groupBy("cid").agg(
             F.transform(
@@ -885,7 +904,15 @@ def ml_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     final = assign(e, cents).select("vec_id", "cid", "d2")
     return final.groupBy("cid").agg(
         F.count("*").cast("long").alias("n_members"),
-        F.round(
-            F.sum(F.round("d2", 12).cast("decimal(38,12)")).cast("double"), 6
+        (
+            F.floor(
+                F.sum(
+                    F.floor(F.col("d2") * 1e12 + 0.5).cast("decimal(38,0)")
+                ).cast("double")
+                / 1e12
+                * 1e6
+                + 0.5
+            ).cast("long")
+            / F.lit(1e6)
         ).alias("inertia"),
     )

@@ -39,10 +39,10 @@ SELECT doc_id,
        CAST(len(toks) AS BIGINT) AS n_tokens,
        CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq_tokens,
        CAST(n_chars AS BIGINT) AS n_chars,
-       round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
-             / len(toks), 6) AS avg_token_len,
-       round(CAST(len(list_filter(toks, t -> t IN {_STOP_SQL})) AS DOUBLE)
-             / len(toks), 6) AS stopword_ratio,
+       CAST(floor((CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+             / len(toks)) * 1e6 + 0.5) AS BIGINT) / 1e6 AS avg_token_len,
+       CAST(floor((CAST(len(list_filter(toks, t -> t IN {_STOP_SQL})) AS DOUBLE)
+             / len(toks)) * 1e6 + 0.5) AS BIGINT) / 1e6 AS stopword_ratio,
        CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.3
          AND len(toks) >= 10 AS is_quality
 FROM tok
@@ -74,8 +74,8 @@ def text_analysis_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("long").alias("n_tokens"),
         n_uniq.cast("long").alias("n_uniq_tokens"),
         F.col("n_chars").cast("long").alias("n_chars"),
-        F.round(tok_len_sum.cast("double") / n, 6).alias("avg_token_len"),
-        F.round(n_stop.cast("double") / n, 6).alias("stopword_ratio"),
+        (F.floor((tok_len_sum.cast("double") / n) * 1e6 + 0.5).cast("long") / F.lit(1e6)).alias("avg_token_len"),
+        (F.floor((n_stop.cast("double") / n) * 1e6 + 0.5).cast("long") / F.lit(1e6)).alias("stopword_ratio"),
         ((n_uniq.cast("double") / n >= 0.3) & (n >= 10)).alias("is_quality"),
     )
 
@@ -95,8 +95,8 @@ scored AS (
   FROM tok
 )
 SELECT doc_id, lang,
-       round(en_score, 6) AS en_score,
-       round(latin_ratio, 6) AS latin_ratio,
+       CAST(floor((en_score) * 1e6 + 0.5) AS BIGINT) / 1e6 AS en_score,
+       CAST(floor((latin_ratio) * 1e6 + 0.5) AS BIGINT) / 1e6 AS latin_ratio,
        CASE WHEN en_score >= 0.05 THEN 'en'
             WHEN latin_ratio >= 0.9 THEN 'latin-other'
             ELSE 'unknown' END AS pred_lang
@@ -120,8 +120,8 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "doc_id",
         "lang",
-        F.round(en_score, 6).alias("en_score"),
-        F.round(latin, 6).alias("latin_ratio"),
+        (F.floor((en_score) * 1e6 + 0.5).cast("long") / F.lit(1e6)).alias("en_score"),
+        (F.floor((latin) * 1e6 + 0.5).cast("long") / F.lit(1e6)).alias("latin_ratio"),
         F.when(en_score >= 0.05, "en")
         .when(latin >= 0.9, "latin-other")
         .otherwise("unknown")
@@ -147,7 +147,7 @@ stats AS (
 n AS (SELECT COUNT(*) AS n_docs FROM documents),
 ranked AS (
   SELECT term, tf_total, doc_freq,
-         round(ln((n.n_docs + 1.0) / (doc_freq + 1.0)), 6) AS idf,
+         CAST(floor((ln((n.n_docs + 1.0) / (doc_freq + 1.0))) * 1e6 + 0.5) AS BIGINT) / 1e6 AS idf,
          row_number() OVER (ORDER BY tf_total DESC, term ASC) AS rank
   FROM stats, n
 )
@@ -181,9 +181,7 @@ def text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "term",
             "tf_total",
             "doc_freq",
-            F.round(
-                F.log((F.col("n_docs") + 1.0) / (F.col("doc_freq") + 1.0)), 6
-            ).alias("idf"),
+            (F.floor((F.log((F.col("n_docs") + 1.0) / (F.col("doc_freq") + 1.0))) * 1e6 + 0.5).cast("long") / F.lit(1e6)).alias("idf"),
             F.row_number().over(w).alias("rank"),
         )
         .filter(F.col("rank") <= _TFIDF_TOP_K)
@@ -320,7 +318,7 @@ counts AS (
   GROUP BY s.doc_id
 )
 SELECT doc_id, n_shingles, n_overlap,
-       round(CAST(n_overlap AS DOUBLE) / n_shingles, 6) AS overlap_ratio
+       CAST(floor((CAST(n_overlap AS DOUBLE) / n_shingles) * 1e6 + 0.5) AS BIGINT) / 1e6 AS overlap_ratio
 FROM counts
 WHERE n_overlap > 0
 """,
@@ -363,9 +361,7 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_shingles",
             "n_overlap",
-            F.round(
-                F.col("n_overlap").cast("double") / F.col("n_shingles"), 6
-            ).alias("overlap_ratio"),
+            (F.floor((F.col("n_overlap").cast("double") / F.col("n_shingles")) * 1e6 + 0.5).cast("long") / F.lit(1e6)).alias("overlap_ratio"),
         )
     )
 
@@ -562,13 +558,13 @@ freq AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
 total AS (SELECT SUM(cnt) AS n FROM freq),
 terms AS (
   SELECT t.doc_id,
-         CAST(round(ln(CAST(f.cnt AS DOUBLE) / CAST(tt.n AS DOUBLE)), 12)
+         CAST(CAST(floor((ln(CAST(f.cnt AS DOUBLE) / CAST(tt.n AS DOUBLE))) * 1e12 + 0.5) AS BIGINT) / 1e12
               AS DECIMAL(28, 12)) AS lp
   FROM tok t JOIN freq f USING (token) CROSS JOIN total tt
 )
 SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_tokens,
-       round(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+       CAST(floor((CAST(SUM(lp) AS DOUBLE) / COUNT(*)) * 1e6 + 0.5) AS BIGINT) / 1e6 AS avg_logprob
 FROM terms GROUP BY doc_id
 """,
 )
@@ -600,17 +596,14 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(total))
         .select(
             "doc_id",
-            F.round(
-                F.log(F.col("cnt").cast("double") / F.col("n").cast("double")),
-                12,
-            )
+            (F.floor((F.log(F.col("cnt").cast("double") / F.col("n").cast("double"))) * 1e12 + 0.5).cast("long") / F.lit(1e12))
             .cast("decimal(28,12)")
             .alias("lp"),
         )
     )
     return terms.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_tokens"),
-        F.round(F.sum("lp").cast("double") / F.count("*"), 6).alias(
+        (F.floor((F.sum("lp").cast("double") / F.count("*")) * 1e6 + 0.5).cast("long") / F.lit(1e6)).alias(
             "avg_logprob"
         ),
     )
@@ -854,7 +847,7 @@ scored AS (
 SELECT doc_id, lang,
        CAST(n AS BIGINT) AS n_tokens,
        CAST(max_freq AS BIGINT) AS top_token_freq,
-       round(CAST(max_freq AS DOUBLE) / n, 6) AS top_token_ratio,
+       CAST(floor((CAST(max_freq AS DOUBLE) / n) * 1e6 + 0.5) AS BIGINT) / 1e6 AS top_token_ratio,
        CAST(max_freq AS DOUBLE) / n > 0.2 AS is_repetitive
 FROM scored
 """,
@@ -886,7 +879,7 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         n.cast("long").alias("n_tokens"),
         max_freq.cast("long").alias("top_token_freq"),
-        F.round(max_freq.cast("double") / n, 6).alias("top_token_ratio"),
+        (F.floor((max_freq.cast("double") / n) * 1e6 + 0.5).cast("long") / F.lit(1e6)).alias("top_token_ratio"),
         (max_freq.cast("double") / n > 0.2).alias("is_repetitive"),
     )
 

@@ -105,8 +105,8 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c_custkey,
        ntile(4) OVER w AS spend_quartile,
-       round(percent_rank() OVER w, 6) AS pct_rank,
-       round(cume_dist() OVER w, 6) AS cume,
+       CAST(floor((percent_rank() OVER w) * 1e6 + 0.5) AS BIGINT) / 1e6 AS pct_rank,
+       CAST(floor((cume_dist() OVER w) * 1e6 + 0.5) AS BIGINT) / 1e6 AS cume,
        CAST(rank() OVER w AS BIGINT) AS rnk,
        CAST(dense_rank() OVER w AS BIGINT) AS drnk
 FROM customer
@@ -129,8 +129,8 @@ def window_ntile_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return customer.select(
         "c_custkey",
         F.ntile(4).over(w).alias("spend_quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        (F.floor((F.percent_rank().over(w)) * 1e6 + 0.5).cast("long") / F.lit(1e6)).alias("pct_rank"),
+        (F.floor((F.cume_dist().over(w)) * 1e6 + 0.5).cast("long") / F.lit(1e6)).alias("cume"),
         F.rank().over(w).cast("long").alias("rnk"),
         F.dense_rank().over(w).cast("long").alias("drnk"),
     )
@@ -485,9 +485,9 @@ WITH stats AS (
 )
 SELECT event_id, event_type, value,
        CAST(n AS BIGINT) AS n_ref,
-       round((value - CAST(s1 AS DOUBLE) / n)
+       CAST(floor(((value - CAST(s1 AS DOUBLE) / n)
              / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
-                    / (n - 1)), 4) AS z,
+                    / (n - 1))) * 1e4 + 0.5) AS BIGINT) / 1e4 AS z,
        abs((value - CAST(s1 AS DOUBLE) / n)
            / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
                   / (n - 1))) > {_Z_THRESHOLD} AS is_anomaly
@@ -594,7 +594,7 @@ def window_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value",
         F.col("n").cast("long").alias("n_ref"),
-        F.round(z, 4).alias("z"),
+        (F.floor(z * 1e4 + 0.5).cast("long") / F.lit(1e4)).alias("z"),
         (F.abs(z) > _Z_THRESHOLD).alias("is_anomaly"),
     )
 
@@ -649,9 +649,9 @@ def window_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_rolling_median",
     oracle="""
 SELECT user_id, event_id,
-       round(median(value) OVER (
+       CAST(floor((median(value) OVER (
          PARTITION BY user_id ORDER BY ts, event_id
-         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS med7
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) * 1e6 + 0.5) AS BIGINT) / 1e6 AS med7
 FROM events
 """,
 )
@@ -680,7 +680,7 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     hi = F.element_at(arr, (n / 2 + 1).cast("int"))
     med = F.when(n % 2 == 1, lo).otherwise((lo + hi) / 2)
     return events.select(
-        "user_id", "event_id", F.round(med, 6).alias("med7")
+        "user_id", "event_id", (F.floor((med) * 1e6 + 0.5).cast("long") / F.lit(1e6)).alias("med7")
     )
 
 
@@ -703,9 +703,8 @@ WITH fr AS (
   FROM events
 )
 SELECT event_id, user_id, value,
-       round(list_reduce(lx,
-             (acc, v) -> acc * {1 - _EWMA_ALPHA} + v * {_EWMA_ALPHA}),
-             6) AS ewma
+       CAST(floor((list_reduce(lx,
+             (acc, v) -> acc * {1 - _EWMA_ALPHA} + v * {_EWMA_ALPHA})) * 1e6 + 0.5) AS BIGINT) / 1e6 AS ewma
 FROM fr
 """,
 )
@@ -735,14 +734,11 @@ def window_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(-(_EWMA_K - 1), 0)
     )
     lx = F.collect_list("value").over(w)
-    ewma = F.round(
-        F.aggregate(
+    ewma = (F.floor((F.aggregate(
             F.slice(lx, 2, F.greatest(F.size(lx) - 1, F.lit(0))),
             F.element_at(lx, 1),
             lambda acc, v: acc * (1 - _EWMA_ALPHA) + v * _EWMA_ALPHA,
-        ),
-        6,
-    )
+        )) * 1e6 + 0.5).cast("long") / F.lit(1e6))
     return events.select(
         "event_id", "user_id", "value", ewma.alias("ewma")
     )
@@ -759,8 +755,8 @@ WITH daily AS (
 )
 SELECT day_str,
        revenue,
-       round((revenue - lag(revenue) OVER (ORDER BY day_str))
-             / lag(revenue) OVER (ORDER BY day_str) * 100, 6)
+       CAST(floor(((revenue - lag(revenue) OVER (ORDER BY day_str))
+             / lag(revenue) OVER (ORDER BY day_str) * 100) * 1e6 + 0.5) AS BIGINT) / 1e6
            AS pct_change
 FROM daily
 ORDER BY day_str
@@ -794,7 +790,7 @@ def window_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "day_str",
         "revenue",
-        F.round((F.col("revenue") - prev) / prev * 100, 6).alias(
+        (F.floor(((F.col("revenue") - prev) / prev * 100) * 1e6 + 0.5).cast("long") / F.lit(1e6)).alias(
             "pct_change"
         ),
     ).orderBy("day_str")
@@ -894,15 +890,20 @@ WITH seq AS (
   FROM events
 ),
 segs AS (
+  -- quantize VALUE (small) to integer micro-units, then weight by the
+  -- exact integer duration in decimal space: value*dt reaches ~1e13
+  -- and floor(x*1e6) on it would overflow BIGINT — quantize before
+  -- the multiply, never after (the r6 verify caught the overflow).
   SELECT user_id,
          next_us - t_us AS dt,
-         CAST(round(value * (next_us - t_us), 6) AS DECIMAL(30,6)) AS wv
+         CAST(CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS HUGEINT)
+           * CAST(next_us - t_us AS HUGEINT) AS wv_u
   FROM seq WHERE next_us IS NOT NULL
 )
 SELECT user_id,
        CAST(COUNT(*) AS BIGINT) AS n_segments,
        CAST(SUM(dt) AS BIGINT) AS total_us,
-       round(CAST(SUM(wv) AS DOUBLE) / CAST(SUM(dt) AS DOUBLE), 6)
+       CAST(floor((CAST(SUM(wv_u) AS DOUBLE) / 1e6 / CAST(SUM(dt) AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) / 1e6
            AS twap
 FROM segs
 GROUP BY user_id
@@ -920,8 +921,10 @@ def window_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     (standard left-continuous step-function convention).
 
     One user_id window shuffle (lead) feeding a map-side-combined
-    groupBy. Each value·Δt term is rounded to 6 decimals and cast to
-    DECIMAL before summation (LESSONS.md #21) so the accumulation is
+    groupBy. Each value is floor-quantized to integer micro-units
+    BEFORE weighting by the exact integer micro-second duration
+    (quantizing value·Δt after the multiply overflows the BIGINT
+    floor at day-long gaps — LESSONS #32), so the accumulation is
     exact and order-free; durations are integer epoch-micros
     throughout.
     """
@@ -935,21 +938,23 @@ def window_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead(t_us).over(w).alias("next_us"),
     )
     dt = F.col("next_us") - F.col("t_us")
+    # quantize VALUE to integer micro-units BEFORE weighting: the
+    # product value*dt (~1e13 at day-long gaps) would overflow the
+    # BIGINT floor-quantize; micro-value x exact integer dt stays
+    # exact in decimal space at any gap length.
+    mv = F.floor(F.col("value") * 1e6 + 0.5).cast("long")
     segs = seq.filter(F.col("next_us").isNotNull()).select(
         "user_id",
         dt.alias("dt"),
-        F.round(F.col("value") * dt, 6).cast(DEC).alias("wv"),
+        (mv.cast("decimal(18,0)") * dt.cast("decimal(18,0)")).alias("wv_u"),
     )
     return (
         segs.groupBy("user_id")
         .agg(
             F.count("*").cast("long").alias("n_segments"),
             F.sum("dt").cast("long").alias("total_us"),
-            F.round(
-                F.sum("wv").cast("double")
-                / F.sum("dt").cast("double"),
-                6,
-            ).alias("twap"),
+            (F.floor((F.sum("wv_u").cast("double") / 1e6
+                / F.sum("dt").cast("double")) * 1e6 + 0.5).cast("long") / F.lit(1e6)).alias("twap"),
         )
         .orderBy("user_id")
     )
@@ -1018,11 +1023,11 @@ nb AS (
   FROM base
 )
 SELECT event_id, user_id,
-       round(CASE
+       CAST(floor((CASE
          WHEN v IS NOT NULL THEN v
          WHEN pt IS NOT NULL AND nt IS NOT NULL AND nt > pt
            THEN pv + (nv - pv) * (t_us - pt) / (nt - pt)
-       END, 6) AS interp_value,
+       END) * 1e6 + 0.5) AS BIGINT) / 1e6 AS interp_value,
        (v IS NULL AND pt IS NOT NULL AND nt IS NOT NULL)
            AS was_interpolated
 FROM nb
@@ -1078,15 +1083,12 @@ def window_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nb.select(
         "event_id",
         "user_id",
-        F.round(
-            F.when(F.col("v").isNotNull(), F.col("v")).when(
+        (F.floor((F.when(F.col("v").isNotNull(), F.col("v")).when(
                 F.col("pt").isNotNull()
                 & F.col("nt").isNotNull()
                 & (F.col("nt") > F.col("pt")),
                 interp,
-            ),
-            6,
-        ).alias("interp_value"),
+            )) * 1e6 + 0.5).cast("long") / F.lit(1e6)).alias("interp_value"),
         (
             F.col("v").isNull()
             & F.col("pt").isNotNull()

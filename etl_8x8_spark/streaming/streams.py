@@ -90,7 +90,7 @@ def run_to_table(sdf: DataFrame, mode: str, prefix: str) -> DataFrame:
 @register(
     "stream_events",
     oracle="""
-SELECT event_id, user_id, round(value * 2.0, 6) AS doubled
+SELECT event_id, user_id, CAST(floor((value * 2.0) * 1e6 + 0.5) AS BIGINT) / 1e6 AS doubled
 FROM events WHERE event_type = 'purchase'
 """,
 )
@@ -101,7 +101,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     Structured Streaming with the same operators)."""
     s = read_events_stream(spark, sf_dir)
     out = s.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", F.round(F.col("value") * 2.0, 6).alias("doubled")
+        "event_id", "user_id", (F.floor((F.col("value") * 2.0) * 1e6 + 0.5).cast("long") / F.lit(1e6)).alias("doubled")
     )
     return run_to_table(out, "append", "stream_events")
 
