@@ -397,6 +397,8 @@ def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = load_table(spark, sf_dir, "supplier")
     path = os.path.join(scratch_dir(), f"supplier_json_{_sf_tag(sf_dir)}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        # round@2 on a 2-decimal money column: provable no-op both
+        # engines (no tie possible) — exempt from floor-quantize.
         supplier.withColumn(
             "s_acctbal", F.round("s_acctbal", 2)
         ).write.mode("overwrite").json(path)
@@ -978,7 +980,7 @@ WITH source AS (
          'update' AS action
   FROM orders WHERE o_orderkey % 10 = 0
   UNION ALL
-  SELECT o_orderkey + 100000000, o_orderstatus, o_totalprice,
+  SELECT -o_orderkey, o_orderstatus, o_totalprice,
          'insert' AS action
   FROM orders WHERE o_orderkey % 100 = 0
 ),
@@ -1025,7 +1027,11 @@ def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inserts = (
         orders.filter(F.col("o_orderkey") % 100 == 0)
-        .withColumn("o_orderkey", F.col("o_orderkey") + 100_000_000)
+        # negated keys: a disjoint namespace at ANY scale factor.
+        # (A fixed +1e8 offset collides with real orderkeys around
+        # sf≈17, silently turning "inserts" into updates of unrelated
+        # rows — and the oracle would mirror the bug.)
+        .withColumn("o_orderkey", -F.col("o_orderkey"))
         .withColumn("action", F.lit("insert"))
     )
     source = updates.unionByName(inserts)
