@@ -340,6 +340,35 @@ class TestRegistryContract:
         assert list(qs)[: len(_SAMPLE_PRIORITY)] == _SAMPLE_PRIORITY
         assert len(set(_SAMPLE_PRIORITY)) == len(_SAMPLE_PRIORITY)
 
+    def test_survey_2b_count_and_keys_match_registry(self):
+        """SURVEY §2b and the registry are pinned 1:1 BY PARSING THE
+        DOC: the §2b preamble's declared key count must equal
+        ``len(all_queries())``, and every registered key must appear
+        (backticked) somewhere in §2b. Round 5's verdict caught the
+        preamble saying 244 while the registry held 245 — a hardcoded
+        count in either place can drift; a parsed one cannot."""
+        import os
+        import re
+
+        from etl_8x8_spark.registry import all_queries
+
+        survey = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "SURVEY.md",
+        )
+        txt = open(survey).read()
+        sec = txt[txt.index("### 2b.") : txt.index("## 3. Query lifecycle")]
+        m = re.search(r"1:1\s*\((\d+) keys\)", sec)
+        assert m, "SURVEY §2b preamble no longer declares a key count"
+        declared = int(m.group(1))
+        qs = all_queries()
+        assert declared == len(qs), (
+            f"SURVEY §2b declares {declared} keys; registry has {len(qs)}"
+        )
+        mentioned = set(re.findall(r"`([a-z0-9_]+)`", sec))
+        missing = sorted(set(qs) - mentioned)
+        assert not missing, f"registered keys absent from SURVEY §2b: {missing}"
+
     def test_every_query_has_oracle_or_documented_rows_only(self):
         """Every registered key carries a DuckDB oracle except the one
         rows-only-by-design key (late-data semantics have no batch SQL

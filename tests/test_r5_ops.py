@@ -327,8 +327,9 @@ class TestPagerankConverged:
 
     def test_more_rounds_changes_little(self, spark, sf_dir, queries):
         """Near-convergence check: the top-10 node SET is stable
-        between round 8 (registered) and a 4-round rerun of the same
-        loop — power iteration has settled the head of the ranking."""
+        between the registered ``_PR_ROUNDS`` (5) run and a 4-round
+        rerun of the same loop — power iteration has settled the head
+        of the ranking."""
         from etl_8x8_spark.operators.graph import graph_pagerank_converged
 
         full = graph_pagerank_converged(spark, sf_dir).limit(10).collect()
