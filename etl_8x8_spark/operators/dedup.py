@@ -1136,7 +1136,7 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator that also ships standalone (``dedup_exact``,
     ``text_analysis_stats``); this key proves they COMPOSE — the
     selling point of declarative pipelines: Catalyst fuses the whole
-    thing into two shuffles (dedup groupBy, final stats groupBy), and
+    thing into two shuffles (dedup window, final stats groupBy), and
     every intermediate stays columnar.
 
     At 100 TB this one-query shape is the daily corpus build: no
@@ -1147,11 +1147,18 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     normed = docs.select(
         "doc_id", "lang", normalized().alias("norm"), tokens().alias("toks")
     )
-    survivors = normed.groupBy("norm").agg(F.min("doc_id").alias("doc_id"))
+    # keep-min-doc_id per norm as ONE window shuffle, not
+    # groupBy(min) + join-back: the join form shuffles twice (norm,
+    # then doc_id) and recomputes the scan+normalize subtree on both
+    # sides (different exchange keys, so no reuse). row_number over
+    # tiny per-norm groups is strictly cheaper at any scale.
+    wdedup = Window.partitionBy("norm").orderBy("doc_id")
     n = F.size("toks")
     ttr = F.size(F.array_distinct("toks")).cast("double") / n
     gated = (
-        survivors.join(normed.drop("norm"), "doc_id")
+        normed.withColumn("rn", F.row_number().over(wdedup))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "norm")
         .withColumn("n_tokens", n.cast("long"))
         .withColumn("ttr", (F.floor((ttr) * 1e6 + 0.5).cast("long") / F.lit(1e6)))
         .filter((n >= 10) & (ttr >= 0.3))

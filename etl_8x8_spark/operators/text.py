@@ -721,10 +721,17 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated = normed.filter(
         (F.size("toks") >= _PIPE_MIN_TOKENS) & (ttr >= _PIPE_MIN_TTR)
     )
-    survivors = gated.groupBy("norm").agg(F.min("doc_id").alias("doc_id"))
-    kept = gated.join(
-        survivors.select("doc_id"), "doc_id"
-    ).select("doc_id", "lang", "had_pii", F.size("toks").cast("long").alias("n_tokens"))
+    # keep-min-doc_id per norm as ONE window shuffle, not
+    # groupBy(min) + join-back: the join form shuffles twice and
+    # recomputes the regex-heavy redact subtree on both sides
+    # (different exchange keys, so no reuse); per-norm groups are
+    # tiny so the window sort is free.
+    wdedup = Window.partitionBy("norm").orderBy("doc_id")
+    kept = (
+        gated.withColumn("rn", F.row_number().over(wdedup))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "had_pii", F.size("toks").cast("long").alias("n_tokens"))
+    )
     rates = kept.groupBy("lang").agg(F.count("*").alias("cnt"))
     mn = rates.agg(F.min("cnt").alias("mn"))
     bucket = (
