@@ -2942,3 +2942,138 @@ def agg_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# --------------------------------------------------------------------------
+# HDR-style log-bucket histogram percentiles — the mergeable-sketch
+# way to get latency/price percentiles at 100 TB
+# --------------------------------------------------------------------------
+
+# Bucket layout: octave w = bit-width of the value in cents (exact via
+# the binary-string length — no float log2, so no libm tie risk), with
+# 4 linear sub-buckets per octave => relative error <= 1/8. Bucket ids,
+# boundaries, and midpoints are ALL integer arithmetic (shift + floor
+# div), bit-identical across engines at any SF.
+_HDR_SUBS = 4
+
+
+def _hdr_mid_sql(b: str, shift: str, idiv: str) -> str:
+    """Midpoint (in cents) of histogram bucket ``b``: engine-portable
+    integer expr. ``shift``/``idiv`` = the engine's shift-left and
+    floor-div spellings ('shiftleft(1, {e})' / 'div' for Spark,
+    '(CAST(1 AS BIGINT) << ({e}))' / '//' for DuckDB)."""
+    p = shift.format(e=f"({b}) / 4")  # octave base 2^(w-1); b/4 = w-1
+    sub = f"(({b}) % 4)"
+    lo = f"({p} + ({sub} * {p}) {idiv} 4)"
+    hi = f"({p} + (({sub} + 1) * {p}) {idiv} 4 - 1)"
+    return f"(({lo} + {hi}) {idiv} 2)"
+
+
+_HDR_SPARK_MID = lambda b: _hdr_mid_sql(  # noqa: E731
+    b, "shiftleft(CAST(1 AS BIGINT), CAST({e} AS INT))", "div"
+)
+_HDR_DUCK_MID = lambda b: _hdr_mid_sql(  # noqa: E731
+    b, "(CAST(1 AS BIGINT) << CAST({e} AS INT))", "//"
+)
+
+_HDR_ORACLE = f"""
+WITH cents AS (
+  SELECT o_orderpriority,
+         CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT) AS c
+  FROM orders
+),
+bucketed AS (
+  SELECT o_orderpriority,
+         (length(bin(c)) - 1) * 4
+           + ((c - (CAST(1 AS BIGINT) << (length(bin(c)) - 1))) * 4)
+             // (CAST(1 AS BIGINT) << (length(bin(c)) - 1)) AS b
+  FROM cents
+),
+hist AS (
+  SELECT o_orderpriority, b, COUNT(*) AS cnt
+  FROM bucketed GROUP BY o_orderpriority, b
+),
+cum AS (
+  SELECT o_orderpriority, b, cnt,
+         SUM(cnt) OVER (PARTITION BY o_orderpriority ORDER BY b) AS cum,
+         SUM(cnt) OVER (PARTITION BY o_orderpriority) AS n
+  FROM hist
+),
+picked AS (
+  SELECT o_orderpriority,
+         CAST(MAX(n) AS BIGINT) AS n,
+         MIN(CASE WHEN cum >= (50 * n + 99) // 100 THEN b END) AS b50,
+         MIN(CASE WHEN cum >= (95 * n + 99) // 100 THEN b END) AS b95,
+         MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN b END) AS b99
+  FROM cum GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, n,
+       CAST({_HDR_DUCK_MID("b50")} AS BIGINT) AS p50_cents,
+       CAST({_HDR_DUCK_MID("b95")} AS BIGINT) AS p95_cents,
+       CAST({_HDR_DUCK_MID("b99")} AS BIGINT) AS p99_cents
+FROM picked
+ORDER BY o_orderpriority
+"""
+
+
+@register("agg_hdr_histogram_pctl", oracle=_HDR_ORACLE)
+def agg_hdr_histogram_pctl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDR-histogram percentiles (p50/p95/p99 of order value per
+    priority): values land in log2 octaves x 4 linear sub-buckets
+    (<= 12.5% relative error), the histogram is a tiny mergeable
+    GROUP BY, and percentiles read off the cumulative counts. The
+    octave is the value's bit width via ``bin()`` string length —
+    exact integer arithmetic end to end, no float log, no libm
+    parity risk.
+
+    This is the percentile you actually run at 100 TB: unlike exact
+    percentile (full sort) or percentile_approx (opaque state), the
+    log-bucket histogram is a ~100-group aggregate that map-side
+    combines to kilobytes per partition, merges associatively across
+    executors/days/reruns, and supports incremental refresh — the
+    same design as HdrHistogram/DDSketch's bucket layer.
+
+    Scale: one scan, one partial+final hash agg on (priority, bucket)
+    [~5 x 100 groups], then a window cumsum over those groups. The
+    raw values never shuffle.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    c = F.floor(F.col("o_totalprice") * 1e2 + 0.5).cast("long")
+    octv = F.length(F.bin(F.col("c"))) - 1  # floor(log2(c)), exactly
+    bucket = octv * _HDR_SUBS + F.expr(
+        f"((c - shiftleft(CAST(1 AS BIGINT), length(bin(c)) - 1)) * 4)"
+        f" div shiftleft(CAST(1 AS BIGINT), length(bin(c)) - 1)"
+    )
+    hist = (
+        orders.select("o_orderpriority", c.alias("c"))
+        .select("o_orderpriority", bucket.alias("b"))
+        .groupBy("o_orderpriority", "b")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wcum = Window.partitionBy("o_orderpriority").orderBy("b")
+    wall = Window.partitionBy("o_orderpriority")
+    cum = hist.withColumn("cum", F.sum("cnt").over(wcum)).withColumn(
+        "n", F.sum("cnt").over(wall)
+    )
+
+    def _pick(p: int) -> F.Column:
+        return F.min(
+            F.when(
+                F.col("cum") >= F.expr(f"({p} * n + 99) div 100"),
+                F.col("b"),
+            )
+        )
+
+    picked = cum.groupBy("o_orderpriority").agg(
+        F.max("n").cast("long").alias("n"),
+        _pick(50).alias("b50"),
+        _pick(95).alias("b95"),
+        _pick(99).alias("b99"),
+    )
+    return picked.select(
+        "o_orderpriority",
+        "n",
+        F.expr(f"CAST({_HDR_SPARK_MID('b50')} AS BIGINT)").alias("p50_cents"),
+        F.expr(f"CAST({_HDR_SPARK_MID('b95')} AS BIGINT)").alias("p95_cents"),
+        F.expr(f"CAST({_HDR_SPARK_MID('b99')} AS BIGINT)").alias("p99_cents"),
+    ).orderBy("o_orderpriority")

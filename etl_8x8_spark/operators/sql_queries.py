@@ -832,3 +832,57 @@ def sql_tpch_q22_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast. No dim join at all — the code is derived in-row."""
     _register_views(spark, sf_dir)
     return spark.sql(_Q22_SQL)
+
+
+# Recursive-CTE hierarchy expansion (Spark 4.x WITH RECURSIVE —
+# SPARK-24497). The testdata has no explicit hierarchy, so a forest is
+# derived arithmetically from customer keys: node c's parent is
+# floor(c/10), with keys <= 10 as roots — a stable ~10-ary forest whose
+# depth grows log10(SF), so recursion depth stays < 10 even at sf100.
+# The anchor/step text is IDENTICAL in both engines: FLOOR(x / 10.0)
+# instead of integer `/` because DuckDB's int `/` yields DOUBLE while
+# Spark's yields the integral type, whereas IEEE double division is
+# correctly rounded — bit-identical — in both (keys < 2^49 keep the
+# quotient > 0.1 away from integers, so the floor can never straddle).
+_RECURSIVE_HIERARCHY_SQL = """
+WITH RECURSIVE nodes AS (
+  SELECT c_custkey AS node, c_custkey AS root, 0 AS depth
+  FROM customer
+  WHERE c_custkey <= 10
+  UNION ALL
+  SELECT c.c_custkey AS node, n.root, n.depth + 1 AS depth
+  FROM customer c
+  JOIN nodes n ON CAST(FLOOR(c.c_custkey / 10.0) AS BIGINT) = n.node
+  WHERE c.c_custkey > 10
+)
+SELECT CAST(depth AS INT) AS depth,
+       COUNT(*) AS n_nodes,
+       COUNT(DISTINCT root) AS n_roots,
+       MIN(node) AS min_node,
+       MAX(node) AS max_node,
+       CAST(SUM(node) AS BIGINT) AS sum_node
+FROM nodes
+GROUP BY depth
+ORDER BY depth
+"""
+
+
+@register("sql_recursive_hierarchy", oracle=_RECURSIVE_HIERARCHY_SQL)
+def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE hierarchy walk (org charts, BOM explosion,
+    category trees): WITH RECURSIVE seeds the roots and joins one
+    level per iteration, carrying (root, depth) down a ~10-ary forest
+    derived from customer keys; the outer query profiles the forest
+    per level. This exercises Spark 4's recursive CTE surface
+    (UnionLoop) end-to-end — the one SQL shape the engine could not
+    express declaratively before 4.0.
+
+    Scale: each iteration is ONE hash join of the (small) frontier
+    against the child table, and the frontier shrinks/plateaus as the
+    forest widens — iterations = tree depth = log10(keys), so sf100
+    costs ~8 chained joins, not row-count-proportional work. The
+    level-profile aggregate at the end is a 6-group hash agg. All
+    integer arithmetic — no float drift anywhere.
+    """
+    _register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_HIERARCHY_SQL)
