@@ -58,14 +58,27 @@ def q6(col: Column | str, alias: str | None = None, k: int = 6) -> Column:
     rounds toward +inf in both). Spark's floor(double) yields BIGINT,
     so |x| must stay below ~9.2e12 at k=6 — output-column scale, not
     raw-sum scale; quantize AFTER the final division/ratio.
+
+    NaN/±inf pass through unquantized: DuckDB's BIGINT cast RAISES on
+    NaN while Spark's silently yields 0, so quantizing a non-finite
+    value would crash the oracle or silently diverge (r6 advice).
     """
     c = F.col(col) if isinstance(col, str) else col
-    e = (F.floor(c * (10**k) + 0.5).cast("long") / F.lit(float(10**k)))
+    cd = c.cast("double")
+    e = F.when(
+        F.isnan(cd) | (F.abs(cd) == float("inf")), cd
+    ).otherwise(F.floor(cd * (10**k) + 0.5).cast("long") / F.lit(float(10**k)))
     return e.alias(alias) if alias else e
 
 
 def oracle_q6(expr: str, alias: str | None = None, k: int = 6) -> str:
     """DuckDB twin of :func:`q6` (floor is double-returning there, so
-    an explicit BIGINT cast keeps the arithmetic path identical)."""
-    s = f"CAST(floor(({expr}) * 1e{k} + 0.5) AS BIGINT) / 1e{k}"
-    return f"{s} AS {alias}" if alias else s
+    an explicit BIGINT cast keeps the arithmetic path identical; the
+    same non-finite passthrough guards the BIGINT cast, which raises
+    on NaN in DuckDB)."""
+    x = f"CAST(({expr}) AS DOUBLE)"
+    s = (
+        f"CASE WHEN isnan({x}) OR NOT isfinite({x}) THEN {x}"
+        f" ELSE CAST(floor({x} * 1e{k} + 0.5) AS BIGINT) / 1e{k} END"
+    )
+    return f"({s}) AS {alias}" if alias else f"({s})"

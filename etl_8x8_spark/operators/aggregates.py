@@ -2095,25 +2095,23 @@ def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-customer totals.
 
     Plan: the fact collapses to per-customer totals first (map-side
-    combined groupBy), so the global row_number ranks a CUSTOMER-
-    cardinality relation — the same documented dim-sized-input caveat
-    as window_ntile_percentile; at a billion customers the rank would
-    move to the histogram-prune pattern agg_weighted_median uses.
-    Both Σ(i·x) and Σx accumulate in exact decimal (i is an exact
-    integer rank, x an exact decimal), so the final two-term formula
-    is IEEE on identical inputs.
+    combined groupBy); the global rank i is the DISTRIBUTED
+    histogram-prune rank (functions/ranks.py) — bucket offsets from a
+    <=1024-row window plus a bucket-partitioned row_number — so no
+    single task ever sorts the customer relation (the r6 verdict's
+    "WindowExec: No Partition Defined" debt, retired). Both Σ(i·x)
+    and Σx accumulate in exact decimal (i is an exact integer rank,
+    x an exact decimal), so the final two-term formula is IEEE on
+    identical inputs and the oracle's one-window definition matches
+    bit-for-bit.
     """
-    from pyspark.sql import Window
+    from ..functions.ranks import histogram_global_rank
 
     orders = load_table(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast(DEC)).alias("x")
     )
-    w = Window.orderBy("x", "o_custkey")
-    ranked = spend.select(
-        "x",
-        F.row_number().over(w).alias("i"),
-    )
+    ranked = histogram_global_rank(spend, "x", ["o_custkey"]).select("x", "i")
     n = F.count("*")
     return ranked.agg(
         n.cast("long").alias("n_customers"),
@@ -2895,33 +2893,34 @@ def agg_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     the direct "top 10% drive X% of revenue" readout.
 
     Plan: the fact collapses to per-customer totals (map-side
-    combined); the global rank/ntile/cumulative windows run over the
-    CUSTOMER dimension — the same accepted dim-sized-window caveat as
-    agg_gini_coefficient, documented there. Spend quantizes to
-    integer cents so the cumulative sums are exact; both shares are
-    floor-quantized integer ratios.
+    combined); rank, decile, and the cumulative spend all derive from
+    the DISTRIBUTED histogram-prune rank (functions/ranks.py): the
+    exact global row_number and exact running integer-cent sum come
+    from bucket offsets + a bucket-partitioned window, and ntile(10)
+    is the closed-form function of (rank, n) — so the naive form's
+    THREE single-task global windows (rank/ntile/cumsum) become zero.
+    Spend quantizes to integer cents so the cumulative sums are
+    exact; both shares are floor-quantized integer ratios.
     """
-    from pyspark.sql import Window
+    from ..functions.ranks import histogram_global_rank, ntile_from_rank
 
     orders = load_table(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("s")
     )
-    w_rank = Window.orderBy("s", "o_custkey")
-    ranked = spend.select(
-        "s",
-        F.row_number().over(w_rank).alias("rk"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
-        F.ntile(10).over(w_rank).alias("decile"),
+    spend = spend.withColumn(
+        "s_u", F.floor(F.col("s") * 1e2 + 0.5).cast("long")
     )
-    s_u = F.floor(F.col("s") * 1e2 + 0.5).cast("long")
-    w_cum = Window.orderBy("rk").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = ranked.select(
-        "decile",
+    ranked = histogram_global_rank(
+        spend, "s", ["o_custkey"], cumsum="s_u", rank_col="rk"
+    )
+    tot = spend.agg(F.sum("s_u").alias("tot_u"))
+    cum = ranked.crossJoin(F.broadcast(tot)).select(
+        ntile_from_rank(F.col("rk"), F.col("n"), 10).alias("decile"),
         "rk",
         "n",
-        F.sum(s_u).over(w_cum).alias("cum_u"),
-        F.sum(s_u).over(Window.partitionBy()).alias("tot_u"),
+        F.col("cum").alias("cum_u"),
+        "tot_u",
     )
     return (
         cum.groupBy("decile")
@@ -2962,7 +2961,11 @@ def _hdr_mid_sql(b: str, shift: str, idiv: str) -> str:
     integer expr. ``shift``/``idiv`` = the engine's shift-left and
     floor-div spellings ('shiftleft(1, {e})' / 'div' for Spark,
     '(CAST(1 AS BIGINT) << ({e}))' / '//' for DuckDB)."""
-    p = shift.format(e=f"({b}) / 4")  # octave base 2^(w-1); b/4 = w-1
+    # Octave base 2^(w-1); b idiv 4 = w-1. MUST be integer floor div:
+    # divide-then-cast diverges across engines (Spark CAST(1.5 AS INT)=1
+    # truncates, DuckDB rounds to 2), which shifted midpoints whenever a
+    # picked bucket's sub-index was >= 2.
+    p = shift.format(e=f"(({b}) {idiv} 4)")
     sub = f"(({b}) % 4)"
     lo = f"({p} + ({sub} * {p}) {idiv} 4)"
     hi = f"({p} + (({sub} + 1) * {p}) {idiv} 4 - 1)"

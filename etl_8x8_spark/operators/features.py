@@ -428,13 +428,17 @@ def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus the combined 555-style cell — the classic marketing
     segmentation every CRM ships.
 
-    Plan: one groupBy collapses the fact to |customers| rows; the
-    three ntile windows run over that collapsed relation (global
-    windows over the CUSTOMER dim, not the fact — same discipline as
-    agg_lorenz_curve). Ties break on custkey so quintile boundaries
-    are deterministic in both engines; monetary is integer-cent
-    exact.
+    Plan: one groupBy collapses the fact to |customers| rows; each of
+    the three quintile scores derives from a DISTRIBUTED
+    histogram-prune rank (functions/ranks.py — bucket offsets + a
+    bucket-partitioned row_number) with the exact closed-form
+    ntile(5) computed from (rank, n), so the naive form's three
+    single-task global ntile windows are gone and parallelism no
+    longer collapses to 1 as customer cardinality grows with SF.
+    Ties break on custkey so quintile boundaries are deterministic in
+    both engines; monetary is integer-cent exact.
     """
+    from ..functions.ranks import histogram_global_rank, ntile_from_rank
     orders = load_table(spark, sf_dir, "orders")
     ref = orders.agg(
         F.max(F.unix_micros(F.col("o_orderdate").cast("timestamp"))).alias("ref_us")
@@ -457,17 +461,27 @@ def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    w_r = Window.orderBy("recency_days", "custkey")
-    w_f = Window.orderBy("frequency", "custkey")
-    w_m = Window.orderBy("monetary_u", "custkey")
-    scored = per_cust.select(
+    scored = per_cust
+    for col, score, flip in (
+        ("recency_days", "r_score", True),
+        ("frequency", "f_score", False),
+        ("monetary_u", "m_score", False),
+    ):
+        scored = histogram_global_rank(
+            scored, col, ["custkey"], rank_col="_i", total_col="_n"
+        )
+        tile = ntile_from_rank(F.col("_i"), F.col("_n"), 5)
+        scored = scored.withColumn(
+            score, (F.lit(6) - tile) if flip else tile
+        ).drop("_i", "_n")
+    scored = scored.select(
         "custkey",
         "recency_days",
         "frequency",
         (F.col("monetary_u").cast("double") / 1e2).alias("monetary"),
-        (F.lit(6) - F.ntile(5).over(w_r)).alias("r_score"),
-        F.ntile(5).over(w_f).alias("f_score"),
-        F.ntile(5).over(w_m).alias("m_score"),
+        "r_score",
+        "f_score",
+        "m_score",
     )
     return scored.select(
         "*",
@@ -514,28 +528,32 @@ def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tail) — the 80/20 analysis behind inventory and account
     prioritization, and the classifying twin of `agg_lorenz_curve`.
 
-    Plan: fact collapses to |customers| integer-cent rows; one
-    descending running-sum window plus a 1-row total computes the
-    cumulative share; the class is a threshold CASE on an exact
-    integer ratio (identical doubles both engines). Scale note: the
-    global window runs over the collapsed CUSTOMER dim; at extreme
-    customer counts the same classification distributes via a
-    2-pass percentile split.
+    Plan: fact collapses to |customers| integer-cent rows; the
+    descending running revenue sum is the DISTRIBUTED histogram-prune
+    cumulative sum (functions/ranks.py — per-bucket sum offsets + a
+    bucket-partitioned running sum), so no single task ever sorts the
+    customer relation; the total joins in as a 1-row broadcast. The
+    class is a threshold CASE on an exact integer ratio (identical
+    doubles both engines).
     """
+    from ..functions.ranks import histogram_global_rank
+
     orders = load_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.sum(F.floor(F.col("o_totalprice") * 1e2 + 0.5).cast("long")).alias("rev_u")
     )
-    w_run = (
-        Window.orderBy(F.col("rev_u").desc(), F.col("custkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_all = Window.partitionBy()
-    ranked = per_cust.select(
-        "custkey",
-        "rev_u",
-        F.sum("rev_u").over(w_run).alias("cum_u"),
-        F.sum("rev_u").over(w_all).alias("tot_u"),
+    tot = per_cust.agg(F.sum("rev_u").alias("tot_u"))
+    ranked = (
+        histogram_global_rank(
+            per_cust,
+            "rev_u",
+            ["custkey"],
+            descending=True,
+            cumsum="rev_u",
+            cumsum_col="cum_u",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select("custkey", "rev_u", "cum_u", "tot_u")
     )
     share = F.col("cum_u").cast("double") / F.col("tot_u")
     return ranked.select(
@@ -883,6 +901,12 @@ def agg_stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: ONE distinct pass to (month, day, user) actives feeds both
     the per-day counts and the per-month distinct users; the final
     join is |months|-row. Ratio floor-quantized from exact integers.
+
+    This is the EXACT half of an exact/approx pair: the per-month
+    COUNT(DISTINCT) carries a distinct-expansion shuffle that grows
+    with event volume, so at 100 TB run the HLL twin
+    ``agg_stickiness_dau_mau_approx`` (fixed-size mergeable sketches)
+    and keep this one as the audit query.
     """
     events = load_table(spark, sf_dir, "events")
     active = events.select(
@@ -914,6 +938,91 @@ def agg_stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("long")
                 / F.lit(1e6)
             ).alias("stickiness"),
+        )
+        .orderBy("month")
+    )
+
+
+_STICKY_HLL_ORACLE = """
+WITH active AS (
+  SELECT strftime(date_trunc('month', ts), '%Y-%m') AS month,
+         CAST(date_trunc('day', ts) AS DATE) AS day,
+         user_id
+  FROM events GROUP BY 1, 2, 3
+),
+dau AS (
+  SELECT month, day, COUNT(*) AS dau FROM active GROUP BY 1, 2
+),
+mau AS (
+  SELECT month, COUNT(DISTINCT user_id) AS mau FROM active GROUP BY 1
+)
+SELECT d.month,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(m.mau AS BIGINT) AS mau,
+       CAST(1 AS INTEGER) AS dau_within_rsd,
+       CAST(1 AS INTEGER) AS mau_within_rsd
+FROM dau d JOIN mau m ON m.month = d.month
+GROUP BY d.month, m.mau
+ORDER BY d.month
+"""
+
+
+@register("agg_stickiness_dau_mau_approx", oracle=_STICKY_HLL_ORACLE)
+def agg_stickiness_dau_mau_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HLL twin of ``agg_stickiness_dau_mau`` — the 100 TB form.
+
+    The exact key's per-month MAU is a COUNT(DISTINCT): a distinct
+    expansion whose shuffle grows with event volume (its 10x ratio was
+    the borderline 2.4x of the r6 sweep). Here both DAU and MAU are
+    HyperLogLog++ sketches (``approx_count_distinct``, rsd 0.5%):
+    fixed ~KB state per group, map-side mergeable, no distinct
+    expansion — the plan that survives 100 TB and incremental daily
+    refresh (sketches merge across days/reruns).
+
+    Cross-engine contract (same idiom as ``agg_approx_distinct``,
+    whose docstring explains it): raw HLL estimates are engine-
+    specific, so the HASHED columns are the exact counts plus
+    within-tolerance flags the oracle predicts as 1 — the sketches
+    are still built and checked on every run. ``dau_within_rsd`` is
+    the AND over all days of the month.
+    """
+    events = load_table(spark, sf_dir, "events")
+    active = events.select(
+        F.date_format("ts", "yyyy-MM").alias("month"),
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        "user_id",
+    )
+    tol = lambda exact: F.greatest(F.lit(2.0), exact * 0.02)  # noqa: E731
+    daily = active.groupBy("month", "day").agg(
+        F.approx_count_distinct("user_id", rsd=0.005).alias("dau_est"),
+        F.countDistinct("user_id").alias("dau"),
+    )
+    monthly = active.groupBy("month").agg(
+        F.approx_count_distinct("user_id", rsd=0.005).alias("mau_est"),
+        F.countDistinct("user_id").alias("mau"),
+    )
+    return (
+        daily.withColumn(
+            "dau_ok",
+            (F.abs(F.col("dau_est") - F.col("dau")) <= tol(F.col("dau")))
+            .cast("int"),
+        )
+        .groupBy("month")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.min("dau_ok").alias("dau_within_rsd"),
+        )
+        .join(F.broadcast(monthly), "month")
+        .select(
+            "month",
+            "n_days",
+            F.col("mau").cast("long").alias("mau"),
+            F.col("dau_within_rsd").cast("int").alias("dau_within_rsd"),
+            (F.abs(F.col("mau_est") - F.col("mau")) <= tol(F.col("mau")))
+            .cast("int")
+            .alias("mau_within_rsd"),
         )
         .orderBy("month")
     )

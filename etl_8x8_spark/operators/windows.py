@@ -118,21 +118,47 @@ def window_ntile_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank, cumulative distribution, rank/dense_rank — deterministic via
     the c_custkey tiebreak.
 
-    Scale note: this window is UNPARTITIONED (a global ordering), which
-    serializes into one task — fine for a dim-sized table like
-    customer, wrong for a fact table; partition by a bucketing key
-    first at 100 TB."""
-    w = (
-        Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
-    )
+    The c_custkey tiebreak makes the ordering TOTAL (no peer rows), so
+    every one of these five functions is a closed form of the global
+    row_number i and count n: rank = dense_rank = i, percent_rank =
+    (i-1)/(n-1), cume_dist = i/n, and ntile(4) is the exact
+    (rank, n) tile formula. That lets the whole query run on the
+    DISTRIBUTED histogram-prune rank (functions/ranks.py) — bucket
+    offsets + a bucket-partitioned row_number — instead of one
+    single-task unpartitioned window, so it stays parallel when the
+    ranked relation grows with SF. The oracle keeps the literal
+    five-function window as independent ground truth.
+    """
+    from ..functions.ranks import histogram_global_rank, ntile_from_rank
+
     customer = load_table(spark, sf_dir, "customer")
-    return customer.select(
+    ranked = histogram_global_rank(
+        customer.select("c_custkey", "c_acctbal"),
+        "c_acctbal",
+        ["c_custkey"],
+        descending=True,
+    )
+    i, n = F.col("i"), F.col("n")
+    return ranked.select(
         "c_custkey",
-        F.ntile(4).over(w).alias("spend_quartile"),
-        (F.floor((F.percent_rank().over(w)) * 1e6 + 0.5).cast("long") / F.lit(1e6)).alias("pct_rank"),
-        (F.floor((F.cume_dist().over(w)) * 1e6 + 0.5).cast("long") / F.lit(1e6)).alias("cume"),
-        F.rank().over(w).cast("long").alias("rnk"),
-        F.dense_rank().over(w).cast("long").alias("drnk"),
+        ntile_from_rank(i, n, 4).alias("spend_quartile"),
+        (
+            F.floor(
+                (i - 1).cast("double")
+                / F.greatest(n - 1, F.lit(1)).cast("double")
+                * 1e6
+                + 0.5
+            ).cast("long")
+            / F.lit(1e6)
+        ).alias("pct_rank"),
+        (
+            F.floor(i.cast("double") / n.cast("double") * 1e6 + 0.5).cast(
+                "long"
+            )
+            / F.lit(1e6)
+        ).alias("cume"),
+        i.alias("rnk"),
+        i.alias("drnk"),
     )
 
 

@@ -58,67 +58,67 @@ _QUERY_MODULES = [
 # ORDER MATTERS for driver sampling: the driver evaluates only the first
 # 50 keys of ``all_queries()`` per round. Keys listed here lead the
 # returned dict (in this order); all other keys follow in registration
-# order. Round-6 priority = the 52 keys with no driver CORRECTNESS row
-# across r1-r5 (union = 193 of 245 green, zero fails): the staged
-# rotation remainder. The driver's 50 slots take positions 1-50;
-# positions 51-52 (``quality_expectations``,
-# ``stream_watermark_late_data`` — the latter rows-only by declared
-# design, so a driver row adds the least evidence) roll to round 7,
-# completing full 245/245 driver coverage.
+# order. Round-7 priority: positions 1-5 are the five keys with NO
+# driver CORRECTNESS row across r1-r6 (the two r6 stowaway operators,
+# the codegen twin, and the two keys that rolled off round 6's 52-key
+# list) -- landing these completes literal full-registry driver
+# coverage. Next come the keys round 7 changed or added (the five
+# histogram-prune rewrites and the new operators — fresh code paths
+# need fresh driver evidence). The remainder backfills the STALEST
+# evidence: keys whose latest green row is round 2 (every other key
+# has an r3+ row).
 # bench.py's HEADLINE order is independent and unaffected.
 _SAMPLE_PRIORITY = [
-    "sink_zorder_clustered",
-    "scan_metadata_stats_approx",
-    "scan_manifest_pruned",
-    "sink_merge_upsert",
-    "scan_incremental_watermark",
-    "view_incremental_refresh",
-    "sample_shuffle_shards",
-    "sample_bootstrap_poisson",
-    "sample_stratified_neyman",
-    "fn_struct",
-    "fn_variant",
-    "fn_udtf_installments",
-    "dedup_containment",
-    "ml_kmeans_converged",
-    "text_line_dedup",
-    "stream_topk_per_window",
-    "agg_mode",
-    "agg_corr_matrix",
-    "agg_linear_regression",
-    "agg_entropy",
-    "agg_markov_transitions",
-    "agg_robust_mad",
-    "agg_ohlc_bars",
-    "agg_weighted_median",
-    "agg_audience_overlap",
-    "agg_ab_test_ttest",
-    "agg_gini_coefficient",
-    "agg_survival_curve",
-    "join_asof_nearest",
-    "join_interval_overlap",
-    "join_null_safe",
-    "join_existence_mark",
-    "join_lateral_topk",
-    "join_grid_proximity",
-    "quality_key_skew_report",
-    "cdc_apply_changes",
-    "graph_triangle_count",
-    "graph_degree_distribution",
-    "graph_pagerank_converged",
-    "ml_feature_scaling",
-    "agg_decay_sum",
-    "window_vwap",
-    "agg_cohort_ltv",
-    "agg_rfm_segments",
-    "agg_abc_classification",
-    "agg_conversion_latency",
-    "agg_fulfillment_latency",
-    "agg_new_vs_returning",
-    "window_streak_detection",
-    "agg_stickiness_dau_mau",
+    "agg_hdr_histogram_pctl",
+    "sql_recursive_hierarchy",
+    "fn_installments_codegen",
     "quality_expectations",
     "stream_watermark_late_data",
+    "agg_gini_coefficient",
+    "agg_lorenz_curve",
+    "agg_rfm_segments",
+    "agg_abc_classification",
+    "window_ntile_percentile",
+    "agg_stickiness_dau_mau_approx",
+    "agg_hash_group",
+    "agg_distinct_count",
+    "agg_rollup",
+    "agg_cube",
+    "agg_map_collect",
+    "join_broadcast_lookup",
+    "join_hash_equi",
+    "join_left_outer",
+    "join_semi",
+    "join_anti",
+    "join_range_theta",
+    "join_asof_event",
+    "join_salted_skew",
+    "observe_metrics",
+    "agg_pivot",
+    "agg_grouping_sets",
+    "agg_bitmap_distinct",
+    "agg_heavy_hitters",
+    "agg_window_funnel",
+    "agg_stats_moments",
+    "agg_retention_cohorts",
+    "agg_histogram",
+    "agg_count_if",
+    "agg_rolling_actives",
+    "agg_unpivot",
+    "agg_percentile_exact",
+    "agg_string_agg",
+    "agg_min_max_by",
+    "qs_extract",
+    "filter_required",
+    "validate_numeric_reject",
+    "greeting_transform",
+    "json_body_parse",
+    "json_serialize",
+    "error_route",
+    "bearer_extract",
+    "arn_parse",
+    "policy_build",
+    "jwt_verify",
 ]
 
 
