@@ -192,7 +192,11 @@ HEADLINE = [
     "text_zipf_fit",
     "agg_bounce_rate",
     # appended r4 wave 18
-    "scan_metadata_stats",
+    # scan_metadata_stats dropped from HEADLINE in r7 (r6 verdict: its
+    # exact countDistinct Expand was a top-5 cost and is NOT the plan
+    # you'd run at 100 TB). It stays registered + driver-gated as the
+    # audit query; the HLL twin scan_metadata_stats_approx (already a
+    # headliner below) is the benched path.
     "sink_compaction",
     # appended r4 wave 19
     "pipeline_feature_dataset",
@@ -231,7 +235,8 @@ HEADLINE = [
     "agg_fulfillment_latency",
     "agg_new_vs_returning",
     "window_streak_detection",
-    "agg_stickiness_dau_mau",
+    # agg_stickiness_dau_mau swapped for its HLL twin in r7 (same
+    # exact-as-audit / approx-as-headline policy as scan_metadata_stats)
     # appended r5 wave 7 — NOTE: a 5-round iterative algorithm; its
     # ~10 s at sf0.1 is 5 sequential join+agg jobs plus setup, not a
     # plan defect (see docstring + BASELINE.md)
@@ -240,6 +245,12 @@ HEADLINE = [
     "quality_expectations",
     # appended r6: codegen twin replacing the UDTF in the benched set
     "fn_installments_codegen",
+    # appended r7: the two r6 stowaways (now SURVEY-documented), the
+    # stickiness HLL twin, and the distributed-rank rewrite showcase
+    "agg_hdr_histogram_pctl",
+    "sql_recursive_hierarchy",
+    "agg_stickiness_dau_mau_approx",
+    "window_ntile_percentile",
 ]
 
 

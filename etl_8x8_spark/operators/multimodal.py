@@ -351,7 +351,11 @@ def multimodal_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     tag = os.path.basename(sf_dir.rstrip("/"))
-    asset_dir = os.path.join(scratch_dir(), f"assets_{tag}")
+    # v2 suffix: fixture layout is versioned INTO the directory name so
+    # a scratch dir built by an older layout (e.g. pre-doc_id-cap) can
+    # never be half-reused against the current oracle — changing the
+    # fixture recipe must bump this suffix (r6 advice).
+    asset_dir = os.path.join(scratch_dir(), f"assets_{tag}_v2")
     marker = os.path.join(asset_dir, "_DONE")
     if not os.path.exists(marker):
         os.makedirs(asset_dir, exist_ok=True)
