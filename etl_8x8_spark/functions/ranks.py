@@ -52,6 +52,7 @@ def histogram_global_rank(
     rank_col: str = "i",
     total_col: str = "n",
     cumsum_col: str = "cum",
+    cumsums: list[str] | None = None,
 ) -> DataFrame:
     """Add an EXACT global ``row_number`` over ``(value [DESC],
     *tiebreaks ASC)`` — and optionally an exact running sum of
@@ -60,7 +61,9 @@ def histogram_global_rank(
     Returns ``df`` plus ``rank_col`` (1-based long), ``total_col``
     (long row count) and, if ``cumsum`` is given, ``cumsum_col``
     (running sum of ``cumsum`` through the current row, same dtype
-    arithmetic as ``sum``).
+    arithmetic as ``sum``). ``cumsums`` adds further running sums in
+    the same order, one column ``cum_<name>`` per listed column — all
+    share the one bucket aggregate and the one partitioned window.
 
     The ordering must be total: ``tiebreaks`` must make (value,
     *tiebreaks) unique for deterministic output (same contract as
@@ -94,9 +97,12 @@ def histogram_global_rank(
     )
     j = j.withColumn(bcol, bidx).drop(mnc, mxc)
 
-    aggs = [F.count("*").alias("_hr_cnt")]
-    if cumsum is not None:
-        aggs.append(F.sum(cumsum).alias("_hr_bs"))
+    pairs = ([(cumsum, cumsum_col)] if cumsum is not None else []) + [
+        (c, f"cum_{c}") for c in (cumsums or [])
+    ]
+    aggs = [F.count("*").alias("_hr_cnt")] + [
+        F.sum(src).alias(f"_hr_bs{k}") for k, (src, _) in enumerate(pairs)
+    ]
     bstats = j.groupBy(bcol).agg(*aggs)
     # Offsets: window over <=`buckets` rows — a bounded single task by
     # construction, independent of data volume. This DOES log Spark's
@@ -115,9 +121,11 @@ def histogram_global_rank(
         (F.sum("_hr_cnt").over(woff) - F.col("_hr_cnt")).alias("_hr_coff"),
         F.sum("_hr_cnt").over(wone).alias("_hr_n"),
     ]
-    if cumsum is not None:
+    for k in range(len(pairs)):
         sel.append(
-            (F.sum("_hr_bs").over(woff) - F.col("_hr_bs")).alias("_hr_soff")
+            (F.sum(f"_hr_bs{k}").over(woff) - F.col(f"_hr_bs{k}")).alias(
+                f"_hr_soff{k}"
+            )
         )
     offsets = bstats.select(*sel)
     j = j.join(F.broadcast(offsets), bcol)
@@ -131,12 +139,12 @@ def histogram_global_rank(
         (F.col("_hr_coff") + F.row_number().over(win)).cast("long"),
     ).withColumn(total_col, F.col("_hr_n").cast("long"))
     drop = [bcol, "_hr_coff", "_hr_n"]
-    if cumsum is not None:
-        wrun = win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wrun = win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    for k, (src, outcol) in enumerate(pairs):
         out = out.withColumn(
-            cumsum_col, F.col("_hr_soff") + F.sum(cumsum).over(wrun)
+            outcol, F.col(f"_hr_soff{k}") + F.sum(src).over(wrun)
         )
-        drop.append("_hr_soff")
+        drop.append(f"_hr_soff{k}")
     return out.drop(*drop)
 
 

@@ -986,23 +986,44 @@ def agg_stickiness_dau_mau_approx(
     specific, so the HASHED columns are the exact counts plus
     within-tolerance flags the oracle predicts as 1 — the sketches
     are still built and checked on every run. ``dau_within_rsd`` is
-    the AND over all days of the month.
+    the AND over all days of the month. The exact counts reuse the
+    SAME single (month, day, user) distinct pass as the exact key
+    (sketching over a distinct input changes no estimate), so the
+    verification adds one sketch per group — NOT a second distinct
+    expansion over raw events (the first cut of this twin aggregated
+    countDistinct+HLL over raw events twice: 4x the data moved, 11 s
+    at sf0.1 vs the exact key's ~2 s).
     """
     events = load_table(spark, sf_dir, "events")
     active = events.select(
         F.date_format("ts", "yyyy-MM").alias("month"),
         F.date_trunc("day", "ts").cast("date").alias("day"),
         "user_id",
-    )
+    ).distinct()
     tol = lambda exact: F.greatest(F.lit(2.0), exact * 0.02)  # noqa: E731
+    # DataSketches HLL, NOT approx_count_distinct: the sketch is built
+    # ONCE per (month, day) and the monthly estimate is hll_union_agg
+    # over the <=31 daily sketches — the mergeability this key exists
+    # to demonstrate (daily refresh unions yesterday's sketch instead
+    # of rescanning the month; the same union runs across executors,
+    # days, and reruns). lgConfigK=14 -> 16 KB sketches, ~0.8% rsd,
+    # comfortably inside the 2% tolerance flags. (First cut used
+    # approx_count_distinct at rsd 0.5%: ~43k-register buffers per
+    # partial group made sketch STATE the cost — 8.3 s warm at sf0.1
+    # vs the exact key's 1.1 s; sketch-and-merge reads active once.)
     daily = active.groupBy("month", "day").agg(
-        F.approx_count_distinct("user_id", rsd=0.005).alias("dau_est"),
-        F.countDistinct("user_id").alias("dau"),
+        F.hll_sketch_agg("user_id", 14).alias("sk"),
+        F.count("*").alias("dau"),
+    )
+    monthly_est = daily.groupBy("month").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("mau_est")
     )
     monthly = active.groupBy("month").agg(
-        F.approx_count_distinct("user_id", rsd=0.005).alias("mau_est"),
         F.countDistinct("user_id").alias("mau"),
-    )
+    ).join(monthly_est, "month")
+    daily = daily.withColumn(
+        "dau_est", F.hll_sketch_estimate("sk")
+    ).drop("sk")
     return (
         daily.withColumn(
             "dau_ok",

@@ -138,25 +138,18 @@ def window_ntile_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["c_custkey"],
         descending=True,
     )
+    from ..functions.parity import q6
+
     i, n = F.col("i"), F.col("n")
     return ranked.select(
         "c_custkey",
         ntile_from_rank(i, n, 4).alias("spend_quartile"),
-        (
-            F.floor(
-                (i - 1).cast("double")
-                / F.greatest(n - 1, F.lit(1)).cast("double")
-                * 1e6
-                + 0.5
-            ).cast("long")
-            / F.lit(1e6)
-        ).alias("pct_rank"),
-        (
-            F.floor(i.cast("double") / n.cast("double") * 1e6 + 0.5).cast(
-                "long"
-            )
-            / F.lit(1e6)
-        ).alias("cume"),
+        q6(
+            (i - 1).cast("double")
+            / F.greatest(n - 1, F.lit(1)).cast("double"),
+            "pct_rank",
+        ),
+        q6(i.cast("double") / n.cast("double"), "cume"),
         i.alias("rnk"),
         i.alias("drnk"),
     )

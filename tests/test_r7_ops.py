@@ -174,6 +174,23 @@ class TestHdrErrorBound:
                 rel = abs(g[col] - r["p"][idx]) / r["p"][idx]
                 assert rel <= 0.125, (r["o_orderpriority"], col, rel)
 
+    def test_recursive_hierarchy_runs_as_union_loop(self, spark, sf_dir):
+        """sql_recursive_hierarchy must execute as Spark 4's UnionLoop
+        (per-round frontier join), not an unrolled/materialized
+        expansion; iteration count is log10(|customer|) by
+        construction (depth < 10 even at sf100 — see the operator's
+        docstring), so the pin is on the loop SHAPE."""
+        from etl_8x8_spark.registry import all_queries
+
+        df = all_queries()["sql_recursive_hierarchy"].builder(spark, sf_dir)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "UnionLoop" in plan or "CTERelation" in plan, plan[:500]
+        # depth pin at test SF: sf0.001 has 150 customers -> keys
+        # <= 150 -> depth 0..2
+        depths = [r["depth"] for r in df.collect()]
+        assert depths == sorted(depths)
+        assert max(depths) <= 3
+
     def test_hdr_histogram_agg_is_partial(self, spark, sf_dir):
         """The bucket histogram must map-side combine (partial_count
         before the exchange) — the property that keeps the shuffle at
