@@ -340,6 +340,40 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
+    # Regression gate: diff this run against the previously COMMITTED
+    # BENCH_LOCAL.json before overwriting it. A >1.5x per-query warm
+    # slowdown with >=0.3 s absolute delta (the floor keeps 60 ms
+    # queries from tripping on scheduler noise) is flagged loudly in
+    # both the full record and the summary line — round 7 shipped a 9x
+    # agg_rfm_segments regression invisible inside a +6 s suite total
+    # precisely because nothing diffed per-query times across rounds.
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+    )
+    regressions: dict[str, dict[str, float]] = {}
+    try:
+        with open(sidecar) as fh:
+            prev_full = json.load(fh)
+        # Only a same-SF record is comparable: an sf0.001 smoke run
+        # against the committed sf0.1 record flags phantom ratios (and
+        # vice versa hides real ones).
+        prev = (
+            prev_full.get("queries", {})
+            if prev_full.get("sf") == _sf_from_dir(sf_dir)
+            else {}
+        )
+    except (OSError, ValueError):
+        prev = {}
+    for name, now_s in timings.items():
+        was = prev.get(name)
+        if was and was > 0 and now_s > was * 1.5 and now_s - was >= 0.3:
+            regressions[name] = {
+                "prev_s": was,
+                "now_s": now_s,
+                "ratio": round(now_s / was, 2),
+            }
+    for name, r in sorted(regressions.items(), key=lambda kv: -kv[1]["ratio"]):
+        print(json.dumps({"regression": name, **r}), flush=True)
     full = {
         "metric": "headline_suite_seconds",
         "value": total,
@@ -353,6 +387,8 @@ def main() -> None:
     }
     if errors:
         full["errors"] = errors
+    if regressions:
+        full["regressions"] = regressions
     # The full per-query record is too long for a bounded stdout-tail
     # capture (the driver keeps the last 2000 chars: a 162-query map
     # is ~7 KB, so BENCH_r04/r05 recorded `parsed: null`). Persist the
@@ -360,9 +396,6 @@ def main() -> None:
     # number stays recoverable from the artifact even if stdout is
     # truncated — and keep the final stdout line small enough to
     # always fit the tail window whole.
-    sidecar = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
-    )
     with open(sidecar, "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
         fh.write("\n")
@@ -378,6 +411,7 @@ def main() -> None:
         "sf": full["sf"],
         "n_queries": len(timings),
         "n_errors": len(errors),
+        "n_regressions": len(regressions),
         "full_record": "BENCH_LOCAL.json",
     }
     # The summary is the LAST stdout line, after the per-query stream,

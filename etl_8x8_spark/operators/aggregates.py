@@ -2362,10 +2362,20 @@ def agg_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # WindowGroupLimit pushdown truncates mega-baskets to K rows
     # before they fan out.
     w_cap = Window.partitionBy("ok").orderBy("brand")
+    # Persist: `items` feeds FOUR consumers (the n_baskets broadcast,
+    # the brand_n broadcast, and both sides of the pair self-join) and
+    # each broadcast subquery is its own job — un-persisted, the
+    # join+distinct+window lineage re-executed 3x (r7 bench: 2.13 s ->
+    # 3.51 s at sf0.1). The relation is (order, brand) pairs — linear
+    # in orders with a small constant — so MEMORY_AND_DISK spills
+    # gracefully at 100 TB and caching still beats three recomputes.
+    from pyspark import StorageLevel
+
     items = (
         items_all.withColumn("rk", F.row_number().over(w_cap))
         .filter(F.col("rk") <= _BASKET_CAP)
         .drop("rk")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n = items.agg(F.countDistinct("ok").alias("n_baskets"))
     brand_n = items.groupBy("brand").agg(F.count("*").alias("bn"))

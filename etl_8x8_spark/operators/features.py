@@ -428,53 +428,66 @@ def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus the combined 555-style cell — the classic marketing
     segmentation every CRM ships.
 
-    Plan: one groupBy collapses the fact to |customers| rows; each of
-    the three quintile scores derives from a DISTRIBUTED
-    histogram-prune rank (functions/ranks.py — bucket offsets + a
-    bucket-partitioned row_number) with the exact closed-form
-    ntile(5) computed from (rank, n), so the naive form's three
-    single-task global ntile windows are gone and parallelism no
-    longer collapses to 1 as customer cardinality grows with SF.
+    Plan: one groupBy collapses the fact to |customers| rows; all
+    three quintile scores derive from ONE
+    ``histogram_global_rank_multi`` pass (functions/ranks.py): the
+    (metric, value) explode folds the three orderings into a single
+    stats broadcast + bucket histogram + partitioned probe window,
+    and exact closed-form ntile(5) comes from each (rank, n) — so
+    the naive form's three single-task global ntile windows are gone,
+    parallelism no longer collapses to 1 as customer cardinality
+    grows with SF, and the round-7 chained form's three serialized
+    broadcast rounds (4.98 s at sf0.1) collapse to one (~1.5 s).
     Ties break on custkey so quintile boundaries are deterministic in
     both engines; monetary is integer-cent exact.
     """
-    from ..functions.ranks import histogram_global_rank, ntile_from_rank
+    from ..functions.ranks import histogram_global_rank_multi, ntile_from_rank
     orders = load_table(spark, sf_dir, "orders")
-    ref = orders.agg(
-        F.max(F.unix_micros(F.col("o_orderdate").cast("timestamp"))).alias("ref_us")
+    # One scan + one exchange: collapse to per-customer (last order,
+    # count, cents) first; the global reference date is then a 1-row
+    # agg over the COLLAPSED relation (ReuseExchange dedupes the
+    # groupBy shuffle), not a second raw-orders scan. min over orders
+    # of floor((ref-o)/day) == floor((ref - max o)/day) since floor is
+    # monotone non-increasing in o — same recency_days, one less
+    # fact-sized job on the serial broadcast critical path.
+    per_cust0 = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.unix_micros(F.col("o_orderdate").cast("timestamp"))).alias(
+            "last_us"
+        ),
+        F.count("*").cast("long").alias("frequency"),
+        F.sum(F.floor(F.col("o_totalprice") * 1e2 + 0.5).cast("long")).alias(
+            "monetary_u"
+        ),
     )
-    per_cust = (
-        orders.crossJoin(F.broadcast(ref))
-        .groupBy(F.col("o_custkey").alias("custkey"))
-        .agg(
-            F.min(
-                F.floor(
-                    (F.col("ref_us") - F.unix_micros(F.col("o_orderdate").cast("timestamp")))
-                    / 86_400_000_000
-                )
-            )
-            .cast("long")
-            .alias("recency_days"),
-            F.count("*").cast("long").alias("frequency"),
-            F.sum(F.floor(F.col("o_totalprice") * 1e2 + 0.5).cast("long")).alias(
-                "monetary_u"
-            ),
-        )
+    ref = per_cust0.agg(F.max("last_us").alias("ref_us"))
+    per_cust = per_cust0.crossJoin(F.broadcast(ref)).select(
+        "custkey",
+        F.floor((F.col("ref_us") - F.col("last_us")) / 86_400_000_000)
+        .cast("long")
+        .alias("recency_days"),
+        "frequency",
+        "monetary_u",
     )
-    scored = per_cust
-    for col, score, flip in (
-        ("recency_days", "r_score", True),
-        ("frequency", "f_score", False),
-        ("monetary_u", "m_score", False),
+    scored = histogram_global_rank_multi(
+        per_cust,
+        [
+            ("recency_days", "_ri", False),
+            ("frequency", "_fi", False),
+            ("monetary_u", "_mi", False),
+        ],
+        ["custkey"],
+        total_col="_n",
+    )
+    for rank_col, score, flip in (
+        ("_ri", "r_score", True),
+        ("_fi", "f_score", False),
+        ("_mi", "m_score", False),
     ):
-        scored = histogram_global_rank(
-            scored, col, ["custkey"], rank_col="_i", total_col="_n"
-        )
-        tile = ntile_from_rank(F.col("_i"), F.col("_n"), 5)
+        tile = ntile_from_rank(F.col(rank_col), F.col("_n"), 5)
         scored = scored.withColumn(
             score, (F.lit(6) - tile) if flip else tile
-        ).drop("_i", "_n")
-    scored = scored.select(
+        ).drop(rank_col)
+    scored = scored.drop("_n").select(
         "custkey",
         "recency_days",
         "frequency",
@@ -1000,14 +1013,21 @@ def agg_stickiness_dau_mau_approx(
         F.date_trunc("day", "ts").cast("date").alias("day"),
         "user_id",
     ).distinct()
-    tol = lambda exact: F.greatest(F.lit(2.0), exact * 0.02)  # noqa: E731
+    # Tolerance margin: lgConfigK=14 gives ~0.8% rsd, and
+    # dau_within_rsd is the AND over every day of a month — 30+
+    # checks, so each needs real headroom or one ~2.5-sigma daily
+    # excursion deterministically flips the month's flag to 0 and
+    # fails the hash oracle (which hardcodes 1). 3% ~= 3.75 sigma per
+    # day => P(any of 31 days out) ~ 1e-5, vs ~2.5 sigma at the old
+    # 2% where a month-level flip was a when-not-if at larger SF.
+    tol = lambda exact: F.greatest(F.lit(3.0), exact * 0.03)  # noqa: E731
     # DataSketches HLL, NOT approx_count_distinct: the sketch is built
     # ONCE per (month, day) and the monthly estimate is hll_union_agg
     # over the <=31 daily sketches — the mergeability this key exists
     # to demonstrate (daily refresh unions yesterday's sketch instead
     # of rescanning the month; the same union runs across executors,
     # days, and reruns). lgConfigK=14 -> 16 KB sketches, ~0.8% rsd,
-    # comfortably inside the 2% tolerance flags. (First cut used
+    # comfortably inside the 3% tolerance flags. (First cut used
     # approx_count_distinct at rsd 0.5%: ~43k-register buffers per
     # partial group made sketch STATE the cost — 8.3 s warm at sf0.1
     # vs the exact key's 1.1 s; sketch-and-merge reads active once.)

@@ -163,9 +163,14 @@ def text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine ordering is exact; the double-valued IDF is displayed
     (rounded) but never used as a sort key. Scale: explode + one
     groupBy on term (partial aggregation collapses per-partition
-    duplicates before the shuffle), then a single top-K — the global
-    window is on the already-aggregated term table, not the token
-    stream.
+    duplicates before the shuffle); the top-K is ``orderBy().limit``,
+    which Spark executes as TakeOrderedAndProject — each partition
+    keeps its own K best and only K x partitions rows merge — NOT a
+    global rank window + filter (this build's InferWindowGroupLimit
+    fires only for partitioned windows, so the window form would pull
+    the whole vocabulary — unboundedly growing at 100 TB — into one
+    task; pinned by tests/test_r8_ops.py). The rank window then runs
+    over the <=K-row survivor set, bounded by construction.
     """
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokens()).alias("term"))
@@ -173,18 +178,17 @@ def text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("tf_total"),
         F.countDistinct("doc_id").alias("doc_freq"),
     )
+    top = stats.orderBy(F.col("tf_total").desc(), F.col("term").asc()).limit(
+        _TFIDF_TOP_K
+    )
     n_docs = docs.select(F.count("*").alias("n_docs"))
     w = Window.orderBy(F.col("tf_total").desc(), F.col("term").asc())
-    return (
-        stats.crossJoin(F.broadcast(n_docs))
-        .select(
-            "term",
-            "tf_total",
-            "doc_freq",
-            (F.floor((F.log((F.col("n_docs") + 1.0) / (F.col("doc_freq") + 1.0))) * 1e6 + 0.5).cast("long") / F.lit(1e6)).alias("idf"),
-            F.row_number().over(w).alias("rank"),
-        )
-        .filter(F.col("rank") <= _TFIDF_TOP_K)
+    return top.crossJoin(F.broadcast(n_docs)).select(
+        "term",
+        "tf_total",
+        "doc_freq",
+        (F.floor((F.log((F.col("n_docs") + 1.0) / (F.col("doc_freq") + 1.0))) * 1e6 + 0.5).cast("long") / F.lit(1e6)).alias("idf"),
+        F.row_number().over(w).alias("rank"),
     )
 
 
@@ -1419,11 +1423,17 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     smell worth alarming on in a training-data pipeline.
 
     Plan: one explode→groupBy(term) pass (map-side combined) is the
-    fact-sized work; the rank window and the regression run over the
-    top-{100} rows. The (rank, count) points are exact integers;
-    ln() of them floor-quantizes to micro-units, products re-quantize,
-    and the closed-form OLS is a double expression over six exact
-    integer sums — deterministic across engines end to end.
+    fact-sized work; the top-{100} cut is ``orderBy().limit`` —
+    TakeOrderedAndProject, each partition keeping its own 100 best —
+    so the vocabulary (which grows unboundedly with corpus size)
+    never funnels into a single-task global window (this build's
+    InferWindowGroupLimit fires only for partitioned windows; pinned
+    by tests/test_r8_ops.py). The rank window and the regression run
+    over the <=100 survivor rows, bounded by construction. The
+    (rank, count) points are exact integers; ln() of them
+    floor-quantizes to micro-units, products re-quantize, and the
+    closed-form OLS is a double expression over six exact integer
+    sums — deterministic across engines end to end.
     """
     docs = load_table(spark, sf_dir, "documents")
     tf = (
@@ -1432,8 +1442,10 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
     )
     w = Window.orderBy(F.col("n").desc(), "term")
-    ranked = tf.select("n", F.row_number().over(w).alias("rank")).filter(
-        F.col("rank") <= _ZIPF_TOP
+    ranked = (
+        tf.orderBy(F.col("n").desc(), F.col("term").asc())
+        .limit(_ZIPF_TOP)
+        .select("n", F.row_number().over(w).alias("rank"))
     )
     x_u = F.floor(F.log(F.col("rank").cast("double")) * 1e6 + 0.5).cast("long")
     y_u = F.floor(F.log(F.col("n").cast("double")) * 1e6 + 0.5).cast("long")

@@ -58,67 +58,73 @@ _QUERY_MODULES = [
 # ORDER MATTERS for driver sampling: the driver evaluates only the first
 # 50 keys of ``all_queries()`` per round. Keys listed here lead the
 # returned dict (in this order); all other keys follow in registration
-# order. Round-7 priority: positions 1-5 are the five keys with NO
-# driver CORRECTNESS row across r1-r6 (the two r6 stowaway operators,
-# the codegen twin, and the two keys that rolled off round 6's 52-key
-# list) -- landing these completes literal full-registry driver
-# coverage. Next come the keys round 7 changed or added (the five
-# histogram-prune rewrites and the new operators — fresh code paths
-# need fresh driver evidence). The remainder backfills the STALEST
-# evidence: keys whose latest green row is round 2 (every other key
-# has an r3+ row).
+# order. Round-8 priority: driver coverage hit literal 249/249 in r7,
+# so the rotation is now pure STALEST-FIRST — the 8 keys whose latest
+# green row is r2-vintage, then the 46 r3-vintage keys (alphabetical
+# within a round; the driver's 50-key window leaves the last 4 for the
+# next rotation). The keys round 8 touched (the histogram-rank persist
+# family, agg_basket_affinity, agg_stickiness_dau_mau_approx) are
+# verified locally via tools/verify_queries.py instead of spending
+# driver slots: the edits are plan/tolerance-only and all carried r7
+# driver-green rows.
 # bench.py's HEADLINE order is independent and unaffected.
 _SAMPLE_PRIORITY = [
-    "agg_hdr_histogram_pctl",
-    "sql_recursive_hierarchy",
-    "fn_installments_codegen",
-    "quality_expectations",
-    "stream_watermark_late_data",
-    "agg_gini_coefficient",
-    "agg_lorenz_curve",
-    "agg_rfm_segments",
-    "agg_abc_classification",
-    "window_ntile_percentile",
-    "agg_stickiness_dau_mau_approx",
-    "agg_hash_group",
-    "agg_distinct_count",
-    "agg_rollup",
-    "agg_cube",
-    "agg_map_collect",
-    "join_broadcast_lookup",
-    "join_hash_equi",
-    "join_left_outer",
-    "join_semi",
-    "join_anti",
-    "join_range_theta",
-    "join_asof_event",
-    "join_salted_skew",
-    "observe_metrics",
-    "agg_pivot",
-    "agg_grouping_sets",
-    "agg_bitmap_distinct",
-    "agg_heavy_hitters",
-    "agg_window_funnel",
-    "agg_stats_moments",
-    "agg_retention_cohorts",
-    "agg_histogram",
-    "agg_count_if",
-    "agg_rolling_actives",
-    "agg_unpivot",
-    "agg_percentile_exact",
-    "agg_string_agg",
-    "agg_min_max_by",
-    "qs_extract",
-    "filter_required",
-    "validate_numeric_reject",
-    "greeting_transform",
-    "json_body_parse",
-    "json_serialize",
-    "error_route",
-    "bearer_extract",
-    "arn_parse",
-    "policy_build",
-    "jwt_verify",
+    # r2-vintage evidence
+    "env_derive",
+    "join_asof_forward",
+    "join_bucketed_colocated",
+    "join_dim_scd2",
+    "join_full_outer",
+    "join_fuzzy_match",
+    "join_range_bucketed",
+    "quality_report",
+    # r3-vintage evidence
+    "dedup_exact",
+    "fn_array",
+    "fn_bitwise",
+    "fn_conditional",
+    "fn_date",
+    "fn_encode_decode",
+    "fn_format",
+    "fn_json",
+    "fn_map",
+    "fn_math",
+    "fn_string",
+    "fn_url",
+    "sample_group_cap",
+    "sample_mixture_rebalance",
+    "sample_systematic",
+    "sample_train_test_split",
+    "scan_csv",
+    "scan_custom_source",
+    "scan_json_lines",
+    "scan_orc",
+    "scan_parquet",
+    "scan_schema_evolution",
+    "scan_text",
+    "set_except",
+    "set_intersect",
+    "set_union_dedup",
+    "sink_csv_roundtrip",
+    "sink_json_roundtrip",
+    "sink_parquet_partitioned",
+    "sink_partition_overwrite",
+    "sink_sorted_clustered",
+    "sort_limit_topk",
+    "sql_tpch_q10_shape",
+    "sql_tpch_q18_shape",
+    "sql_tpch_q3_shape",
+    "sql_tpch_q5_shape",
+    "sql_tpch_q7_shape",
+    "window_anomaly_zscore",
+    "window_cumulative_users",
+    "window_first_last",
+    "window_gap_islands",
+    "window_rank_topn_per_group",
+    "window_rolling_median",
+    "window_running_sum",
+    "window_scd2_build",
+    "window_trailing_range",
 ]
 
 
