@@ -251,6 +251,11 @@ HEADLINE = [
     "sql_recursive_hierarchy",
     "agg_stickiness_dau_mau_approx",
     "window_ntile_percentile",
+    # appended r8: the four new LLM-pipeline operators
+    "dedup_semdedup",
+    "text_quality_gopher",
+    "sample_temperature_mixture",
+    "embed_mrl_truncate",
 ]
 
 

@@ -1170,3 +1170,136 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         (F.floor((F.sum(F.col("ttr").cast(DEC)).cast("double") / F.count("*")) * 1e6 + 0.5).cast("long") / F.lit(1e6)).alias("avg_ttr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup — SemDeDup-style cluster + centroid-similarity pruning
+# ---------------------------------------------------------------------------
+
+# K fixture centroids (the K smallest vec_ids). Production SemDeDup
+# takes k-means centroids (ml_kmeans_converged produces exactly that
+# relation) with K ∝ corpus_size/1e5 so per-cluster membership stays
+# ~constant; fixed seed ids keep THIS op free of iterative state so the
+# whole pipeline is one deterministic plan with a batch-SQL oracle.
+_SEM_K = 8
+# Two cluster neighbors whose centroid similarities differ by less
+# than EPS are declared semantic duplicates (the SemDeDup scale trick:
+# sort members by similarity to the centroid and compare ADJACENT
+# values only — O(n log n) per cluster, never pairwise O(n²)).
+_SEM_EPS = 0.002
+
+_SEMDEDUP_ORACLE = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cvec, {oracle_norm("embedding")} AS cnrm
+  FROM embeddings WHERE vec_id < {_SEM_K}
+),
+base AS (
+  SELECT vec_id, embedding, {oracle_norm("embedding")} AS nrm FROM embeddings
+),
+sims AS (
+  SELECT b.vec_id, c.cid,
+         {oracle_dot("b.embedding", "c.cvec")} / (b.nrm * c.cnrm) AS sim
+  FROM base b CROSS JOIN cent c
+),
+best AS (
+  SELECT vec_id, cid, sim,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, cid ASC) AS rn
+  FROM sims
+),
+assigned AS (SELECT vec_id, cid AS cluster_id, sim FROM best WHERE rn = 1),
+gapped AS (
+  SELECT vec_id, cluster_id, sim,
+         lag(sim) OVER (PARTITION BY cluster_id
+                        ORDER BY sim DESC, vec_id ASC) AS prev_sim
+  FROM assigned
+)
+SELECT vec_id,
+       CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(floor(sim * 1e6 + 0.5) AS BIGINT) AS sim_micro,
+       (prev_sim IS NOT NULL AND prev_sim - sim < {_SEM_EPS}) AS is_pruned
+FROM gapped
+ORDER BY vec_id
+"""
+
+
+@register("dedup_semdedup", oracle=_SEMDEDUP_ORACLE)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication over the embedding table:
+    assign every vector to its nearest (cosine) centroid, then within
+    each cluster flag near-duplicates by the ADJACENT-similarity gap —
+    members are sorted by similarity to their centroid and a member
+    whose similarity is within EPS of its predecessor is pruned.
+
+    This is the published SemDeDup scale shape: clustering makes the
+    candidate structure local, and the sorted-adjacency comparison
+    replaces within-cluster pairwise O(n²) cosine with one ordered
+    window — O(n log n) per cluster, expressible entirely in
+    DataFrame ops (no UDF). Centroids here are the K smallest vec_ids
+    (deterministic fixture seeds; production drops in
+    ml_kmeans_converged's centroids with K scaled ∝ N so per-cluster
+    size — and the per-cluster window — stays bounded).
+
+    Determinism: cosine uses the left-fold dot/norm contract
+    (functions/vectors.py — bit-identical in both engines); argmax
+    ties break on centroid id, gap ordering ties on vec_id. Output
+    flags (never drops) so the oracle checks survivors AND prunes.
+
+    Scale: centroids broadcast (K rows); assignment is map-side over
+    the K-expanded scan; one shuffle per window — vec_id (K:1
+    reduce), then cluster_id (bounded per-cluster membership by K ∝ N
+    choice). Nothing pairwise anywhere.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = (
+        emb.filter(F.col("vec_id") < _SEM_K)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("cvec"),
+            norm(F.col("embedding")).alias("cnrm"),
+        )
+    )
+    base = emb.select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    sims = base.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cid",
+        cosine(
+            F.col("embedding"), F.col("cvec"), F.col("nrm"), F.col("cnrm")
+        ).alias("sim"),
+    )
+    # argmax via max(struct(sim, -cid)): struct ordering compares sim
+    # first, then -cid — highest sim wins, ties to the SMALLEST cid —
+    # and the groupBy gets map-side partial aggregation, so the
+    # K-expanded rows collapse before the exchange (a row_number
+    # window would shuffle all K copies per vector first).
+    assigned = (
+        sims.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(F.col("sim"), (-F.col("cid")).alias("ncid"))
+            ).alias("m")
+        )
+        .select(
+            "vec_id",
+            (-F.col("m.ncid")).alias("cluster_id"),
+            F.col("m.sim").alias("sim"),
+        )
+    )
+    w_gap = Window.partitionBy("cluster_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        assigned.withColumn("prev_sim", F.lag("sim").over(w_gap))
+        .select(
+            "vec_id",
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            F.floor(F.col("sim") * 1e6 + 0.5).cast("long").alias("sim_micro"),
+            (
+                F.col("prev_sim").isNotNull()
+                & (F.col("prev_sim") - F.col("sim") < _SEM_EPS)
+            ).alias("is_pruned"),
+        )
+        .orderBy("vec_id")
+    )

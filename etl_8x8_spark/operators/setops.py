@@ -201,6 +201,101 @@ def sample_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# temperature-scaled mixture sampling — the multilingual-pretraining op
+# --------------------------------------------------------------------------
+
+# Expected sampled count ∝ count^ALPHA (temperature sampling, the
+# public multilingual-pretraining recipe: up-weight rare languages
+# without flattening to uniform). Acceptance rate per language is
+# (min_count / count)^(1-ALPHA), normalized so the rarest language is
+# kept at 100%; ALPHA=0.5 → rate = sqrt(min/count). The rate is
+# quantized to ppm through correctly-rounded IEEE double sqrt/division
+# (bit-identical across engines), and membership is the same masked
+# Knuth hash as sample_systematic — reproducible across runs, engines,
+# and repartitions.
+_TEMP_ALPHA = 0.5
+
+_TEMP_ORACLE = f"""
+WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+m AS (SELECT MIN(cnt) AS mn FROM c),
+r AS (
+  SELECT lang, cnt,
+         CAST(floor(sqrt(CAST(mn AS DOUBLE) / cnt) * {_MIX_M} + 0.5)
+              AS BIGINT) AS rate_ppm
+  FROM c CROSS JOIN m
+)
+SELECT r.lang,
+       CAST(r.cnt AS BIGINT) AS n_rows,
+       r.rate_ppm,
+       CAST(COUNT(CASE WHEN ((d.doc_id % 2147483648) * 2654435761)
+                            % 4294967296 % {_MIX_M} < r.rate_ppm
+                       THEN 1 END) AS BIGINT) AS n_sampled
+FROM documents d JOIN r USING (lang)
+GROUP BY r.lang, r.cnt, r.rate_ppm
+ORDER BY r.lang
+"""
+
+
+@register("sample_temperature_mixture", oracle=_TEMP_ORACLE)
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language mixture (expected sampled count ∝
+    count^α, α=0.5) — the standard multilingual-pretraining sampler:
+    rare languages are up-weighted relative to their natural share
+    without flattening the mixture to uniform (that is
+    ``sample_mixture_rebalance``, the α→0 limit; α=1 is the raw
+    corpus). Output audits each language's natural count, its ppm
+    acceptance rate, and the realized sample size.
+
+    Determinism: rate_ppm goes through correctly-rounded IEEE double
+    division+sqrt (bit-identical in Spark and DuckDB) then integer
+    floor; membership is the masked Knuth hash of doc_id — no rand(),
+    no order dependence.
+
+    Scale: per-language counts are a low-cardinality partial+final
+    aggregate; the |langs|-row rate table broadcasts back onto the
+    corpus scan, so sampling is map-side — one stats pass + one narrow
+    pass at any corpus size, same shape as production mixture
+    construction.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("cnt"))
+    mn = counts.agg(F.min("cnt").alias("mn"))
+    rates = (
+        counts.crossJoin(F.broadcast(mn))
+        .select(
+            "lang",
+            "cnt",
+            F.floor(
+                F.sqrt(F.col("mn").cast("double") / F.col("cnt")) * _MIX_M
+                + 0.5
+            )
+            .cast("long")
+            .alias("rate_ppm"),
+        )
+    )
+    bucket = (
+        ((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761))
+        % F.lit(4294967296)
+    ) % _MIX_M
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .groupBy("lang", "cnt", "rate_ppm")
+        .agg(
+            F.count(F.when(bucket < F.col("rate_ppm"), 1))
+            .cast("long")
+            .alias("n_sampled")
+        )
+        .select(
+            "lang",
+            F.col("cnt").cast("long").alias("n_rows"),
+            "rate_ppm",
+            "n_sampled",
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
 # per-group cap — "domain capping" for corpus balance
 # --------------------------------------------------------------------------
 

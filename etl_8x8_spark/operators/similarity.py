@@ -916,3 +916,95 @@ def ml_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e6)
         ).alias("inertia"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation — prefix-dim embeddings + fidelity audit
+# ---------------------------------------------------------------------------
+
+# Matryoshka-style dimensionality reduction (public MRL recipe):
+# serve the first M dims of a D-dim embedding, renormalized. The op
+# audits the fidelity loss pairwise: for every adjacent-id pair it
+# compares full-dim cosine against truncated-dim cosine. A training
+# pipeline uses exactly this audit to pick the cheapest prefix dim
+# that keeps retrieval quality.
+_MRL_DIM = 16
+
+_MRL_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, embedding,
+         embedding[1:{_MRL_DIM}] AS emb_t,
+         {oracle_norm("embedding")} AS nrm,
+         {oracle_norm(f"embedding[1:{_MRL_DIM}]")} AS nrm_t
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {oracle_dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
+           AS cos_full,
+         {oracle_dot("a.emb_t", "b.emb_t")} / (a.nrm_t * b.nrm_t)
+           AS cos_trunc
+  FROM base a JOIN base b ON b.vec_id = a.vec_id + 1
+)
+SELECT vec_a, vec_b,
+       CAST(floor(cos_full * 1e6 + 0.5) AS BIGINT) AS cos_full_micro,
+       CAST(floor(cos_trunc * 1e6 + 0.5) AS BIGINT) AS cos_trunc_micro,
+       CAST(abs(floor(cos_full * 1e6 + 0.5)
+                - floor(cos_trunc * 1e6 + 0.5)) AS BIGINT) AS delta_micro
+FROM pairs
+ORDER BY vec_a
+"""
+
+
+@register("embed_mrl_truncate", oracle=_MRL_ORACLE)
+def embed_mrl_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style prefix truncation with a pairwise fidelity
+    audit: every embedding is truncated to its first M dims and
+    renormalized, then each adjacent-id pair's full-dim cosine is
+    compared against its truncated cosine — the measurement a
+    pipeline runs to choose the cheapest serving dimension.
+
+    Determinism: slices preserve element order, so the left-fold
+    dot/norm contract (functions/vectors.py) holds for the prefix
+    exactly as for the full vector — bit-identical doubles in both
+    engines; outputs are micro-quantized and the delta is computed on
+    the quantized values (integer-exact).
+
+    Scale: one narrow map (slice + two norms per row) and one
+    self-equi-join on a monotone key — co-partitioned shuffle, linear
+    at any corpus size. No pairwise blowup: the audit pairs are O(N)
+    by construction (adjacent ids), which is the standard sampled-
+    pair estimator shape; swap the pairing key for any deterministic
+    sample without touching the plan.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        "embedding",
+        F.slice(F.col("embedding"), 1, _MRL_DIM).alias("emb_t"),
+        norm(F.col("embedding")).alias("nrm"),
+        norm(F.slice(F.col("embedding"), 1, _MRL_DIM)).alias("nrm_t"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cos_full = cosine(
+        F.col("a.embedding"),
+        F.col("b.embedding"),
+        F.col("a.nrm"),
+        F.col("b.nrm"),
+    )
+    cos_trunc = cosine(
+        F.col("a.emb_t"), F.col("b.emb_t"), F.col("a.nrm_t"), F.col("b.nrm_t")
+    )
+    fm = F.floor(cos_full * 1e6 + 0.5).cast("long")
+    tm = F.floor(cos_trunc * 1e6 + 0.5).cast("long")
+    return (
+        a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + 1)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            fm.alias("cos_full_micro"),
+            tm.alias("cos_trunc_micro"),
+            F.abs(fm - tm).alias("delta_micro"),
+        )
+        .orderBy("vec_a")
+    )

@@ -1592,3 +1592,124 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style multi-rule quality filter
+# ---------------------------------------------------------------------------
+
+# The published Gopher/MassiveText rule family, bounds scaled to the
+# fixture corpus (docs are paragraph-sized, not web pages): token
+# count, mean token length, alphabetic-token fraction, symbol-token
+# fraction, and minimum stopword occurrences. Bounds are scaled so the
+# fixture corpus EXERCISES the count/mean-len/stopword rules (Gopher's
+# web-page bounds would pass every paragraph-sized fixture doc);
+# alpha/symbol rules pass universally on the clean fixture text by
+# construction — they fire on real web corpora. Each rule is emitted as
+# its own flag (a training pipeline tunes/ablates rules individually);
+# `passes_all` is their AND.
+_GOPHER_MIN_TOKENS = 20
+_GOPHER_MAX_TOKENS = 1000
+_GOPHER_MIN_MEAN_LEN = 2.0
+_GOPHER_MAX_MEAN_LEN = 4.8
+_GOPHER_MIN_ALPHA_FRAC = 0.8
+_GOPHER_MAX_SYMBOL_FRAC = 0.1
+_GOPHER_MIN_STOPWORDS = 2
+
+_GOPHER_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, {_TOKENS_SQL} AS toks FROM documents
+),
+s AS (
+  SELECT doc_id, lang,
+         len(toks) AS n_tok,
+         list_reduce(list_transform(toks, x -> length(x)),
+                     (a, b) -> a + b) AS len_sum,
+         len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+         len(list_filter(toks, x -> contains(x, '#')
+                                    OR contains(x, '...'))) AS n_sym,
+         len(list_filter(toks, x -> x IN {_STOP_SQL})) AS n_stop
+  FROM t
+),
+r AS (
+  SELECT doc_id, lang,
+         CAST(n_tok AS BIGINT) AS n_tokens,
+         CAST(floor(CAST(len_sum AS DOUBLE) / n_tok * 1e6 + 0.5) AS BIGINT)
+           AS mean_len_micro,
+         n_tok BETWEEN {_GOPHER_MIN_TOKENS} AND {_GOPHER_MAX_TOKENS}
+           AS ok_count,
+         CAST(len_sum AS DOUBLE) / n_tok
+           BETWEEN {_GOPHER_MIN_MEAN_LEN} AND {_GOPHER_MAX_MEAN_LEN}
+           AS ok_mean_len,
+         CAST(n_alpha AS DOUBLE) / n_tok >= {_GOPHER_MIN_ALPHA_FRAC}
+           AS ok_alpha,
+         CAST(n_sym AS DOUBLE) / n_tok <= {_GOPHER_MAX_SYMBOL_FRAC}
+           AS ok_symbol,
+         n_stop >= {_GOPHER_MIN_STOPWORDS} AS ok_stopwords
+  FROM s
+)
+SELECT doc_id, lang, n_tokens, mean_len_micro,
+       ok_count, ok_mean_len, ok_alpha, ok_symbol, ok_stopwords,
+       (ok_count AND ok_mean_len AND ok_alpha AND ok_symbol
+        AND ok_stopwords) AS passes_all
+FROM r
+ORDER BY doc_id
+"""
+
+
+@register("text_quality_gopher", oracle=_GOPHER_ORACLE)
+def text_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText-style multi-rule document quality filter:
+    token-count bounds, mean-token-length bounds, alphabetic-token
+    fraction, symbol-token fraction, and a minimum stopword count —
+    each rule emitted as its own flag (pipelines ablate rules
+    individually) plus the combined `passes_all` gate.
+
+    Differs from text_analysis_stats' single TTR gate: this is the
+    rule-FAMILY form used to filter pretraining corpora, with bounds
+    scaled to the fixture's paragraph-sized documents.
+
+    Determinism: ratio comparisons go through IEEE double division on
+    exact integers — identical in both engines; mean length is also
+    emitted micro-quantized for the hash.
+
+    Scale: narrow-only — every rule is a higher-order function over
+    the per-row token array (whole-stage codegen, no UDF, no
+    shuffle). At 100 TB this is a pure map over the corpus scan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    df = docs.select("doc_id", "lang", tokens().alias("toks"))
+    n = F.size("toks")
+    len_sum = F.aggregate(
+        F.col("toks"), F.lit(0), lambda a, t: a + F.length(t)
+    )
+    n_alpha = F.size(F.filter("toks", lambda t: t.rlike("[a-z]")))
+    n_sym = F.size(
+        F.filter(
+            "toks",
+            lambda t: t.contains("#") | t.contains("..."),
+        )
+    )
+    n_stop = F.size(F.filter("toks", lambda t: t.isin(_STOPWORDS)))
+    mean_len = len_sum.cast("double") / n
+    ok_count = (n >= _GOPHER_MIN_TOKENS) & (n <= _GOPHER_MAX_TOKENS)
+    ok_mean_len = (mean_len >= _GOPHER_MIN_MEAN_LEN) & (
+        mean_len <= _GOPHER_MAX_MEAN_LEN
+    )
+    ok_alpha = n_alpha.cast("double") / n >= _GOPHER_MIN_ALPHA_FRAC
+    ok_symbol = n_sym.cast("double") / n <= _GOPHER_MAX_SYMBOL_FRAC
+    ok_stop = n_stop >= _GOPHER_MIN_STOPWORDS
+    return df.select(
+        "doc_id",
+        "lang",
+        n.cast("long").alias("n_tokens"),
+        F.floor(mean_len * 1e6 + 0.5).cast("long").alias("mean_len_micro"),
+        ok_count.alias("ok_count"),
+        ok_mean_len.alias("ok_mean_len"),
+        ok_alpha.alias("ok_alpha"),
+        ok_symbol.alias("ok_symbol"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_count & ok_mean_len & ok_alpha & ok_symbol & ok_stop).alias(
+            "passes_all"
+        ),
+    ).orderBy("doc_id")

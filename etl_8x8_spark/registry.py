@@ -67,8 +67,14 @@ _QUERY_MODULES = [
 # verified locally via tools/verify_queries.py instead of spending
 # driver slots: the edits are plan/tolerance-only and all carried r7
 # driver-green rows.
+# The FOUR r8-new keys lead outright: they have never had a driver row.
 # bench.py's HEADLINE order is independent and unaffected.
 _SAMPLE_PRIORITY = [
+    # new in r8 — no driver evidence yet
+    "dedup_semdedup",
+    "text_quality_gopher",
+    "sample_temperature_mixture",
+    "embed_mrl_truncate",
     # r2-vintage evidence
     "env_derive",
     "join_asof_forward",
