@@ -251,11 +251,14 @@ HEADLINE = [
     "sql_recursive_hierarchy",
     "agg_stickiness_dau_mau_approx",
     "window_ntile_percentile",
-    # appended r8: the four new LLM-pipeline operators
+    # appended r8: the new LLM-pipeline + privacy/sampling operators
     "dedup_semdedup",
     "text_quality_gopher",
     "sample_temperature_mixture",
     "embed_mrl_truncate",
+    "pipeline_dedup_cascade",
+    "sample_bottom_k_sketch",
+    "agg_dp_count_laplace",
 ]
 
 

@@ -3090,3 +3090,95 @@ def agg_hdr_histogram_pctl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST({_HDR_SPARK_MID('b95')} AS BIGINT)").alias("p95_cents"),
         F.expr(f"CAST({_HDR_SPARK_MID('b99')} AS BIGINT)").alias("p99_cents"),
     ).orderBy("o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# differential-privacy noisy-count release (Laplace mechanism)
+# ---------------------------------------------------------------------------
+
+# ε for the Laplace mechanism (sensitivity 1 for a count ⇒ scale
+# b = 1/ε). Noise is DETERMINISTIC here: the uniform draw comes from a
+# Knuth hash seeded by the released statistic itself, so both engines
+# derive bit-identical noise and the oracle can value-hash the output.
+# That makes this a demo of the MECHANISM (inverse-CDF Laplace,
+# post-processing clamp), explicitly NOT a private release — real DP
+# needs a secret, fresh random source; the plan shape is identical.
+_DP_EPS = 1.0
+
+_DP_ORACLE = f"""
+WITH c AS (
+  SELECT event_type, COUNT(*) AS n_true FROM events GROUP BY event_type
+),
+u AS (
+  SELECT event_type, n_true,
+         (CAST(((n_true % 2147483648) * 2654435761) % 4294967296
+               % 1000000 AS DOUBLE) + 0.5) / 1000000.0 AS uu
+  FROM c
+),
+n AS (
+  SELECT event_type, n_true,
+         CAST(round(
+           (CASE WHEN uu < 0.5 THEN 1.0 ELSE -1.0 END)
+           * (floor(ln(1.0 - 2.0 * abs(uu - 0.5)) * 1e6) / 1e6)
+           / {_DP_EPS}
+         ) AS BIGINT) AS noise
+  FROM u
+)
+SELECT event_type, CAST(n_true AS BIGINT) AS n_true, noise,
+       greatest(CAST(0 AS BIGINT), n_true + noise) AS n_released
+FROM n
+ORDER BY event_type
+"""
+
+
+@register("agg_dp_count_laplace", oracle=_DP_ORACLE)
+def agg_dp_count_laplace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism noisy count release per event type: inverse-
+    CDF Laplace noise (scale 1/ε, count sensitivity 1) added to each
+    group count, clamped non-negative (post-processing preserves DP).
+    The output keeps the true count alongside — this operator is the
+    MECHANISM demo + calibration audit (noise distribution, clamp
+    rate), not a private release: the uniform draw is a deterministic
+    Knuth hash seeded by the statistic so both engines agree
+    bit-for-bit (a real release swaps in a secret RNG; the plan is
+    unchanged).
+
+    Determinism note: ln() is not IEEE-correctly-rounded, so the ln
+    term is floor-quantized to micro-units before scaling (the
+    agg_survival_curve precedent) — a cross-engine ulp difference
+    would need to straddle a 1e-6 boundary to flip the hash.
+
+    Scale: one partial+final groupBy on a low-cardinality key; the
+    noise transform is a scalar expression over |groups| rows. At
+    100 TB the count shuffle is the whole cost — noise is free.
+    """
+    events = load_table(spark, sf_dir, "events")
+    c = events.groupBy("event_type").agg(F.count("*").alias("n_true"))
+    uu = (
+        (
+            ((F.col("n_true") % F.lit(2147483648)) * F.lit(2654435761))
+            % F.lit(4294967296)
+            % F.lit(1_000_000)
+        ).cast("double")
+        + 0.5
+    ) / 1_000_000.0
+    lnq = F.floor(F.log(1.0 - 2.0 * F.abs(uu - 0.5)) * 1e6) / 1e6
+    noise = F.round(
+        F.when(uu < 0.5, F.lit(1.0)).otherwise(F.lit(-1.0)) * lnq / _DP_EPS
+    ).cast("long")
+    return (
+        c.select(
+            "event_type",
+            F.col("n_true").cast("long").alias("n_true"),
+            noise.alias("noise"),
+        )
+        .select(
+            "event_type",
+            "n_true",
+            "noise",
+            F.greatest(F.lit(0).cast("long"), F.col("n_true") + F.col("noise")).alias(
+                "n_released"
+            ),
+        )
+        .orderBy("event_type")
+    )

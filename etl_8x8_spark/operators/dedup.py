@@ -1303,3 +1303,128 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup cascade — exact → near, staged, as ONE plan
+# ---------------------------------------------------------------------------
+
+# The production dedup CASCADE: cheap exact hashing first (kills the
+# bulk), then blocked n-gram-Jaccard near-dup over the survivors only
+# — each stage shrinking the next stage's input. Both seeded variant
+# populations are planted so both stages provably fire at every SF.
+_CASCADE_SQL = f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_EXACT_OFFSET} AS doc_id,
+         upper(text) || '  ' AS text
+  FROM documents WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT doc_id + {_NEAR_OFFSET} AS doc_id,
+         text || ' trailing marker' AS text
+  FROM documents WHERE doc_id % 3 = 0
+"""
+
+_CASCADE_ORACLE = f"""
+WITH corpus AS ({_CASCADE_SQL}),
+hashed AS (
+  SELECT doc_id, text,
+         row_number() OVER (PARTITION BY {_NORM_SQL}
+                            ORDER BY doc_id) AS rn
+  FROM corpus
+),
+survivors AS (SELECT doc_id, text FROM hashed WHERE rn = 1),
+sh AS (
+  SELECT doc_id,
+         {_BLOCK_KEY_SQL} AS block_key,
+         {_shingles_sql(_TOKENS_SQL)} AS sset
+  FROM survivors
+),
+near_elim AS (
+  SELECT DISTINCT b.doc_id
+  FROM sh a JOIN sh b
+    ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+        / len(list_distinct(a.sset || b.sset)) >= {_JACCARD_THRESHOLD}
+)
+SELECT h.doc_id,
+       CASE WHEN h.rn > 1 THEN 'exact'
+            WHEN n.doc_id IS NOT NULL THEN 'near'
+            ELSE 'kept' END AS stage
+FROM hashed h LEFT JOIN near_elim n ON n.doc_id = h.doc_id
+ORDER BY h.doc_id
+"""
+
+
+@register("pipeline_dedup_cascade", oracle=_CASCADE_ORACLE)
+def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production dedup CASCADE as one composed Catalyst plan:
+    stage 1 exact (normalize → SHA-256 → keep-min-id per content
+    group), stage 2 blocked n-gram-Jaccard near-dup over stage-1
+    SURVIVORS only. Every input doc is labeled with the stage that
+    eliminated it ('exact' / 'near') or 'kept' — the per-stage
+    attribution a corpus pipeline reports.
+
+    Near-elimination is single-pass: a survivor is 'near' if ANY
+    lower-id stage-1 survivor in its block clears the Jaccard
+    threshold (no transitive closure — that is dedup_cluster_cc's
+    job). Both engines implement the same rule.
+
+    Scale: the cascade ORDER is the point — the exact stage moves
+    only 32-byte hashes and typically kills most duplicate mass, so
+    the quadratic-ish blocked near stage runs on a reduced corpus.
+    Stage 1 is one hash shuffle; stage 2 reuses the blocked-join
+    shape of dedup_ngram_jaccard (bounded block sizes, audited linear
+    in r3); the final labeling is one broadcast-sized left join of
+    eliminated ids.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = seeded_exact_corpus(docs).unionByName(
+        docs.filter(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + _NEAR_OFFSET).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" trailing marker")).alias("text"),
+        )
+    )
+    w = Window.partitionBy(F.sha2(normalized(), 256)).orderBy("doc_id")
+    hashed = widen_for_python(corpus).withColumn(
+        "rn", F.row_number().over(w)
+    )
+    # persisted for the same CollapseProject reason as
+    # dedup_ngram_jaccard: both self-join sides consume the shingle
+    # table (lifecycle note there; bench/verify clearCache between
+    # queries).
+    sh = (
+        hashed.filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            _block_key().alias("block_key"),
+            shingles(tokens()).alias("sset"),
+        )
+        .persist()
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    jac = F.size(
+        F.array_intersect(F.col("a.sset"), F.col("b.sset"))
+    ).cast("double") / F.size(F.array_union(F.col("a.sset"), F.col("b.sset")))
+    near = (
+        a.join(
+            b,
+            (F.col("a.block_key") == F.col("b.block_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(jac >= _JACCARD_THRESHOLD)
+        .select(F.col("b.doc_id").alias("doc_id"))
+        .distinct()
+        .withColumn("near_hit", F.lit(True))
+    )
+    return (
+        hashed.join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("rn") > 1, F.lit("exact"))
+            .when(F.col("near_hit"), F.lit("near"))
+            .otherwise(F.lit("kept"))
+            .alias("stage"),
+        )
+        .orderBy("doc_id")
+    )

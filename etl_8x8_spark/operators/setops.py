@@ -675,3 +675,64 @@ def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# bottom-k sketch — the mergeable distributed uniform sample
+# --------------------------------------------------------------------------
+
+# The k rows with the SMALLEST hash of their id form a uniform sample
+# that is MERGEABLE: bottom-k(A ∪ B) = bottom-k(bottom-k(A) ∪
+# bottom-k(B)) — the property that makes it the distributed/streaming
+# uniform-sampling primitive (every partition forwards at most k
+# candidates; the union of sketches is the sketch of the union).
+_BOTTOMK = 100
+
+_BOTTOMK_ORACLE = f"""
+SELECT CAST(row_number() OVER (ORDER BY hkey, event_id) AS BIGINT)
+         AS sample_rank,
+       event_id, event_type, hkey
+FROM (
+  SELECT event_id, event_type,
+         CAST(((event_id % 2147483648) * 2654435761) % 4294967296
+              AS BIGINT) AS hkey
+  FROM events
+  ORDER BY hkey, event_id
+  LIMIT {_BOTTOMK}
+)
+ORDER BY sample_rank
+"""
+
+
+@register("sample_bottom_k_sketch", oracle=_BOTTOMK_ORACLE)
+def sample_bottom_k_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k sketch: the k rows whose Knuth id-hash is smallest —
+    a uniform random sample that is deterministic (reproducible across
+    runs, engines, and partitionings) and MERGEABLE (the bottom-k of
+    a union is the bottom-k of the per-partition bottom-k's), which
+    is what makes it the distributed uniform-sampling primitive:
+    unlike reservoir sampling it needs no sequential state, and
+    unlike per-row Bernoulli it yields an exact-size sample.
+
+    Scale: ``orderBy().limit(k)`` executes as TakeOrderedAndProject —
+    every task forwards at most k rows and the driver merges
+    P·k candidates, never a global sort (the plan IS the sketch-merge
+    algorithm). The rank window after the cut runs over ≤ k rows.
+    """
+    events = load_table(spark, sf_dir, "events")
+    hkey = (
+        ((F.col("event_id") % F.lit(2147483648)) * F.lit(2654435761))
+        % F.lit(4294967296)
+    ).cast("long")
+    sk = (
+        events.select("event_id", "event_type", hkey.alias("hkey"))
+        .orderBy("hkey", "event_id")
+        .limit(_BOTTOMK)
+    )
+    w = Window.orderBy("hkey", "event_id")
+    return sk.select(
+        F.row_number().over(w).cast("long").alias("sample_rank"),
+        "event_id",
+        "event_type",
+        "hkey",
+    ).orderBy("sample_rank")

@@ -72,6 +72,9 @@ _QUERY_MODULES = [
 _SAMPLE_PRIORITY = [
     # new in r8 — no driver evidence yet
     "dedup_semdedup",
+    "pipeline_dedup_cascade",
+    "sample_bottom_k_sketch",
+    "agg_dp_count_laplace",
     "text_quality_gopher",
     "sample_temperature_mixture",
     "embed_mrl_truncate",

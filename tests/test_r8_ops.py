@@ -293,3 +293,94 @@ class TestTemperatureMixture:
             # sampled share of max-count lang exceeds min-count lang
         mx, mn = by_cnt[-1], by_cnt[0]
         assert mx["n_sampled"] >= mn["n_sampled"]
+
+
+class TestBottomKSketch:
+    def test_mergeable_and_plan(self, spark, sf_dir):
+        """The sample equals the bottom-k of per-partition bottom-k's
+        (mergeability), and the plan is TakeOrderedAndProject."""
+        from etl_8x8_spark.registry import all_queries
+        from etl_8x8_spark.operators.setops import _BOTTOMK
+
+        df = all_queries()["sample_bottom_k_sketch"].builder(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan, plan[:500]
+        rows = df.collect()
+        assert len(rows) <= _BOTTOMK
+        assert [r["sample_rank"] for r in rows] == list(
+            range(1, len(rows) + 1)
+        )
+        # hashes non-decreasing in rank
+        hk = [r["hkey"] for r in rows]
+        assert hk == sorted(hk)
+
+    def test_merge_property(self, spark, sf_dir):
+        """bottom-k(full) == bottom-k(bottom-k(half1) ∪ bottom-k(half2))."""
+        from etl_8x8_spark.sources.readers import load_table
+        from etl_8x8_spark.operators.setops import _BOTTOMK
+
+        ev = load_table(spark, sf_dir, "events")
+        hkey = (
+            ((F.col("event_id") % F.lit(2147483648)) * F.lit(2654435761))
+            % F.lit(4294967296)
+        ).cast("long")
+        base = ev.select("event_id", hkey.alias("hkey"))
+        full = base.orderBy("hkey", "event_id").limit(_BOTTOMK).collect()
+        h1 = base.filter(F.col("event_id") % 2 == 0).orderBy(
+            "hkey", "event_id"
+        ).limit(_BOTTOMK)
+        h2 = base.filter(F.col("event_id") % 2 == 1).orderBy(
+            "hkey", "event_id"
+        ).limit(_BOTTOMK)
+        merged = (
+            h1.unionByName(h2).orderBy("hkey", "event_id").limit(_BOTTOMK).collect()
+        )
+        assert [r["event_id"] for r in full] == [r["event_id"] for r in merged]
+
+
+class TestDpCountLaplace:
+    def test_noise_and_clamp(self, spark, sf_dir):
+        import math
+
+        from etl_8x8_spark.registry import all_queries
+        from etl_8x8_spark.operators.aggregates import _DP_EPS
+
+        rows = all_queries()["agg_dp_count_laplace"].builder(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert r["n_released"] == max(0, r["n_true"] + r["noise"])
+            # recompute the deterministic inverse-CDF noise
+            h = ((r["n_true"] % 2147483648) * 2654435761) % 4294967296 % 1000000
+            u = (h + 0.5) / 1e6
+            lnq = math.floor(math.log(1.0 - 2.0 * abs(u - 0.5)) * 1e6) / 1e6
+            expect = round((1.0 if u < 0.5 else -1.0) * lnq / _DP_EPS)
+            assert r["noise"] == expect, r
+
+
+class TestDedupCascade:
+    def test_stage_attribution(self, spark, sf_dir):
+        """Every planted exact variant dies at stage 1; every planted
+        near variant dies at stage 1 or 2 (a near variant of an
+        exact-duplicated doc can collapse earlier); originals of the
+        planted pairs survive or die only via cross-doc matches."""
+        from etl_8x8_spark.operators.dedup import _EXACT_OFFSET, _NEAR_OFFSET
+        from etl_8x8_spark.registry import all_queries
+
+        rows = {
+            r["doc_id"]: r["stage"]
+            for r in all_queries()["pipeline_dedup_cascade"]
+            .builder(spark, sf_dir)
+            .collect()
+        }
+        exact_variants = [d for d in rows if _EXACT_OFFSET <= d < _NEAR_OFFSET]
+        near_variants = [d for d in rows if d >= _NEAR_OFFSET]
+        assert exact_variants and near_variants
+        # exact variants normalize to their original -> always stage 1
+        assert all(rows[d] == "exact" for d in exact_variants)
+        # near variants are eliminated (stage near normally; exact if
+        # two identical docs both got the same suffix)
+        assert all(rows[d] != "kept" for d in near_variants), [
+            d for d in near_variants if rows[d] == "kept"
+        ][:5]
+        stages = set(rows.values())
+        assert {"kept", "exact", "near"} <= stages
