@@ -259,6 +259,7 @@ HEADLINE = [
     "pipeline_dedup_cascade",
     "sample_bottom_k_sketch",
     "agg_dp_count_laplace",
+    "stream_static_enrich",
 ]
 
 

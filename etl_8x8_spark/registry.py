@@ -75,6 +75,7 @@ _SAMPLE_PRIORITY = [
     "pipeline_dedup_cascade",
     "sample_bottom_k_sketch",
     "agg_dp_count_laplace",
+    "stream_static_enrich",
     "text_quality_gopher",
     "sample_temperature_mixture",
     "embed_mrl_truncate",

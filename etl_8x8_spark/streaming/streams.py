@@ -661,3 +661,42 @@ def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+
+@register(
+    "stream_static_enrich",
+    oracle=f"""
+SELECT c.c_mktsegment AS segment,
+       e.event_type,
+       COUNT(*) AS n_events,
+       {oracle_dsum("e.value", "sum_value")}
+FROM events e JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY 1, 2
+""",
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment — the most common production stream
+    join: a live event stream joined against a STATIC dimension
+    (customer), then aggregated per (segment, event_type). The static
+    side needs no watermark or state: Spark re-plans it per
+    micro-batch and broadcasts it under the join threshold, so the
+    stream side never shuffles for the join — state exists only in
+    the downstream aggregation.
+
+    Scale: at 100 TB/day of events the dim broadcast is per-executor
+    constant; the aggregation state is bounded by |segments| ×
+    |event_types|. Contrast stream_join_interval (stream-stream,
+    watermark-bounded state in BOTH sides).
+    """
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    s = read_events_stream(spark, sf_dir)
+    enriched = s.join(F.broadcast(dim), "user_id").groupBy(
+        "segment", "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        dsum("value", "sum_value"),
+    )
+    return run_to_table(enriched, "complete", "stream_static_enrich")

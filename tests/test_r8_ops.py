@@ -384,3 +384,50 @@ class TestDedupCascade:
         ][:5]
         stages = set(rows.values())
         assert {"kept", "exact", "near"} <= stages
+
+
+class TestHistogramRankProperty:
+    """Property test: on ARBITRARY finite numeric data (ties, huge
+    outliers, negatives, tiny gaps), histogram ranks must equal the
+    naive global-window ranks exactly. Catches bucket-edge arithmetic
+    drift that hand-picked fixtures can miss."""
+
+    def test_random_datasets_match_naive(self, spark):
+        from hypothesis import given, settings, strategies as st
+
+        finite = st.one_of(
+            st.integers(-10**6, 10**6).map(float),
+            st.floats(
+                min_value=-1e9,
+                max_value=1e9,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+            st.sampled_from([0.0, -0.0, 1e-12, -1e-12, 1e9, -1e9]),
+        )
+
+        @settings(max_examples=12, deadline=None)
+        @given(st.lists(finite, min_size=1, max_size=60))
+        def check(vals):
+            df = spark.createDataFrame(
+                [(i, v) for i, v in enumerate(vals)], "k INT, v DOUBLE"
+            )
+            got = {
+                r["k"]: (r["i"], r["n"])
+                for r in histogram_global_rank(
+                    df, "v", ["k"], buckets=8
+                ).collect()
+            }
+            naive = {
+                r["k"]: r["w"]
+                for r in df.select(
+                    "k",
+                    F.row_number()
+                    .over(Window.orderBy(F.col("v").asc(), F.col("k").asc()))
+                    .alias("w"),
+                ).collect()
+            }
+            assert {k: i for k, (i, _) in got.items()} == naive
+            assert all(n == len(vals) for _, n in got.values())
+
+        check()
