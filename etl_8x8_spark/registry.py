@@ -67,7 +67,10 @@ _QUERY_MODULES = [
 # verified locally via tools/verify_queries.py instead of spending
 # driver slots: the edits are plan/tolerance-only and all carried r7
 # driver-green rows.
-# The FOUR r8-new keys lead outright: they have never had a driver row.
+# The EIGHT r8-new keys lead outright: they have never had a driver
+# row. With them the list holds 62 keys and the driver's 50-key window
+# reaches into the r3 block; the ~12 r3-vintage tail keys roll to the
+# r9 rotation.
 # bench.py's HEADLINE order is independent and unaffected.
 _SAMPLE_PRIORITY = [
     # new in r8 — no driver evidence yet
