@@ -260,6 +260,8 @@ HEADLINE = [
     "sample_bottom_k_sketch",
     "agg_dp_count_laplace",
     "stream_static_enrich",
+    "agg_ks_test_two_sample",
+    "agg_roc_auc_rank",
 ]
 
 

@@ -3182,3 +3182,211 @@ def agg_dp_count_laplace(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# two-sample Kolmogorov–Smirnov test — distributed, integer-exact
+# ---------------------------------------------------------------------------
+
+# D is computed as max|C1·n2 − C2·n1| over the distinct-value CDF grid
+# — pure int64 arithmetic (exact while n1·n2 < 2^63; at extreme corpus
+# sizes swap the numerator to double). Evaluating on DISTINCT values
+# (not raw rows) is what makes ties exact: the empirical CDFs jump
+# together at a tied value, and a raw-row scan would expose partial
+# within-tie counts and overstate D.
+_KS_ALPHA_COEF = 1.358  # c(α) at α = 0.05, classical two-sample KS
+
+_KS_ORACLE = f"""
+WITH s AS (
+  SELECT value,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c2
+  FROM events WHERE event_type IN ('click', 'view')
+  GROUP BY value
+),
+t AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+  FROM s
+),
+c AS (
+  SELECT CAST(SUM(c1) OVER (ORDER BY value) AS BIGINT) AS k1,
+         CAST(SUM(c2) OVER (ORDER BY value) AS BIGINT) AS k2
+  FROM s
+)
+SELECT t.n1, t.n2,
+       CAST(MAX(ABS(c.k1 * t.n2 - c.k2 * t.n1)) AS BIGINT) AS d_num,
+       CAST(floor(CAST(MAX(ABS(c.k1 * t.n2 - c.k2 * t.n1)) AS DOUBLE)
+                  * 1e6 / (t.n1 * t.n2)) AS BIGINT) AS d_micro,
+       CAST(floor(CAST(MAX(ABS(c.k1 * t.n2 - c.k2 * t.n1)) AS DOUBLE)
+                  * 1e6 / (t.n1 * t.n2)) AS BIGINT)
+         > CAST(floor({_KS_ALPHA_COEF}
+                      * sqrt((t.n1 + t.n2) / CAST(t.n1 * t.n2 AS DOUBLE))
+                      * 1e6) AS BIGINT) AS reject_h0
+FROM c CROSS JOIN t
+GROUP BY t.n1, t.n2
+"""
+
+
+@register("agg_ks_test_two_sample", oracle=_KS_ORACLE)
+def agg_ks_test_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test (click vs view value
+    distributions): D = sup|F̂1 − F̂2| over the pooled distinct-value
+    grid, with the α=0.05 classical rejection threshold — the drift
+    test a feature pipeline runs between data slices (complements
+    agg_psi_drift's binned divergence with an exact, bin-free
+    statistic).
+
+    Exactness: D's numerator is max|C1·n2 − C2·n1| in int64 (no float
+    CDFs), evaluated on distinct values so tied observations jump the
+    CDFs together; the threshold comparison is micro-quantized through
+    correctly-rounded IEEE sqrt on both engines.
+
+    Scale: the raw scan collapses to |distinct values| rows in one
+    partial+final groupBy; the ordered CDF accumulation runs on
+    histogram_global_rank's bucket-partitioned windows (functions/
+    ranks.py — no single-task global window); the final sup is a
+    1-row aggregate. int64 D-numerator is exact while n1·n2 < 2^63 —
+    beyond that (≥ ~3·10^9 rows per side) switch the numerator to
+    double.
+    """
+    from etl_8x8_spark.functions.ranks import histogram_global_rank
+
+    events = load_table(spark, sf_dir, "events")
+    s = (
+        events.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("value")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("long")
+            .alias("c1"),
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            .cast("long")
+            .alias("c2"),
+        )
+    )
+    ranked = histogram_global_rank(s, "value", [], cumsums=["c1", "c2"])
+    totals = s.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    d_num_row = F.abs(
+        F.col("cum_c1") * F.col("n2") - F.col("cum_c2") * F.col("n1")
+    )
+    d_micro = F.floor(
+        F.max(d_num_row).cast("double") * 1e6 / (F.col("n1") * F.col("n2"))
+    ).cast("long")
+    thresh = F.floor(
+        F.lit(_KS_ALPHA_COEF)
+        * F.sqrt(
+            (F.col("n1") + F.col("n2"))
+            / (F.col("n1") * F.col("n2")).cast("double")
+        )
+        * 1e6
+    ).cast("long")
+    return (
+        ranked.crossJoin(F.broadcast(totals))
+        .groupBy("n1", "n2")
+        .agg(
+            F.max(d_num_row).cast("long").alias("d_num"),
+            d_micro.alias("d_micro"),
+            (d_micro > thresh).alias("reject_h0"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROC-AUC via rank-sum (Mann–Whitney U) — distributed, tie-exact
+# ---------------------------------------------------------------------------
+
+_AUC_ORACLE = """
+WITH s AS (
+  SELECT value,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cp,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS cn
+  FROM events WHERE event_type IN ('purchase', 'click')
+  GROUP BY value
+),
+t AS (
+  SELECT CAST(SUM(cp) AS BIGINT) AS n_pos, CAST(SUM(cn) AS BIGINT) AS n_neg
+  FROM s
+),
+c AS (
+  SELECT cp, cn,
+         CAST(SUM(cp + cn) OVER (ORDER BY value) AS BIGINT) AS ktot
+  FROM s
+),
+r AS (
+  SELECT CAST(SUM(cp * (2 * (ktot - cp - cn) + cp + cn + 1)) AS BIGINT)
+           AS r1_x2
+  FROM c
+)
+SELECT t.n_pos, t.n_neg,
+       (r.r1_x2 - t.n_pos * (t.n_pos + 1)) / 2 AS u_stat,
+       CAST(floor(CAST(r.r1_x2 - t.n_pos * (t.n_pos + 1) AS DOUBLE)
+                  * 1e6 / (2 * t.n_pos * t.n_neg)) AS BIGINT) AS auc_micro
+FROM r CROSS JOIN t
+"""
+
+
+@register("agg_roc_auc_rank", oracle=_AUC_ORACLE)
+def agg_roc_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of `value` as a score separating purchases
+    (positive) from clicks (negative), via the rank-sum identity
+    AUC = U/(n⁺·n⁻) with Mann–Whitney U = R⁺ − n⁺(n⁺+1)/2 — the
+    standard way to compute AUC distributively WITHOUT materializing
+    the ROC curve, and the model-eval primitive of a feature/training
+    pipeline at any scale.
+
+    Tie handling is exact and integer-only: on the distinct-value
+    grid each tied group contributes its AVERAGE rank, kept integral
+    by doubling (avg_rank×2 = 2·rank_offset + group_size + 1), so
+    U (and AUC's numerator) involve no floats until the final
+    micro-quantized division.
+
+    Scale: same shape as agg_ks_test_two_sample — groupBy collapse to
+    distinct values, bucket-partitioned cumulative rank
+    (histogram_global_rank, no global window), 1-row finale. u_stat
+    is exact while ranks fit int64 (n² < 2^63).
+    """
+    from etl_8x8_spark.functions.ranks import histogram_global_rank
+
+    events = load_table(spark, sf_dir, "events")
+    s = (
+        events.filter(F.col("event_type").isin("purchase", "click"))
+        .groupBy("value")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("cp"),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("long")
+            .alias("cn"),
+        )
+    )
+    s = s.withColumn("ct", F.col("cp") + F.col("cn"))
+    ranked = histogram_global_rank(s, "value", [], cumsums=["ct"])
+    totals = s.agg(
+        F.sum("cp").cast("long").alias("n_pos"),
+        F.sum("cn").cast("long").alias("n_neg"),
+    )
+    r1_x2 = F.sum(
+        F.col("cp") * (2 * (F.col("cum_ct") - F.col("ct")) + F.col("ct") + 1)
+    ).cast("long")
+    return (
+        ranked.crossJoin(F.broadcast(totals))
+        .groupBy("n_pos", "n_neg")
+        .agg(
+            (
+                (r1_x2 - F.col("n_pos") * (F.col("n_pos") + 1)) / 2
+            )
+            .cast("double")
+            .alias("u_stat"),
+            F.floor(
+                (r1_x2 - F.col("n_pos") * (F.col("n_pos") + 1)).cast("double")
+                * 1e6
+                / (2 * F.col("n_pos") * F.col("n_neg"))
+            )
+            .cast("long")
+            .alias("auc_micro"),
+        )
+    )

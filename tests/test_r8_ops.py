@@ -431,3 +431,77 @@ class TestHistogramRankProperty:
             assert all(n == len(vals) for _, n in got.values())
 
         check()
+
+
+class TestKsAndAuc:
+    def test_ks_rejects_on_synthetic_drift(self, spark):
+        """The fixture's event types share one distribution (reject
+        stays False at every SF — deterministic) — drive the SAME
+        builder over synthetic drifted slices to pin the reject=True
+        branch and the D arithmetic."""
+        import os
+        import tempfile
+
+        from etl_8x8_spark.operators.aggregates import agg_ks_test_two_sample
+
+        rows = []
+        for i in range(400):
+            rows.append((i, "click", float(i % 100)))          # U[0,100)
+            rows.append((10_000 + i, "view", float(i % 100) + 50.0))  # shifted
+        ev = spark.createDataFrame(rows, "event_id LONG, event_type STRING, value DOUBLE")
+        with tempfile.TemporaryDirectory() as d:
+            ev.selectExpr(
+                "event_id", "cast(null as timestamp) as ts",
+                "event_id as user_id", "event_type", "value",
+                "cast(null as string) as props",
+            ).write.parquet(os.path.join(d, "events.parquet"))
+            out = agg_ks_test_two_sample(spark, d).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["n1"] == 400 and r["n2"] == 400
+        # shift of half the range => D = 0.5 exactly
+        assert r["d_micro"] == 500_000
+        assert r["reject_h0"] is True
+
+    def test_auc_separable_and_antiseparable(self, spark):
+        """AUC -> 1 when positives all score higher, -> 0 reversed,
+        through the same registered builder on synthetic data."""
+        import os
+        import tempfile
+
+        from etl_8x8_spark.operators.aggregates import agg_roc_auc_rank
+
+        rows = []
+        for i in range(100):
+            rows.append((i, "purchase", 100.0 + i))   # positives high
+            rows.append((10_000 + i, "click", float(i)))  # negatives low
+        ev = spark.createDataFrame(rows, "event_id LONG, event_type STRING, value DOUBLE")
+        with tempfile.TemporaryDirectory() as d:
+            ev.selectExpr(
+                "event_id", "cast(null as timestamp) as ts",
+                "event_id as user_id", "event_type", "value",
+                "cast(null as string) as props",
+            ).write.parquet(os.path.join(d, "events.parquet"))
+            r = agg_roc_auc_rank(spark, d).collect()[0]
+        assert r["auc_micro"] == 1_000_000
+        assert r["u_stat"] == 100 * 100
+
+    def test_auc_ties_average(self, spark):
+        """All-equal scores => AUC exactly 0.5 via average ranks."""
+        import os
+        import tempfile
+
+        from etl_8x8_spark.operators.aggregates import agg_roc_auc_rank
+
+        rows = [(i, "purchase", 7.0) for i in range(50)] + [
+            (10_000 + i, "click", 7.0) for i in range(50)
+        ]
+        ev = spark.createDataFrame(rows, "event_id LONG, event_type STRING, value DOUBLE")
+        with tempfile.TemporaryDirectory() as d:
+            ev.selectExpr(
+                "event_id", "cast(null as timestamp) as ts",
+                "event_id as user_id", "event_type", "value",
+                "cast(null as string) as props",
+            ).write.parquet(os.path.join(d, "events.parquet"))
+            r = agg_roc_auc_rank(spark, d).collect()[0]
+        assert r["auc_micro"] == 500_000
