@@ -1,8 +1,8 @@
 """Deduplication operators (BASELINE north star; SURVEY.md §2b
 "LLM-data-pipeline extensions").
 
-Five strategies over the ``documents`` table, each a ``queries()``
-entry:
+Ten strategies over the ``documents``/``embeddings`` tables, each a
+``queries()`` entry:
 
 - ``dedup_exact``        — normalize + SHA-256 content hash (oracle)
 - ``dedup_ngram_jaccard`` — exact n-gram Jaccard on blocked candidate
@@ -12,6 +12,12 @@ entry:
 - ``dedup_simhash``      — 64-bit SimHash with Hamming-band blocking
                             (rows-only; pytest)
 - ``dedup_embed_cosine`` — embedding-cosine near-dup pairs (oracle)
+- ``dedup_containment``  — shingle containment (boilerplate wraps)
+- ``dedup_cluster_cc``   — pair→cluster connected components
+- ``dedup_binary_exact`` — binary-column exact dedup
+- ``dedup_semdedup``     — SemDeDup-style centroid-cluster prune (r8)
+- ``pipeline_dedup_cascade`` — staged exact→near cascade with
+                            per-stage attribution (r8)
 
 Scale posture (100 TB): every strategy is hash-partition-friendly —
 exact dedup is one groupBy on the content hash; MinHash/SimHash block
