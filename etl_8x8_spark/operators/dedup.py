@@ -1307,7 +1307,6 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.col("prev_sim") - F.col("sim") < _SEM_EPS)
             ).alias("is_pruned"),
         )
-        .orderBy("vec_id")
     )
 
 
@@ -1432,5 +1431,4 @@ def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit("kept"))
             .alias("stage"),
         )
-        .orderBy("doc_id")
     )

@@ -1006,5 +1006,4 @@ def embed_mrl_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
             tm.alias("cos_trunc_micro"),
             F.abs(fm - tm).alias("delta_micro"),
         )
-        .orderBy("vec_a")
     )

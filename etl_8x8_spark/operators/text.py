@@ -1712,4 +1712,4 @@ def text_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         (ok_count & ok_mean_len & ok_alpha & ok_symbol & ok_stop).alias(
             "passes_all"
         ),
-    ).orderBy("doc_id")
+    )
