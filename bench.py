@@ -262,6 +262,7 @@ HEADLINE = [
     "stream_static_enrich",
     "agg_ks_test_two_sample",
     "agg_roc_auc_rank",
+    "embed_pq_encode",
 ]
 
 

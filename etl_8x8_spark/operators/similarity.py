@@ -1007,3 +1007,157 @@ def embed_mrl_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(fm - tm).alias("delta_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization — subspace codebook encode + reconstruction audit
+# ---------------------------------------------------------------------------
+
+# PQ (the FAISS IVF-PQ storage path): split the D-dim vector into M
+# subspaces, quantize each sub-vector to its nearest of K sub-centroids,
+# store M small code ids per vector. Codebook here = the sub-vectors of
+# the K smallest vec_ids (deterministic fixture seeds — production
+# drops in per-subspace k-means centroids, same plan). Distances use
+# d² = ‖a‖² − 2a·b + ‖b‖² so every term rides the left-fold dot/norm
+# contract (bit-identical across engines).
+_PQ_M = 4  # subspaces (64 dims -> 4 x 16)
+_PQ_SUB = 16  # dims per subspace
+_PQ_K = 16  # centroids per subspace
+
+
+def _pq_slice_sql(col: str, s: int) -> str:
+    return f"{col}[{s * _PQ_SUB + 1}:{(s + 1) * _PQ_SUB}]"
+
+
+_PQ_ORACLE = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+  WHERE vec_id < {_PQ_K}
+),
+sub AS (
+  SELECT e.vec_id, s.s, c.cid,
+         {{dist}} AS d2
+  FROM embeddings e
+  CROSS JOIN (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS s) s
+  CROSS JOIN cent c
+),
+best AS (
+  SELECT vec_id, s, cid, d2,
+         row_number() OVER (PARTITION BY vec_id, s
+                            ORDER BY d2 ASC, cid ASC) AS rn
+  FROM sub
+)
+SELECT vec_id,
+       MAX(CASE WHEN s = 0 THEN cid END) AS code_0,
+       MAX(CASE WHEN s = 1 THEN cid END) AS code_1,
+       MAX(CASE WHEN s = 2 THEN cid END) AS code_2,
+       MAX(CASE WHEN s = 3 THEN cid END) AS code_3,
+       CAST(SUM(CAST(floor(d2 * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS recon_err_micro
+FROM best WHERE rn = 1
+GROUP BY vec_id
+"""
+
+
+def _pq_dist_sql() -> str:
+    # d2 for the (vector, subspace s, centroid) row — built per
+    # subspace via CASE over s so each branch slices statically.
+    branches = []
+    for s in range(_PQ_M):
+        a = _pq_slice_sql("e.embedding", s)
+        b = _pq_slice_sql("c.cvec", s)
+        branches.append(
+            f"WHEN s.s = {s} THEN "
+            f"{oracle_dot(a, a)} - 2 * {oracle_dot(a, b)} + {oracle_dot(b, b)}"
+        )
+    return "CASE " + " ".join(branches) + " END"
+
+
+@register("embed_pq_encode", oracle=_PQ_ORACLE.format(dist=_pq_dist_sql()))
+def embed_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding of the embedding table: each
+    64-dim vector splits into 4×16-dim subspaces, each sub-vector is
+    assigned its nearest (L2) of 16 sub-centroids, and the output is
+    the 4 code ids plus the total squared reconstruction error — the
+    ANN STORAGE path (a PQ code is 4 bytes vs 256 for the raw vector;
+    IVF-PQ search scans codes against per-query distance tables).
+
+    Codebook = the sub-vectors of the 16 smallest vec_ids
+    (deterministic fixture seeds; production swaps in per-subspace
+    k-means centroids — the plan is unchanged). Distances use
+    d² = ‖a‖² − 2·a·b + ‖b‖², so every term is the left-fold
+    dot contract of functions/vectors.py — bit-identical in DuckDB —
+    and argmin ties break on centroid id.
+
+    Scale: the codebook broadcasts (M·K sub-vectors); the encode is
+    map-side over an M·K-expanded scan, collapsed back by one
+    map-side-combined groupBy per vector — no shuffle carries raw
+    vectors beyond the vec_id regroup, and the output is M bytes of
+    code per vector. Encoding 100 TB of embeddings is one linear
+    pass.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("s"),
+                F.slice(F.col("embedding"), s * _PQ_SUB + 1, _PQ_SUB).alias(
+                    "sub"
+                ),
+            )
+            for s in range(_PQ_M)
+        ]
+    )
+    e = emb.select(
+        "vec_id", F.explode(subs).alias("_sp")
+    ).select("vec_id", F.col("_sp.s").alias("s"), F.col("_sp.sub").alias("sub"))
+    csubs = cents.select(
+        "cid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice(
+                            F.col("cvec"), s * _PQ_SUB + 1, _PQ_SUB
+                        ).alias("csub"),
+                    )
+                    for s in range(_PQ_M)
+                ]
+            )
+        ).alias("_cp"),
+    ).select("cid", F.col("_cp.s").alias("s"), F.col("_cp.csub").alias("csub"))
+    from etl_8x8_spark.functions.vectors import dot
+
+    d2 = (
+        dot(F.col("sub"), F.col("sub"))
+        - 2 * dot(F.col("sub"), F.col("csub"))
+        + dot(F.col("csub"), F.col("csub"))
+    )
+    # argmin via max(struct(-d2, -cid)): smallest distance wins, ties
+    # to the smallest centroid id; map-side partial agg collapses the
+    # K-expanded rows before the exchange (the semdedup idiom).
+    assigned = (
+        e.join(F.broadcast(csubs), "s")
+        .withColumn("d2", d2)
+        .groupBy("vec_id", "s")
+        .agg(F.max(F.struct((-F.col("d2")).alias("nd"), (-F.col("cid")).alias("nc"))).alias("m"))
+        .select(
+            "vec_id",
+            "s",
+            (-F.col("m.nc")).cast("long").alias("cid"),
+            # per-subspace micro-quantize BEFORE the cross-subspace
+            # sum: 4 doubles summed in shuffle order would be
+            # order-dependent; 4 longs are exact in any order.
+            F.floor((-F.col("m.nd")) * 1e6 + 0.5).cast("long").alias("derr"),
+        )
+    )
+    return assigned.groupBy("vec_id").agg(
+        *[
+            F.max(F.when(F.col("s") == s, F.col("cid"))).alias(f"code_{s}")
+            for s in range(_PQ_M)
+        ],
+        F.sum("derr").cast("long").alias("recon_err_micro"),
+    )

@@ -505,3 +505,34 @@ class TestKsAndAuc:
             ).write.parquet(os.path.join(d, "events.parquet"))
             r = agg_roc_auc_rank(spark, d).collect()[0]
         assert r["auc_micro"] == 500_000
+
+
+class TestPqEncode:
+    def test_codes_and_self_encode(self, spark, sf_dir):
+        """Codebook members must reconstruct themselves exactly (err
+        0, every subspace code = own id); all codes in [0, K)."""
+        from etl_8x8_spark.operators.similarity import _PQ_K, _PQ_M
+        from etl_8x8_spark.registry import all_queries
+
+        rows = {
+            r["vec_id"]: r
+            for r in all_queries()["embed_pq_encode"]
+            .builder(spark, sf_dir)
+            .collect()
+        }
+        assert rows
+        for vid, r in rows.items():
+            for s in range(_PQ_M):
+                assert 0 <= r[f"code_{s}"] < _PQ_K
+            assert r["recon_err_micro"] >= 0
+        for cid in range(_PQ_K):
+            if cid in rows:
+                r = rows[cid]
+                assert r["recon_err_micro"] == 0, r
+                assert all(r[f"code_{s}"] == cid for s in range(_PQ_M)), r
+        # non-codebook vectors must not reconstruct exactly
+        assert any(
+            r["recon_err_micro"] > 0
+            for vid, r in rows.items()
+            if vid >= _PQ_K
+        )
