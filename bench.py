@@ -408,6 +408,14 @@ def main() -> None:
     # number stays recoverable from the artifact even if stdout is
     # truncated — and keep the final stdout line small enough to
     # always fit the tail window whole.
+    # Only a canonical-SF (0.1) run may overwrite the committed
+    # baseline record: a local sf0.001 smoke run clobbering the sf0.1
+    # record destroyed the regression-gate baseline twice in r8 —
+    # off-SF runs persist to a separate smoke sidecar instead.
+    record_name = "BENCH_LOCAL.json"
+    if full["sf"] != 0.1:
+        record_name = "BENCH_SMOKE.json"
+        sidecar = os.path.join(os.path.dirname(sidecar), record_name)
     with open(sidecar, "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
         fh.write("\n")
@@ -424,7 +432,7 @@ def main() -> None:
         "n_queries": len(timings),
         "n_errors": len(errors),
         "n_regressions": len(regressions),
-        "full_record": "BENCH_LOCAL.json",
+        "full_record": record_name,
     }
     # The summary is the LAST stdout line, after the per-query stream,
     # so any tail window that holds >=1 line always holds the total —
