@@ -263,6 +263,7 @@ HEADLINE = [
     "agg_ks_test_two_sample",
     "agg_roc_auc_rank",
     "embed_pq_encode",
+    "agg_audience_overlap_approx",
 ]
 
 

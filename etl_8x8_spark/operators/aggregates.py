@@ -3390,3 +3390,85 @@ def agg_roc_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("auc_micro"),
         )
     )
+
+
+_OVERLAP_HLL_ORACLE = """
+WITH flags AS (
+  SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_start,
+         user_id,
+         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+  GROUP BY 1, 2
+)
+SELECT day_start,
+       CAST(SUM(c) AS BIGINT) AS clickers,
+       CAST(SUM(p) AS BIGINT) AS purchasers,
+       CAST(SUM(c * p) AS BIGINT) AS both_n,
+       CAST(1 AS INTEGER) AS inter_within_band
+FROM flags
+GROUP BY day_start
+ORDER BY day_start
+"""
+
+
+@register("agg_audience_overlap_approx", oracle=_OVERLAP_HLL_ORACLE)
+def agg_audience_overlap_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HLL twin of ``agg_audience_overlap`` — the 100 TB form:
+    per-day clicker/purchaser/union audiences as DataSketches HLL
+    sketches and the intersection by inclusion–exclusion
+    (|A∩B| ≈ est(A) + est(B) − est(A∪B)) — the shuffle moves three
+    ~16 KB sketches per day instead of every distinct user-day, and
+    the sketches are MERGEABLE (daily refresh unions yesterday's
+    sketch; cross-segment overlap matrices union pairwise without
+    rescanning raw events).
+
+    Cross-engine contract (the ``agg_stickiness_dau_mau_approx``
+    idiom): raw estimates are engine-specific, so the hashed columns
+    are the exact counts (reusing the SAME (day,user) flag collapse
+    as the exact key — no second distinct expansion) plus a
+    within-band flag the oracle predicts as 1. Tolerance is scaled to
+    the UNION size, not the intersection: an I–E difference of three
+    ~0.8%-rsd estimates carries error ∝ rsd·|A∪B| (≈√3·0.8%), so the
+    band is max(5, 3.5%·|A∪B|) — per-day unions here are ≤ a few
+    hundred, where the absolute floor dominates.
+    """
+    events = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    flags = (
+        events.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(day.alias("day"), F.col("user_id"))
+        .agg(
+            F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("c"),
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("p"),
+        )
+    )
+    agg = flags.groupBy("day").agg(
+        F.sum("c").cast("long").alias("clickers"),
+        F.sum("p").cast("long").alias("purchasers"),
+        F.sum(F.col("c") * F.col("p")).cast("long").alias("both_n"),
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.when(F.col("c") == 1, F.col("user_id")), 14)
+        ).alias("c_est"),
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.when(F.col("p") == 1, F.col("user_id")), 14)
+        ).alias("p_est"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", 14)).alias("u_est"),
+    )
+    union_exact = (
+        F.col("clickers") + F.col("purchasers") - F.col("both_n")
+    ).cast("double")
+    inter_est = F.col("c_est") + F.col("p_est") - F.col("u_est")
+    band = F.greatest(F.lit(5.0), union_exact * 0.035)
+    return agg.select(
+        F.col("day").cast("long").alias("day_start"),
+        "clickers",
+        "purchasers",
+        "both_n",
+        (F.abs(inter_est - F.col("both_n")) <= band)
+        .cast("int")
+        .alias("inter_within_band"),
+    ).orderBy("day_start")

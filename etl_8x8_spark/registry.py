@@ -67,9 +67,9 @@ _QUERY_MODULES = [
 # verified locally via tools/verify_queries.py instead of spending
 # driver slots: the edits are plan/tolerance-only and all carried r7
 # driver-green rows.
-# The ELEVEN r8-new keys lead outright: they have never had a driver
-# row. With them the list holds 65 keys and the driver's 50-key window
-# reaches into the r3 block; the ~15 r3-vintage tail keys roll to the
+# The TWELVE r8-new keys lead outright: they have never had a driver
+# row. With them the list holds 66 keys and the driver's 50-key window
+# reaches into the r3 block; the ~16 r3-vintage tail keys roll to the
 # r9 rotation.
 # bench.py's HEADLINE order is independent and unaffected.
 _SAMPLE_PRIORITY = [
@@ -82,6 +82,7 @@ _SAMPLE_PRIORITY = [
     "agg_ks_test_two_sample",
     "agg_roc_auc_rank",
     "embed_pq_encode",
+    "agg_audience_overlap_approx",
     "text_quality_gopher",
     "sample_temperature_mixture",
     "embed_mrl_truncate",
