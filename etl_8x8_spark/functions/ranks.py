@@ -261,13 +261,22 @@ def histogram_global_rank_multi(
 
     mn, mx = pick("_hm_mn"), pick("_hm_mx")
     width = (mx.cast("double") - mn.cast("double")) / F.lit(float(buckets))
-    # NULLs: sentinel bucket -1 (never the silent NULL-bucket drop —
-    # see the single-column form). With the negation trick every spec
-    # ranks ascending, so NULLs rank FIRST for every spec here; the
-    # callers' metrics are non-null by construction and the contract
-    # is survival + determinism, not engine null-order parity.
+    # NULLs: per-spec sentinel bucket (never the silent NULL-bucket
+    # drop — see the single-column form). Ascending specs route NULLs
+    # to bucket -1 (ranked first — Spark's ASC NULLS FIRST default);
+    # descending specs route them to bucket +buckets (ranked last —
+    # Spark's DESC NULLS LAST default and the single-column form's
+    # behavior). Without the split, the negation trick would rank
+    # NULLs FIRST for descending specs too (r8 advice).
+    null_bucket = F.lit(-1)
+    desc_cids = [c for c, (_, _, d) in enumerate(specs) if d]
+    if desc_cids:
+        null_bucket = (
+            F.when(F.col("_hm_cid").isin(desc_cids), F.lit(buckets))
+            .otherwise(F.lit(-1))
+        )
     bidx = (
-        F.when(F.col("_hm_v").isNull(), F.lit(-1))
+        F.when(F.col("_hm_v").isNull(), null_bucket)
         .when(width <= 0, F.lit(0))
         .otherwise(
             F.least(

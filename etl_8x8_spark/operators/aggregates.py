@@ -3196,6 +3196,37 @@ def agg_dp_count_laplace(spark: SparkSession, sf_dir: str) -> DataFrame:
 # within-tie counts and overstate D.
 _KS_ALPHA_COEF = 1.358  # c(α) at α = 0.05, classical two-sample KS
 
+
+def _guard_product_fits_int64(
+    totals: DataFrame, a: str, b: str, op_name: str
+) -> DataFrame:
+    """Fail LOUDLY when ``a·b >= 2^62`` (r8 advice): the KS / rank-sum
+    integer numerators are exact only below that product; past it they
+    would wrap int64 and return a silently-wrong statistic. The check
+    multiplies in double on the 1-row totals relation (the double
+    rounding slack near 2^62 is ~512 — irrelevant at a 2-sided margin
+    of 2x). raise_error is embedded in the ``a`` column itself so
+    Catalyst cannot prune it."""
+    ok = F.col(a).cast("double") * F.col(b).cast("double") < F.lit(float(2**62))
+    return totals.withColumn(
+        a,
+        F.when(ok, F.col(a)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"{op_name}: {a}*{b} >= 2^62 — int64 rank/CDF "
+                        "numerator would overflow; switch the numerator "
+                        "to double for this scale (see docstring). "
+                        f"{a}="
+                    ),
+                    F.col(a).cast("string"),
+                    F.lit(f" {b}="),
+                    F.col(b).cast("string"),
+                )
+            ).cast("long")
+        ),
+    )
+
 _KS_ORACLE = f"""
 WITH s AS (
   SELECT value,
@@ -3269,6 +3300,13 @@ def agg_ks_test_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c1").cast("long").alias("n1"),
         F.sum("c2").cast("long").alias("n2"),
     )
+    # Runtime overflow guard (r8 advice): the int64 D-numerator
+    # |C1·n2 − C2·n1| is exact only while n1·n2 < 2^62. Past that
+    # (≥ ~2·10^9 rows per side) fail LOUDLY instead of returning a
+    # silently-wrong statistic; the fix at that scale is switching
+    # the numerator to double (documented above). The guard is one
+    # double multiply on a 1-row relation — free.
+    totals = _guard_product_fits_int64(totals, "n1", "n2", "agg_ks_test_two_sample")
     d_num_row = F.abs(
         F.col("cum_c1") * F.col("n2") - F.col("cum_c2") * F.col("n1")
     )
@@ -3369,6 +3407,10 @@ def agg_roc_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cp").cast("long").alias("n_pos"),
         F.sum("cn").cast("long").alias("n_neg"),
     )
+    # Same int64 guard as agg_ks_test_two_sample (r8 advice): the
+    # rank-sum numerator is exact only while n² < 2^62 — fail loudly
+    # past it rather than silently overflow.
+    totals = _guard_product_fits_int64(totals, "n_pos", "n_neg", "agg_roc_auc_rank")
     r1_x2 = F.sum(
         F.col("cp") * (2 * (F.col("cum_ct") - F.col("ct")) + F.col("ct") + 1)
     ).cast("long")

@@ -1,6 +1,6 @@
 """Round-8 tests: the one-pass multi-column histogram rank
 (histogram_global_rank_multi) that replaced agg_rfm_segments' chained
-rank calls, the NULL fail-fast contract on both rank helpers, and the
+rank calls, the sentinel-bucket NULL-routing contract on both rank helpers (NULLs are ranked into a sentinel bucket, never dropped; descending specs rank them last), and the
 TakeOrderedAndProject top-K pin for the vocab-sized text windows
 (this Spark build's InferWindowGroupLimit fires only for PARTITIONED
 windows, so `row_number over global window + filter` would funnel the
@@ -104,6 +104,38 @@ class TestHistogramGlobalRankMulti:
         }
         # NULLs first (k=2 then k=4 by tiebreak), then 1.0, then 5.0
         assert got == {2: 1, 4: 2, 3: 3, 1: 4}
+
+    def test_null_values_rank_last_descending(self, spark):
+        """Descending specs route NULLs to the +buckets sentinel so
+        they rank LAST (Spark's DESC NULLS LAST default and the
+        single-column form's behavior) — r8 advice: the negation
+        trick alone would rank them first."""
+        df = spark.createDataFrame(
+            [(1, 5.0), (2, None), (3, 1.0), (4, None)], "k INT, v DOUBLE"
+        )
+        got = {
+            r["k"]: r["rv"]
+            for r in histogram_global_rank_multi(
+                df, [("v", "rv", True)], ["k"]
+            ).collect()
+        }
+        # 5.0 first, 1.0 second, then NULLs last (k=2 then k=4)
+        assert got == {1: 1, 3: 2, 2: 3, 4: 4}
+
+    def test_mixed_direction_null_routing(self, spark):
+        """One ascending and one descending spec over the same nullable
+        column in a single pass: NULLs rank first on the asc rank and
+        last on the desc rank."""
+        df = spark.createDataFrame(
+            [(1, 5.0), (2, None), (3, 1.0)], "k INT, v DOUBLE"
+        )
+        rows = histogram_global_rank_multi(
+            df, [("v", "ra", False), ("v", "rd", True)], ["k"]
+        ).collect()
+        ra = {r["k"]: r["ra"] for r in rows}
+        rd = {r["k"]: r["rd"] for r in rows}
+        assert ra == {2: 1, 3: 2, 1: 3}
+        assert rd == {1: 1, 3: 2, 2: 3}
 
 
 class TestSingleRankNullHandling:
