@@ -1432,3 +1432,323 @@ def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("stage"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# canonical-URL dedup — the FIRST stage of every web-corpus pipeline (r9)
+# ---------------------------------------------------------------------------
+
+# The documents table has no URL column, so (same pattern as the seeded
+# text corpora above) each doc gets a DETERMINISTIC URL derived from
+# (doc_id, source): ~5 docs share a page id, and doc_id % 5 picks one of
+# five surface variants of the same logical URL — trailing slash,
+# upper-cased scheme+host, tracking params + fragment, unsorted query
+# keys, sorted keys + a tracking param. Canonicalization must collapse
+# variants 0-2 onto the bare page URL and variants 3-4 onto the
+# ?a=1&b=2 form.
+_TRACKING_RE = r"^(utm_[a-z]+|fbclid|gclid|ref)="
+
+# host derives from the PAGE id (doc `source` is per-doc, so it cannot
+# be shared across a page's variants)
+_URL_CORPUS_SQL = """
+  SELECT doc_id,
+         CASE doc_id % 5
+           WHEN 0 THEN 'https://www.site' || CAST((doc_id // 5) % 20 AS VARCHAR)
+                       || '.example.com/page/'
+                       || CAST(doc_id // 5 AS VARCHAR) || '/'
+           WHEN 1 THEN 'HTTPS://WWW.SITE' || CAST((doc_id // 5) % 20 AS VARCHAR)
+                       || '.EXAMPLE.COM/page/'
+                       || CAST(doc_id // 5 AS VARCHAR)
+           WHEN 2 THEN 'https://www.site' || CAST((doc_id // 5) % 20 AS VARCHAR)
+                       || '.example.com/page/'
+                       || CAST(doc_id // 5 AS VARCHAR)
+                       || '?utm_source=feed&utm_campaign=promo#section'
+           WHEN 3 THEN 'https://www.site' || CAST((doc_id // 5) % 20 AS VARCHAR)
+                       || '.example.com/page/'
+                       || CAST(doc_id // 5 AS VARCHAR) || '?b=2&a=1'
+           ELSE 'https://www.site' || CAST((doc_id // 5) % 20 AS VARCHAR)
+                       || '.example.com/page/'
+                       || CAST(doc_id // 5 AS VARCHAR)
+                       || '?a=1&utm_medium=email&b=2'
+         END AS url
+  FROM documents
+"""
+
+
+def _seeded_url_corpus(docs: DataFrame) -> DataFrame:
+    page = F.floor(F.col("doc_id") / 5).cast("long")
+    site = (page % 20).cast("string")
+    page = page.cast("string")
+    base = F.concat(
+        F.lit("https://www.site"),
+        site,
+        F.lit(".example.com/page/"),
+        page,
+    )
+    url = (
+        F.when(F.col("doc_id") % 5 == 0, F.concat(base, F.lit("/")))
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(
+                F.lit("HTTPS://WWW.SITE"),
+                site,
+                F.lit(".EXAMPLE.COM/page/"),
+                page,
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 2,
+            F.concat(base, F.lit("?utm_source=feed&utm_campaign=promo#section")),
+        )
+        .when(F.col("doc_id") % 5 == 3, F.concat(base, F.lit("?b=2&a=1")))
+        .otherwise(F.concat(base, F.lit("?a=1&utm_medium=email&b=2")))
+    )
+    return docs.select("doc_id", url.alias("url"))
+
+
+@register(
+    "dedup_url_canonical",
+    oracle=f"""
+WITH corpus AS ({_URL_CORPUS_SQL}),
+canon AS (
+  SELECT doc_id,
+         lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) || '://'
+         || lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1))
+         || regexp_replace(
+              regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
+              '/+$', '')
+         || CASE WHEN q = '' THEN '' ELSE '?' || q END AS canonical_url
+  FROM (
+    SELECT doc_id, url,
+           coalesce(array_to_string(list_sort(list_filter(
+             string_split(regexp_extract(regexp_replace(url, '#.*$', ''),
+                                         '\\?(.*)$', 1), '&'),
+             x -> x <> '' AND NOT regexp_matches(x, '{_TRACKING_RE}')
+           )), '&'), '') AS q
+    FROM corpus
+  )
+)
+SELECT canonical_url,
+       CAST(COUNT(*) AS BIGINT) AS n_variants,
+       MIN(doc_id) AS keeper_doc_id
+FROM canon
+GROUP BY canonical_url
+""",
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup — the standard stage-zero of a web-corpus
+    pipeline (CommonCrawl-style processing dedups on canonicalized URL
+    before any text is even fetched): lowercase scheme+host, strip the
+    fragment, drop tracking params (utm_*/fbclid/gclid/ref), SORT the
+    remaining query keys, strip trailing path slashes, then one
+    groupBy on the canonical string keeping the lowest doc_id.
+
+    All pure built-ins (regexp_extract / filter / array_sort /
+    array_join) — zero Python, whole-stage codegen end to end; the
+    same composition the `fn_url` family exercises piecewise
+    (operators/scalar_fns.py). At 100 TB this is the cheapest dedup
+    stage there is: the map side reduces each record to a short
+    canonical string and the single shuffle moves O(distinct URLs) —
+    the shape of dedup_exact, minus even the SHA-256.
+    """
+    corpus = _seeded_url_corpus(load_table(spark, sf_dir, "documents"))
+    nofrag = F.regexp_replace(F.col("url"), r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(F.col("url"), r"^([A-Za-z]+)://", 1))
+    host = F.lower(F.regexp_extract(F.col("url"), r"^[A-Za-z]+://([^/?#]+)", 1))
+    path = F.regexp_replace(
+        F.regexp_extract(F.col("url"), r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1),
+        r"/+$",
+        "",
+    )
+    params = F.array_sort(
+        F.filter(
+            F.split(F.regexp_extract(nofrag, r"\?(.*)$", 1), "&"),
+            lambda x: (x != "") & ~x.rlike(_TRACKING_RE),
+        )
+    )
+    q = F.array_join(params, "&")
+    canonical = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q)),
+    )
+    return (
+        corpus.select("doc_id", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_variants"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# substring-span dedup — cross-document K-token exact spans (r9)
+# ---------------------------------------------------------------------------
+
+_SPAN_OFFSET = 3_000_000  # injected shared-middle-span variants
+_SPAN_K = 8  # span granularity in tokens (Lee et al. use 50; the
+#              test docs average ~54 tokens, so K=8 keeps the same
+#              multi-shingle-island geometry at toy scale)
+
+# Injected docs share tokens 5..24 of every 5th base doc, wrapped in
+# unique filler — a duplicated MIDDLE that doc-level exact/near dedup
+# misses but span dedup must find.
+_SPAN_CORPUS_SQL = f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_SPAN_OFFSET} AS doc_id,
+         'injected preamble alpha beta gamma delta '
+         || array_to_string(({_TOKENS_SQL})[5:24], ' ')
+         || ' epsilon zeta eta theta closing omega' AS text
+  FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+def _seeded_span_corpus(docs: DataFrame) -> DataFrame:
+    mids = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + _SPAN_OFFSET).alias("doc_id"),
+        F.concat(
+            F.lit("injected preamble alpha beta gamma delta "),
+            F.array_join(F.slice(tokens(), 5, 20), " "),
+            F.lit(" epsilon zeta eta theta closing omega"),
+        ).alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(mids)
+
+
+def positional_shingles(tok_col: Column, k: int) -> Column:
+    """ORDERED word k-gram array (index i = shingle starting at token
+    i+1) — the position-preserving sibling of ``shingles()`` (no
+    ``array_distinct``), built with the same shifted-slice ``zip_with``
+    fold so the token expression is referenced O(k) times per ROW, not
+    per output element (see shingles() for the measured O(tokens²)
+    trap). Caller must guarantee ``size(tok_col) >= k``: every shifted
+    slice then has the full ``size-k+1`` elements and no NULL padding
+    (= no partial shingles) occurs."""
+    m = F.size(tok_col) - (k - 1)
+    acc = F.slice(tok_col, 1, m)
+    for j in range(2, k + 1):
+        acc = F.zip_with(
+            acc, F.slice(tok_col, j, m), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return acc
+
+
+@register(
+    "dedup_substring_span",
+    oracle=f"""
+WITH corpus AS ({_SPAN_CORPUS_SQL}),
+toks AS (
+  SELECT doc_id, {_TOKENS_SQL} AS tk FROM corpus
+),
+long_docs AS (SELECT doc_id, tk FROM toks WHERE len(tk) >= {_SPAN_K}),
+ex AS (
+  SELECT doc_id, tk,
+         unnest(generate_series(1, len(tk) - {_SPAN_K - 1})) AS pos
+  FROM long_docs
+),
+sh AS (
+  SELECT doc_id, pos,
+         array_to_string(tk[pos:pos+{_SPAN_K - 1}], ' ') AS s
+  FROM ex
+),
+dup AS (
+  SELECT s FROM (SELECT DISTINCT s, doc_id FROM sh)
+  GROUP BY s HAVING COUNT(*) >= 2
+),
+marks AS (
+  SELECT sh.doc_id, sh.pos FROM sh JOIN dup USING (s)
+),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev IS NULL OR pos - prev > {_SPAN_K}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM (
+    SELECT doc_id, pos,
+           LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+    FROM marks
+  )
+),
+spans AS (
+  SELECT doc_id, island,
+         MAX(pos) - MIN(pos) + {_SPAN_K} AS span_tokens
+  FROM isl GROUP BY doc_id, island
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens,
+       CAST(MAX(span_tokens) AS BIGINT) AS max_span_tokens
+FROM spans GROUP BY doc_id
+""",
+)
+def dedup_substring_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document substring-level exact dedup — the K-token-span
+    family of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"), re-expressed as a BUCKET JOIN instead of
+    a global suffix array: hash every K-token shingle WITH its
+    position, keep shingles seen in ≥2 distinct docs, then merge each
+    doc's duplicated positions into maximal spans (interval union —
+    two positions join one span when they are ≤ K apart, i.e. their
+    token intervals overlap or touch). Output per affected doc: span
+    count, duplicated-token total, longest span — the numbers a
+    corpus pipeline uses to cut spans or drop docs.
+
+    Finds duplicated MIDDLES that every doc-level strategy above
+    misses (the injected corpus plants exactly that: a shared
+    20-token interior wrapped in unique filler).
+
+    Scale (100 TB): total work is O(corpus tokens) rows through ONE
+    distinct + ONE count-partial-agg shuffle (the `(s, doc_id)`
+    distinct collapses within-doc repeats before the count, so a
+    stopword shingle never builds a per-key list), a hash join back,
+    and a per-doc window whose partitions are bounded by document
+    length. At production scale the join key becomes
+    ``xxhash64(shingle)`` (8 bytes instead of ~K words shuffled;
+    collision rate 2^-64 per pair) — kept as the raw string here so
+    the DuckDB oracle is bit-exact.
+    """
+    corpus = _seeded_span_corpus(load_table(spark, sf_dir, "documents"))
+    tk = tokens()
+    long_docs = corpus.select("doc_id", tk.alias("tk")).filter(
+        F.size("tk") >= _SPAN_K
+    )
+    sh = long_docs.select(
+        "doc_id",
+        F.posexplode(positional_shingles(F.col("tk"), _SPAN_K)).alias(
+            "pos0", "s"
+        ),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "s")
+    # Two consumers (dup derivation + mark join): persist for the same
+    # CollapseProject/recompute reason as the blocked-join dedup ops.
+    sh = sh.persist()
+    dup = (
+        sh.select("s", "doc_id")
+        .distinct()
+        .groupBy("s")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("s")
+    )
+    marks = sh.join(dup, "s").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = marks.withColumn("prev", F.lag("pos").over(w)).withColumn(
+        "island",
+        F.sum(
+            F.when(
+                F.col("prev").isNull() | (F.col("pos") - F.col("prev") > _SPAN_K),
+                1,
+            ).otherwise(0)
+        ).over(w),
+    )
+    spans = isl.groupBy("doc_id", "island").agg(
+        (F.max("pos") - F.min("pos") + _SPAN_K).alias("span_tokens")
+    )
+    return spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum("span_tokens").cast("long").alias("dup_tokens"),
+        F.max("span_tokens").cast("long").alias("max_span_tokens"),
+    )

@@ -58,74 +58,20 @@ _QUERY_MODULES = [
 # ORDER MATTERS for driver sampling: the driver evaluates only the first
 # 50 keys of ``all_queries()`` per round. Keys listed here lead the
 # returned dict (in this order); all other keys follow in registration
-# order. Round-8 priority: driver coverage hit literal 249/249 in r7,
-# so the rotation is now pure STALEST-FIRST — the 8 keys whose latest
-# green row is r2-vintage, then the 46 r3-vintage keys (alphabetical
-# within a round; the driver's 50-key window leaves the last 4 for the
-# next rotation). The keys round 8 touched (the histogram-rank persist
-# family, agg_basket_affinity, agg_stickiness_dau_mau_approx) are
-# verified locally via tools/verify_queries.py instead of spending
-# driver slots: the edits are plan/tolerance-only and all carried r7
-# driver-green rows.
-# The TWELVE r8-new keys lead outright: they have never had a driver
-# row. With them the list holds 66 keys and the driver's 50-key window
-# reaches into the r3 block; the ~16 r3-vintage tail keys roll to the
-# r9 rotation.
+# order. Round-9 priority (r8 verdict item 1): driver coverage is
+# literal 261/261 with zero fails, so the rotation is pure
+# STALEST-FIRST — any r9-new keys (never driver-sampled) lead, then the
+# 16 keys whose latest green row is r3-vintage, then the oldest
+# r4-vintage keys (alphabetical within a round) to fill the 50-slot
+# window. Target: after the r9 driver run no key's latest CORRECTNESS
+# row is older than r4, and most of the r4 block is refreshed too.
 # bench.py's HEADLINE order is independent and unaffected.
 _SAMPLE_PRIORITY = [
-    # new in r8 — no driver evidence yet
-    "dedup_semdedup",
-    "pipeline_dedup_cascade",
-    "sample_bottom_k_sketch",
-    "agg_dp_count_laplace",
-    "stream_static_enrich",
-    "agg_ks_test_two_sample",
-    "agg_roc_auc_rank",
-    "embed_pq_encode",
-    "agg_audience_overlap_approx",
-    "text_quality_gopher",
-    "sample_temperature_mixture",
-    "embed_mrl_truncate",
-    # r2-vintage evidence
-    "env_derive",
-    "join_asof_forward",
-    "join_bucketed_colocated",
-    "join_dim_scd2",
-    "join_full_outer",
-    "join_fuzzy_match",
-    "join_range_bucketed",
-    "quality_report",
-    # r3-vintage evidence
-    "dedup_exact",
-    "fn_array",
-    "fn_bitwise",
-    "fn_conditional",
-    "fn_date",
-    "fn_encode_decode",
-    "fn_format",
-    "fn_json",
-    "fn_map",
-    "fn_math",
-    "fn_string",
-    "fn_url",
-    "sample_group_cap",
-    "sample_mixture_rebalance",
-    "sample_systematic",
-    "sample_train_test_split",
-    "scan_csv",
-    "scan_custom_source",
-    "scan_json_lines",
-    "scan_orc",
-    "scan_parquet",
-    "scan_schema_evolution",
-    "scan_text",
-    "set_except",
-    "set_intersect",
-    "set_union_dedup",
-    "sink_csv_roundtrip",
-    "sink_json_roundtrip",
-    "sink_parquet_partitioned",
-    "sink_partition_overwrite",
+    # new in r9 — no driver evidence yet
+    "dedup_url_canonical",
+    "dedup_substring_span",
+    "stream_session_window_state",
+    # r3-vintage evidence (stalest surviving driver rows)
     "sink_sorted_clustered",
     "sort_limit_topk",
     "sql_tpch_q10_shape",
@@ -142,6 +88,38 @@ _SAMPLE_PRIORITY = [
     "window_running_sum",
     "window_scd2_build",
     "window_trailing_range",
+    # r4-vintage evidence (oldest 31 of 49, alphabetical)
+    "agg_approx_distinct",
+    "agg_hll_merge",
+    "agg_partial_reaggregate",
+    "agg_psi_drift",
+    "agg_quantile_sketch",
+    "agg_timeseries_gapfill",
+    "cdc_snapshot_diff",
+    "dedup_binary_exact",
+    "dedup_cluster_cc",
+    "dedup_embed_cosine",
+    "dedup_ngram_jaccard",
+    "embed_normalize_quantize",
+    "graph_pagerank_iter",
+    "join_bloom_pruned",
+    "ml_kmeans_lloyd",
+    "multimodal_binary_ingest",
+    "multimodal_decode",
+    "multimodal_features",
+    "multimodal_frames",
+    "multimodal_struct",
+    "pipeline_pretrain_corpus",
+    "pipeline_training_data",
+    "sim_knn_join",
+    "sim_search_ivf_topk",
+    "sim_search_range",
+    "sim_search_topk",
+    "stream_custom_source",
+    "stream_dedup_state",
+    "stream_events",
+    "stream_foreach_batch_upsert",
+    "stream_join_interval",
 ]
 
 

@@ -700,3 +700,185 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("value", "sum_value"),
     )
     return run_to_table(enriched, "complete", "stream_static_enrich")
+
+
+
+
+# ---------------------------------------------------------------------------
+# arbitrary-state session windows with explicit event-time timers (r9)
+# ---------------------------------------------------------------------------
+
+_SESS_GAP_US = 12 * 3600 * 1_000_000  # 12 h session gap (event time)
+_SESS_GAP_MS = _SESS_GAP_US // 1000
+
+
+def _session_window_fn(key, pdfs, state):
+    """Per-user session assembler on arbitrary keyed state: ValueState
+    holds the OPEN session (start_us, end_us, n); an explicit
+    EVENT-TIME TIMER at ``end + gap`` (``setTimeoutTimestamp`` under
+    ``GroupStateTimeout.EventTimeTimeout``) closes it when the
+    watermark passes. Sessions are also closed INLINE when a later
+    event arrives more than ``gap`` past the open session's end (the
+    state update re-arms the timer to the NEW session's close time,
+    so the old one can never double-fire).
+
+    Note on API choice: Spark 4's ``transformWithStateInPandas`` is
+    the successor API for exactly this pattern (named timers, TTL
+    state, multiple state variables); its Python driver worker
+    requires ``google.protobuf`` for the state-server protocol, which
+    this environment does not ship, so the operator uses the
+    ``applyInPandasWithState`` timer API — semantics (keyed state +
+    event-time timer + watermark) are identical.
+    """
+    import pandas as pd
+
+    (uid,) = key
+
+    def emit(sessions):
+        return pd.DataFrame(
+            {
+                "user_id": [uid] * len(sessions),
+                "session_start_us": [c[0] for c in sessions],
+                "session_end_us": [c[1] for c in sessions],
+                "n_events": [c[2] for c in sessions],
+            }
+        )
+
+    if state.hasTimedOut:
+        st = tuple(state.get)
+        state.remove()
+        yield emit([st])
+        return
+
+    ts: list[int] = []
+    for p in pdfs:
+        ts.extend(
+            p["ts"].values.astype("datetime64[us]").astype("int64").tolist()
+        )
+    ts.sort()
+    st = tuple(state.get) if state.exists else None
+    closed = []
+    for t in ts:
+        if st is None:
+            st = (t, t, 1)
+        elif t - st[1] > _SESS_GAP_US:
+            closed.append(st)
+            st = (t, t, 1)
+        else:
+            # disorder guard: cross-batch reordering can only shrink
+            # start / grow end inside one session
+            st = (min(st[0], t), max(st[1], t), st[2] + 1)
+    state.update(st)
+    state.setTimeoutTimestamp(st[1] // 1000 + _SESS_GAP_MS)
+    if closed:
+        yield emit(closed)
+
+
+_SESSION_STATE_ORACLE = f"""
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {_SESS_GAP_US}
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+  FROM g
+)
+SELECT user_id,
+       MIN(epoch_us(ts)) AS session_start_us,
+       MAX(epoch_us(ts)) AS session_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
+@register("stream_session_window_state", oracle=_SESSION_STATE_ORACLE)
+def stream_session_window_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows as a CUSTOM STATEFUL OPERATOR with
+    explicit event-time timers — the production twin of
+    stream_state_ttl_cache (there: processing-time TTL cache shape;
+    here: event-time sessionization, the operator a 100 TB streaming
+    pipeline actually runs for user journeys), and the arbitrary-state
+    counterpart of stream_session_window's built-in ``session_window``
+    aggregate (which can only aggregate — it cannot carry custom
+    per-session state or emit on its own schedule).
+
+    Driven as four checkpointed ``availableNow`` runs: events split at
+    the median EVENT TIME (so phase 2 is strictly later than phase 1
+    and the cross-batch state transition crosses a real watermark
+    advance), then two sentinel-only phases (user_id −1, ts beyond
+    max+30/60 days) that push the watermark past every real timer —
+    after which every real session has been emitted either inline (a
+    later event opened the next session) or by its timer. The DuckDB
+    oracle is then plain batch sessionization: emitted == ALL
+    sessions, exactly, value-hash checkable.
+
+    Scale: state is one (start, end, n) triple + one armed timeout per
+    LIVE key, sharded by key across the state store; output is
+    append-mode (no complete-mode re-emit); the watermark bounds both
+    late input and timer state. See _session_window_fn's docstring for
+    why this rides ``applyInPandasWithState`` rather than Spark 4's
+    ``transformWithStateInPandas`` in this environment.
+    """
+    import shutil
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    events = load_table(spark, sf_dir, "events")
+    base = os.path.join(scratch_dir(), f"sess_state_{_sf_tag(sf_dir)}")
+    in_dir = os.path.join(base, "in")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    for d in (out_dir, ckpt, in_dir):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+
+    split_us = events.selectExpr(
+        "cast(unix_micros(ts) as double) AS t"
+    ).approxQuantile("t", [0.5], 0.0)[0]
+    max_ts = events.agg(F.max("ts")).first()[0]
+
+    def sentinel(days: int) -> DataFrame:
+        return spark.range(1).select(
+            F.lit(10_000_000_000 + days).alias("event_id"),
+            (F.lit(max_ts) + F.expr(f"INTERVAL {days} DAYS")).alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("sentinel").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        )
+
+    def run_phase(df: DataFrame) -> None:
+        df.coalesce(1).write.mode("append").parquet(in_dir)
+        s = spark.readStream.schema(_EVENTS_STREAM_SCHEMA).parquet(in_dir)
+        sessions = (
+            s.withWatermark("ts", "1 hour")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _session_window_fn,
+                "user_id long, session_start_us long, session_end_us long,"
+                " n_events long",
+                "start long, end long, n long",
+                "append",
+                GroupStateTimeout.EventTimeTimeout,
+            )
+        )
+        q = (
+            sessions.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_phase(events.filter(F.expr("unix_micros(ts)") <= split_us))
+    run_phase(events.filter(F.expr("unix_micros(ts)") > split_us))
+    run_phase(sentinel(30))
+    run_phase(sentinel(60))
+    return spark.read.parquet(out_dir).filter(F.col("user_id") >= 0)

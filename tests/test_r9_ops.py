@@ -1,0 +1,260 @@
+"""Round-9 tests: canonical-URL dedup edge cases, substring-span
+interval-union semantics (the Lee-et-al. K-token-span family), and the
+event-time-timer session-window operator's state machine (inline close
+vs timer close, sentinel flush, cross-batch continuation).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestUrlCanonical:
+    def test_variants_collapse(self, spark, sf_dir):
+        """Five surface variants of a page collapse to exactly two
+        canonical groups (bare page URL; ?a=1&b=2), never one, never
+        five."""
+        from etl_8x8_spark.registry import all_queries
+
+        out = all_queries()["dedup_url_canonical"].builder(spark, sf_dir)
+        rows = out.collect()
+        bare = [r for r in rows if "?" not in r["canonical_url"]]
+        keyed = [r for r in rows if r["canonical_url"].endswith("?a=1&b=2")]
+        assert len(bare) + len(keyed) == len(rows)
+        # variants 0,1,2 -> bare group; 3,4 -> sorted-query group
+        assert all(r["n_variants"] == 3 for r in bare)
+        assert all(r["n_variants"] == 2 for r in keyed)
+        # keeper is the lowest doc_id of the group (variant 0 / 3)
+        assert all(r["keeper_doc_id"] % 5 == 0 for r in bare)
+        assert all(r["keeper_doc_id"] % 5 == 3 for r in keyed)
+
+    def test_canonicalization_rules(self, spark):
+        """Rule-by-rule canonicalization on handcrafted URLs: case,
+        fragment, tracking params, key order, trailing slash."""
+        from etl_8x8_spark.operators import dedup as D
+
+        df = spark.createDataFrame(
+            [
+                (1, "HTTP://Example.COM/A/b/?utm_source=x"),
+                (2, "http://example.com/A/b#frag"),
+                (3, "http://example.com/A/b?z=1&a=2&fbclid=abc"),
+                (4, "http://example.com/A/b?a=2&z=1"),
+            ],
+            "doc_id long, url string",
+        )
+        # reuse the operator's canonicalization by re-running its body
+        # on a handcrafted corpus via the private builder pieces
+        nofrag = F.regexp_replace(F.col("url"), r"#.*$", "")
+        scheme = F.lower(F.regexp_extract(F.col("url"), r"^([A-Za-z]+)://", 1))
+        host = F.lower(
+            F.regexp_extract(F.col("url"), r"^[A-Za-z]+://([^/?#]+)", 1)
+        )
+        path = F.regexp_replace(
+            F.regexp_extract(F.col("url"), r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1),
+            r"/+$",
+            "",
+        )
+        params = F.array_sort(
+            F.filter(
+                F.split(F.regexp_extract(nofrag, r"\?(.*)$", 1), "&"),
+                lambda x: (x != "") & ~x.rlike(D._TRACKING_RE),
+            )
+        )
+        q = F.array_join(params, "&")
+        canon = F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            path,
+            F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q)),
+        )
+        got = {
+            r["doc_id"]: r["c"]
+            for r in df.select("doc_id", canon.alias("c")).collect()
+        }
+        # case/tracking/trailing-slash variant and fragment variant
+        # collapse; path case is PRESERVED (paths are case-sensitive)
+        assert got[1] == "http://example.com/A/b"
+        assert got[2] == "http://example.com/A/b"
+        assert got[3] == got[4] == "http://example.com/A/b?a=2&z=1"
+
+
+class TestSubstringSpan:
+    def _run(self, spark, corpus_rows):
+        """Run the span pipeline on a handcrafted corpus by calling the
+        registered builder's internals over a temp view-free path: we
+        re-derive via the public helper functions."""
+        from etl_8x8_spark.operators.dedup import (
+            _SPAN_K,
+            positional_shingles,
+            tokens,
+        )
+        from pyspark.sql import Window
+
+        corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+        long_docs = corpus.select("doc_id", tokens().alias("tk")).filter(
+            F.size("tk") >= _SPAN_K
+        )
+        sh = long_docs.select(
+            "doc_id",
+            F.posexplode(positional_shingles(F.col("tk"), _SPAN_K)).alias(
+                "pos0", "s"
+            ),
+        ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "s")
+        dup = (
+            sh.select("s", "doc_id")
+            .distinct()
+            .groupBy("s")
+            .agg(F.count("*").alias("nd"))
+            .filter(F.col("nd") >= 2)
+            .select("s")
+        )
+        marks = sh.join(dup, "s").select("doc_id", "pos")
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        isl = marks.withColumn("prev", F.lag("pos").over(w)).withColumn(
+            "island",
+            F.sum(
+                F.when(
+                    F.col("prev").isNull()
+                    | (F.col("pos") - F.col("prev") > _SPAN_K),
+                    1,
+                ).otherwise(0)
+            ).over(w),
+        )
+        spans = isl.groupBy("doc_id", "island").agg(
+            (F.max("pos") - F.min("pos") + _SPAN_K).alias("span_tokens")
+        )
+        return {
+            r["doc_id"]: (r["n_spans"], r["dup_tokens"], r["max_span_tokens"])
+            for r in spans.groupBy("doc_id")
+            .agg(
+                F.count("*").alias("n_spans"),
+                F.sum("span_tokens").cast("long").alias("dup_tokens"),
+                F.max("span_tokens").cast("long").alias("max_span_tokens"),
+            )
+            .collect()
+        }
+
+    def test_shared_middle_found(self, spark):
+        """Two docs sharing a 12-token interior (unique elsewhere)
+        each get ONE span of exactly 12 tokens."""
+        shared = " ".join(f"s{i}" for i in range(12))
+        a = "a1 a2 a3 a4 " + shared + " a5 a6 a7 a8"
+        b = "b1 b2 b3 b4 b5 " + shared + " b6 b7"
+        got = self._run(spark, [(1, a), (2, b)])
+        assert got == {1: (1, 12, 12), 2: (1, 12, 12)}
+
+    def test_within_doc_repeat_not_cross_doc(self, spark):
+        """A doc repeating ITS OWN 8-gram twice is NOT flagged: the
+        duplicated-shingle gate counts distinct docs, not raw
+        occurrences (Lee et al.'s cross-document criterion)."""
+        eight = " ".join(f"t{i}" for i in range(8))
+        doc = "x1 x2 " + eight + " y1 y2 " + eight + " z1 z2"
+        other = "completely different words with no overlap at all here"
+        got = self._run(spark, [(1, doc), (2, other)])
+        assert got == {}
+
+    def test_interval_union_merges_overlaps(self, spark):
+        """Two shared 8-gram positions ≤ K apart merge into ONE span
+        (interval union), not two double-counted spans."""
+        shared = " ".join(f"s{i}" for i in range(10))  # 3 shingle positions
+        a = "a1 a2 " + shared + " a3 a4"
+        b = "b1 " + shared + " b2 b3 b4"
+        got = self._run(spark, [(1, a), (2, b)])
+        # one span of 10 tokens in each doc, never 3 spans of 8
+        assert got == {1: (1, 10, 10), 2: (1, 10, 10)}
+
+    def test_registered_output_matches_seeded_corpus(self, spark, sf_dir):
+        """Every injected doc (doc_id ≥ 3M) appears with ≥1 span, and
+        its base doc appears too — the planted shared middles are
+        actually found."""
+        from etl_8x8_spark.operators.dedup import _SPAN_OFFSET
+        from etl_8x8_spark.registry import all_queries
+
+        out = all_queries()["dedup_substring_span"].builder(spark, sf_dir)
+        ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+        injected = {i for i in ids if i >= _SPAN_OFFSET}
+        assert injected, "no injected doc produced a span"
+        # each injected doc's base (doc_id - offset) must also be hit
+        # when the base doc is long enough to contain the 8-gram span
+        missing = {
+            i - _SPAN_OFFSET
+            for i in injected
+            if (i - _SPAN_OFFSET) not in ids
+        }
+        assert not missing, f"bases without spans: {sorted(missing)[:5]}"
+
+
+class TestSessionWindowState:
+    def test_inline_and_timer_close(self, spark, sf_dir):
+        """The emitted session set equals batch sessionization exactly
+        (this is also the oracle, but pinned here so a driver
+        rows-only fallback could never mask a drift) AND inline-closed
+        sessions (user has a later session) plus timer-closed ones
+        (user's last session) are both present."""
+        from etl_8x8_spark.registry import all_queries
+        from etl_8x8_spark.sources.readers import load_table
+        from etl_8x8_spark.streaming.streams import _SESS_GAP_US
+
+        out = (
+            all_queries()["stream_session_window_state"]
+            .builder(spark, sf_dir)
+            .collect()
+        )
+        got = {
+            (r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
+            for r in out
+        }
+        assert len(got) == len(out), "duplicate session emitted"
+
+        events = load_table(spark, sf_dir, "events")
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy("ts")
+        sess = (
+            events.select("user_id", F.expr("unix_micros(ts)").alias("us"))
+            .withColumn("prev", F.lag("us").over(Window.partitionBy("user_id").orderBy("us")))
+            .withColumn(
+                "brk",
+                F.when(
+                    F.col("prev").isNull()
+                    | (F.col("us") - F.col("prev") > _SESS_GAP_US),
+                    1,
+                ).otherwise(0),
+            )
+            .withColumn(
+                "sid",
+                F.sum("brk").over(
+                    Window.partitionBy("user_id")
+                    .orderBy("us")
+                    .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ),
+            )
+            .groupBy("user_id", "sid")
+            .agg(
+                F.min("us").alias("s"),
+                F.max("us").alias("e"),
+                F.count("*").alias("n"),
+            )
+        )
+        want = {
+            (r["user_id"], r["s"], r["e"], r["n"]) for r in sess.collect()
+        }
+        assert got == want
+
+        # every user's LAST session can only close via its timer; any
+        # user with >1 session closed the earlier ones inline
+        by_user: dict = {}
+        for u, s, e, n in got:
+            by_user.setdefault(u, []).append((s, e, n))
+        multi = [u for u, ss in by_user.items() if len(ss) > 1]
+        assert multi, "no multi-session user — inline close untested"
+
+    def test_no_sentinel_leak(self, spark, sf_dir):
+        from etl_8x8_spark.registry import all_queries
+
+        out = all_queries()["stream_session_window_state"].builder(
+            spark, sf_dir
+        )
+        assert out.filter(F.col("user_id") < 0).count() == 0
