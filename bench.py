@@ -264,6 +264,95 @@ HEADLINE = [
     "agg_roc_auc_rank",
     "embed_pq_encode",
     "agg_audience_overlap_approx",
+    # appended r9: web-corpus stage-zero + substring-span dedup
+    # (stream_session_window_state is registered + driver-gated but,
+    # like the other multi-phase streaming harnesses, not benched —
+    # its wall-clock is checkpoint/restart choreography, not plan
+    # execution)
+    "dedup_url_canonical",
+    "dedup_substring_span",
+]
+
+# The ~60 SCALE-DIAGNOSTIC queries (r8 verdict item 7): the heavy /
+# plan-interesting subset whose per-query drift must stay visible above
+# suite noise — iterative algorithms, multi-shuffle joins+aggs, the
+# blocked dedup/ANN families, the full TPC-H 22, and the composed
+# pipelines. bench.py still RUNS the full HEADLINE every round (the
+# regression gate's per-query coverage is unchanged); the summary line
+# additionally reports this subset's total as "diag_seconds" so the
+# scale signal is one stable ~60-query number while the long tail of
+# sub-second operators stays in the audit lane of the full record.
+SCALE_DIAGNOSTIC = [
+    # iterative / multi-job
+    "graph_pagerank_converged",
+    "graph_pagerank_iter",
+    "ml_kmeans_converged",
+    "ml_kmeans_lloyd",
+    "dedup_cluster_cc",
+    "sql_recursive_hierarchy",
+    # graph
+    "graph_triangle_count",
+    "graph_common_neighbors",
+    "graph_degree_distribution",
+    # dedup / ANN / embeddings (blocked-join families)
+    "dedup_exact",
+    "dedup_minhash_near",
+    "dedup_containment",
+    "dedup_semdedup",
+    "dedup_substring_span",
+    "dedup_url_canonical",
+    "pipeline_dedup_cascade",
+    "sim_search_topk",
+    "sim_knn_join",
+    "sim_search_range",
+    "embed_pq_encode",
+    "embed_mrl_truncate",
+    "embed_normalize_quantize",
+    # text corpus ops
+    "text_tfidf_terms",
+    "text_line_dedup",
+    "text_bm25_rank",
+    "text_contamination_check",
+    "text_token_budget_pack",
+    "text_quality_gopher",
+    "text_bigram_perplexity",
+    # composed pipelines
+    "pipeline_training_data",
+    "pipeline_pretrain_corpus",
+    "pipeline_feature_dataset",
+    # heavy joins
+    "join_asof_event",
+    "join_asof_nearest",
+    "join_bloom_pruned",
+    "join_interval_overlap",
+    "join_grid_proximity",
+    "join_feature_store_pit",
+    "join_bucketed_colocated",
+    "join_dim_scd2",
+    # heavy aggs / windows
+    "agg_basket_affinity",
+    "agg_rfm_segments",
+    "agg_survival_curve",
+    "agg_audience_overlap",
+    "agg_corr_matrix",
+    "agg_retention_cohorts",
+    "agg_rolling_actives",
+    "agg_window_funnel",
+    "agg_hdr_histogram_pctl",
+    "window_anomaly_zscore",
+    "window_sessionize",
+    "window_rolling_median",
+    "window_scd2_build",
+    "window_seasonal_decompose",
+    "window_rolling_corr",
+    # TPC-H 22
+    *[f"sql_tpch_q{i}_shape" for i in range(1, 23)],
+    # scan/sink layout machinery
+    "sink_zorder_clustered",
+    "sink_sorted_clustered",
+    "sink_compaction",
+    "scan_manifest_pruned",
+    "sink_merge_upsert",
 ]
 
 
@@ -387,6 +476,7 @@ def main() -> None:
             }
     for name, r in sorted(regressions.items(), key=lambda kv: -kv[1]["ratio"]):
         print(json.dumps({"regression": name, **r}), flush=True)
+    diag = {n: s for n, s in timings.items() if n in set(SCALE_DIAGNOSTIC)}
     full = {
         "metric": "headline_suite_seconds",
         "value": total,
@@ -397,6 +487,8 @@ def main() -> None:
         "sf": _sf_from_dir(sf_dir),
         "cpus": int(cpus),
         "n_queries": len(timings),
+        "diag_seconds": round(sum(diag.values()), 3),
+        "diag_n": len(diag),
     }
     if errors:
         full["errors"] = errors
@@ -433,6 +525,8 @@ def main() -> None:
         "n_queries": len(timings),
         "n_errors": len(errors),
         "n_regressions": len(regressions),
+        "diag_seconds": full["diag_seconds"],
+        "diag_n": full["diag_n"],
         "full_record": record_name,
     }
     # The summary is the LAST stdout line, after the per-query stream,

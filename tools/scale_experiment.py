@@ -150,11 +150,14 @@ def main() -> None:
     qs = entry_mod.queries()
     names = [n for n in args.queries.split(",") if n in qs]
 
-    # shuffle partitions sized up with the data (32 -> 64 at 10x)
+    # shuffle partitions sized up with the data (32 -> 80 at 10x),
+    # capped at 256: past that, per-task scheduling overhead on a
+    # 32-thread local JVM dominates any spill relief (the 100x run's
+    # 6M-row shuffles fit comfortably in 256 x ~25 MB partitions)
     spark = get_spark(
         "scale_experiment",
         cpus="32",
-        shuffle_partitions=max(32, 8 * args.copies),
+        shuffle_partitions=min(max(32, 8 * args.copies), 256),
     )
     replica = build_replica(spark, args.copies)
 
