@@ -1,8 +1,8 @@
 """Deduplication operators (BASELINE north star; SURVEY.md §2b
 "LLM-data-pipeline extensions").
 
-Ten strategies over the ``documents``/``embeddings`` tables, each a
-``queries()`` entry:
+Thirteen strategies over the ``documents``/``embeddings`` tables, each
+a ``queries()`` entry:
 
 - ``dedup_exact``        — normalize + SHA-256 content hash (oracle)
 - ``dedup_ngram_jaccard`` — exact n-gram Jaccard on blocked candidate
@@ -18,6 +18,12 @@ Ten strategies over the ``documents``/``embeddings`` tables, each a
 - ``dedup_semdedup``     — SemDeDup-style centroid-cluster prune (r8)
 - ``pipeline_dedup_cascade`` — staged exact→near cascade with
                             per-stage attribution (r8)
+- ``dedup_url_canonical`` — canonical-URL dedup, the web-corpus stage
+                            zero (r9, oracle)
+- ``dedup_substring_span`` — cross-document K-token exact spans, the
+                            Lee et al. 2022 family as a bucket join
+                            (r9, oracle)
+- (``text_line_dedup`` in operators/text.py covers the line level)
 
 Scale posture (100 TB): every strategy is hash-partition-friendly —
 exact dedup is one groupBy on the content hash; MinHash/SimHash block

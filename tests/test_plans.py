@@ -504,3 +504,48 @@ class TestRound5Plans:
         from etl_8x8_spark.sources.scans import profile_approx_plan
 
         assert "Expand" not in plan_string(profile_approx_plan(spark, sf_dir))
+
+
+class TestR9Plans:
+    def test_url_canonical_single_shuffle_all_codegen(
+        self, spark, sf_dir, queries
+    ):
+        """Canonicalization is pure narrow built-ins; the ONLY exchange
+        in the plan is the final groupBy on the canonical string (at
+        100 TB the map side ships short canonical strings, nothing
+        else)."""
+        plan = plan_of(spark, sf_dir, queries, "dedup_url_canonical")
+        assert plan.count("Exchange") == 1, plan
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_substring_span_windows_partitioned_by_doc(
+        self, spark, sf_dir, queries
+    ):
+        """Both island windows run per-document — a global (empty
+        partition spec) window would funnel every duplicated position
+        into one task at corpus scale."""
+        df = queries["dedup_substring_span"].builder(spark, sf_dir)
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        for ln in opt.splitlines():
+            if "windowspecdefinition" in ln:
+                assert "doc_id" in ln.split("windowspecdefinition", 1)[1][:60], ln
+
+    def test_substring_span_mark_join_is_hash_or_smj(
+        self, spark, sf_dir, queries
+    ):
+        """The duplicated-shingle mark join must be an equi-join (hash
+        or sort-merge under AQE), never a nested loop over the
+        exploded shingle table."""
+        plan = plan_of(spark, sf_dir, queries, "dedup_substring_span")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_substring_span_dup_gate_has_partial_agg(
+        self, spark, sf_dir, queries
+    ):
+        """The distinct-docs-per-shingle count must partial-aggregate
+        map-side (a stopword 8-gram collapses before the exchange, so
+        shingle skew never builds a hot shuffle key)."""
+        plan = plan_of(spark, sf_dir, queries, "dedup_substring_span")
+        assert "partial_count" in plan or "HashAggregate" in plan, plan
