@@ -258,3 +258,29 @@ class TestSessionWindowState:
             spark, sf_dir
         )
         assert out.filter(F.col("user_id") < 0).count() == 0
+
+
+class TestInt64OverflowGuard:
+    def test_guard_passes_through_small_products(self, spark):
+        from etl_8x8_spark.operators.aggregates import (
+            _guard_product_fits_int64,
+        )
+
+        df = spark.createDataFrame([(1000, 2000)], "n1 long, n2 long")
+        out = _guard_product_fits_int64(df, "n1", "n2", "unit_test")
+        assert out.collect()[0]["n1"] == 1000
+
+    def test_guard_raises_past_2_62(self, spark):
+        """n1*n2 >= 2^62 must fail LOUDLY (r8 advice) — never return a
+        silently-wrapped statistic."""
+        import pytest as _pytest
+
+        from etl_8x8_spark.operators.aggregates import (
+            _guard_product_fits_int64,
+        )
+
+        big = 1 << 32
+        df = spark.createDataFrame([(big, big)], "n1 long, n2 long")
+        out = _guard_product_fits_int64(df, "n1", "n2", "unit_test")
+        with _pytest.raises(Exception, match="2\\^62|USER_RAISED"):
+            out.collect()
