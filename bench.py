@@ -271,6 +271,7 @@ HEADLINE = [
     # execution)
     "dedup_url_canonical",
     "dedup_substring_span",
+    "dedup_substring_scrub",
 ]
 
 # The ~60 SCALE-DIAGNOSTIC queries (r8 verdict item 7): the heavy /
@@ -300,6 +301,7 @@ SCALE_DIAGNOSTIC = [
     "dedup_containment",
     "dedup_semdedup",
     "dedup_substring_span",
+    "dedup_substring_scrub",
     "dedup_url_canonical",
     "pipeline_dedup_cascade",
     "sim_search_topk",

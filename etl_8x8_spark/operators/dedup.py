@@ -1758,3 +1758,154 @@ def dedup_substring_span(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("span_tokens").cast("long").alias("dup_tokens"),
         F.max("span_tokens").cast("long").alias("max_span_tokens"),
     )
+
+
+@register(
+    "dedup_substring_scrub",
+    oracle=f"""
+WITH corpus AS ({_SPAN_CORPUS_SQL}),
+toks AS (
+  SELECT doc_id, {_TOKENS_SQL} AS tk FROM corpus
+),
+long_docs AS (SELECT doc_id, tk FROM toks WHERE len(tk) >= {_SPAN_K}),
+ex AS (
+  SELECT doc_id, tk,
+         unnest(generate_series(1, len(tk) - {_SPAN_K - 1})) AS pos
+  FROM long_docs
+),
+sh AS (
+  SELECT doc_id, pos,
+         array_to_string(tk[pos:pos+{_SPAN_K - 1}], ' ') AS s
+  FROM ex
+),
+dup AS (
+  SELECT s, MIN(doc_id) AS keeper
+  FROM (SELECT DISTINCT s, doc_id FROM sh)
+  GROUP BY s HAVING COUNT(*) >= 2
+),
+cuts AS (
+  SELECT sh.doc_id, sh.pos
+  FROM sh JOIN dup USING (s)
+  WHERE sh.doc_id > dup.keeper
+),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev IS NULL OR pos - prev > {_SPAN_K}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM (
+    SELECT doc_id, pos,
+           LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+    FROM cuts
+  )
+),
+iv AS (
+  SELECT doc_id, island,
+         MIN(pos) AS st, MAX(pos) + {_SPAN_K - 1} AS en
+  FROM isl GROUP BY doc_id, island
+),
+ivs AS (
+  SELECT doc_id,
+         flatten(list(generate_series(st, en))) AS cutpos,
+         SUM(en - st + 1) AS n_cut
+  FROM iv GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(COALESCE(v.n_cut, 0) AS BIGINT) AS n_tokens_removed,
+       CAST(len(t.tk) - COALESCE(v.n_cut, 0) AS BIGINT) AS n_tokens_kept,
+       COALESCE(array_to_string(
+         list_transform(
+           list_filter(generate_series(1, len(t.tk)),
+                       i -> v.cutpos IS NULL OR NOT list_contains(v.cutpos, i)),
+           i -> t.tk[i]),
+         ' '), '') AS scrubbed_text
+FROM toks t LEFT JOIN ivs v ON v.doc_id = t.doc_id
+""",
+)
+def dedup_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRANSFORM sibling of dedup_substring_span — the step Lee et
+    al. 2022 actually apply to the corpus: every duplicated K-token
+    span is CUT from all but its first occurrence (keeper = the lowest
+    doc_id containing the shingle), and each document's text is
+    rebuilt from its surviving tokens. Output per document: tokens
+    removed / kept and the scrubbed text itself (value-hash-compared
+    against the DuckDB twin — the strongest oracle in the dedup
+    family, since any positional slip changes the string).
+
+    Same candidate machinery as dedup_substring_span (positional
+    shingles → distinct-doc gate → per-doc interval union); the cut
+    intervals are disjoint by construction (islands merge positions ≤K
+    apart), so removed-token counts are exact interval sums. The
+    rebuild expands cut intervals into a per-doc position list and
+    filters a position-indexed token array — O(doc_len × cut_spans)
+    per document, no nested-lambda capture (portable to the DuckDB
+    twin), bounded by document length.
+
+    Scale: identical shuffle profile to dedup_substring_span (the
+    report op) plus one broadcast-sized join of cut-interval lists
+    back onto the corpus — the scrub itself is map-side. At 100 TB the
+    keeper rule (global-min doc id per shingle) is the same
+    single-pass min aggregate it is here.
+    """
+    corpus = _seeded_span_corpus(load_table(spark, sf_dir, "documents"))
+    tk = tokens()
+    toks = corpus.select("doc_id", tk.alias("tk"))
+    long_docs = toks.filter(F.size("tk") >= _SPAN_K)
+    sh = long_docs.select(
+        "doc_id",
+        F.posexplode(positional_shingles(F.col("tk"), _SPAN_K)).alias(
+            "pos0", "s"
+        ),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "s")
+    sh = sh.persist()  # two consumers: keeper derivation + cut join
+    dup = (
+        sh.select("s", "doc_id")
+        .distinct()
+        .groupBy("s")
+        .agg(F.count("*").alias("nd"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("nd") >= 2)
+        .select("s", "keeper")
+    )
+    cuts = (
+        sh.join(dup, "s")
+        .filter(F.col("doc_id") > F.col("keeper"))
+        .select("doc_id", "pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = cuts.withColumn("prev", F.lag("pos").over(w)).withColumn(
+        "island",
+        F.sum(
+            F.when(
+                F.col("prev").isNull() | (F.col("pos") - F.col("prev") > _SPAN_K),
+                1,
+            ).otherwise(0)
+        ).over(w),
+    )
+    iv = isl.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("st"),
+        (F.max("pos") + _SPAN_K - 1).alias("en"),
+    )
+    ivs = iv.groupBy("doc_id").agg(
+        F.flatten(
+            F.collect_list(F.sequence(F.col("st"), F.col("en")))
+        ).alias("cutpos"),
+        F.sum(F.col("en") - F.col("st") + 1).alias("n_cut"),
+    )
+    joined = toks.join(ivs, "doc_id", "left")
+    kept_idx = F.filter(
+        F.sequence(F.lit(1), F.size("tk")),
+        lambda i: F.col("cutpos").isNull()
+        | ~F.array_contains(F.col("cutpos"), i),
+    )
+    return joined.select(
+        "doc_id",
+        F.coalesce(F.col("n_cut"), F.lit(0)).cast("long").alias(
+            "n_tokens_removed"
+        ),
+        (F.size("tk") - F.coalesce(F.col("n_cut"), F.lit(0)))
+        .cast("long")
+        .alias("n_tokens_kept"),
+        F.array_join(
+            F.transform(kept_idx, lambda i: F.element_at(F.col("tk"), i)), " "
+        ).alias("scrubbed_text"),
+    )

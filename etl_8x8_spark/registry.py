@@ -70,6 +70,7 @@ _SAMPLE_PRIORITY = [
     # new in r9 — no driver evidence yet
     "dedup_url_canonical",
     "dedup_substring_span",
+    "dedup_substring_scrub",
     "stream_session_window_state",
     # r3-vintage evidence (stalest surviving driver rows)
     "sink_sorted_clustered",

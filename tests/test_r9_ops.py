@@ -284,3 +284,60 @@ class TestInt64OverflowGuard:
         out = _guard_product_fits_int64(df, "n1", "n2", "unit_test")
         with _pytest.raises(Exception, match="2\\^62|USER_RAISED"):
             out.collect()
+
+
+class TestSubstringScrub:
+    def test_keeper_keeps_duplicate_loses_span(self, spark, sf_dir):
+        """On the seeded corpus every injected doc (higher doc_id than
+        its base) loses at least its shared middle, while its base doc
+        text is untouched (the keeper rule: lowest doc_id keeps)."""
+        from etl_8x8_spark.operators.dedup import (
+            _SPAN_OFFSET,
+            _seeded_span_corpus,
+            normalized,
+        )
+        from etl_8x8_spark.registry import all_queries
+        from etl_8x8_spark.sources.readers import load_table
+
+        out = all_queries()["dedup_substring_scrub"].builder(spark, sf_dir)
+        rows = {r["doc_id"]: r for r in out.collect()}
+        corpus = {
+            r["doc_id"]: r["norm"]
+            for r in _seeded_span_corpus(load_table(spark, sf_dir, "documents"))
+            .select("doc_id", normalized().alias("norm"))
+            .collect()
+        }
+        injected = [i for i in rows if i >= _SPAN_OFFSET]
+        assert injected
+        cut_injected = [i for i in injected if rows[i]["n_tokens_removed"] > 0]
+        assert cut_injected, "no injected doc lost tokens"
+        for i in cut_injected[:20]:
+            base = i - _SPAN_OFFSET
+            # the base doc never loses ITS shared-middle to the
+            # injected twin (keeper = lower id) — it may still lose
+            # tokens to an even-lower natural duplicate, but its
+            # scrubbed text must equal its normalized text whenever
+            # n_tokens_removed == 0
+            if rows[base]["n_tokens_removed"] == 0:
+                assert rows[base]["scrubbed_text"] == corpus[base]
+            # the injected doc's kept+removed always partitions it
+            r = rows[i]
+            assert r["n_tokens_removed"] + r["n_tokens_kept"] == len(
+                corpus[i].split(" ")
+            )
+            assert len(r["scrubbed_text"].split(" ")) == (
+                r["n_tokens_kept"] if r["n_tokens_kept"] > 0 else 1
+            )
+
+    def test_every_doc_present(self, spark, sf_dir):
+        """The scrub is a corpus TRANSFORM: output cardinality equals
+        the corpus (short docs pass through with 0 removed)."""
+        from etl_8x8_spark.operators.dedup import _seeded_span_corpus
+        from etl_8x8_spark.registry import all_queries
+        from etl_8x8_spark.sources.readers import load_table
+
+        out = all_queries()["dedup_substring_scrub"].builder(spark, sf_dir)
+        n_corpus = _seeded_span_corpus(
+            load_table(spark, sf_dir, "documents")
+        ).count()
+        assert out.count() == n_corpus
