@@ -519,33 +519,42 @@ class TestR9Plans:
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
-    def test_substring_span_windows_partitioned_by_doc(
-        self, spark, sf_dir, queries
+    @pytest.mark.parametrize(
+        "key", ["dedup_substring_span", "dedup_substring_scrub"]
+    )
+    def test_substring_windows_partitioned_by_doc(
+        self, spark, sf_dir, queries, key
     ):
-        """Both island windows run per-document — a global (empty
+        """The island windows run per-document — a global (empty
         partition spec) window would funnel every duplicated position
         into one task at corpus scale."""
-        df = queries["dedup_substring_span"].builder(spark, sf_dir)
+        df = queries[key].builder(spark, sf_dir)
         opt = df._jdf.queryExecution().optimizedPlan().toString()
         for ln in opt.splitlines():
             if "windowspecdefinition" in ln:
                 assert "doc_id" in ln.split("windowspecdefinition", 1)[1][:60], ln
 
-    def test_substring_span_mark_join_is_hash_or_smj(
-        self, spark, sf_dir, queries
+    @pytest.mark.parametrize(
+        "key", ["dedup_substring_span", "dedup_substring_scrub"]
+    )
+    def test_substring_mark_join_is_hash_or_smj(
+        self, spark, sf_dir, queries, key
     ):
         """The duplicated-shingle mark join must be an equi-join (hash
         or sort-merge under AQE), never a nested loop over the
         exploded shingle table."""
-        plan = plan_of(spark, sf_dir, queries, "dedup_substring_span")
+        plan = plan_of(spark, sf_dir, queries, key)
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
-    def test_substring_span_dup_gate_has_partial_agg(
-        self, spark, sf_dir, queries
+    @pytest.mark.parametrize(
+        "key", ["dedup_substring_span", "dedup_substring_scrub"]
+    )
+    def test_substring_dup_gate_has_partial_agg(
+        self, spark, sf_dir, queries, key
     ):
         """The distinct-docs-per-shingle count must partial-aggregate
         map-side (a stopword 8-gram collapses before the exchange, so
         shingle skew never builds a hot shuffle key)."""
-        plan = plan_of(spark, sf_dir, queries, "dedup_substring_span")
+        plan = plan_of(spark, sf_dir, queries, key)
         assert "partial_count" in plan or "HashAggregate" in plan, plan
