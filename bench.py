@@ -272,6 +272,7 @@ HEADLINE = [
     "dedup_url_canonical",
     "dedup_substring_span",
     "dedup_substring_scrub",
+    "dedup_incremental_minhash",
 ]
 
 # The ~60 SCALE-DIAGNOSTIC queries (r8 verdict item 7): the heavy /
@@ -302,6 +303,7 @@ SCALE_DIAGNOSTIC = [
     "dedup_semdedup",
     "dedup_substring_span",
     "dedup_substring_scrub",
+    "dedup_incremental_minhash",
     "dedup_url_canonical",
     "pipeline_dedup_cascade",
     "sim_search_topk",

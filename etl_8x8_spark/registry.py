@@ -71,6 +71,7 @@ _SAMPLE_PRIORITY = [
     "dedup_url_canonical",
     "dedup_substring_span",
     "dedup_substring_scrub",
+    "dedup_incremental_minhash",
     "stream_session_window_state",
     # r3-vintage evidence (stalest surviving driver rows)
     "sink_sorted_clustered",

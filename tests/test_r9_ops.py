@@ -341,3 +341,41 @@ class TestSubstringScrub:
             load_table(spark, sf_dir, "documents")
         ).count()
         assert out.count() == n_corpus
+
+
+class TestIncrementalMinhash:
+    def test_verdicts(self, spark, sf_dir):
+        """Novel docs (disjoint shingles) must NEVER flag dup — exact
+        Jaccard verification guarantees precision 1.0; near-copies of
+        index docs must be found with high recall and matched to their
+        own base doc."""
+        from etl_8x8_spark.operators.dedup import _NEAR_OFFSET, _NOVEL_OFFSET
+        from etl_8x8_spark.registry import all_queries
+
+        out = all_queries()["dedup_incremental_minhash"].builder(
+            spark, sf_dir
+        )
+        rows = {r["batch_doc_id"]: r for r in out.collect()}
+        novel = {i: r for i, r in rows.items() if i >= _NOVEL_OFFSET}
+        near = {i: r for i, r in rows.items() if i < _NOVEL_OFFSET}
+        assert novel and near
+        # precision: tagged-word docs share no shingles with the index
+        assert all(r["verdict"] == "novel" for r in novel.values()), [
+            (i, r["matched_index_doc"])
+            for i, r in novel.items()
+            if r["verdict"] != "novel"
+        ][:5]
+        # recall: trailing-marker near-dups have Jaccard >= 0.7 vs
+        # their base for any doc with >= ~8 tokens; LSH banding at
+        # 8x4 catches virtually all of them
+        dup = [r for r in near.values() if r["verdict"] == "dup"]
+        assert len(dup) / len(near) >= 0.9, len(dup) / len(near)
+        # matched doc is the batch doc's own base (the seeded truth)
+        wrong = [
+            r
+            for r in dup
+            if r["matched_index_doc"] != r["batch_doc_id"] - _NEAR_OFFSET
+        ]
+        # near-identical sibling docs can legitimately out-score the
+        # base only at equal jaccard; allow none in the seeded corpus
+        assert not wrong, [(r["batch_doc_id"], r["matched_index_doc"]) for r in wrong][:5]
