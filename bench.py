@@ -273,6 +273,7 @@ HEADLINE = [
     "dedup_substring_span",
     "dedup_substring_scrub",
     "dedup_incremental_minhash",
+    "sim_search_pq_adc",
 ]
 
 # The ~60 SCALE-DIAGNOSTIC queries (r8 verdict item 7): the heavy /
@@ -310,6 +311,7 @@ SCALE_DIAGNOSTIC = [
     "sim_knn_join",
     "sim_search_range",
     "embed_pq_encode",
+    "sim_search_pq_adc",
     "embed_mrl_truncate",
     "embed_normalize_quantize",
     # text corpus ops

@@ -1058,12 +1058,12 @@ GROUP BY vec_id
 """
 
 
-def _pq_dist_sql() -> str:
+def _pq_dist_sql(vec: str = "e.embedding") -> str:
     # d2 for the (vector, subspace s, centroid) row — built per
     # subspace via CASE over s so each branch slices statically.
     branches = []
     for s in range(_PQ_M):
-        a = _pq_slice_sql("e.embedding", s)
+        a = _pq_slice_sql(vec, s)
         b = _pq_slice_sql("c.cvec", s)
         branches.append(
             f"WHEN s.s = {s} THEN "
@@ -1160,4 +1160,180 @@ def embed_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             for s in range(_PQ_M)
         ],
         F.sum("derr").cast("long").alias("recon_err_micro"),
+    )
+
+
+_PQ_ADC_ORACLE = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+  WHERE vec_id < {_PQ_K}
+),
+sub AS (
+  SELECT e.vec_id, s.s, c.cid,
+         {{dist}} AS d2
+  FROM embeddings e
+  CROSS JOIN (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS s) s
+  CROSS JOIN cent c
+),
+codes AS (
+  SELECT vec_id, s, cid FROM (
+    SELECT vec_id, s, cid,
+           row_number() OVER (PARTITION BY vec_id, s
+                              ORDER BY d2 ASC, cid ASC) AS rn
+    FROM sub
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+  WHERE vec_id < {_N_QUERIES}
+),
+adc AS (
+  SELECT q.q_id, s.s, c.cid,
+         CAST(floor(({{qdist}}) * 1e6 + 0.5) AS BIGINT) AS dmicro
+  FROM q
+  CROSS JOIN (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS s) s
+  CROSS JOIN cent c
+),
+scored AS (
+  SELECT a.q_id, v.vec_id, CAST(SUM(a.dmicro) AS BIGINT) AS admicro
+  FROM codes v JOIN adc a ON a.s = v.s AND a.cid = v.cid
+  GROUP BY a.q_id, v.vec_id
+),
+ranked AS (
+  SELECT q_id, vec_id, admicro,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY admicro ASC, vec_id ASC) AS rank
+  FROM scored WHERE vec_id <> q_id
+)
+SELECT q_id, vec_id, admicro / 1e6 AS adc_d2, rank
+FROM ranked WHERE rank <= {_TOP_K}
+"""
+
+
+@register(
+    "sim_search_pq_adc",
+    oracle=_PQ_ADC_ORACLE.format(
+        dist=_pq_dist_sql(), qdist=_pq_dist_sql("q.qe")
+    ),
+)
+def sim_search_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k search — the SEARCH half of the
+    IVF-PQ pair (embed_pq_encode is the storage half): each query
+    builds a tiny per-subspace distance TABLE against the codebook
+    (M·K entries), and every database vector is scored by summing M
+    table lookups on its CODE — the raw vectors never touch the
+    scoring join. This is how billion-vector ANN actually scans: codes
+    are M bytes, the lookup tables broadcast, and the scan is linear
+    in codes with no floating-point vector math per candidate.
+
+    Determinism: per-subspace distances micro-quantize BEFORE the
+    cross-subspace sum (longs sum exactly in any order — the
+    embed_pq_encode idiom), argmin/rank ties break on id, so the full
+    result value-hash-verifies against the DuckDB twin.
+
+    Scale: codebook and ADC tables broadcast (M·K and Q·M·K rows); the
+    code scan is map-side; the only data-sized shuffles are the
+    per-vector code regroup and the per-query top-k window (WindowGroupLimit
+    cuts per-partition). Recall/fidelity is the PQ trade measured by
+    embed_pq_encode's reconstruction-error audit.
+    """
+    from etl_8x8_spark.functions.vectors import dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    csubs = cents.select(
+        "cid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice(F.col("cvec"), s * _PQ_SUB + 1, _PQ_SUB).alias(
+                            "csub"
+                        ),
+                    )
+                    for s in range(_PQ_M)
+                ]
+            )
+        ).alias("_cp"),
+    ).select("cid", F.col("_cp.s").alias("s"), F.col("_cp.csub").alias("csub"))
+
+    def subspaces(df: DataFrame, idcol: str, veccol: str, subname: str) -> DataFrame:
+        return df.select(
+            idcol,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("s"),
+                            F.slice(
+                                F.col(veccol), s * _PQ_SUB + 1, _PQ_SUB
+                            ).alias(subname),
+                        )
+                        for s in range(_PQ_M)
+                    ]
+                )
+            ).alias("_sp"),
+        ).select(idcol, F.col("_sp.s").alias("s"), F.col(f"_sp.{subname}").alias(subname))
+
+    # database codes: nearest sub-centroid per (vector, subspace)
+    e = subspaces(emb, "vec_id", "embedding", "sub")
+    d2 = (
+        dot(F.col("sub"), F.col("sub"))
+        - 2 * dot(F.col("sub"), F.col("csub"))
+        + dot(F.col("csub"), F.col("csub"))
+    )
+    codes = (
+        e.join(F.broadcast(csubs), "s")
+        .withColumn("d2", d2)
+        .groupBy("vec_id", "s")
+        .agg(
+            F.max(
+                F.struct(
+                    (-F.col("d2")).alias("nd"), (-F.col("cid")).alias("nc")
+                )
+            ).alias("m")
+        )
+        .select("vec_id", "s", (-F.col("m.nc")).cast("long").alias("cid"))
+    )
+
+    # per-query ADC tables: Q x M x K rows, broadcast
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    qsubs = subspaces(q, "q_id", "qe", "qsub")
+    qd2 = (
+        dot(F.col("qsub"), F.col("qsub"))
+        - 2 * dot(F.col("qsub"), F.col("csub"))
+        + dot(F.col("csub"), F.col("csub"))
+    )
+    adc = (
+        qsubs.join(csubs, "s")
+        .select(
+            "q_id",
+            "s",
+            "cid",
+            F.floor(qd2 * 1e6 + 0.5).cast("long").alias("dmicro"),
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(adc), ["s", "cid"])
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("dmicro").cast("long").alias("admicro"))
+        .filter(F.col("vec_id") != F.col("q_id"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("admicro").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select(
+            "q_id",
+            "vec_id",
+            (F.col("admicro") / F.lit(1e6)).alias("adc_d2"),
+            "rank",
+        )
     )

@@ -379,3 +379,49 @@ class TestIncrementalMinhash:
         # near-identical sibling docs can legitimately out-score the
         # base only at equal jaccard; allow none in the seeded corpus
         assert not wrong, [(r["batch_doc_id"], r["matched_index_doc"]) for r in wrong][:5]
+
+
+class TestPqAdcSearch:
+    def test_recall_floor_vs_exact_l2(self, spark, sf_dir):
+        """ADC top-10 must overlap exact-L2 top-10 well above chance
+        (10/|corpus|); the fixture codebook (16 arbitrary vectors,
+        4x16 PQ) is untrained, so the floor is deliberately modest —
+        the operator's contract is the scan SHAPE + exact
+        cross-engine determinism, and fidelity scales with codebook
+        quality (production trains per-subspace k-means)."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from etl_8x8_spark.functions.vectors import dot
+        from etl_8x8_spark.registry import all_queries
+        from etl_8x8_spark.sources.readers import load_table
+
+        adc = {
+            (r["q_id"], r["vec_id"])
+            for r in all_queries()["sim_search_pq_adc"]
+            .builder(spark, sf_dir)
+            .collect()
+        }
+        emb = load_table(spark, sf_dir, "embeddings")
+        q = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+        )
+        d2 = (
+            dot(F.col("qe"), F.col("qe"))
+            - 2 * dot(F.col("qe"), F.col("embedding"))
+            + dot(F.col("embedding"), F.col("embedding"))
+        )
+        s = emb.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
+            "q_id", "vec_id", d2.alias("d2")
+        )
+        w = Window.partitionBy("q_id").orderBy(
+            F.col("d2").asc(), F.col("vec_id").asc()
+        )
+        exact = {
+            (r["q_id"], r["vec_id"])
+            for r in s.withColumn("rk", F.row_number().over(w))
+            .filter("rk <= 10")
+            .collect()
+        }
+        recall = len(adc & exact) / len(exact)
+        assert recall >= 0.2, recall
