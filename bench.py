@@ -274,6 +274,7 @@ HEADLINE = [
     "dedup_substring_scrub",
     "dedup_incremental_minhash",
     "sim_search_pq_adc",
+    "window_holt_forecast",
 ]
 
 # The ~60 SCALE-DIAGNOSTIC queries (r8 verdict item 7): the heavy /

@@ -1922,3 +1922,115 @@ def window_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         F.when(F.col("nd") >= _RSI_DAYS, rsi).alias("rsi"),
     ).orderBy("day_str")
+
+
+# ---------------------------------------------------------------------------
+# Holt double-exponential (level + trend) forecast (r9)
+# ---------------------------------------------------------------------------
+
+_HOLT_ALPHA = 0.2  # level smoothing
+_HOLT_BETA = 0.1  # trend smoothing
+_HOLT_H = 7  # forecast horizon (days)
+
+_HOLT_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(CAST(date_trunc('day', o_orderdate) AS DATE) AS STRING)
+             AS day_str,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+             AS revenue
+  FROM orders
+  GROUP BY 1
+),
+series AS (
+  SELECT list(revenue ORDER BY day_str) AS ys FROM daily
+),
+fitted AS (
+  SELECT list_reduce(
+           list_prepend([ys[1], ys[2] - ys[1]],
+                        list_transform(ys[3:len(ys)], y -> [y, 0.0])),
+           (acc, p) -> [
+             {_HOLT_ALPHA} * p[1] + (1 - {_HOLT_ALPHA}) * (acc[1] + acc[2]),
+             {_HOLT_BETA} * (({_HOLT_ALPHA} * p[1]
+                              + (1 - {_HOLT_ALPHA}) * (acc[1] + acc[2]))
+                             - acc[1])
+               + (1 - {_HOLT_BETA}) * acc[2]
+           ]) AS lb
+  FROM series
+)
+SELECT h,
+       CAST(floor((lb[1] + h * lb[2]) * 1e6 + 0.5) AS BIGINT) / 1e6
+         AS forecast,
+       CAST(floor(lb[1] * 1e6 + 0.5) AS BIGINT) / 1e6 AS level,
+       CAST(floor(lb[2] * 1e6 + 0.5) AS BIGINT) / 1e6 AS trend
+FROM fitted
+CROSS JOIN (SELECT unnest(generate_series(1, {_HOLT_H})) AS h) hs
+"""
+
+
+@register("window_holt_forecast", oracle=_HOLT_ORACLE)
+def window_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend) over the
+    daily-revenue series, with a {_HOLT_H}-day linear forecast
+    ŷ(h) = l + h·b — the trend-aware sibling of window_ewma_smooth
+    and the one classical smoother the time-series family
+    (EWMA / RSI / Bollinger / seasonal decompose) was missing.
+
+    The recurrence (l_t = αy_t + (1−α)(l_{{t-1}}+b_{{t-1}});
+    b_t = β(l_t − l_{{t-1}}) + (1−β)b_{{t-1}}, textbook init
+    l₁ = y₁, b₁ = y₂ − y₁) is inherently sequential, so it runs as
+    ONE left fold over the ordered daily array — Spark ``aggregate``
+    and DuckDB ``list_reduce`` execute the identical IEEE operation
+    sequence (the EWMA parity idiom; the new level term is inlined
+    twice in the trend update in BOTH engines so even the rounding
+    matches), making the full fit value-hash-checkable.
+
+    Scale posture: the fact-sized work is the map-side-combined daily
+    groupBy; the fold's input is calendar-bounded (one value per day
+    — thousands of rows at any corpus size, the accepted dim-sized
+    caveat of window_pct_change). Per-key forecasting at scale swaps
+    the global collect for a groupBy(key).agg(sort_array(collect_list
+    (struct(day, y)))) — same fold, unbounded key parallelism.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("rev_dec"))
+    daily = daily.select(
+        F.col("day").cast("date").cast("string").alias("day_str"),
+        F.col("rev_dec").cast("double").alias("revenue"),
+    )
+    # one ordered array for the whole (calendar-bounded) series;
+    # array_sort on (day_str, revenue) structs = ORDER BY day_str
+    series = daily.agg(
+        F.array_sort(
+            F.collect_list(F.struct("day_str", "revenue"))
+        ).alias("rows")
+    ).select(F.transform(F.col("rows"), lambda r: r["revenue"]).alias("ys"))
+    a, b = _HOLT_ALPHA, _HOLT_BETA
+    y1 = F.element_at("ys", 1)
+    y2 = F.element_at("ys", 2)
+    rest = F.slice(F.col("ys"), 3, F.greatest(F.size("ys") - 2, F.lit(0)))
+    lb = F.aggregate(
+        rest,
+        F.array(y1, y2 - y1),
+        lambda acc, v: F.array(
+            a * v + (1 - a) * (F.element_at(acc, 1) + F.element_at(acc, 2)),
+            b
+            * (
+                (a * v + (1 - a) * (F.element_at(acc, 1) + F.element_at(acc, 2)))
+                - F.element_at(acc, 1)
+            )
+            + (1 - b) * F.element_at(acc, 2),
+        ),
+    )
+    fitted = series.select(lb.alias("lb"))
+    hs = spark.range(1, _HOLT_H + 1).select(F.col("id").cast("int").alias("h"))
+    q6 = lambda c: F.floor(c * 1e6 + 0.5).cast("long") / F.lit(1e6)  # noqa: E731
+    return fitted.crossJoin(F.broadcast(hs)).select(
+        "h",
+        q6(
+            F.element_at("lb", 1) + F.col("h") * F.element_at("lb", 2)
+        ).alias("forecast"),
+        q6(F.element_at("lb", 1)).alias("level"),
+        q6(F.element_at("lb", 2)).alias("trend"),
+    )

@@ -73,6 +73,7 @@ _SAMPLE_PRIORITY = [
     "dedup_substring_scrub",
     "dedup_incremental_minhash",
     "sim_search_pq_adc",
+    "window_holt_forecast",
     "stream_session_window_state",
     # r3-vintage evidence (stalest surviving driver rows)
     "sink_sorted_clustered",
