@@ -276,6 +276,14 @@ HEADLINE = [
     "sim_search_pq_adc",
     "window_holt_forecast",
 ]
+# HEADLINE is FROZEN as of r10 (r9 verdict item 8): it no longer grows
+# mechanically with the registry. Promotion rule (documented in
+# BASELINE.md "Headline promotion rule"): a new key enters HEADLINE
+# only if it adds a plan shape not yet represented (new
+# shuffle/join/iteration structure) or is expected >= 0.5 s at sf0.1;
+# everything else is covered by the driver correctness gate +
+# tools/verify_queries.py. Multi-phase streaming harnesses are never
+# benched (their wall is checkpoint choreography, not plan execution).
 
 # The ~60 SCALE-DIAGNOSTIC queries (r8 verdict item 7): the heavy /
 # plan-interesting subset whose per-query drift must stay visible above
@@ -394,8 +402,17 @@ def main() -> None:
 
     spark = None
 
+    # Ambient host load BEFORE our own JVM spins up: the only moment
+    # the 1-min loadavg measures OTHER processes, not this suite. Two
+    # same-code r9 runs differed 12% suite-wide (r9 verdict item 7) —
+    # gate flags must carry their own adjudication evidence.
+    ambient_load = round(os.getloadavg()[0], 2)
+    noisy_host = ambient_load > 0.25 * int(cpus)
+
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    loads: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     errors: dict[str, str] = {}
     for qi, name in enumerate(names):
         if qi % _CHUNK == 0:
@@ -411,6 +428,7 @@ def main() -> None:
         # to a single AnalysisException).
         per_run = []
         try:
+            loads[name] = round(os.getloadavg()[0], 2)
             for run in range(3):
                 t0 = time.time()
                 df = qs[name](spark, sf_dir)
@@ -418,6 +436,12 @@ def main() -> None:
                 per_run.append(round(time.time() - t0, 3))
             cold[name] = per_run[0]
             timings[name] = min(per_run[1:])
+            # warm-pair spread: a same-session repeat differing >30%
+            # is scheduler/GC noise, not plan cost — per-query noise
+            # evidence the regression gate reads below
+            spreads[name] = round(
+                max(per_run[1:]) / max(min(per_run[1:]), 1e-9), 2
+            )
         except Exception as exc:  # noqa: BLE001 — survive any query
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
         # Stream one compact line per query so a stdout-tail window
@@ -476,10 +500,22 @@ def main() -> None:
     for name, now_s in timings.items():
         was = prev.get(name)
         if was and was > 0 and now_s > was * 1.5 and now_s - was >= 0.3:
+            # Separate "regression" from "noisy-host candidate"
+            # (r9 verdict item 7): a flag raised while the host was
+            # loaded by other work at suite start, or whose own warm
+            # pair disagreed >30%, carries its adjudication evidence
+            # with it — Lesson 36's protocol starts from here instead
+            # of from a bare ratio.
+            candidate = noisy_host or spreads.get(name, 1.0) > 1.3
             regressions[name] = {
                 "prev_s": was,
                 "now_s": now_s,
                 "ratio": round(now_s / was, 2),
+                "load": loads.get(name),
+                "warm_spread": spreads.get(name),
+                "status": (
+                    "noisy-host-candidate" if candidate else "regression"
+                ),
             }
     for name, r in sorted(regressions.items(), key=lambda kv: -kv[1]["ratio"]):
         print(json.dumps({"regression": name, **r}), flush=True)
@@ -496,6 +532,10 @@ def main() -> None:
         "n_queries": len(timings),
         "diag_seconds": round(sum(diag.values()), 3),
         "diag_n": len(diag),
+        "ambient_load": ambient_load,
+        "noisy_host": noisy_host,
+        "loads": loads,
+        "warm_spreads": spreads,
     }
     if errors:
         full["errors"] = errors
@@ -532,6 +572,8 @@ def main() -> None:
         "n_queries": len(timings),
         "n_errors": len(errors),
         "n_regressions": len(regressions),
+        "ambient_load": ambient_load,
+        "noisy_host": noisy_host,
         "diag_seconds": full["diag_seconds"],
         "diag_n": full["diag_n"],
         "full_record": record_name,

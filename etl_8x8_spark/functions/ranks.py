@@ -214,9 +214,11 @@ def histogram_global_rank_multi(
     per-bucket offsets window partitions on the spec id and the probe
     window on (spec, bucket) — nothing unpartitioned anywhere, and
     the offsets relation is <= k x ``buckets`` rows by construction.
-    NULL ordering values route to sentinel bucket -1 (ranked first,
-    deterministic by tiebreak — never silently dropped), as in the
-    single-column form.
+    NULL ordering values route to a per-DIRECTION sentinel bucket
+    (never silently dropped): ascending specs send them to bucket -1
+    (ranked first — Spark's ASC NULLS FIRST default), descending
+    specs to bucket +``buckets`` (ranked last — DESC NULLS LAST),
+    deterministic by tiebreak in both cases.
     """
     cids = list(range(len(specs)))
     sagg = []

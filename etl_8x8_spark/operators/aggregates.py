@@ -3227,6 +3227,36 @@ def _guard_product_fits_int64(
         ),
     )
 
+def _guard_sum_sq_fits_int64(
+    totals: DataFrame, a: str, b: str, op_name: str
+) -> DataFrame:
+    """Fail LOUDLY when ``(a+b)^2 >= 2^62`` (r9 advice): rank-SUM
+    numerators like ROC's r1_x2 are bounded by ~2·a·(a+b), not a·b —
+    with imbalanced classes (a=2^33, b=2^20) the product guard passes
+    while the numerator wraps at ~2^67. (a+b)^2 < 2^62 gives
+    2·a·(a+b) <= 2·(a+b)^2 < 2^63, inside int64. Embedded in ``a``
+    (used downstream) so Catalyst cannot prune it."""
+    tot = F.col(a).cast("double") + F.col(b).cast("double")
+    return totals.withColumn(
+        a,
+        F.when(tot * tot < F.lit(float(2**62)), F.col(a)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"{op_name}: ({a}+{b})^2 >= 2^62 — the int64 "
+                        "rank-sum numerator (~2·a·n) would overflow even "
+                        "when the pair product fits; switch the numerator "
+                        f"to double at this scale. {a}="
+                    ),
+                    F.col(a).cast("string"),
+                    F.lit(f" {b}="),
+                    F.col(b).cast("string"),
+                )
+            ).cast("long")
+        ),
+    )
+
+
 _KS_ORACLE = f"""
 WITH s AS (
   SELECT value,
@@ -3407,10 +3437,16 @@ def agg_roc_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cp").cast("long").alias("n_pos"),
         F.sum("cn").cast("long").alias("n_neg"),
     )
-    # Same int64 guard as agg_ks_test_two_sample (r8 advice): the
-    # rank-sum numerator is exact only while n² < 2^62 — fail loudly
-    # past it rather than silently overflow.
+    # Two int64 guards (r8 + r9 advice). The U DENOMINATOR needs
+    # n_pos*n_neg < 2^62; but the rank-sum NUMERATOR r1_x2 is bounded
+    # by ~2*n_pos*(n_pos+n_neg), not the product — with imbalanced
+    # classes (n_pos=2^33, n_neg=2^20) the product guard passes while
+    # r1_x2 wraps at ~2^67. Guard the quantity that bounds it:
+    # (n_pos+n_neg)^2 < 2^62 gives r1_x2 <= 2*n_pos*n < 2*n^2 < 2^63,
+    # inside int64. Both checks are embedded in n_pos (used
+    # downstream) so Catalyst cannot prune them.
     totals = _guard_product_fits_int64(totals, "n_pos", "n_neg", "agg_roc_auc_rank")
+    totals = _guard_sum_sq_fits_int64(totals, "n_pos", "n_neg", "agg_roc_auc_rank")
     r1_x2 = F.sum(
         F.col("cp") * (2 * (F.col("cum_ct") - F.col("ct")) + F.col("ct") + 1)
     ).cast("long")

@@ -1278,28 +1278,37 @@ def sim_search_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("_sp"),
         ).select(idcol, F.col("_sp.s").alias("s"), F.col(f"_sp.{subname}").alias(subname))
 
-    # database codes: nearest sub-centroid per (vector, subspace)
+    # database codes PACKED: one ARRAY<BIGINT> (s-ordered) per vector,
+    # built in a SINGLE exchange — the per-s argmin folds into the
+    # same agg as the packing (min of (d2, cid) struct = smallest
+    # distance, ties to smallest centroid id; partial agg collapses
+    # the K·M expanded rows map-side). r9 verdict item 4: the old
+    # shape carried M rows per vector through a second (s,cid)-join
+    # regroup of N·Q rows; packed codes make the scoring join-free.
     e = subspaces(emb, "vec_id", "embedding", "sub")
     d2 = (
         dot(F.col("sub"), F.col("sub"))
         - 2 * dot(F.col("sub"), F.col("csub"))
         + dot(F.col("csub"), F.col("csub"))
     )
-    codes = (
-        e.join(F.broadcast(csubs), "s")
-        .withColumn("d2", d2)
-        .groupBy("vec_id", "s")
-        .agg(
-            F.max(
-                F.struct(
-                    (-F.col("d2")).alias("nd"), (-F.col("cid")).alias("nc")
-                )
-            ).alias("m")
-        )
-        .select("vec_id", "s", (-F.col("m.nc")).cast("long").alias("cid"))
+    ej = e.join(F.broadcast(csubs), "s").select(
+        "vec_id", "s", "cid", d2.alias("d2")
+    )
+    codes_packed = ej.groupBy("vec_id").agg(
+        F.array(
+            *[
+                F.min(
+                    F.when(F.col("s") == s, F.struct(F.col("d2"), F.col("cid")))
+                ).getField("cid")
+                for s in range(_PQ_M)
+            ]
+        ).alias("codes")
     )
 
-    # per-query ADC tables: Q x M x K rows, broadcast
+    # per-query ADC tables packed to ARRAY<ARRAY<BIGINT>> (M x K,
+    # s-major, cid-indexed — centroid ids are dense 0..K-1 by
+    # construction): Q rows total, broadcast as the literal lookup
+    # structure every scan task holds once
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
     )
@@ -1309,20 +1318,51 @@ def sim_search_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         - 2 * dot(F.col("qsub"), F.col("csub"))
         + dot(F.col("csub"), F.col("csub"))
     )
-    adc = (
-        qsubs.join(csubs, "s")
-        .select(
-            "q_id",
-            "s",
-            "cid",
-            F.floor(qd2 * 1e6 + 0.5).cast("long").alias("dmicro"),
-        )
+    adcj = qsubs.join(csubs, "s").select(
+        "q_id",
+        "s",
+        "cid",
+        F.floor(qd2 * 1e6 + 0.5).cast("long").alias("dmicro"),
     )
+    adc_packed = adcj.groupBy("q_id").agg(
+        F.array(
+            *[
+                F.array(
+                    *[
+                        F.min(
+                            F.when(
+                                (F.col("s") == s) & (F.col("cid") == c),
+                                F.col("dmicro"),
+                            )
+                        )
+                        for c in range(_PQ_K)
+                    ]
+                )
+                for s in range(_PQ_M)
+            ]
+        ).alias("tabs")
+    )
+
+    # MAP-SIDE scoring: broadcast the Q packed tables against the
+    # packed codes (BroadcastNestedLoopJoin over Q rows — no shuffle),
+    # ADC distance = M exact long lookups summed per (query, vector).
+    # No exchange touches the N·Q scored rows until the top-k window,
+    # whose partial WindowGroupLimit cuts each partition to <= K rows
+    # per query before the exchange.
+    lookup = [
+        F.element_at(
+            F.element_at(F.col("tabs"), s + 1),
+            (F.element_at(F.col("codes"), s + 1) + 1).cast("int"),
+        )
+        for s in range(_PQ_M)
+    ]
+    admicro = lookup[0]
+    for term in lookup[1:]:
+        admicro = admicro + term
     scored = (
-        codes.join(F.broadcast(adc), ["s", "cid"])
-        .groupBy("q_id", "vec_id")
-        .agg(F.sum("dmicro").cast("long").alias("admicro"))
+        codes_packed.join(F.broadcast(adc_packed))
         .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", admicro.cast("long").alias("admicro"))
     )
     w = Window.partitionBy("q_id").orderBy(
         F.col("admicro").asc(), F.col("vec_id").asc()

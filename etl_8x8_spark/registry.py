@@ -58,72 +58,68 @@ _QUERY_MODULES = [
 # ORDER MATTERS for driver sampling: the driver evaluates only the first
 # 50 keys of ``all_queries()`` per round. Keys listed here lead the
 # returned dict (in this order); all other keys follow in registration
-# order. Round-9 priority (r8 verdict item 1): driver coverage is
-# literal 261/261 with zero fails, so the rotation is pure
-# STALEST-FIRST — any r9-new keys (never driver-sampled) lead, then the
-# 16 keys whose latest green row is r3-vintage, then the oldest
-# r4-vintage keys (alphabetical within a round) to fill the 50-slot
-# window. Target: after the r9 driver run no key's latest CORRECTNESS
-# row is older than r4, and most of the r4 block is refreshed too.
+# order. Round-10 priority (r9 verdict item 2): coverage is literal
+# 268/268 with zero fails, so the rotation stays pure STALEST-FIRST —
+# any r10-new keys (never driver-sampled) lead, then the 22 keys whose
+# latest green row is r4-vintage (streaming/text/window keys with
+# shared-helper churn since r4), then the oldest r5-vintage keys
+# (alphabetical) to fill the 50-slot window. Target: after the r10
+# driver run no key's latest CORRECTNESS row is older than r5.
 # bench.py's HEADLINE order is independent and unaffected.
 _SAMPLE_PRIORITY = [
-    # new in r9 — no driver evidence yet
-    "dedup_url_canonical",
-    "dedup_substring_span",
-    "dedup_substring_scrub",
-    "dedup_incremental_minhash",
-    "sim_search_pq_adc",
-    "window_holt_forecast",
-    "stream_session_window_state",
-    # r3-vintage evidence (stalest surviving driver rows)
-    "sink_sorted_clustered",
-    "sort_limit_topk",
-    "sql_tpch_q10_shape",
-    "sql_tpch_q18_shape",
-    "sql_tpch_q3_shape",
-    "sql_tpch_q5_shape",
-    "sql_tpch_q7_shape",
-    "window_anomaly_zscore",
-    "window_cumulative_users",
-    "window_first_last",
-    "window_gap_islands",
-    "window_rank_topn_per_group",
-    "window_rolling_median",
-    "window_running_sum",
-    "window_scd2_build",
-    "window_trailing_range",
-    # r4-vintage evidence (oldest 31 of 49, alphabetical)
-    "agg_approx_distinct",
-    "agg_hll_merge",
-    "agg_partial_reaggregate",
-    "agg_psi_drift",
-    "agg_quantile_sketch",
-    "agg_timeseries_gapfill",
-    "cdc_snapshot_diff",
-    "dedup_binary_exact",
-    "dedup_cluster_cc",
-    "dedup_embed_cosine",
-    "dedup_ngram_jaccard",
-    "embed_normalize_quantize",
-    "graph_pagerank_iter",
-    "join_bloom_pruned",
-    "ml_kmeans_lloyd",
-    "multimodal_binary_ingest",
-    "multimodal_decode",
-    "multimodal_features",
-    "multimodal_frames",
-    "multimodal_struct",
-    "pipeline_pretrain_corpus",
-    "pipeline_training_data",
-    "sim_knn_join",
-    "sim_search_ivf_topk",
-    "sim_search_range",
-    "sim_search_topk",
-    "stream_custom_source",
+    # new in r10 — no driver evidence yet
+    "stream_session_window_tws",
+    # r4-vintage evidence (stalest surviving driver rows, all 22)
     "stream_dedup_state",
     "stream_events",
     "stream_foreach_batch_upsert",
     "stream_join_interval",
+    "stream_session_window",
+    "stream_sliding_agg",
+    "stream_state_ttl_cache",
+    "stream_tumbling_agg",
+    "text_analysis_stats",
+    "text_contamination_check",
+    "text_doc_chunking",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_ngram_counts",
+    "text_pii_redact",
+    "text_repetition_filter",
+    "text_tfidf_terms",
+    "text_token_budget_pack",
+    "text_unigram_logprob",
+    "window_dedup_latest",
+    "window_lag_lead",
+    "window_sessionize",
+    # r5-vintage evidence (oldest 27 of 49, alphabetical)
+    "agg_basket_affinity",
+    "agg_benford_digit",
+    "agg_bounce_rate",
+    "agg_chi_square",
+    "agg_count_min_sketch",
+    "dedup_minhash_near",
+    "dedup_simhash",
+    "graph_common_neighbors",
+    "join_feature_store_pit",
+    "ml_naive_bayes",
+    "pipeline_feature_dataset",
+    "quality_referential_integrity",
+    "scan_metadata_stats",
+    "sim_search_lsh_topk",
+    "sink_compaction",
+    "sql_tpch_q11_shape",
+    "sql_tpch_q12_shape",
+    "sql_tpch_q13_shape",
+    "sql_tpch_q14_shape",
+    "sql_tpch_q15_shape",
+    "sql_tpch_q16_shape",
+    "sql_tpch_q17_shape",
+    "sql_tpch_q19_shape",
+    "sql_tpch_q1_shape",
+    "sql_tpch_q20_shape",
+    "sql_tpch_q21_shape",
+    "sql_tpch_q22_shape",
 ]
 
 

@@ -882,3 +882,267 @@ def stream_session_window_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_phase(sentinel(30))
     run_phase(sentinel(60))
     return spark.read.parquet(out_dir).filter(F.col("user_id") >= 0)
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas session windows (r10 — the Spark-4 successor
+# API for stream_session_window_state; LESSONS #37/#38)
+# ---------------------------------------------------------------------------
+
+_PB_CANDIDATE_DIRS = [
+    # a pure-python protobuf runtime bundled with an on-disk SDK; any
+    # dir whose google/protobuf package imports is acceptable — the
+    # env override comes first so a real install always wins.
+    "/usr/lib/google-cloud-sdk/platform/google_appengine",
+]
+
+
+def find_protobuf_pythonpath() -> str | None:
+    """Return a dir to prepend to PYTHONPATH so ``google.protobuf``
+    imports in Spark's Python workers, or None.
+
+    Spark 4's ``transformWithStateInPandas`` hard-depends on
+    ``google.protobuf`` at RUN time (the TWS driver worker speaks a
+    protobuf state-server protocol — LESSONS #37). This environment
+    doesn't ship the pip package, but a pure-python runtime exists on
+    disk; returns '' when protobuf already imports natively (nothing
+    to add), a path when a vendored copy is found, None when neither.
+    """
+    import importlib.util
+
+    override = os.environ.get("SPARK_GRAFT_PROTOBUF_PATH")
+    if override:
+        return override
+    try:
+        if importlib.util.find_spec("google.protobuf") is not None:
+            return ""
+    except (ImportError, ModuleNotFoundError, ValueError):
+        pass
+    for d in _PB_CANDIDATE_DIRS:
+        if os.path.exists(os.path.join(d, "google", "protobuf", "descriptor_pb2.py")):
+            return d
+    return None
+
+
+def _wire_tws_env(spark: SparkSession, pb_dir: str) -> None:
+    """Make ``google.protobuf`` importable in every Python worker the
+    JVM spawns from NOW on: ``sc.environment`` feeds the envVars of
+    newly-pickled Python functions (it reaches the TWS driver worker
+    even when the JVM env predates this call — measured, r10), and
+    ``os.environ`` covers driver-side imports. The gencode/runtime
+    skew bypass is protobuf's OWN escape hatch
+    (TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK, runtime_version.py)
+    for a 1-minor-version lag (gencode 6.33 vs runtime 6.32) that is
+    wire-compatible."""
+    import sys
+
+    for env in (spark.sparkContext.environment, os.environ):
+        if pb_dir:
+            cur = env.get("PYTHONPATH", "")
+            if pb_dir not in cur.split(os.pathsep):
+                env["PYTHONPATH"] = (
+                    pb_dir + ((os.pathsep + cur) if cur else "")
+                )
+        env["PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION"] = "python"
+        env["TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"] = "true"
+    if pb_dir and pb_dir not in sys.path:
+        sys.path.insert(0, pb_dir)
+
+
+class _TwsSessionProcessor:
+    """Gap-based session assembler on ``transformWithStateInPandas``:
+    ValueState ``sess`` holds the OPEN session (start_us, end_us, n),
+    ValueState ``tmr`` the armed event-time timer so re-arming can
+    ``deleteTimer`` the stale one (TWS timers are multi-shot per key —
+    unlike applyInPandasWithState's single timeout — so un-deleted
+    timers WOULD double-fire). Semantics are exactly
+    _session_window_fn's: inline close when a new event lands more
+    than gap past the open end; timer close when the watermark passes
+    end + gap."""
+
+    def init(self, handle) -> None:
+        self._handle = handle
+        self._sess = handle.getValueState(
+            "sess", "start_us long, end_us long, n long"
+        )
+        self._tmr = handle.getValueState("tmr", "t_ms long")
+
+    def _emit(self, uid, sessions):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "user_id": [uid] * len(sessions),
+                "session_start_us": [s[0] for s in sessions],
+                "session_end_us": [s[1] for s in sessions],
+                "n_events": [s[2] for s in sessions],
+            }
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        (uid,) = key
+        ts: list[int] = []
+        for pdf in rows:
+            ts.extend(
+                pdf["ts"].values.astype("datetime64[us]").astype("int64").tolist()
+            )
+        ts.sort()
+        st = tuple(self._sess.get()) if self._sess.exists() else None
+        closed = []
+        for t in ts:
+            if st is None:
+                st = (t, t, 1)
+            elif t - st[1] > _SESS_GAP_US:
+                closed.append(st)
+                st = (t, t, 1)
+            else:
+                # disorder guard: cross-batch reordering can only
+                # shrink start / grow end inside one session
+                st = (min(st[0], t), max(st[1], t), st[2] + 1)
+        self._sess.update(st)
+        if self._tmr.exists():
+            self._handle.deleteTimer(self._tmr.get()[0])
+        new_t = st[1] // 1000 + _SESS_GAP_MS
+        self._handle.registerTimer(new_t)
+        self._tmr.update((new_t,))
+        if closed:
+            yield self._emit(uid, closed)
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        (uid,) = key
+        # stale-timer belt: only the currently-armed timer may close
+        # the open session (re-arm deletes old timers, but a crash
+        # between deleteTimer and registerTimer could leave one)
+        armed = self._tmr.get()[0] if self._tmr.exists() else None
+        if armed is not None and expiredTimerInfo.getExpiryTimeInMs() == armed:
+            st = tuple(self._sess.get())
+            self._sess.clear()
+            self._tmr.clear()
+            yield self._emit(uid, [st])
+        else:
+            yield self._emit(uid, [])
+
+    def close(self) -> None:
+        pass
+
+
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+@register("stream_session_window_tws", oracle=_SESSION_STATE_ORACLE)
+def stream_session_window_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows on Spark 4's
+    ``transformWithStateInPandas`` — the successor arbitrary-state API
+    (named multi-shot timers, multiple state variables, TTL state)
+    and the migration target for stream_session_window_state's
+    ``applyInPandasWithState`` form. Same 4-phase availableNow drive
+    (median event-time split, two far-future sentinel flushes —
+    LESSONS #38) against the SAME batch-sessionization oracle, so the
+    two APIs are pinned to identical emitted sets.
+
+    Environment wiring: TWS needs (a) ``google.protobuf`` in the
+    Python workers — located on disk via find_protobuf_pythonpath()
+    and injected through ``sc.environment`` — and (b) a state store
+    with column families, i.e. RocksDB (HDFS-backed provider refuses
+    TWS). When neither is satisfiable the operator falls back to the
+    applyInPandasWithState twin, so the key stays green on
+    protobuf-less hosts while exercising TWS wherever it can run.
+
+    Scale: state per live key is one (start,end,n) triple + one named
+    timer row in RocksDB, sharded by key; append output; watermark
+    bounds state and late input exactly as in the predecessor.
+    """
+    import shutil
+
+    pb_dir = find_protobuf_pythonpath()
+    if pb_dir is None:
+        return stream_session_window_state(spark, sf_dir)
+    _wire_tws_env(spark, pb_dir)
+
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    # subclass at call time so importing this module never requires
+    # the streaming APIs to be loadable
+    proc_cls = type(
+        "TwsSessionProcessor", (_TwsSessionProcessor, StatefulProcessor), {}
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    base = os.path.join(scratch_dir(), f"sess_tws_{_sf_tag(sf_dir)}")
+    in_dir = os.path.join(base, "in")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    for d in (out_dir, ckpt, in_dir):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+
+    split_us = events.selectExpr(
+        "cast(unix_micros(ts) as double) AS t"
+    ).approxQuantile("t", [0.5], 0.0)[0]
+    max_ts = events.agg(F.max("ts")).first()[0]
+
+    def sentinel(days: int) -> DataFrame:
+        return spark.range(1).select(
+            F.lit(10_000_000_000 + days).alias("event_id"),
+            (F.lit(max_ts) + F.expr(f"INTERVAL {days} DAYS")).alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("sentinel").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        )
+
+    def run_phase(df: DataFrame) -> None:
+        df.coalesce(1).write.mode("append").parquet(in_dir)
+        s = spark.readStream.schema(_EVENTS_STREAM_SCHEMA).parquet(in_dir)
+        sessions = (
+            s.withWatermark("ts", "1 hour")
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                proc_cls(),
+                outputStructType=(
+                    "user_id long, session_start_us long,"
+                    " session_end_us long, n_events long"
+                ),
+                outputMode="Append",
+                timeMode="EventTime",
+            )
+        )
+        q = (
+            sessions.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", _ROCKSDB_PROVIDER
+    )
+    try:
+        run_phase(events.filter(F.expr("unix_micros(ts)") <= split_us))
+        run_phase(events.filter(F.expr("unix_micros(ts)") > split_us))
+        run_phase(sentinel(30))
+        run_phase(sentinel(60))
+    except Exception:
+        # TWS worker boot can still fail on exotic hosts (protobuf
+        # skew beyond the bypass, missing rocksdb jni) — fall back to
+        # the applyInPandasWithState twin rather than go red
+        for d in (out_dir, ckpt, in_dir):
+            if os.path.exists(d):
+                shutil.rmtree(d)
+        return stream_session_window_state(spark, sf_dir)
+    finally:
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+    return spark.read.parquet(out_dir).filter(F.col("user_id") >= 0)

@@ -1,0 +1,251 @@
+"""Round-10 operator tests: the transformWithStateInPandas session
+twin (SURVEY §2b `stream_session_window_tws`) and the r9-advice
+rank-sum overflow guard."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+class _FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def clear(self):
+        self._v = None
+
+
+class _FakeHandle:
+    """Driver-side stand-in for StatefulProcessorHandle: enough to
+    unit-test _TwsSessionProcessor's merge/re-arm logic without a
+    streaming query (the full worker path is covered by the
+    registered-operator tests below)."""
+
+    def __init__(self):
+        self.states: dict[str, _FakeValueState] = {}
+        self.timers: set[int] = set()
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        return self.states.setdefault(name, _FakeValueState())
+
+    def registerTimer(self, ts_ms):
+        self.timers.add(ts_ms)
+
+    def deleteTimer(self, ts_ms):
+        self.timers.discard(ts_ms)
+
+
+class _FakeExpiredTimer:
+    def __init__(self, ts_ms):
+        self._t = ts_ms
+
+    def getExpiryTimeInMs(self):
+        return self._t
+
+
+def _pdf(ts_us):
+    import numpy as np
+    import pandas as pd
+
+    return pd.DataFrame(
+        {"ts": np.array(ts_us, dtype="int64").astype("datetime64[us]")}
+    )
+
+
+class TestTwsProcessorUnit:
+    def _mk(self):
+        from etl_8x8_spark.streaming.streams import _TwsSessionProcessor
+
+        p = _TwsSessionProcessor()
+        h = _FakeHandle()
+        p.init(h)
+        return p, h
+
+    def test_inline_close_and_timer_rearm(self):
+        from etl_8x8_spark.streaming.streams import (
+            _SESS_GAP_MS,
+            _SESS_GAP_US,
+        )
+
+        p, h = self._mk()
+        t0 = 1_000_000_000_000  # us
+        t1 = t0 + 60_000_000  # same session (+60 s)
+        t2 = t1 + _SESS_GAP_US + 1  # breaks the session
+        out = list(p.handleInputRows((7,), [_pdf([t0, t1, t2])], None))
+        assert len(out) == 1
+        row = out[0].iloc[0]
+        assert (row["session_start_us"], row["session_end_us"], row["n_events"]) == (
+            t0,
+            t1,
+            2,
+        )
+        # open session is the new one; exactly ONE armed timer at its
+        # close time (the t1-session's timer was never armed — both
+        # arrived in one batch; re-arm across batches is tested next)
+        assert h.states["sess"].get() == (t2, t2, 1)
+        assert h.timers == {t2 // 1000 + _SESS_GAP_MS}
+
+    def test_cross_batch_rearm_deletes_stale_timer(self):
+        from etl_8x8_spark.streaming.streams import _SESS_GAP_MS
+
+        p, h = self._mk()
+        t0 = 1_000_000_000_000
+        t1 = t0 + 1_000_000
+        assert list(p.handleInputRows((7,), [_pdf([t0])], None)) == []
+        first_timer = t0 // 1000 + _SESS_GAP_MS
+        assert h.timers == {first_timer}
+        assert list(p.handleInputRows((7,), [_pdf([t1])], None)) == []
+        # stale timer deleted, new one armed — multi-shot TWS timers
+        # would otherwise double-fire
+        assert h.timers == {t1 // 1000 + _SESS_GAP_MS}
+
+    def test_timer_close_emits_open_session_once(self):
+        from etl_8x8_spark.streaming.streams import _SESS_GAP_MS
+
+        p, h = self._mk()
+        t0 = 1_000_000_000_000
+        list(p.handleInputRows((7,), [_pdf([t0])], None))
+        armed = t0 // 1000 + _SESS_GAP_MS
+        out = list(p.handleExpiredTimer((7,), None, _FakeExpiredTimer(armed)))
+        assert len(out) == 1 and len(out[0]) == 1
+        row = out[0].iloc[0]
+        assert (row["session_start_us"], row["n_events"]) == (t0, 1)
+        assert not h.states["sess"].exists()
+        # a STALE timer (not the armed one) must emit nothing
+        list(p.handleInputRows((7,), [_pdf([t0])], None))
+        out2 = list(
+            p.handleExpiredTimer((7,), None, _FakeExpiredTimer(armed - 999))
+        )
+        assert sum(len(d) for d in out2) == 0
+        assert h.states["sess"].exists()
+
+
+class TestTwsRegisteredOperator:
+    def test_tws_matches_batch_sessionization(self, spark, sf_dir):
+        """The TWS-emitted session set equals plain batch
+        sessionization exactly — the same pin the
+        applyInPandasWithState twin carries, so the two APIs can never
+        drift apart."""
+        from pyspark.sql import Window
+
+        from etl_8x8_spark.registry import all_queries
+        from etl_8x8_spark.sources.readers import load_table
+        from etl_8x8_spark.streaming.streams import _SESS_GAP_US
+
+        out = (
+            all_queries()["stream_session_window_tws"]
+            .builder(spark, sf_dir)
+            .collect()
+        )
+        got = {
+            (r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
+            for r in out
+        }
+        assert len(got) == len(out), "duplicate session emitted"
+
+        events = load_table(spark, sf_dir, "events")
+        w = Window.partitionBy("user_id").orderBy("us")
+        sess = (
+            events.select("user_id", F.expr("unix_micros(ts)").alias("us"))
+            .withColumn("prev", F.lag("us").over(w))
+            .withColumn(
+                "brk",
+                F.when(
+                    F.col("prev").isNull()
+                    | (F.col("us") - F.col("prev") > _SESS_GAP_US),
+                    1,
+                ).otherwise(0),
+            )
+            .withColumn(
+                "sid",
+                F.sum("brk").over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ),
+            )
+            .groupBy("user_id", "sid")
+            .agg(
+                F.min("us").alias("s"),
+                F.max("us").alias("e"),
+                F.count("*").alias("n"),
+            )
+        )
+        want = {(r["user_id"], r["s"], r["e"], r["n"]) for r in sess.collect()}
+        assert got == want
+
+    def test_tws_path_actually_ran_here(self, spark, sf_dir):
+        """On THIS host protobuf is locatable, so the operator must
+        have exercised transformWithStateInPandas, not the fallback:
+        its own scratch output dir exists and holds the result."""
+        from etl_8x8_spark.sources.readers import scratch_dir
+        from etl_8x8_spark.streaming.streams import (
+            _sf_tag,
+            find_protobuf_pythonpath,
+        )
+
+        assert find_protobuf_pythonpath() is not None
+        out_dir = os.path.join(
+            scratch_dir(), f"sess_tws_{_sf_tag(sf_dir)}", "out"
+        )
+        assert os.path.exists(out_dir), "TWS scratch missing — fallback ran?"
+
+    def test_no_sentinel_leak(self, spark, sf_dir):
+        from etl_8x8_spark.registry import all_queries
+
+        out = all_queries()["stream_session_window_tws"].builder(spark, sf_dir)
+        assert out.filter(F.col("user_id") < 0).count() == 0
+
+    def test_state_store_conf_restored(self, spark, sf_dir):
+        """The RocksDB provider is scoped to the TWS queries — the
+        session-global conf must be back to its pre-call value so
+        other streaming keys keep their provider."""
+        key = "spark.sql.streaming.stateStore.providerClass"
+        before = spark.conf.get(key, None)
+        from etl_8x8_spark.registry import all_queries
+
+        all_queries()["stream_session_window_tws"].builder(spark, sf_dir)
+        assert spark.conf.get(key, None) == before
+
+
+class TestSumSqOverflowGuard:
+    def test_passes_small_totals(self, spark):
+        from etl_8x8_spark.operators.aggregates import (
+            _guard_sum_sq_fits_int64,
+        )
+
+        df = spark.createDataFrame([(1000, 2000)], "a long, b long")
+        assert (
+            _guard_sum_sq_fits_int64(df, "a", "b", "unit").collect()[0]["a"]
+            == 1000
+        )
+
+    def test_raises_on_imbalanced_classes_past_2_31(self, spark):
+        """r9 advice's exact counterexample: a·b = 2^53 passes the
+        product guard, but (a+b)^2 ≈ 2^66 ⇒ the rank-sum numerator
+        would wrap — the sum-square guard must raise."""
+        import pytest as _pytest
+
+        from etl_8x8_spark.operators.aggregates import (
+            _guard_product_fits_int64,
+            _guard_sum_sq_fits_int64,
+        )
+
+        df = spark.createDataFrame(
+            [(2**33, 2**20)], "a long, b long"
+        )
+        # the old product guard alone lets this through
+        ok = _guard_product_fits_int64(df, "a", "b", "unit").collect()
+        assert ok[0]["a"] == 2**33
+        with _pytest.raises(Exception, match="2\\^62"):
+            _guard_sum_sq_fits_int64(df, "a", "b", "unit").collect()
