@@ -1305,42 +1305,55 @@ def sim_search_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("codes")
     )
 
-    # per-query ADC tables packed to ARRAY<ARRAY<BIGINT>> (M x K,
-    # s-major, cid-indexed — centroid ids are dense 0..K-1 by
-    # construction): Q rows total, broadcast as the literal lookup
-    # structure every scan task holds once
-    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
-    )
-    qsubs = subspaces(q, "q_id", "qe", "qsub")
-    qd2 = (
-        dot(F.col("qsub"), F.col("qsub"))
-        - 2 * dot(F.col("qsub"), F.col("csub"))
-        + dot(F.col("csub"), F.col("csub"))
-    )
-    adcj = qsubs.join(csubs, "s").select(
-        "q_id",
-        "s",
-        "cid",
-        F.floor(qd2 * 1e6 + 0.5).cast("long").alias("dmicro"),
-    )
-    adc_packed = adcj.groupBy("q_id").agg(
-        F.array(
-            *[
-                F.array(
-                    *[
-                        F.min(
-                            F.when(
-                                (F.col("s") == s) & (F.col("cid") == c),
-                                F.col("dmicro"),
-                            )
-                        )
-                        for c in range(_PQ_K)
-                    ]
-                )
-                for s in range(_PQ_M)
-            ]
-        ).alias("tabs")
+    # per-query ADC tables built ON THE DRIVER (how FAISS-style ANN
+    # builds them on the query node): they derive from Q + K constant
+    # vectors (24 rows collected once), and the Q x M x K lookup
+    # structure becomes a LocalRelation — no exchange, no 64-agg
+    # codegen (the packed-agg form cost 1.1 s of the 2.35 s bench
+    # regression the r10 gate caught). Bit-exact vs the DuckDB twin:
+    # Python floats are IEEE binary64 and the fold below replicates
+    # functions.vectors.dot's left fold (0.0 start, per-element
+    # float32->double cast, left-to-right adds) operation-for-
+    # operation, and `da - 2*db + dc` associates identically.
+    import math
+
+    need = max(_PQ_K, _N_QUERIES)
+    base_vecs = {
+        r["vec_id"]: r["embedding"]
+        for r in emb.filter(F.col("vec_id") < need)
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    missing = [i for i in range(need) if i not in base_vecs]
+    if missing:
+        raise ValueError(
+            f"sim_search_pq_adc: centroid/query vec_ids missing: {missing}"
+        )
+
+    def _pysub(v, s):
+        return v[s * _PQ_SUB : (s + 1) * _PQ_SUB]
+
+    def _pydot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + float(x) * float(y)
+        return acc
+
+    adc_rows = []
+    for qid in range(_N_QUERIES):
+        tabs = []
+        for s in range(_PQ_M):
+            qs_ = _pysub(base_vecs[qid], s)
+            dqq = _pydot(qs_, qs_)
+            row = []
+            for c in range(_PQ_K):
+                cs = _pysub(base_vecs[c], s)
+                qd2 = dqq - 2 * _pydot(qs_, cs) + _pydot(cs, cs)
+                row.append(int(math.floor(qd2 * 1e6 + 0.5)))
+            tabs.append(row)
+        adc_rows.append((qid, tabs))
+    adc_packed = spark.createDataFrame(
+        adc_rows, "q_id long, tabs array<array<bigint>>"
     )
 
     # MAP-SIDE scoring: broadcast the Q packed tables against the
