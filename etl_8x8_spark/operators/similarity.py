@@ -1210,6 +1210,143 @@ FROM ranked WHERE rank <= {_TOP_K}
 """
 
 
+
+def _pq_subspaces(
+    df: DataFrame, idcol: str, veccol: str, subname: str
+) -> DataFrame:
+    """Explode a vector column into (id, s, subvector) rows — one per
+    PQ subspace."""
+    return df.select(
+        idcol,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice(
+                            F.col(veccol), s * _PQ_SUB + 1, _PQ_SUB
+                        ).alias(subname),
+                    )
+                    for s in range(_PQ_M)
+                ]
+            )
+        ).alias("_sp"),
+    ).select(
+        idcol, F.col("_sp.s").alias("s"), F.col(f"_sp.{subname}").alias(subname)
+    )
+
+
+def _pq_codes_packed(emb: DataFrame) -> DataFrame:
+    """Database codes PACKED: one ARRAY<BIGINT> (s-ordered) per vector,
+    built in a SINGLE exchange — the per-s argmin folds into the same
+    agg as the packing (min of (d2, cid) struct = smallest distance,
+    ties to smallest centroid id; partial agg collapses the K·M
+    expanded rows map-side). r9 verdict item 4: the earlier shape
+    carried M rows per vector through a second (s, cid)-join regroup
+    of N·Q rows; packed codes make ADC scoring join-free."""
+    from etl_8x8_spark.functions.vectors import dot
+
+    cents = emb.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    csubs = _pq_subspaces(cents, "cid", "cvec", "csub")
+    e = _pq_subspaces(emb, "vec_id", "embedding", "sub")
+    d2 = (
+        dot(F.col("sub"), F.col("sub"))
+        - 2 * dot(F.col("sub"), F.col("csub"))
+        + dot(F.col("csub"), F.col("csub"))
+    )
+    ej = e.join(F.broadcast(csubs), "s").select(
+        "vec_id", "s", "cid", d2.alias("d2")
+    )
+    return ej.groupBy("vec_id").agg(
+        F.array(
+            *[
+                F.min(
+                    F.when(F.col("s") == s, F.struct(F.col("d2"), F.col("cid")))
+                ).getField("cid")
+                for s in range(_PQ_M)
+            ]
+        ).alias("codes")
+    )
+
+
+def _pq_base_vectors(emb: DataFrame, need: int, op_name: str) -> dict:
+    """Collect the constant centroid/query vectors (ids 0..need-1)."""
+    base_vecs = {
+        r["vec_id"]: r["embedding"]
+        for r in emb.filter(F.col("vec_id") < need)
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    missing = [i for i in range(need) if i not in base_vecs]
+    if missing:
+        raise ValueError(f"{op_name}: centroid/query vec_ids missing: {missing}")
+    return base_vecs
+
+
+def _pysub(v, s):
+    return v[s * _PQ_SUB : (s + 1) * _PQ_SUB]
+
+
+def _pydot(a, b):
+    """Driver-side twin of functions.vectors.dot: IEEE binary64 left
+    fold, 0.0 start, per-element float32→double cast — operation-for-
+    operation identical, so derived values are bit-exact vs the Spark
+    and DuckDB folds."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + float(x) * float(y)
+    return acc
+
+
+def _pq_adc_rows(base_vecs: dict) -> list:
+    """Per-query ADC tables built ON THE DRIVER (how FAISS-style ANN
+    builds them on the query node): they derive from Q + K constant
+    vectors, and the Q x M x K lookup structure becomes a
+    LocalRelation — no exchange, no 64-agg codegen (the packed-agg
+    form cost 1.1 s of the 2.35 s bench regression the r10 gate
+    caught). `da - 2*db + dc` associates identically to the Spark/
+    DuckDB expression."""
+    import math
+
+    adc_rows = []
+    for qid in range(_N_QUERIES):
+        tabs = []
+        for s in range(_PQ_M):
+            qs_ = _pysub(base_vecs[qid], s)
+            dqq = _pydot(qs_, qs_)
+            row = []
+            for c in range(_PQ_K):
+                cs = _pysub(base_vecs[c], s)
+                qd2 = dqq - 2 * _pydot(qs_, cs) + _pydot(cs, cs)
+                row.append(int(math.floor(qd2 * 1e6 + 0.5)))
+            tabs.append(row)
+        adc_rows.append((qid, tabs))
+    return adc_rows
+
+
+def _pq_adc_tables(spark: SparkSession, base_vecs: dict) -> DataFrame:
+    return spark.createDataFrame(
+        _pq_adc_rows(base_vecs), "q_id long, tabs array<array<bigint>>"
+    )
+
+
+def _pq_adc_admicro():
+    """ADC distance = M exact long lookups summed: tabs[s][codes[s]]."""
+    lookup = [
+        F.element_at(
+            F.element_at(F.col("tabs"), s + 1),
+            (F.element_at(F.col("codes"), s + 1) + 1).cast("int"),
+        )
+        for s in range(_PQ_M)
+    ]
+    admicro = lookup[0]
+    for term in lookup[1:]:
+        admicro = admicro + term
+    return admicro
+
+
 @register(
     "sim_search_pq_adc",
     oracle=_PQ_ADC_ORACLE.format(
@@ -1237,143 +1374,205 @@ def sim_search_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     cuts per-partition). Recall/fidelity is the PQ trade measured by
     embed_pq_encode's reconstruction-error audit.
     """
-    from etl_8x8_spark.functions.vectors import dot
-
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = emb.filter(F.col("vec_id") < _PQ_K).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    codes_packed = _pq_codes_packed(emb)
+    adc_packed = _pq_adc_tables(
+        spark, _pq_base_vectors(emb, max(_PQ_K, _N_QUERIES), "sim_search_pq_adc")
     )
-    csubs = cents.select(
-        "cid",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("s"),
-                        F.slice(F.col("cvec"), s * _PQ_SUB + 1, _PQ_SUB).alias(
-                            "csub"
-                        ),
-                    )
-                    for s in range(_PQ_M)
-                ]
-            )
-        ).alias("_cp"),
-    ).select("cid", F.col("_cp.s").alias("s"), F.col("_cp.csub").alias("csub"))
-
-    def subspaces(df: DataFrame, idcol: str, veccol: str, subname: str) -> DataFrame:
-        return df.select(
-            idcol,
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(s).alias("s"),
-                            F.slice(
-                                F.col(veccol), s * _PQ_SUB + 1, _PQ_SUB
-                            ).alias(subname),
-                        )
-                        for s in range(_PQ_M)
-                    ]
-                )
-            ).alias("_sp"),
-        ).select(idcol, F.col("_sp.s").alias("s"), F.col(f"_sp.{subname}").alias(subname))
-
-    # database codes PACKED: one ARRAY<BIGINT> (s-ordered) per vector,
-    # built in a SINGLE exchange — the per-s argmin folds into the
-    # same agg as the packing (min of (d2, cid) struct = smallest
-    # distance, ties to smallest centroid id; partial agg collapses
-    # the K·M expanded rows map-side). r9 verdict item 4: the old
-    # shape carried M rows per vector through a second (s,cid)-join
-    # regroup of N·Q rows; packed codes make the scoring join-free.
-    e = subspaces(emb, "vec_id", "embedding", "sub")
-    d2 = (
-        dot(F.col("sub"), F.col("sub"))
-        - 2 * dot(F.col("sub"), F.col("csub"))
-        + dot(F.col("csub"), F.col("csub"))
-    )
-    ej = e.join(F.broadcast(csubs), "s").select(
-        "vec_id", "s", "cid", d2.alias("d2")
-    )
-    codes_packed = ej.groupBy("vec_id").agg(
-        F.array(
-            *[
-                F.min(
-                    F.when(F.col("s") == s, F.struct(F.col("d2"), F.col("cid")))
-                ).getField("cid")
-                for s in range(_PQ_M)
-            ]
-        ).alias("codes")
-    )
-
-    # per-query ADC tables built ON THE DRIVER (how FAISS-style ANN
-    # builds them on the query node): they derive from Q + K constant
-    # vectors (24 rows collected once), and the Q x M x K lookup
-    # structure becomes a LocalRelation — no exchange, no 64-agg
-    # codegen (the packed-agg form cost 1.1 s of the 2.35 s bench
-    # regression the r10 gate caught). Bit-exact vs the DuckDB twin:
-    # Python floats are IEEE binary64 and the fold below replicates
-    # functions.vectors.dot's left fold (0.0 start, per-element
-    # float32->double cast, left-to-right adds) operation-for-
-    # operation, and `da - 2*db + dc` associates identically.
-    import math
-
-    need = max(_PQ_K, _N_QUERIES)
-    base_vecs = {
-        r["vec_id"]: r["embedding"]
-        for r in emb.filter(F.col("vec_id") < need)
-        .select("vec_id", "embedding")
-        .collect()
-    }
-    missing = [i for i in range(need) if i not in base_vecs]
-    if missing:
-        raise ValueError(
-            f"sim_search_pq_adc: centroid/query vec_ids missing: {missing}"
-        )
-
-    def _pysub(v, s):
-        return v[s * _PQ_SUB : (s + 1) * _PQ_SUB]
-
-    def _pydot(a, b):
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc = acc + float(x) * float(y)
-        return acc
-
-    adc_rows = []
-    for qid in range(_N_QUERIES):
-        tabs = []
-        for s in range(_PQ_M):
-            qs_ = _pysub(base_vecs[qid], s)
-            dqq = _pydot(qs_, qs_)
-            row = []
-            for c in range(_PQ_K):
-                cs = _pysub(base_vecs[c], s)
-                qd2 = dqq - 2 * _pydot(qs_, cs) + _pydot(cs, cs)
-                row.append(int(math.floor(qd2 * 1e6 + 0.5)))
-            tabs.append(row)
-        adc_rows.append((qid, tabs))
-    adc_packed = spark.createDataFrame(
-        adc_rows, "q_id long, tabs array<array<bigint>>"
-    )
+    admicro = _pq_adc_admicro()
 
     # MAP-SIDE scoring: broadcast the Q packed tables against the
-    # packed codes (BroadcastNestedLoopJoin over Q rows — no shuffle),
-    # ADC distance = M exact long lookups summed per (query, vector).
+    # packed codes (BroadcastNestedLoopJoin over Q rows — no shuffle).
     # No exchange touches the N·Q scored rows until the top-k window,
     # whose partial WindowGroupLimit cuts each partition to <= K rows
     # per query before the exchange.
-    lookup = [
-        F.element_at(
-            F.element_at(F.col("tabs"), s + 1),
-            (F.element_at(F.col("codes"), s + 1) + 1).cast("int"),
-        )
-        for s in range(_PQ_M)
-    ]
-    admicro = lookup[0]
-    for term in lookup[1:]:
-        admicro = admicro + term
     scored = (
         codes_packed.join(F.broadcast(adc_packed))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", admicro.cast("long").alias("admicro"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("admicro").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select(
+            "q_id",
+            "vec_id",
+            (F.col("admicro") / F.lit(1e6)).alias("adc_d2"),
+            "rank",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF + PQ-ADC composed search (r10): the production billion-vector
+# layout — IVF cells prune the candidate set, PQ codes + ADC tables
+# score what's left. Same deterministic index choices as the two
+# halves (first _IVF_K vectors as coarse centroids, first _PQ_K as PQ
+# sub-centroids), so the composition hash-verifies end-to-end.
+# --------------------------------------------------------------------------
+
+_IVFPQ_ORACLE = f"""
+WITH normed AS (
+  SELECT vec_id, embedding, {oracle_norm("embedding")} AS nrm FROM embeddings
+),
+coarse AS (
+  SELECT vec_id AS ccid, embedding AS ce, nrm AS cn
+  FROM normed WHERE vec_id < {_IVF_K}
+),
+cells AS (
+  SELECT vec_id, cell FROM (
+    SELECT n.vec_id, c.ccid AS cell,
+           row_number() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY {oracle_dot("n.embedding", "c.ce")} / (n.nrm * c.cn)
+                      DESC, c.ccid ASC
+           ) AS rk
+    FROM normed n, coarse c
+  ) WHERE rk = 1
+),
+cent AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+  WHERE vec_id < {_PQ_K}
+),
+sub AS (
+  SELECT e.vec_id, s.s, c.cid, {{dist}} AS d2
+  FROM embeddings e
+  CROSS JOIN (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS s) s
+  CROSS JOIN cent c
+),
+codes AS (
+  SELECT vec_id, s, cid FROM (
+    SELECT vec_id, s, cid,
+           row_number() OVER (PARTITION BY vec_id, s
+                              ORDER BY d2 ASC, cid ASC) AS rn
+    FROM sub
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS q_id, embedding AS qe, nrm AS qn
+      FROM normed WHERE vec_id < {_N_QUERIES}),
+probes AS (
+  SELECT q_id, cell FROM (
+    SELECT q.q_id, c.ccid AS cell,
+           row_number() OVER (
+             PARTITION BY q.q_id
+             ORDER BY {oracle_dot("q.qe", "c.ce")} / (q.qn * c.cn)
+                      DESC, c.ccid ASC
+           ) AS rk
+    FROM q, coarse c
+  ) WHERE rk <= {_IVF_NPROBE}
+),
+adc AS (
+  SELECT qq.q_id, s.s, c.cid,
+         CAST(floor(({{qdist}}) * 1e6 + 0.5) AS BIGINT) AS dmicro
+  FROM (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+        WHERE vec_id < {_N_QUERIES}) qq
+  CROSS JOIN (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS s) s
+  CROSS JOIN cent c
+),
+scored AS (
+  SELECT p.q_id, cl.vec_id, CAST(SUM(a.dmicro) AS BIGINT) AS admicro
+  FROM cells cl
+  JOIN probes p ON p.cell = cl.cell
+  JOIN codes v ON v.vec_id = cl.vec_id
+  JOIN adc a ON a.q_id = p.q_id AND a.s = v.s AND a.cid = v.cid
+  WHERE cl.vec_id <> p.q_id
+  GROUP BY p.q_id, cl.vec_id
+),
+ranked AS (
+  SELECT q_id, vec_id, admicro,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY admicro ASC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, admicro / 1e6 AS adc_d2, rank
+FROM ranked WHERE rank <= {_TOP_K}
+"""
+
+
+@register(
+    "sim_search_ivfpq_topk",
+    oracle=_IVFPQ_ORACLE.format(
+        dist=_pq_dist_sql(), qdist=_pq_dist_sql("qq.qe")
+    ),
+)
+def sim_search_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed top-k — the layout billion-vector ANN actually
+    runs (FAISS IVFPQ, SCaNN's partition+quantize): the IVF coarse
+    quantizer restricts each query to its nprobe nearest CELLS, and
+    only those cells' PQ codes are scored with the query's ADC tables.
+    Composes sim_search_ivf_topk's pruning with sim_search_pq_adc's
+    code scan; both index choices are deterministic so the whole
+    two-stage pipeline value-hash-verifies against a SQL oracle —
+    recall is the product of the two measured halves.
+
+    Plan: cell assignment is one broadcast pass + single-exchange
+    argmin agg (same min-struct idiom as the packed codes); codes and
+    cells co-partition on vec_id so their join adds no exchange; the
+    probe join is a BROADCAST equi-join on cell id (16 rows) — at
+    production scale the codes table is stored PARTITIONED BY cell,
+    so the probe becomes partition PRUNING and unprobed cells are
+    never read at all. ADC scoring is map-side lookups; the top-k
+    window's partial WindowGroupLimit cuts per-partition before its
+    exchange. Total data-sized exchanges: cells agg, codes agg, their
+    co-partitioned join, one window — nothing pairwise, nothing
+    quadratic.
+    """
+    from etl_8x8_spark.functions.vectors import cosine, norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    normed = emb.select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    coarse = normed.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("ccid"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    sim = cosine(F.col("embedding"), F.col("ce"), F.col("nrm"), F.col("cn"))
+    # argmax cosine, ties to the smallest cell id, in ONE exchange
+    # (min of (-sim, ccid) struct — negation is exact for doubles)
+    cells = (
+        normed.crossJoin(F.broadcast(coarse))
+        .select("vec_id", (-sim).alias("ns"), "ccid")
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.struct(F.col("ns"), F.col("ccid")))
+            .getField("ccid")
+            .alias("cell")
+        )
+    )
+    fact = _pq_codes_packed(emb).join(cells, "vec_id")
+
+    import math
+
+    base_vecs = _pq_base_vectors(
+        emb, max(_PQ_K, _N_QUERIES, _IVF_K), "sim_search_ivfpq_topk"
+    )
+    tabs_by_q = dict(_pq_adc_rows(base_vecs))
+
+    def _pnorm(v):
+        return math.sqrt(_pydot(v, v))
+
+    probe_rows = []
+    for qid in range(_N_QUERIES):
+        qe, qn = base_vecs[qid], _pnorm(base_vecs[qid])
+        byc = []
+        for c in range(_IVF_K):
+            ce, cn = base_vecs[c], _pnorm(base_vecs[c])
+            byc.append((-(_pydot(qe, ce) / (qn * cn)), c))
+        byc.sort()
+        for _, cell in byc[:_IVF_NPROBE]:
+            probe_rows.append((qid, cell, tabs_by_q[qid]))
+    probes = spark.createDataFrame(
+        probe_rows, "q_id long, cell long, tabs array<array<bigint>>"
+    )
+
+    admicro = _pq_adc_admicro()
+    scored = (
+        fact.join(F.broadcast(probes), "cell")
         .filter(F.col("vec_id") != F.col("q_id"))
         .select("q_id", "vec_id", admicro.cast("long").alias("admicro"))
     )

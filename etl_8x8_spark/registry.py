@@ -63,12 +63,14 @@ _QUERY_MODULES = [
 # any r10-new keys (never driver-sampled) lead, then the 22 keys whose
 # latest green row is r4-vintage (streaming/text/window keys with
 # shared-helper churn since r4), then the oldest r5-vintage keys
-# (alphabetical) to fill the 50-slot window. Target: after the r10
+# (alphabetical, 25 of 49) to fill the 50-slot window. Target: after the r10
 # driver run no key's latest CORRECTNESS row is older than r5.
 # bench.py's HEADLINE order is independent and unaffected.
 _SAMPLE_PRIORITY = [
     # new in r10 — no driver evidence yet
     "stream_session_window_tws",
+    "stream_join_outer",
+    "sim_search_ivfpq_topk",
     # r4-vintage evidence (stalest surviving driver rows, all 22)
     "stream_dedup_state",
     "stream_events",
@@ -118,8 +120,6 @@ _SAMPLE_PRIORITY = [
     "sql_tpch_q19_shape",
     "sql_tpch_q1_shape",
     "sql_tpch_q20_shape",
-    "sql_tpch_q21_shape",
-    "sql_tpch_q22_shape",
 ]
 
 

@@ -1146,3 +1146,130 @@ def stream_session_window_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "spark.sql.streaming.stateStore.providerClass", prev_provider
             )
     return spark.read.parquet(out_dir).filter(F.col("user_id") >= 0)
+
+
+# ---------------------------------------------------------------------------
+# watermarked stream-stream LEFT OUTER join (r10)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_join_outer",
+    oracle="""
+SELECT c.event_id AS click_id,
+       c.user_id,
+       p.event_id AS purchase_id,
+       CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS lag_us
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 1 HOUR
+""",
+)
+def stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the attribution join
+    that also emits the NON-converting clicks (purchase columns NULL),
+    which is what funnel analysis actually consumes. The outer side is
+    the genuinely streaming-hard part: a null row may only emit once
+    the watermark proves no matching purchase can still arrive, so the
+    engine buffers each click until `click_ts + 1 h` falls behind the
+    global (min-of-both-sides) watermark, then emits it unmatched.
+
+    Driven as three checkpointed ``availableNow`` phases: the real
+    events, then two far-future sentinel phases (one click AND one
+    purchase each, user_id −1, so BOTH sides' watermarks advance past
+    every real click's match window — with `multipleWatermarkPolicy =
+    min`, a sentinel on one side only would pin the global watermark).
+    After the flush, emitted == the batch LEFT JOIN exactly, so the
+    DuckDB oracle is plain SQL (LESSONS #38's sentinel-phase idiom
+    applied to join state instead of timer state).
+
+    Scale: state per side is bounded by the watermark delay + the 1 h
+    join window (a click older than watermark − 1 h is evicted after
+    its null/match emission; a purchase older than the watermark can
+    never match a future click and is dropped) — the property that
+    makes a 100 TB/day outer attribution join runnable at all.
+    """
+    import shutil
+
+    events = load_table(spark, sf_dir, "events")
+    base = os.path.join(scratch_dir(), f"join_outer_{_sf_tag(sf_dir)}")
+    in_dir = os.path.join(base, "in")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    for d in (out_dir, ckpt, in_dir):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+
+    max_ts = events.agg(F.max("ts")).first()[0]
+
+    def sentinels(days: int) -> DataFrame:
+        rows = []
+        for i, etype in enumerate(("click", "purchase")):
+            rows.append((20_000_000_000 + 10 * days + i, etype))
+        return spark.createDataFrame(
+            rows, "event_id long, event_type string"
+        ).select(
+            "event_id",
+            (F.lit(max_ts) + F.expr(f"INTERVAL {days} DAYS")).alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            "event_type",
+            F.lit(0.0).alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        )
+
+    def run_phase(df: DataFrame) -> None:
+        df.coalesce(1).write.mode("append").parquet(in_dir)
+        s = spark.readStream.schema(_EVENTS_STREAM_SCHEMA).parquet(in_dir)
+        clicks = (
+            s.filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user_id"),
+                F.col("ts").alias("click_ts"),
+            )
+            .withWatermark("click_ts", "10 minutes")
+        )
+        s2 = spark.readStream.schema(_EVENTS_STREAM_SCHEMA).parquet(in_dir)
+        purchases = (
+            s2.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user_id"),
+                F.col("ts").alias("purchase_ts"),
+            )
+            .withWatermark("purchase_ts", "10 minutes")
+        )
+        joined = clicks.join(
+            purchases,
+            (F.col("c_user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")
+            ),
+            "left_outer",
+        ).select(
+            "click_id",
+            F.col("c_user_id").alias("user_id"),
+            "purchase_id",
+            (
+                F.unix_micros(F.col("purchase_ts"))
+                - F.unix_micros(F.col("click_ts"))
+            ).alias("lag_us"),
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_phase(events.filter(F.col("event_type").isin("click", "purchase")))
+    run_phase(sentinels(30))
+    run_phase(sentinels(60))
+    return spark.read.parquet(out_dir).filter(F.col("user_id") >= 0)

@@ -249,3 +249,143 @@ class TestSumSqOverflowGuard:
         assert ok[0]["a"] == 2**33
         with _pytest.raises(Exception, match="2\\^62"):
             _guard_sum_sq_fits_int64(df, "a", "b", "unit").collect()
+
+
+class TestStreamJoinOuter:
+    def test_matches_batch_left_join(self, spark, sf_dir):
+        """Emitted set == the batch LEFT JOIN exactly (also the
+        oracle; pinned here so a rows-only fallback can't mask
+        drift), including NULL rows for non-converting clicks."""
+        from etl_8x8_spark.registry import all_queries
+        from etl_8x8_spark.sources.readers import load_table
+
+        out = all_queries()["stream_join_outer"].builder(spark, sf_dir)
+        got = {
+            (r["click_id"], r["user_id"], r["purchase_id"], r["lag_us"])
+            for r in out.collect()
+        }
+        ev = load_table(spark, sf_dir, "events")
+        c = ev.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("cts"),
+        )
+        p = ev.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("pu"),
+            F.col("ts").alias("pts"),
+        )
+        want_df = c.join(
+            p,
+            (F.col("user_id") == F.col("pu"))
+            & (F.col("pts") >= F.col("cts"))
+            & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 1 HOUR")),
+            "left",
+        ).select(
+            "click_id",
+            "user_id",
+            "purchase_id",
+            (F.unix_micros("pts") - F.unix_micros("cts")).alias("lag_us"),
+        )
+        want = {
+            (r["click_id"], r["user_id"], r["purchase_id"], r["lag_us"])
+            for r in want_df.collect()
+        }
+        assert got == want
+        # the outer semantics must actually be exercised: both matched
+        # and null rows present
+        assert any(pid is None for _, _, pid, _ in got)
+        assert any(pid is not None for _, _, pid, _ in got)
+
+    def test_no_sentinel_leak(self, spark, sf_dir):
+        from etl_8x8_spark.registry import all_queries
+
+        out = all_queries()["stream_join_outer"].builder(spark, sf_dir)
+        assert out.filter(F.col("user_id") < 0).count() == 0
+
+
+class TestIvfPqComposed:
+    def test_candidates_come_only_from_probed_cells(self, spark, sf_dir):
+        """The IVF prune must be real: every returned neighbor's cell
+        is one of its query's nprobe probed cells (recomputed
+        independently here with exact cosine)."""
+        from etl_8x8_spark.operators.similarity import (
+            _IVF_K,
+            _IVF_NPROBE,
+            _N_QUERIES,
+        )
+        from etl_8x8_spark.registry import all_queries
+        from etl_8x8_spark.sources.readers import load_table
+
+        out = (
+            all_queries()["sim_search_ivfpq_topk"]
+            .builder(spark, sf_dir)
+            .collect()
+        )
+        assert {r["q_id"] for r in out} == set(range(_N_QUERIES))
+        # per-query ranks are 1..n contiguous
+        by_q: dict = {}
+        for r in out:
+            by_q.setdefault(r["q_id"], []).append(r["rank"])
+        for q, ranks in by_q.items():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+        import math
+
+        emb = {
+            r["vec_id"]: r["embedding"]
+            for r in load_table(spark, sf_dir, "embeddings").collect()
+        }
+
+        def pdot(a, b):
+            acc = 0.0
+            for x, y in zip(a, b):
+                acc += float(x) * float(y)
+            return acc
+
+        def cell_of(v):
+            best = None
+            for c in range(_IVF_K):
+                s = pdot(v, emb[c]) / (
+                    math.sqrt(pdot(v, v)) * math.sqrt(pdot(emb[c], emb[c]))
+                )
+                if best is None or s > best[0] or (s == best[0] and c < best[1]):
+                    best = (s, c)
+            return best[1]
+
+        def probes_of(q):
+            sims = sorted(
+                (
+                    -(
+                        pdot(emb[q], emb[c])
+                        / (
+                            math.sqrt(pdot(emb[q], emb[q]))
+                            * math.sqrt(pdot(emb[c], emb[c]))
+                        )
+                    ),
+                    c,
+                )
+                for c in range(_IVF_K)
+            )
+            return {c for _, c in sims[:_IVF_NPROBE]}
+
+        for r in out:
+            assert cell_of(emb[r["vec_id"]]) in probes_of(r["q_id"]), r
+
+    def test_plan_shape(self, spark, sf_dir):
+        """Probe join broadcasts on cell (equi, not nested-loop); the
+        top-k window gets a partial WindowGroupLimit; no exchange
+        pairs q_id with vec_id (nothing pairwise shuffles)."""
+        from etl_8x8_spark.plans.audit import plan_string
+        from etl_8x8_spark.registry import all_queries
+
+        plan = plan_string(
+            all_queries()["sim_search_ivfpq_topk"].builder(spark, sf_dir)
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "WindowGroupLimit" in plan
+        assert "CartesianProduct" not in plan
+        for ln in plan.splitlines():
+            if "Exchange hashpartitioning" in ln:
+                keys = ln.split("hashpartitioning(", 1)[1]
+                assert not ("q_id" in keys and "vec_id" in keys), ln
