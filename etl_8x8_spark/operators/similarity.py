@@ -1271,18 +1271,25 @@ def _pq_codes_packed(emb: DataFrame) -> DataFrame:
     )
 
 
-def _pq_base_vectors(emb: DataFrame, need: int, op_name: str) -> dict:
-    """Collect the constant centroid/query vectors (ids 0..need-1)."""
+def _pq_base_vectors(emb: DataFrame, need: int, op_name: str) -> dict | None:
+    """Collect the constant centroid/query vectors (ids 0..need-1).
+    Returns None when the index is unbuildable (ids missing or NULL
+    embeddings — the empty-partition day): callers emit an EMPTY
+    result with the normal schema rather than throwing, per the
+    empty-input contract (tests/test_empty_tables.py)."""
     base_vecs = {
         r["vec_id"]: r["embedding"]
         for r in emb.filter(F.col("vec_id") < need)
         .select("vec_id", "embedding")
         .collect()
+        if r["embedding"] is not None
     }
-    missing = [i for i in range(need) if i not in base_vecs]
-    if missing:
-        raise ValueError(f"{op_name}: centroid/query vec_ids missing: {missing}")
+    if any(i not in base_vecs for i in range(need)):
+        return None
     return base_vecs
+
+
+_PQ_TOPK_SCHEMA = "q_id long, vec_id long, adc_d2 double, rank int"
 
 
 def _pysub(v, s):
@@ -1375,10 +1382,13 @@ def sim_search_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     embed_pq_encode's reconstruction-error audit.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    codes_packed = _pq_codes_packed(emb)
-    adc_packed = _pq_adc_tables(
-        spark, _pq_base_vectors(emb, max(_PQ_K, _N_QUERIES), "sim_search_pq_adc")
+    base_vecs = _pq_base_vectors(
+        emb, max(_PQ_K, _N_QUERIES), "sim_search_pq_adc"
     )
+    if base_vecs is None:  # unbuildable index (empty-partition day)
+        return spark.createDataFrame([], _PQ_TOPK_SCHEMA)
+    codes_packed = _pq_codes_packed(emb)
+    adc_packed = _pq_adc_tables(spark, base_vecs)
     admicro = _pq_adc_admicro()
 
     # MAP-SIDE scoring: broadcast the Q packed tables against the
@@ -1551,6 +1561,8 @@ def sim_search_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_vecs = _pq_base_vectors(
         emb, max(_PQ_K, _N_QUERIES, _IVF_K), "sim_search_ivfpq_topk"
     )
+    if base_vecs is None:  # unbuildable index (empty-partition day)
+        return spark.createDataFrame([], _PQ_TOPK_SCHEMA)
     tabs_by_q = dict(_pq_adc_rows(base_vecs))
 
     def _pnorm(v):

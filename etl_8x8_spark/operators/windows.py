@@ -2034,3 +2034,119 @@ def window_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         q6(F.element_at("lb", 1)).alias("level"),
         q6(F.element_at("lb", 2)).alias("trend"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test (r10)
+# ---------------------------------------------------------------------------
+
+_MK_ORACLE = """
+WITH daily AS (
+  SELECT CAST(CAST(date_trunc('day', o_orderdate) AS DATE) AS STRING)
+             AS day_str,
+         SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS rev
+  FROM orders
+  GROUP BY 1
+),
+pairs AS (
+  SELECT CAST(SUM(CASE WHEN b.rev > a.rev THEN 1
+                       WHEN b.rev < a.rev THEN -1 ELSE 0 END) AS BIGINT) AS s
+  FROM daily a JOIN daily b ON a.day_str < b.day_str
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+ties AS (
+  SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tie18
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY rev)
+  WHERE t > 1
+)
+SELECT n AS n_days,
+       s AS s_stat,
+       n * (n - 1) * (2 * n + 5) - tie18 AS var18,
+       CAST(floor(
+         (CASE WHEN s > 0 THEN (s - 1) / sqrt((n * (n - 1) * (2 * n + 5) - tie18) / 18.0)
+               WHEN s < 0 THEN (s + 1) / sqrt((n * (n - 1) * (2 * n + 5) - tie18) / 18.0)
+               ELSE 0.0 END) * 1e6 + 0.5) AS BIGINT) AS z_micro,
+       CAST(floor(s * 2e6 / (n * (n - 1)) + 0.5) AS BIGINT) AS tau_micro
+FROM pairs, nn, ties
+"""
+
+
+@register("window_mann_kendall", oracle=_MK_ORACLE)
+def window_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test over the daily-revenue series — the
+    standard nonparametric "is this metric trending?" monitor (no
+    distribution assumption, robust to outliers), completing the
+    trend family: window_cusum_detect finds level SHIFTS,
+    window_holt_forecast extrapolates, Mann-Kendall TESTS monotone
+    trend. S = Σ_{i<j} sign(y_j − y_i) stays exact-integer, the tie
+    correction VAR(S)·18 = n(n−1)(2n+5) − Σ t(t−1)(2t+5) stays
+    exact-integer, and the z score touches doubles only through
+    IEEE-correctly-rounded sqrt/divide — cross-engine deterministic,
+    micro-quantized (with Kendall's tau = 2S/(n(n−1)) alongside).
+
+    Scale: the fact-sized work is the map-side-combined daily groupBy;
+    the pairwise sign sum runs on the CALENDAR-BOUNDED daily relation
+    (n ≈ thousands of days at any corpus size — n² of a dim relation,
+    the accepted caveat of the whole daily-series family; per-key
+    monitoring swaps the self-join for a per-key sort + merge-sort
+    inversion count, O(n log n) per key).
+
+    Revenue comparisons happen on DECIMAL, never double, so sign() has
+    no float-tie ambiguity in either engine.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate"))
+        .cast("date")
+        .cast("string")
+        .alias("day_str")
+    ).agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("rev"))
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = (
+        a.join(F.broadcast(b), F.col("a.day_str") < F.col("b.day_str"))
+        .select(
+            F.when(F.col("b.rev") > F.col("a.rev"), 1)
+            .when(F.col("b.rev") < F.col("a.rev"), -1)
+            .otherwise(0)
+            .alias("sg")
+        )
+        .agg(F.sum("sg").cast("long").alias("s"))
+    )
+    nn = daily.agg(F.count("*").cast("long").alias("n"))
+    ties = (
+        daily.groupBy("rev")
+        .agg(F.count("*").cast("long").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tie18")
+        )
+    )
+    var18 = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tie18")
+    )
+    sd = F.sqrt(var18.cast("double") / 18.0)
+    z = (
+        F.when(F.col("s") > 0, (F.col("s") - 1) / sd)
+        .when(F.col("s") < 0, (F.col("s") + 1) / sd)
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        pairs.crossJoin(nn)
+        .crossJoin(ties)
+        .select(
+            F.col("n").alias("n_days"),
+            F.col("s").alias("s_stat"),
+            var18.cast("long").alias("var18"),
+            F.floor(z * 1e6 + 0.5).cast("long").alias("z_micro"),
+            F.floor(
+                F.col("s") * 2e6 / (F.col("n") * (F.col("n") - 1)) + 0.5
+            )
+            .cast("long")
+            .alias("tau_micro"),
+        )
+    )

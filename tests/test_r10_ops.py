@@ -389,3 +389,52 @@ class TestIvfPqComposed:
             if "Exchange hashpartitioning" in ln:
                 keys = ln.split("hashpartitioning(", 1)[1]
                 assert not ("q_id" in keys and "vec_id" in keys), ln
+
+
+class TestMannKendall:
+    def test_known_series(self, spark, tmp_path):
+        """Monotone-increasing days → S = n(n-1)/2, z > 0; ties reduce
+        var18 exactly by t(t-1)(2t+5)."""
+        import datetime
+
+        rows = [
+            (i, datetime.date(2024, 1, 1 + i), float(100 + i))
+            for i in range(5)
+        ]
+        df = spark.createDataFrame(
+            rows, "o_orderkey long, o_orderdate date, o_totalprice double"
+        )
+        d = str(tmp_path / "orders.parquet")
+        df.write.parquet(d)
+
+        from etl_8x8_spark.operators.windows import window_mann_kendall
+
+        out = window_mann_kendall(spark, str(tmp_path)).collect()[0]
+        n = 5
+        assert out["n_days"] == n
+        assert out["s_stat"] == n * (n - 1) // 2  # all pairs increasing
+        assert out["var18"] == n * (n - 1) * (2 * n + 5)  # no ties
+        assert out["z_micro"] > 0
+        assert out["tau_micro"] == 1_000_000  # tau = +1 exactly
+
+    def test_tie_correction(self, spark, tmp_path):
+        """Two days share a revenue → var18 drops by t(t-1)(2t+5) with
+        t=2, and the tied pair contributes 0 to S."""
+        import datetime
+
+        rows = [
+            (0, datetime.date(2024, 1, 1), 100.0),
+            (1, datetime.date(2024, 1, 2), 100.0),
+            (2, datetime.date(2024, 1, 3), 50.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "o_orderkey long, o_orderdate date, o_totalprice double"
+        )
+        df.write.parquet(str(tmp_path / "orders.parquet"))
+        from etl_8x8_spark.operators.windows import window_mann_kendall
+
+        out = window_mann_kendall(spark, str(tmp_path)).collect()[0]
+        n = 3
+        assert out["s_stat"] == -2  # (d1,d3):-1, (d2,d3):-1, (d1,d2):0
+        assert out["var18"] == n * (n - 1) * (2 * n + 5) - 2 * 1 * 9
+        assert out["z_micro"] < 0
