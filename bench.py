@@ -414,10 +414,16 @@ def main() -> None:
     loads: dict[str, float] = {}
     spreads: dict[str, float] = {}
     errors: dict[str, str] = {}
+    chunk_loads: list[float] = []
     for qi, name in enumerate(names):
         if qi % _CHUNK == 0:
             if spark is not None:
                 spark.stop()
+            # loadavg at each session boundary: the r10 noisy window
+            # arrived MID-run (first chunk 2-15x slow, ambient_load at
+            # start a clean 1.57) — one start-of-suite stamp cannot
+            # adjudicate that; four chunk stamps can.
+            chunk_loads.append(round(os.getloadavg()[0], 2))
             spark = get_spark("bench", cpus=cpus, shuffle_partitions=int(cpus))
             # Warmup: touch the catalog + codegen paths once.
             spark.range(1000).selectExpr("sum(id)").collect()
@@ -534,6 +540,7 @@ def main() -> None:
         "diag_n": len(diag),
         "ambient_load": ambient_load,
         "noisy_host": noisy_host,
+        "chunk_loads": chunk_loads,
         "loads": loads,
         "warm_spreads": spreads,
     }
