@@ -736,3 +736,62 @@ def sample_bottom_k_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "hkey",
     ).orderBy("sample_rank")
+
+
+# ---------------------------------------------------------------------------
+# weighted Poisson (probability-proportional-to-size) sampling (r10)
+# ---------------------------------------------------------------------------
+
+_WPOIS_WCAP = 2000  # weight cap (chars) — also the p=BASE_RATE ceiling
+_WPOIS_RATE_INV = 5  # BASE_RATE = 1/5 at full weight
+
+_WPOIS_ORACLE = f"""
+SELECT doc_id,
+       CAST(least(length(text), {_WPOIS_WCAP}) AS BIGINT) AS weight,
+       CAST(((doc_id % 2147483648) * 2654435761) % 4294967296
+            AS BIGINT) AS hkey
+FROM documents
+WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296
+        * {_WPOIS_WCAP} * {_WPOIS_RATE_INV}
+      < least(length(text), {_WPOIS_WCAP}) * 4294967296
+ORDER BY doc_id
+"""
+
+
+@register("sample_weighted_poisson", oracle=_WPOIS_ORACLE)
+def sample_weighted_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Poisson (probability-proportional-to-size) sampling —
+    the quality-weighted corpus downsample a pretraining pipeline runs
+    at stage zero: each document kept independently with probability
+    p_i = BASE_RATE · w_i / W_CAP, where w_i here is a capped length
+    proxy (production swaps in a model quality score column — the
+    sampling machinery is identical). Unlike temperature mixture
+    sampling (per-GROUP rates) this weights each ROW individually.
+
+    Deterministic and engine-portable with NO floating point: the
+    uniform draw is the Knuth id-hash u ∈ [0, 2^32) (the bottom-k
+    idiom), and the inclusion test u·W_CAP·RATE_INV < w·2^32 is an
+    exact int64 comparison (u·10^4 < 2^45, w·2^32 < 2^43 — no
+    overflow, no libm, no pow/log whose last-ulp differs across
+    engines). Same seed ⇒ same sample on any partitioning, any engine,
+    any cluster size — reproducibility a training run can cite.
+
+    Scale: pure map-side filter+project — ZERO exchanges (pinned in
+    tests/test_plans.py); composes with any downstream shuffle. The
+    kept fraction is Σp_i/N by linearity; per-row independence means
+    no coordination, no state, no skew sensitivity.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        ((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761))
+        % F.lit(4294967296)
+    ).cast("long")
+    w = F.least(F.length("text"), F.lit(_WPOIS_WCAP)).cast("long")
+    return (
+        docs.select("doc_id", w.alias("weight"), u.alias("hkey"))
+        .filter(
+            F.col("hkey") * _WPOIS_WCAP * _WPOIS_RATE_INV
+            < F.col("weight") * F.lit(4294967296)
+        )
+        .orderBy("doc_id")
+    )

@@ -584,3 +584,11 @@ class TestR10Plans:
             assert not ("q_id" in keys and "vec_id" in keys), ln
         # scoring join is the broadcast of the Q packed tables
         assert "BroadcastNestedLoopJoin" in plan
+
+    def test_weighted_poisson_is_pure_map_side(self, spark, sf_dir, queries):
+        """PPS sampling is a filter+project: no hash-partitioned
+        exchange may appear anywhere (the presentation orderBy on the
+        small kept set may range-partition; the sampling itself must
+        not shuffle)."""
+        plan = plan_of(spark, sf_dir, queries, "sample_weighted_poisson")
+        assert "Exchange hashpartitioning" not in plan

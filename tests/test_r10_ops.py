@@ -438,3 +438,33 @@ class TestMannKendall:
         assert out["s_stat"] == -2  # (d1,d3):-1, (d2,d3):-1, (d1,d2):0
         assert out["var18"] == n * (n - 1) * (2 * n + 5) - 2 * 1 * 9
         assert out["z_micro"] < 0
+
+
+class TestWeightedPoisson:
+    def test_inclusion_math_exact(self, spark, sf_dir):
+        """Every kept row satisfies u*W_CAP*RATE_INV < w*2^32 and every
+        dropped row violates it — recomputed row-by-row in Python
+        integers (the determinism contract: same hash, same sample, on
+        any engine or partitioning)."""
+        from etl_8x8_spark.operators.setops import (
+            _WPOIS_RATE_INV,
+            _WPOIS_WCAP,
+            sample_weighted_poisson,
+        )
+        from etl_8x8_spark.sources.readers import load_table
+
+        kept = {
+            r["doc_id"]
+            for r in sample_weighted_poisson(spark, sf_dir).collect()
+        }
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.length("text").alias("L")
+        )
+        n_checked = 0
+        for r in docs.collect():
+            u = ((r["doc_id"] % 2147483648) * 2654435761) % 4294967296
+            w = min(r["L"], _WPOIS_WCAP)
+            want = u * _WPOIS_WCAP * _WPOIS_RATE_INV < w * 4294967296
+            assert (r["doc_id"] in kept) == want, r["doc_id"]
+            n_checked += 1
+        assert n_checked > 0 and kept, "empty corpus or empty sample"
