@@ -2150,3 +2150,186 @@ def window_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("tau_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters additive triple-exponential (level+trend+seasonal) (r10)
+# ---------------------------------------------------------------------------
+
+_HW_ALPHA = 0.2  # level smoothing
+_HW_BETA = 0.1  # trend smoothing
+_HW_GAMMA = 0.3  # seasonal smoothing
+_HW_P = 7  # season length (weekly)
+_HW_H = 7  # forecast horizon (days)
+
+# acc layout: [level, trend, s_next, s_next+1, ..., s_next+6] — the
+# seasonal slot about to be CONSUMED sits at index 3 (1-based) and the
+# freshly-updated one is appended at the tail, so the array rotates one
+# slot per day. Init (textbook additive): l = mean(y[1..7]),
+# b = (mean(y[8..14]) - mean(y[1..7])) / 7, s_i = y_i - l; the fold
+# starts at day 8.
+_HW_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(CAST(date_trunc('day', o_orderdate) AS DATE) AS STRING)
+             AS day_str,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+             AS revenue
+  FROM orders
+  GROUP BY 1
+),
+series AS (
+  SELECT list(revenue ORDER BY day_str) AS ys FROM daily
+),
+init AS (
+  SELECT ys,
+         list_reduce(ys[1:{_HW_P}], (a, v) -> a + v) / {_HW_P} AS l0,
+         (list_reduce(ys[{_HW_P + 1}:{2 * _HW_P}], (a, v) -> a + v) / {_HW_P}
+          - list_reduce(ys[1:{_HW_P}], (a, v) -> a + v) / {_HW_P})
+           / {_HW_P} AS b0
+  FROM series
+),
+fitted AS (
+  SELECT list_reduce(
+           list_prepend(
+             list_concat([l0, b0],
+                         list_transform(ys[1:{_HW_P}], y -> y - l0)),
+             list_transform(ys[{_HW_P + 1}:len(ys)], y -> [y])),
+           (acc, p) -> list_concat(
+             [
+               {_HW_ALPHA} * (p[1] - acc[3])
+                 + (1 - {_HW_ALPHA}) * (acc[1] + acc[2]),
+               {_HW_BETA} * (({_HW_ALPHA} * (p[1] - acc[3])
+                              + (1 - {_HW_ALPHA}) * (acc[1] + acc[2]))
+                             - acc[1])
+                 + (1 - {_HW_BETA}) * acc[2]
+             ],
+             list_append(
+               acc[4:{_HW_P + 2}],
+               {_HW_GAMMA} * (p[1] - ({_HW_ALPHA} * (p[1] - acc[3])
+                              + (1 - {_HW_ALPHA}) * (acc[1] + acc[2])))
+                 + (1 - {_HW_GAMMA}) * acc[3]
+             ))) AS st
+  FROM init
+)
+SELECT h,
+       CAST(floor((st[1] + h * st[2]
+                   + st[2 + ((h - 1) % {_HW_P}) + 1]) * 1e6 + 0.5)
+            AS BIGINT) / 1e6 AS forecast,
+       CAST(floor(st[1] * 1e6 + 0.5) AS BIGINT) / 1e6 AS level,
+       CAST(floor(st[2] * 1e6 + 0.5) AS BIGINT) / 1e6 AS trend,
+       CAST(floor(st[2 + ((h - 1) % {_HW_P}) + 1] * 1e6 + 0.5)
+            AS BIGINT) / 1e6 AS seasonal
+FROM fitted
+CROSS JOIN (SELECT unnest(generate_series(1, {_HW_H})) AS h) hs
+"""
+
+
+@register("window_holt_winters", oracle=_HW_ORACLE)
+def window_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE triple-exponential smoothing (level +
+    trend + weekly seasonal) over the daily-revenue series with an
+    h-step forecast ŷ(h) = l + h·b + s_{(h-1) mod 7} — completing the
+    classical-forecasting family (EWMA → Holt → Holt-Winters): the
+    smoother a revenue/traffic pipeline actually runs when the series
+    has a day-of-week cycle.
+
+    The recurrence consumes the 7-days-ago seasonal index each step,
+    so the fold state is a ROTATING 9-slot array [l, b, s₁..s₇]: the
+    head seasonal slot is consumed, the refreshed one appended. Spark
+    ``aggregate`` and DuckDB ``list_reduce`` execute the identical
+    IEEE sequence (the Holt parity idiom — every compound term is
+    inlined the same way in both engines), so the full fit
+    value-hash-verifies. Textbook init: l = mean(week 1),
+    b = (mean(week 2) − mean(week 1))/7, s_i = y_i − l.
+
+    Scale posture: identical to window_holt_forecast — fact-sized work
+    is the map-side-combined daily groupBy; the fold input is
+    calendar-bounded; per-key forecasting swaps the global array for
+    per-key ``sort_array(collect_list(...))`` with unbounded key
+    parallelism.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("rev_dec"))
+    daily = daily.select(
+        F.col("day").cast("date").cast("string").alias("day_str"),
+        F.col("rev_dec").cast("double").alias("revenue"),
+    )
+    series = daily.agg(
+        F.array_sort(F.collect_list(F.struct("day_str", "revenue"))).alias(
+            "rows"
+        )
+    ).select(F.transform(F.col("rows"), lambda r: r["revenue"]).alias("ys"))
+    P = _HW_P
+    a, b, g = _HW_ALPHA, _HW_BETA, _HW_GAMMA
+
+    week1 = F.aggregate(
+        F.slice("ys", 1, P), F.lit(0.0), lambda acc, v: acc + v
+    ) / P
+    week2 = F.aggregate(
+        F.slice("ys", P + 1, P), F.lit(0.0), lambda acc, v: acc + v
+    ) / P
+    l0 = week1
+    b0 = (week2 - week1) / P
+    init = series.select(
+        "ys",
+        F.concat(
+            F.array(l0, b0),
+            F.transform(F.slice("ys", 1, P), lambda y: y - l0),
+        ).alias("acc0"),
+    )
+
+    def step(acc, y):
+        lnew = a * (y - F.element_at(acc, 3)) + (1 - a) * (
+            F.element_at(acc, 1) + F.element_at(acc, 2)
+        )
+        bnew = (
+            b
+            * (
+                (
+                    a * (y - F.element_at(acc, 3))
+                    + (1 - a)
+                    * (F.element_at(acc, 1) + F.element_at(acc, 2))
+                )
+                - F.element_at(acc, 1)
+            )
+            + (1 - b) * F.element_at(acc, 2)
+        )
+        snew = (
+            g
+            * (
+                y
+                - (
+                    a * (y - F.element_at(acc, 3))
+                    + (1 - a)
+                    * (F.element_at(acc, 1) + F.element_at(acc, 2))
+                )
+            )
+            + (1 - g) * F.element_at(acc, 3)
+        )
+        return F.concat(
+            F.array(lnew, bnew),
+            F.slice(acc, 4, P - 1),
+            F.array(snew),
+        )
+
+    rest = F.slice(
+        F.col("ys"), P + 1, F.greatest(F.size("ys") - P, F.lit(0))
+    )
+    st = F.aggregate(rest, F.col("acc0"), step)
+    fitted = init.select(st.alias("st"))
+    hs = spark.range(1, _HW_H + 1).select(F.col("id").cast("int").alias("h"))
+    q6 = lambda c: F.floor(c * 1e6 + 0.5).cast("long") / F.lit(1e6)  # noqa: E731
+    seas = F.element_at(
+        F.col("st"), 2 + ((F.col("h") - 1) % P).cast("int") + 1
+    )
+    return fitted.crossJoin(F.broadcast(hs)).select(
+        "h",
+        q6(
+            F.element_at("st", 1) + F.col("h") * F.element_at("st", 2) + seas
+        ).alias("forecast"),
+        q6(F.element_at("st", 1)).alias("level"),
+        q6(F.element_at("st", 2)).alias("trend"),
+        q6(seas).alias("seasonal"),
+    )
