@@ -1273,3 +1273,130 @@ def stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_phase(sentinels(30))
     run_phase(sentinels(60))
     return spark.read.parquet(out_dir).filter(F.col("user_id") >= 0)
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas TTL-state cache (r10): R15's authorizer
+# cache on the successor API's NATIVE TTL value state
+# ---------------------------------------------------------------------------
+
+
+class _TwsCacheProcessor:
+    """Keyed running-count cache on TWS ValueState WITH a declared TTL
+    (``getValueState(..., ttlDurationMs=3_600_000)``) — the literal
+    analog of the reference's 3600 s authorizer cache
+    (serverless.core.yml:38-43): applyInPandasWithState approximates
+    TTL with a manual processing-time timeout; TWS makes it a state
+    DECLARATION the store enforces. The TTL is far longer than the
+    two-phase drive, so nothing expires mid-run and the batch oracle
+    stays exact while the TTL plumbing is exercised for real."""
+
+    def init(self, handle) -> None:
+        self._total = handle.getValueState(
+            "total", "total long", ttlDurationMs=3_600_000
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        (uid,) = key
+        n = 0
+        for pdf in rows:
+            n += len(pdf)
+        prev = self._total.get()[0] if self._total.exists() else 0
+        self._total.update((prev + n,))
+        yield pd.DataFrame(
+            {
+                "user_id": [uid],
+                "n_new": [n],
+                "n_total": [prev + n],
+                "was_cached": [prev > 0],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+@register("stream_tws_ttl_cache", oracle=_STATE_ORACLE)
+def stream_tws_ttl_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R15's TTL result cache on ``transformWithStateInPandas`` with
+    NATIVE TTL value state — the declarative successor of
+    stream_state_ttl_cache's manual-timeout form, pinned to the SAME
+    two-phase oracle so the two APIs can never drift. TTL state needs
+    ``timeMode='ProcessingTime'`` (the store stamps each value's
+    expiry); RocksDB + protobuf wiring identical to
+    stream_session_window_tws, with the same fallback to the
+    applyInPandasWithState twin on protobuf-less hosts.
+
+    Scale: state is one long per live key with store-enforced expiry —
+    at 100 TB/day the TTL declaration IS the state bound (no janitor
+    job, no unbounded cache), sharded by key across the state store.
+    """
+    import shutil
+
+    pb_dir = find_protobuf_pythonpath()
+    if pb_dir is None:
+        return stream_state_ttl_cache(spark, sf_dir)
+    _wire_tws_env(spark, pb_dir)
+
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    proc_cls = type(
+        "TwsCacheProcessor", (_TwsCacheProcessor, StatefulProcessor), {}
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    base = os.path.join(scratch_dir(), f"tws_cache_{_sf_tag(sf_dir)}")
+    in_dir = os.path.join(base, "in")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    for d in (out_dir, ckpt, in_dir):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+
+    median = events.approxQuantile("event_id", [0.5], 0.0)[0]
+
+    def run_phase(df: DataFrame) -> None:
+        df.write.mode("append").parquet(in_dir)
+        s = spark.readStream.schema(_EVENTS_STREAM_SCHEMA).parquet(in_dir)
+        counted = s.groupBy("user_id").transformWithStateInPandas(
+            proc_cls(),
+            outputStructType=(
+                "user_id long, n_new long, n_total long, was_cached boolean"
+            ),
+            outputMode="Append",
+            timeMode="ProcessingTime",
+        )
+        q = (
+            counted.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", _ROCKSDB_PROVIDER
+    )
+    try:
+        run_phase(events.filter(F.col("event_id") <= median))
+        run_phase(events.filter(F.col("event_id") > median))
+    except Exception:
+        for d in (out_dir, ckpt, in_dir):
+            if os.path.exists(d):
+                shutil.rmtree(d)
+        return stream_state_ttl_cache(spark, sf_dir)
+    finally:
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+    return spark.read.parquet(out_dir)
