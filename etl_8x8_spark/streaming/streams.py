@@ -1276,62 +1276,146 @@ def stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# transformWithStateInPandas TTL-state cache (r10): R15's authorizer
-# cache on the successor API's NATIVE TTL value state
+# transformWithStateInPandas TTL cache with EVENT-TIME eviction (r10):
+# R15's authorizer cache on the successor API, with the TTL expiry
+# itself value-pinned via emitted eviction records
 # ---------------------------------------------------------------------------
+
+_CACHE_TTL_MS = 30 * 24 * 3600 * 1000  # 30-day event-time TTL
 
 
 class _TwsCacheProcessor:
-    """Keyed running-count cache on TWS ValueState WITH a declared TTL
-    (``getValueState(..., ttlDurationMs=3_600_000)``) — the literal
-    analog of the reference's 3600 s authorizer cache
-    (serverless.core.yml:38-43): applyInPandasWithState approximates
-    TTL with a manual processing-time timeout; TWS makes it a state
-    DECLARATION the store enforces. The TTL is far longer than the
-    two-phase drive, so nothing expires mid-run and the batch oracle
-    stays exact while the TTL plumbing is exercised for real."""
+    """Keyed running-count cache with an EVENT-TIME TTL enforced by an
+    explicit TWS timer: every input batch re-arms the key's timer to
+    ``max(batch ts) + TTL`` (deleting the stale one — TWS timers are
+    multi-shot), and when the watermark passes it the state is evicted
+    WITH an emitted eviction record (n_new=0, n_total=final count,
+    evicted=true) — so the TTL path itself is value-hash-checkable,
+    not just declared. The literal analog of the reference's 3600 s
+    authorizer cache (serverless.core.yml:38-43) with expiry made
+    observable.
+
+    Why a timer rather than TWS's declarative ttlDurationMs: native
+    TTL state requires timeMode='ProcessingTime', which in this Spark
+    build runs hundreds of jobs per availableNow micro-batch (measured
+    r10: a 500-row batch exceeded 150 s and never terminated, and the
+    memory-sink variant NPEs in planning) — the event-time timer form
+    expresses the same bound on the fast, proven EventTime path."""
 
     def init(self, handle) -> None:
-        self._total = handle.getValueState(
-            "total", "total long", ttlDurationMs=3_600_000
-        )
+        self._handle = handle
+        self._total = handle.getValueState("total", "total long")
+        self._tmr = handle.getValueState("tmr", "t_ms long")
 
     def handleInputRows(self, key, rows, timerValues):
         import pandas as pd
 
         (uid,) = key
         n = 0
+        max_us = None
         for pdf in rows:
             n += len(pdf)
+            if len(pdf):
+                m = int(
+                    pdf["ts"].values.astype("datetime64[us]").astype("int64").max()
+                )
+                max_us = m if max_us is None else max(max_us, m)
         prev = self._total.get()[0] if self._total.exists() else 0
         self._total.update((prev + n,))
+        if max_us is not None:
+            if self._tmr.exists():
+                self._handle.deleteTimer(self._tmr.get()[0])
+            new_t = max_us // 1000 + _CACHE_TTL_MS
+            self._handle.registerTimer(new_t)
+            self._tmr.update((new_t,))
         yield pd.DataFrame(
             {
                 "user_id": [uid],
                 "n_new": [n],
                 "n_total": [prev + n],
                 "was_cached": [prev > 0],
+                "evicted": [False],
             }
         )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        import pandas as pd
+
+        (uid,) = key
+        armed = self._tmr.get()[0] if self._tmr.exists() else None
+        if armed is not None and expiredTimerInfo.getExpiryTimeInMs() == armed:
+            total = self._total.get()[0]
+            self._total.clear()
+            self._tmr.clear()
+            yield pd.DataFrame(
+                {
+                    "user_id": [uid],
+                    "n_new": [0],
+                    "n_total": [total],
+                    "was_cached": [True],
+                    "evicted": [True],
+                }
+            )
+        else:
+            yield pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "n_new": pd.Series([], dtype="int64"),
+                    "n_total": pd.Series([], dtype="int64"),
+                    "was_cached": pd.Series([], dtype="bool"),
+                    "evicted": pd.Series([], dtype="bool"),
+                }
+            )
 
     def close(self) -> None:
         pass
 
 
-@register("stream_tws_ttl_cache", oracle=_STATE_ORACLE)
+_TWS_CACHE_ORACLE = """
+WITH m AS (SELECT quantile_disc(epoch_us(ts), 0.5) AS med FROM events),
+p1 AS (
+  SELECT user_id, COUNT(*) AS n FROM events, m
+  WHERE epoch_us(ts) <= med GROUP BY user_id
+),
+p2 AS (
+  SELECT user_id, COUNT(*) AS n FROM events, m
+  WHERE epoch_us(ts) > med GROUP BY user_id
+),
+tot AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id)
+SELECT user_id, n AS n_new, n AS n_total,
+       FALSE AS was_cached, FALSE AS evicted
+FROM p1
+UNION ALL
+SELECT p2.user_id, p2.n AS n_new,
+       p2.n + COALESCE(p1.n, 0) AS n_total,
+       p1.user_id IS NOT NULL AS was_cached,
+       FALSE AS evicted
+FROM p2 LEFT JOIN p1 ON p1.user_id = p2.user_id
+UNION ALL
+SELECT user_id, 0 AS n_new, n AS n_total,
+       TRUE AS was_cached, TRUE AS evicted
+FROM tot
+"""
+
+
+@register("stream_tws_ttl_cache", oracle=_TWS_CACHE_ORACLE)
 def stream_tws_ttl_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R15's TTL result cache on ``transformWithStateInPandas`` with
-    NATIVE TTL value state — the declarative successor of
-    stream_state_ttl_cache's manual-timeout form, pinned to the SAME
-    two-phase oracle so the two APIs can never drift. TTL state needs
-    ``timeMode='ProcessingTime'`` (the store stamps each value's
-    expiry); RocksDB + protobuf wiring identical to
-    stream_session_window_tws, with the same fallback to the
-    applyInPandasWithState twin on protobuf-less hosts.
+    event-time TTL EVICTION RECORDS — the successor-API twin of
+    stream_state_ttl_cache, extended so the expiry path is part of the
+    verified output: two median-event-time phases exercise the
+    cross-batch hit/miss transition (same semantics as the
+    predecessor), then two far-future sentinel phases push the
+    watermark past every key's ``last_event + 30 d`` timer, and each
+    eviction EMITS the key's final total (evicted=true). Emitted set =
+    per-phase counts + one eviction row per user — plain batch SQL,
+    value-hash-checked.
 
-    Scale: state is one long per live key with store-enforced expiry —
-    at 100 TB/day the TTL declaration IS the state bound (no janitor
-    job, no unbounded cache), sharded by key across the state store.
+    Scale: one long + one armed timer per live key, store-enforced by
+    watermark progress — the declarative state bound a 100 TB/day
+    cache needs (no janitor job). See _TwsCacheProcessor for why the
+    TTL rides an explicit event-time timer rather than
+    ttlDurationMs/ProcessingTime in this build.
     """
     import shutil
 
@@ -1355,18 +1439,36 @@ def stream_tws_ttl_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
         if os.path.exists(d):
             shutil.rmtree(d)
 
-    median = events.approxQuantile("event_id", [0.5], 0.0)[0]
+    split_us = events.selectExpr(
+        "cast(unix_micros(ts) as double) AS t"
+    ).approxQuantile("t", [0.5], 0.0)[0]
+    max_ts = events.agg(F.max("ts")).first()[0]
+
+    def sentinel(days: int) -> DataFrame:
+        return spark.range(1).select(
+            F.lit(30_000_000_000 + days).alias("event_id"),
+            (F.lit(max_ts) + F.expr(f"INTERVAL {days} DAYS")).alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("sentinel").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        )
 
     def run_phase(df: DataFrame) -> None:
-        df.write.mode("append").parquet(in_dir)
+        df.coalesce(1).write.mode("append").parquet(in_dir)
         s = spark.readStream.schema(_EVENTS_STREAM_SCHEMA).parquet(in_dir)
-        counted = s.groupBy("user_id").transformWithStateInPandas(
-            proc_cls(),
-            outputStructType=(
-                "user_id long, n_new long, n_total long, was_cached boolean"
-            ),
-            outputMode="Append",
-            timeMode="ProcessingTime",
+        counted = (
+            s.withWatermark("ts", "1 hour")
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                proc_cls(),
+                outputStructType=(
+                    "user_id long, n_new long, n_total long,"
+                    " was_cached boolean, evicted boolean"
+                ),
+                outputMode="Append",
+                timeMode="EventTime",
+            )
         )
         q = (
             counted.writeStream.format("parquet")
@@ -1385,8 +1487,10 @@ def stream_tws_ttl_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spark.sql.streaming.stateStore.providerClass", _ROCKSDB_PROVIDER
     )
     try:
-        run_phase(events.filter(F.col("event_id") <= median))
-        run_phase(events.filter(F.col("event_id") > median))
+        run_phase(events.filter(F.expr("unix_micros(ts)") <= split_us))
+        run_phase(events.filter(F.expr("unix_micros(ts)") > split_us))
+        run_phase(sentinel(60))
+        run_phase(sentinel(90))
     except Exception:
         for d in (out_dir, ckpt, in_dir):
             if os.path.exists(d):
@@ -1399,4 +1503,4 @@ def stream_tws_ttl_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev_provider
             )
-    return spark.read.parquet(out_dir)
+    return spark.read.parquet(out_dir).filter(F.col("user_id") >= 0)

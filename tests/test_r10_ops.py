@@ -468,3 +468,54 @@ class TestWeightedPoisson:
             assert (r["doc_id"] in kept) == want, r["doc_id"]
             n_checked += 1
         assert n_checked > 0 and kept, "empty corpus or empty sample"
+
+
+class TestTwsCacheProcessorUnit:
+    def _mk(self):
+        from etl_8x8_spark.streaming.streams import _TwsCacheProcessor
+
+        p = _TwsCacheProcessor()
+        h = _FakeHandle()
+        p.init(h)
+        return p, h
+
+    def test_hit_miss_and_timer_rearm(self):
+        from etl_8x8_spark.streaming.streams import _CACHE_TTL_MS
+
+        p, h = self._mk()
+        t0 = 1_000_000_000_000
+        out1 = list(p.handleInputRows((9,), [_pdf([t0, t0 + 1])], None))
+        r = out1[0].iloc[0]
+        assert (r["n_new"], r["n_total"], r["was_cached"], r["evicted"]) == (
+            2,
+            2,
+            False,
+            False,
+        )
+        assert h.timers == {(t0 + 1) // 1000 + _CACHE_TTL_MS}
+        t1 = t0 + 5_000_000
+        out2 = list(p.handleInputRows((9,), [_pdf([t1])], None))
+        r2 = out2[0].iloc[0]
+        assert (r2["n_new"], r2["n_total"], r2["was_cached"]) == (1, 3, True)
+        # stale timer deleted, single re-armed timer at new last-access
+        assert h.timers == {t1 // 1000 + _CACHE_TTL_MS}
+
+    def test_eviction_emits_final_total_and_clears(self):
+        from etl_8x8_spark.streaming.streams import _CACHE_TTL_MS
+
+        p, h = self._mk()
+        t0 = 1_000_000_000_000
+        list(p.handleInputRows((9,), [_pdf([t0, t0 + 1, t0 + 2])], None))
+        armed = (t0 + 2) // 1000 + _CACHE_TTL_MS
+        out = list(p.handleExpiredTimer((9,), None, _FakeExpiredTimer(armed)))
+        r = out[0].iloc[0]
+        assert (r["n_new"], r["n_total"], r["was_cached"], r["evicted"]) == (
+            0,
+            3,
+            True,
+            True,
+        )
+        assert not h.states["total"].exists()
+        # next access after eviction is a MISS again
+        out2 = list(p.handleInputRows((9,), [_pdf([t0 + 10])], None))
+        assert bool(out2[0].iloc[0]["was_cached"]) is False
