@@ -1196,3 +1196,60 @@ def view_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderstatus")
     )
     return merged
+
+
+@register(
+    "scan_parquet_bloom",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_custkey IN (7, 61, 97)
+ORDER BY o_orderkey
+""",
+)
+def scan_parquet_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet BLOOM-FILTER point lookup: orders rewritten once with a
+    bloom filter on the high-cardinality ``o_custkey`` (write options
+    ``parquet.bloom.filter.enabled#o_custkey``) and small row groups,
+    then probed with an IN-list of customer keys. Min/max stats are
+    useless for a point lookup on an UNSORTED high-cardinality column
+    (every row group spans nearly the full key range); the bloom
+    filter is what lets the reader skip row groups that cannot contain
+    the probed keys — the parquet feature a 100 TB point-lookup-heavy
+    workload turns on for its join/filter keys.
+
+    The filter still shows in PushedFilters (pinned in
+    tests/test_plans.py) and the written footers carry the bloom
+    offsets (pinned via pyarrow metadata in tests/test_r10_ops.py);
+    the row-group skip itself happens inside parquet-mr, below the
+    plan. Results are layout-independent — the oracle reads the
+    ORIGINAL table.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    path = os.path.join(scratch_dir(), f"orders_bloom_{_sf_tag(sf_dir)}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        (
+            orders.select("o_orderkey", "o_custkey", "o_totalprice")
+            .coalesce(2)
+            .write.mode("overwrite")
+            .option("parquet.bloom.filter.enabled#o_custkey", "true")
+            .option("parquet.bloom.filter.expected.ndv#o_custkey", "200000")
+            # parquet-mr SILENTLY DROPS a requested bloom when the
+            # column stays fully dictionary-encoded (the dictionary is
+            # already an exact filter; LESSONS #43). At 100 TB the key
+            # column falls out of dictionary naturally; at test SF it
+            # must be forced out or the footer carries no bloom at all.
+            .option("parquet.enable.dictionary#o_custkey", "false")
+            # small row groups so a 60k-row test file has MANY groups
+            # and the bloom skip is structurally exercised; production
+            # keeps the 128 MB default and the same mechanics apply
+            .option("parquet.block.size", str(256 * 1024))
+            .parquet(path)
+        )
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("o_custkey").isin(7, 61, 97))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )

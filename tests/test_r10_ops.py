@@ -519,3 +519,51 @@ class TestTwsCacheProcessorUnit:
         # next access after eviction is a MISS again
         out2 = list(p.handleInputRows((9,), [_pdf([t0 + 10])], None))
         assert bool(out2[0].iloc[0]["was_cached"]) is False
+
+
+class TestParquetBloomScan:
+    def test_bloom_filters_actually_written(self, spark, sf_dir):
+        """The footer must carry a bloom filter on o_custkey (read back
+        through parquet-mr itself — neither pyarrow nor duckdb expose
+        bloom offsets in this environment) and NOT on the untargeted
+        columns. Guards the silent-drop trap: parquet-mr skips a
+        requested bloom when the column stays dictionary-encoded."""
+        import glob
+        import os
+
+        from etl_8x8_spark.registry import all_queries
+        from etl_8x8_spark.sources.readers import scratch_dir
+        from etl_8x8_spark.sources.scans import _sf_tag
+
+        # ensure the fixture exists
+        all_queries()["scan_parquet_bloom"].builder(spark, sf_dir).collect()
+        path = os.path.join(
+            scratch_dir(), f"orders_bloom_{_sf_tag(sf_dir)}"
+        )
+        f = glob.glob(path + "/*.parquet")[0]
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        infile = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            jvm.org.apache.hadoop.fs.Path(f), conf
+        )
+        reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(infile)
+        rg = reader.getFooter().getBlocks().get(0)
+        got = {}
+        for i in range(rg.getColumns().size()):
+            col = rg.getColumns().get(i)
+            got[col.getPath().toDotString()] = (
+                reader.readBloomFilter(col) is not None
+            )
+        reader.close()
+        assert got["o_custkey"] is True, got
+        assert got["o_orderkey"] is False, got
+
+    def test_point_filter_pushes_down(self, spark, sf_dir, queries=None):
+        from etl_8x8_spark.plans.audit import plan_string
+        from etl_8x8_spark.registry import all_queries
+
+        plan = plan_string(
+            all_queries()["scan_parquet_bloom"].builder(spark, sf_dir)
+        )
+        pushed = plan.split("PushedFilters:")[1].split("]")[0]
+        assert "o_custkey" in pushed
