@@ -11,11 +11,13 @@ family uses.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_8x8_spark.registry import register
-from etl_8x8_spark.sources.readers import load_table
+from etl_8x8_spark.sources.readers import load_table, scratch_dir
 
 # residue classes that change between snapshots
 _DEL = 97  # keys deleted from the new snapshot
@@ -220,3 +222,104 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("price").alias("o_totalprice"),
     )
     return untouched.unionByName(applied)
+
+
+@register("cdc_stream_apply", oracle=_APPLY_ORACLE)
+def cdc_stream_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING half of CDC replay: the same changelog as
+    cdc_apply_changes, consumed as a checkpointed file stream in
+    sequence order (three availableNow micro-batches: the seq-1
+    updates+inserts, the seq-2 updates, the seq-3 deletes) and
+    MERGE-applied onto the keyed table inside ``foreachBatch`` —
+    per batch: compact the delta by key (highest seq wins), anti-join
+    the touched keys out of the current table, union the surviving
+    images in, atomically swap the table dir. Final table must equal
+    the one-shot batch replay EXACTLY — same oracle, so ordering,
+    override (U2 over U1) and delete-wins semantics are value-pinned
+    across the batch/stream boundary.
+
+    This is the production continuous-ingest shape (Debezium/binlog →
+    bronze table): the per-batch work is delta-sized (the window runs
+    over the BATCH, never the table), the table pays one anti-join +
+    append per batch, and the checkpoint makes redelivery idempotent.
+    At 100 TB the dir swap becomes a transactional table-format
+    commit (Delta/Iceberg MERGE) — identical dataflow.
+    """
+    import shutil
+
+    from pyspark.sql import Window
+
+    old = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    key = F.col("o_orderkey")
+    sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    base = os.path.join(scratch_dir(), f"cdc_stream_{sf_tag}")
+    in_dir = os.path.join(base, "in")
+    tbl = os.path.join(base, "table")
+    ckpt = os.path.join(base, "ckpt")
+    for d in (base,):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+    old.write.parquet(tbl)
+
+    def change(residue: int, op: str, seq: int, priority) -> DataFrame:
+        prio = (
+            F.lit(priority)
+            if priority is not None
+            else F.lit(None).cast("string")
+        )
+        shifted = key + _CH_OFF if op == "I" else key
+        return old.filter(key % residue == 0).select(
+            shifted.alias("key"),
+            F.lit(op).alias("op"),
+            F.lit(seq).cast("int").alias("seq"),
+            prio.alias("new_priority"),
+            F.col("o_totalprice").alias("price"),
+        )
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        w = Window.partitionBy("key").orderBy(F.desc("seq"))
+        latest = (
+            batch.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+        )
+        cur = spark.read.parquet(tbl)
+        untouched = cur.join(
+            latest.select("key").distinct(),
+            cur["o_orderkey"] == F.col("key"),
+            "left_anti",
+        )
+        applied = latest.filter(F.col("op") != "D").select(
+            F.col("key").alias("o_orderkey"),
+            F.col("new_priority").alias("o_orderpriority"),
+            F.col("price").alias("o_totalprice"),
+        )
+        tmp = tbl + f"_v{batch_id}"
+        untouched.unionByName(applied).write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(tbl)
+        os.rename(tmp, tbl)
+
+    def run_phase(df: DataFrame) -> None:
+        df.coalesce(1).write.mode("append").parquet(in_dir)
+        s = spark.readStream.schema(
+            "key long, op string, seq int, new_priority string, price double"
+        ).parquet(in_dir)
+        q = (
+            s.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_phase(
+        change(_CH_U1, "U", 1, "U-PASS1").unionByName(
+            change(_CH_I, "I", 1, "I-NEW")
+        )
+    )
+    run_phase(change(_CH_U2, "U", 2, "U-PASS2"))
+    run_phase(change(_CH_D, "D", 3, None))
+    return spark.read.parquet(tbl)
