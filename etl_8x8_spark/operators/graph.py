@@ -527,3 +527,104 @@ def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_u"), "node")
         .limit(100)
     )
+
+
+_LPA_ROUNDS = 3
+
+_LPA_EDGE_SQL = f"""
+li AS (
+  SELECT l_orderkey AS o, l_partkey AS p
+  FROM lineitem WHERE l_quantity >= {_TRI_MIN_QTY}
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT a.p AS u, b.p AS v
+  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2
+),
+nbrs AS (
+  SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
+),
+nodes AS (SELECT DISTINCT u AS n FROM nbrs)
+"""
+
+
+def _lpa_round_sql(prev: str, cur: str) -> str:
+    return f"""
+{cur} AS (
+  SELECT node, MIN(lab) AS lab FROM (
+    SELECT node, lab FROM {prev}
+    UNION ALL
+    SELECT nb.v AS node, p.lab
+    FROM {prev} p JOIN nbrs nb ON nb.u = p.node
+  ) GROUP BY node
+)"""
+
+
+_LPA_ORACLE = (
+    "WITH "
+    + _LPA_EDGE_SQL
+    + ", l0 AS (SELECT n AS node, n AS lab FROM nodes)"
+    + "".join(
+        "," + _lpa_round_sql(f"l{i}", f"l{i + 1}")
+        for i in range(_LPA_ROUNDS)
+    )
+    + f"""
+SELECT node AS part, lab AS label
+FROM l{_LPA_ROUNDS}
+ORDER BY part
+"""
+)
+
+
+@register("graph_label_propagation", oracle=_LPA_ORACLE)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous MIN-LABEL propagation over the co-purchase part
+    graph, {_LPA_ROUNDS} fixed rounds — the bounded-round community /
+    influence primitive (each node's label after k rounds = the
+    smallest node id within k hops): deterministic where
+    frequency-based LPA is tie-unstable, and the fixed round count is
+    what makes it both SQL-oracle-able (k unrolled CTE rounds) and
+    scale-stable (k synchronized join+agg passes, never data-dependent
+    iteration). dedup_cluster_cc is the run-to-convergence sibling;
+    this is the bounded-latency form a production pipeline schedules.
+
+    Plan per round: one join of the label relation against the
+    undirected neighbor list + one min-agg — two hash exchanges on
+    node keys, partial agg collapsing the neighbor fan-in map-side.
+    The edge relation builds once (hub-capped co-purchase pairs, the
+    triangle-count derivation) and is reused across rounds via
+    persist; rounds are a fixed driver loop (LESSONS #12 family), not
+    a driver-side data dependency.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= _TRI_MIN_QTY)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+    )
+    nbrs = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()
+    labels = nbrs.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    )
+    for _ in range(_LPA_ROUNDS):
+        contrib = labels.join(nbrs, labels["node"] == nbrs["u"]).select(
+            F.col("v").alias("node"), F.col("lab")
+        )
+        labels = (
+            labels.select("node", "lab")
+            .unionByName(contrib)
+            .groupBy("node")
+            .agg(F.min("lab").alias("lab"))
+        )
+    return labels.select(
+        F.col("node").alias("part"), F.col("lab").alias("label")
+    ).orderBy("part")

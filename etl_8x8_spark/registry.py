@@ -63,7 +63,7 @@ _QUERY_MODULES = [
 # any r10-new keys (never driver-sampled) lead, then the 22 keys whose
 # latest green row is r4-vintage (streaming/text/window keys with
 # shared-helper churn since r4), then the oldest r5-vintage keys
-# (alphabetical, 19 of 49) to fill the 50-slot window. Target: after the r10
+# (alphabetical, 18 of 49) to fill the 50-slot window. Target: after the r10
 # driver run no key's latest CORRECTNESS row is older than r5.
 # bench.py's HEADLINE order is independent and unaffected.
 _SAMPLE_PRIORITY = [
@@ -77,6 +77,7 @@ _SAMPLE_PRIORITY = [
     "stream_tws_ttl_cache",
     "scan_parquet_bloom",
     "cdc_stream_apply",
+    "graph_label_propagation",
     # r4-vintage evidence (stalest surviving driver rows, all 22)
     "stream_dedup_state",
     "stream_events",
@@ -119,7 +120,6 @@ _SAMPLE_PRIORITY = [
     "sql_tpch_q11_shape",
     "sql_tpch_q12_shape",
     "sql_tpch_q13_shape",
-    "sql_tpch_q14_shape",
 ]
 
 
