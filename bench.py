@@ -275,6 +275,12 @@ HEADLINE = [
     "dedup_incremental_minhash",
     "sim_search_pq_adc",
     "window_holt_forecast",
+    # promoted r11 (r10 verdict item 1; both meet the promotion rule:
+    # new plan shapes — composed IVF+PQ probe-pruned ADC scan, and a
+    # bounded-round label-propagation join+agg loop — and both >=0.5 s
+    # at sf0.1)
+    "sim_search_ivfpq_topk",
+    "graph_label_propagation",
 ]
 # HEADLINE is FROZEN as of r10 (r9 verdict item 8): it no longer grows
 # mechanically with the registry. Promotion rule (documented in
@@ -298,6 +304,7 @@ SCALE_DIAGNOSTIC = [
     # iterative / multi-job
     "graph_pagerank_converged",
     "graph_pagerank_iter",
+    "graph_label_propagation",
     "ml_kmeans_converged",
     "ml_kmeans_lloyd",
     "dedup_cluster_cc",
@@ -321,6 +328,7 @@ SCALE_DIAGNOSTIC = [
     "sim_search_range",
     "embed_pq_encode",
     "sim_search_pq_adc",
+    "sim_search_ivfpq_topk",
     "embed_mrl_truncate",
     "embed_normalize_quantize",
     # text corpus ops

@@ -592,10 +592,15 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan per round: one join of the label relation against the
     undirected neighbor list + one min-agg — two hash exchanges on
     node keys, partial agg collapsing the neighbor fan-in map-side.
-    The edge relation builds once (hub-capped co-purchase pairs, the
-    triangle-count derivation) and is reused across rounds via
-    persist; rounds are a fixed driver loop (LESSONS #12 family), not
-    a driver-side data dependency.
+    The edge relation builds once (co-purchase pairs over the
+    l_quantity >= 25 filtered lineitem, as in the triangle-count
+    derivation but WITHOUT its per-order degree cap: the qty filter
+    alone bounds per-order fan-out on this data, and the oracle must
+    match) and is reused across rounds via persist; rounds are a fixed
+    driver loop (LESSONS #12 family), not a driver-side data
+    dependency. At true skew (an order with millions of parts) the
+    edge build would need the triangle family's degree cap applied to
+    BOTH the Spark and oracle sides.
     """
     li = (
         load_table(spark, sf_dir, "lineitem")

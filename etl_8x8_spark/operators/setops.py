@@ -771,7 +771,7 @@ def sample_weighted_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic and engine-portable with NO floating point: the
     uniform draw is the Knuth id-hash u ∈ [0, 2^32) (the bottom-k
     idiom), and the inclusion test u·W_CAP·RATE_INV < w·2^32 is an
-    exact int64 comparison (u·10^4 < 2^45, w·2^32 < 2^43 — no
+    exact int64 comparison (u·10^4 < 2^46 ≈ 4.3e13, w·2^32 < 2^43 — no
     overflow, no libm, no pow/log whose last-ulp differs across
     engines). Same seed ⇒ same sample on any partitioning, any engine,
     any cluster size — reproducibility a training run can cite.

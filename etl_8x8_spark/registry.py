@@ -58,69 +58,72 @@ _QUERY_MODULES = [
 # ORDER MATTERS for driver sampling: the driver evaluates only the first
 # 50 keys of ``all_queries()`` per round. Keys listed here lead the
 # returned dict (in this order); all other keys follow in registration
-# order. Round-10 priority (r9 verdict item 2): coverage is literal
-# 268/268 with zero fails, so the rotation stays pure STALEST-FIRST —
-# any r10-new keys (never driver-sampled) lead, then the 22 keys whose
-# latest green row is r4-vintage (streaming/text/window keys with
-# shared-helper churn since r4), then the oldest r5-vintage keys
-# (alphabetical, 18 of 49) to fill the 50-slot window. Target: after the r10
-# driver run no key's latest CORRECTNESS row is older than r5.
+# order. Round-11 priority (r10 verdict item 4): pure STALEST-FIRST —
+# the two r11 HEADLINE promotions lead (so their new bench rows and a
+# fresh correctness row land together), then the entire r5-vintage
+# cohort (31 keys, the oldest surviving driver evidence), then the
+# oldest 17 r6-vintage keys to fill the 50-slot window. Target: after
+# the r11 driver run no key's latest CORRECTNESS row is older than r6.
 # bench.py's HEADLINE order is independent and unaffected.
 _SAMPLE_PRIORITY = [
-    # new in r10 — no driver evidence yet
-    "stream_session_window_tws",
-    "stream_join_outer",
+    # promoted into HEADLINE this round (r10 verdict item 1) — lead so
+    # their bench rows and correctness rows land in the same round
     "sim_search_ivfpq_topk",
-    "window_mann_kendall",
-    "sample_weighted_poisson",
-    "window_holt_winters",
-    "stream_tws_ttl_cache",
-    "scan_parquet_bloom",
-    "cdc_stream_apply",
     "graph_label_propagation",
-    # r4-vintage evidence (stalest surviving driver rows, all 22)
-    "stream_dedup_state",
-    "stream_events",
-    "stream_foreach_batch_upsert",
-    "stream_join_interval",
-    "stream_session_window",
-    "stream_sliding_agg",
-    "stream_state_ttl_cache",
-    "stream_tumbling_agg",
-    "text_analysis_stats",
-    "text_contamination_check",
-    "text_doc_chunking",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_ngram_counts",
-    "text_pii_redact",
-    "text_repetition_filter",
-    "text_tfidf_terms",
-    "text_token_budget_pack",
-    "text_unigram_logprob",
-    "window_dedup_latest",
-    "window_lag_lead",
-    "window_sessionize",
-    # r5-vintage evidence (oldest 27 of 49, alphabetical)
-    "agg_basket_affinity",
-    "agg_benford_digit",
-    "agg_bounce_rate",
-    "agg_chi_square",
-    "agg_count_min_sketch",
-    "dedup_minhash_near",
-    "dedup_simhash",
-    "graph_common_neighbors",
-    "join_feature_store_pit",
-    "ml_naive_bayes",
-    "pipeline_feature_dataset",
-    "quality_referential_integrity",
-    "scan_metadata_stats",
-    "sim_search_lsh_topk",
-    "sink_compaction",
-    "sql_tpch_q11_shape",
-    "sql_tpch_q12_shape",
-    "sql_tpch_q13_shape",
+    # oracle added in r11 (was the last rows-only key) — needs its first
+    # hash-green driver row
+    "stream_watermark_late_data",
+    # r5-vintage evidence (the stalest cohort, all 31, alphabetical)
+    "sql_tpch_q14_shape",
+    "sql_tpch_q15_shape",
+    "sql_tpch_q16_shape",
+    "sql_tpch_q17_shape",
+    "sql_tpch_q19_shape",
+    "sql_tpch_q1_shape",
+    "sql_tpch_q20_shape",
+    "sql_tpch_q21_shape",
+    "sql_tpch_q22_shape",
+    "sql_tpch_q2_shape",
+    "sql_tpch_q4_shape",
+    "sql_tpch_q6_shape",
+    "sql_tpch_q8_shape",
+    "sql_tpch_q9_shape",
+    "text_bigram_perplexity",
+    "text_bm25_rank",
+    "text_pmi_cooccur",
+    "text_zipf_fit",
+    "window_attribution_last_touch",
+    "window_bollinger_bands",
+    "window_cusum_detect",
+    "window_ewma_smooth",
+    "window_forward_fill",
+    "window_linear_interpolate",
+    "window_max_drawdown",
+    "window_pct_change",
+    "window_rank_change",
+    "window_rolling_corr",
+    "window_rsi",
+    "window_seasonal_decompose",
+    "window_time_weighted_avg",
+    # r6-vintage fill (oldest 16 of 47, alphabetical)
+    "agg_ab_test_ttest",
+    "agg_audience_overlap",
+    "agg_cohort_ltv",
+    "agg_conversion_latency",
+    "agg_corr_matrix",
+    "agg_decay_sum",
+    "agg_entropy",
+    "agg_fulfillment_latency",
+    "agg_linear_regression",
+    "agg_markov_transitions",
+    "agg_mode",
+    "agg_new_vs_returning",
+    "agg_ohlc_bars",
+    "agg_robust_mad",
+    "agg_stickiness_dau_mau",
+    "agg_survival_curve",
 ]
+
 
 
 def register(

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import itertools
 import os
+import sys
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -329,19 +330,46 @@ def stream_state_ttl_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir)
 
 
-@register("stream_watermark_late_data", oracle=None)
+@register(
+    "stream_watermark_late_data",
+    oracle="""
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+       event_type,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2
+""",
+)
 def stream_watermark_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermarked tumbling aggregate demonstrating late-data drop:
-    phase 1 streams the first half of events (advancing the watermark
-    to max(ts) − 10 min via the checkpoint); phase 2 streams the rest
-    PLUS stale copies of the earliest events — those fall below the
-    checkpointed watermark and are dropped before aggregation. Output:
-    the windows finalized by the phase-2 watermark.
+    """Watermarked tumbling aggregate demonstrating late-data DROP,
+    phased so the drop set is provable and the batch twin is plain SQL
+    (the LESSONS #38 sentinel-phase idiom, as applied to join state by
+    stream_join_outer in r10, here applied to aggregation state):
 
-    Rows-only for the driver (watermark semantics have no batch twin);
-    tests/test_streaming.py asserts the late rows are actually absent
-    from their windows.
+    - phase 1: ALL real events in ONE file = ONE micro-batch (no
+      intra-phase drops — the watermark only advances at batch end);
+      after it the checkpointed watermark is max(real ts) − 10 min.
+    - phase 2: stale re-tagged copies of 20 old events, each picked
+      with ts < max(real ts) − 3 h, so every copy's 1 h window end is
+      provably ≤ the phase-1 watermark ⇒ ALL are dropped before
+      aggregation. This is the late-data semantics under test.
+    - phases 3+4: one far-future sentinel row each (+30 d, +60 d,
+      event_type 'sentinel') advance the watermark past every real
+      window end, flushing append-mode state completely (two phases
+      because eviction in batch N uses the watermark computed at the
+      end of batch N−1).
+
+    Emitted real windows therefore equal the BATCH tumbling aggregate
+    over `events` exactly — the oracle shows the late copies never
+    landed. Sentinel rows are filtered on the final read.
+
+    Scale: state is bounded by watermark delay (windows older than
+    watermark − delay are evicted after emission); the late-drop path
+    is a map-side filter against the broadcast watermark — this is
+    what keeps a 100 TB/day windowed aggregation's state finite.
     """
+    import shutil
+
     events = load_table(spark, sf_dir, "events")
     base = os.path.join(scratch_dir(), f"late_demo_{_sf_tag(sf_dir)}")
     in_dir = os.path.join(base, "in")
@@ -349,22 +377,32 @@ def stream_watermark_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(base, "ckpt")
     for d in (out_dir, ckpt, in_dir):
         if os.path.exists(d):
-            import shutil
-
             shutil.rmtree(d)
 
-    median = events.approxQuantile("event_id", [0.5], 0.0)[0]
-    first = events.filter(F.col("event_id") <= median)
-    rest = events.filter(F.col("event_id") > median)
-    # stale copies of the earliest 20 events, re-tagged
+    max_ts = events.agg(F.max("ts")).first()[0]
+    # provably-late copies: old enough that window_end <= phase-1
+    # watermark (max_ts - 10 min) with hours of margin
     late = (
-        events.orderBy("ts").limit(20).withColumn(
-            "event_id", F.col("event_id") + F.lit(10_000_000)
+        events.filter(
+            F.col("ts") < F.lit(max_ts) - F.expr("INTERVAL 3 HOURS")
         )
+        .orderBy("ts")
+        .limit(20)
+        .withColumn("event_id", F.col("event_id") + F.lit(10_000_000))
     )
 
+    def sentinel(days: int) -> DataFrame:
+        return spark.range(1).select(
+            F.lit(10_000_000_000 + days).alias("event_id"),
+            (F.lit(max_ts) + F.expr(f"INTERVAL {days} DAYS")).alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("sentinel").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        )
+
     def run_phase(df: DataFrame) -> None:
-        df.write.mode("append").parquet(in_dir)
+        df.coalesce(1).write.mode("append").parquet(in_dir)
         s = spark.readStream.schema(_EVENTS_STREAM_SCHEMA).parquet(in_dir)
         agg = (
             s.withWatermark("ts", "10 minutes")
@@ -386,9 +424,13 @@ def stream_watermark_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
 
-    run_phase(first)
-    run_phase(rest.unionByName(late))
-    return spark.read.parquet(out_dir)
+    run_phase(events)
+    run_phase(late)
+    run_phase(sentinel(30))
+    run_phase(sentinel(60))
+    return spark.read.parquet(out_dir).filter(
+        F.col("event_type") != "sentinel"
+    )
 
 
 @register(
@@ -1125,19 +1167,27 @@ def stream_session_window_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass", _ROCKSDB_PROVIDER
     )
+    fallback = False
     try:
         run_phase(events.filter(F.expr("unix_micros(ts)") <= split_us))
         run_phase(events.filter(F.expr("unix_micros(ts)") > split_us))
         run_phase(sentinel(30))
         run_phase(sentinel(60))
-    except Exception:
+    except Exception as exc:
         # TWS worker boot can still fail on exotic hosts (protobuf
         # skew beyond the bypass, missing rocksdb jni) — fall back to
-        # the applyInPandasWithState twin rather than go red
+        # the applyInPandasWithState twin rather than go red. Log the
+        # activation so a real processor bug on a protobuf-capable
+        # host is visible, not silently masked.
+        print(
+            "stream_session_window_tws: TWS path failed, falling back to "
+            f"applyInPandasWithState twin: {exc!r}",
+            file=sys.stderr,
+        )
         for d in (out_dir, ckpt, in_dir):
             if os.path.exists(d):
                 shutil.rmtree(d)
-        return stream_session_window_state(spark, sf_dir)
+        fallback = True
     finally:
         if prev_provider is None:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
@@ -1145,6 +1195,10 @@ def stream_session_window_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev_provider
             )
+    if fallback:
+        # invoked only after the provider conf is restored, so the twin
+        # runs with the session's default state store, not RocksDB
+        return stream_session_window_state(spark, sf_dir)
     return spark.read.parquet(out_dir).filter(F.col("user_id") >= 0)
 
 
@@ -1486,16 +1540,22 @@ def stream_tws_ttl_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass", _ROCKSDB_PROVIDER
     )
+    fallback = False
     try:
         run_phase(events.filter(F.expr("unix_micros(ts)") <= split_us))
         run_phase(events.filter(F.expr("unix_micros(ts)") > split_us))
         run_phase(sentinel(60))
         run_phase(sentinel(90))
-    except Exception:
+    except Exception as exc:
+        print(
+            "stream_tws_ttl_cache: TWS path failed, falling back to "
+            f"applyInPandasWithState twin: {exc!r}",
+            file=sys.stderr,
+        )
         for d in (out_dir, ckpt, in_dir):
             if os.path.exists(d):
                 shutil.rmtree(d)
-        return stream_state_ttl_cache(spark, sf_dir)
+        fallback = True
     finally:
         if prev_provider is None:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
@@ -1503,4 +1563,7 @@ def stream_tws_ttl_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev_provider
             )
+    if fallback:
+        # after provider restore, so the twin runs on the default store
+        return stream_state_ttl_cache(spark, sf_dir)
     return spark.read.parquet(out_dir).filter(F.col("user_id") >= 0)

@@ -370,16 +370,16 @@ class TestRegistryContract:
         assert not missing, f"registered keys absent from SURVEY §2b: {missing}"
 
     def test_every_query_has_oracle_or_documented_rows_only(self):
-        """Every registered key carries a DuckDB oracle except the one
-        rows-only-by-design key (late-data semantics have no batch SQL
-        equivalent). The LSH family gained exact portable-hash oracles
-        in round 5."""
+        """Every registered key carries a DuckDB oracle — zero
+        rows-only keys since r11 closed the last one
+        (stream_watermark_late_data, via dual-sentinel phasing that
+        makes the batch tumbling aggregate its exact oracle)."""
         from etl_8x8_spark.registry import all_queries
 
         rows_only = {
             name for name, spec in all_queries().items() if spec.oracle is None
         }
-        assert rows_only == {"stream_watermark_late_data"}
+        assert rows_only == set()
 
 
 class TestLineDedupHotLine:

@@ -1,5 +1,6 @@
-"""Streaming semantics tests: late-data drop under watermark (the one
-behavior with no batch oracle) and the partitioned-sink hot-split."""
+"""Streaming semantics tests: late-data drop under watermark (since
+r11 also value-hash-oracled via dual-sentinel phasing; this test pins
+the DROP semantics directly) and the partitioned-sink hot-split."""
 
 from __future__ import annotations
 
@@ -20,7 +21,7 @@ class TestWatermarkLateData:
             .builder(spark, sf_dir)
             .collect()
         )
-        assert out, "some windows must be finalized by the phase-2 watermark"
+        assert out, "sentinel phases must finalize the real windows"
         emitted = {(r.window_start, r.event_type): r.n_events for r in out}
 
         # batch equivalent over the ORIGINAL events only (no late
@@ -49,6 +50,13 @@ class TestWatermarkLateData:
         earliest_ws = min(ws for ws, _ in emitted)
         assert any(ws == earliest_ws for ws, _ in batch_counts), (
             "the late-copy windows are among the finalized ones"
+        )
+
+        # r11: the dual sentinel phases flush append state COMPLETELY,
+        # so the emitted set equals the full batch aggregate — this is
+        # what makes the plain GROUP BY the driver oracle
+        assert set(emitted) == set(batch_counts), (
+            "sentinel flush must finalize every real window"
         )
 
 
