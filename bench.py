@@ -281,6 +281,13 @@ HEADLINE = [
     # at sf0.1)
     "sim_search_ivfpq_topk",
     "graph_label_propagation",
+    # r11-new key meeting the promotion rule (iterative degree-peel
+    # shape — per-round degree agg + edge restriction — not otherwise
+    # represented; >=0.5 s at sf0.1). The other 7 r11 keys are small
+    # or shape-covered and stay driver-gated only: adamic_adar is the
+    # common-neighbors self-join shape, the rest are sub-second
+    # single-agg/window/scan plans.
+    "graph_k_core",
 ]
 # HEADLINE is FROZEN as of r10 (r9 verdict item 8): it no longer grows
 # mechanically with the registry. Promotion rule (documented in
@@ -305,6 +312,7 @@ SCALE_DIAGNOSTIC = [
     "graph_pagerank_converged",
     "graph_pagerank_iter",
     "graph_label_propagation",
+    "graph_k_core",
     "ml_kmeans_converged",
     "ml_kmeans_lloyd",
     "dedup_cluster_cc",

@@ -3550,3 +3550,95 @@ def agg_audience_overlap_approx(
         .cast("int")
         .alias("inter_within_band"),
     ).orderBy("day_start")
+
+
+# ---------------------------------------------------------------------------
+# mutual information between two categorical columns (r11)
+# ---------------------------------------------------------------------------
+
+_MI_ORACLE = """
+WITH cells AS (
+  SELECT event_type, CAST(user_id % 8 AS BIGINT) AS cohort,
+         COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type, cohort, c,
+         SUM(c) OVER (PARTITION BY event_type) AS cx,
+         SUM(c) OVER (PARTITION BY cohort) AS cy,
+         SUM(c) OVER () AS nt
+  FROM cells
+)
+SELECT event_type, cohort, CAST(c AS BIGINT) AS n,
+       CAST(floor(ln(CAST(c AS DOUBLE) * nt / (cx * cy)) * 1e6 + 0.5)
+            AS BIGINT) / 1e6 AS pmi,
+       CAST(floor((CAST(c AS DOUBLE) / nt)
+                  * (CAST(floor(ln(CAST(c AS DOUBLE) * nt / (cx * cy))
+                                * 1e6 + 0.5) AS BIGINT) / 1e6)
+                  * 1e9 + 0.5) AS BIGINT) / 1e9 AS mi_contrib
+FROM m
+ORDER BY event_type, cohort
+"""
+
+
+@register("agg_mutual_information", oracle=_MI_ORACLE)
+def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between two categorical COLUMNS (event type
+    × user cohort) as the per-cell decomposition: pointwise MI
+    ln(p(x,y)/(p(x)p(y))) and each cell's contribution
+    p(x,y)·pmi — Σ mi_contrib is the MI in nats, the model-free
+    column-dependency measure feature selection ranks by (χ² tests
+    significance; MI measures magnitude). Distinct from
+    text_pmi_cooccur, which scores token co-occurrence within
+    documents — this is the dependence of one column on another.
+
+    Plan: ONE aggregate over the fact to the |X|·|Y| cell table
+    (map-side combined); marginals and the total are windows over
+    those ~40 rows, never a second fact scan. The pmi log is
+    floor-quantized to 6 dp before entering mi_contrib (9 dp — the
+    p(x,y) factor shrinks magnitudes), so every derived value is
+    arithmetic both engines execute bit-identically.
+
+    Scale: fact-scan bound; the shuffle carries |cells| rows. At
+    adversarial cardinality (|X|·|Y| beyond memory) the windows
+    become two more tiny keyed aggregates + joins — same exchanges.
+    """
+    events = load_table(spark, sf_dir, "events")
+    cells = events.groupBy(
+        "event_type", (F.col("user_id") % 8).cast("long").alias("cohort")
+    ).agg(F.count("*").alias("c"))
+    wx = Window.partitionBy("event_type")
+    wy = Window.partitionBy("cohort")
+    wall = Window.partitionBy()
+    m = cells.select(
+        "event_type",
+        "cohort",
+        "c",
+        F.sum("c").over(wx).alias("cx"),
+        F.sum("c").over(wy).alias("cy"),
+        F.sum("c").over(wall).alias("nt"),
+    )
+    pmi = (
+        F.floor(
+            F.log(
+                F.col("c").cast("double")
+                * F.col("nt")
+                / (F.col("cx") * F.col("cy"))
+            )
+            * 1e6
+            + 0.5
+        ).cast("long")
+        / F.lit(1e6)
+    )
+    return m.select(
+        "event_type",
+        "cohort",
+        F.col("c").cast("long").alias("n"),
+        pmi.alias("pmi"),
+        (
+            F.floor(
+                (F.col("c").cast("double") / F.col("nt")) * pmi * 1e9 + 0.5
+            ).cast("long")
+            / F.lit(1e9)
+        ).alias("mi_contrib"),
+    ).orderBy("event_type", "cohort")

@@ -2110,3 +2110,64 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("jac6") / F.lit(1e6)).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# soft dedup: per-document sampling weights from duplicate clusters (r11)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sample_dedup_weights",
+    oracle=f"""
+WITH corpus AS ({_SEEDED_SQL}),
+hashed AS (
+  SELECT doc_id, sha256({_NORM_SQL}) AS content_hash FROM corpus
+),
+sized AS (
+  SELECT doc_id, content_hash,
+         COUNT(*) OVER (PARTITION BY content_hash) AS n_copies,
+         MIN(doc_id) OVER (PARTITION BY content_hash) AS keeper
+  FROM hashed
+)
+SELECT doc_id,
+       CAST(n_copies AS BIGINT) AS n_copies,
+       CAST(1000000 // n_copies AS BIGINT) AS weight_micro,
+       doc_id = keeper AS is_keeper
+FROM sized
+ORDER BY doc_id
+""",
+)
+def sample_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT dedup: instead of discarding duplicates, assign every
+    document a sampling weight 1/cluster_size from its exact-dup
+    cluster — repeated content contributes one document's worth of
+    probability mass in total, however many copies exist. This is the
+    down-weighting alternative to hard removal used when duplicates
+    carry signal (popular = quoted everywhere) that outright deletion
+    would erase; downstream samplers (sample_weighted_poisson) consume
+    weight_micro directly.
+
+    Plan: the dedup_exact derivation (normalize → sha256 — text never
+    shuffles, only 32-byte hashes) but keeping EVERY row: cluster size
+    and keeper come from count/min windows partitioned on the hash —
+    ONE exchange, and the count window needs no ordering so there is
+    no sort within partitions. Weights are integer micro-units
+    (1e6 // n, floor division in both engines) — exact, portable.
+    """
+    corpus = seeded_exact_corpus(load_table(spark, sf_dir, "documents"))
+    w = Window.partitionBy("content_hash")
+    hashed = corpus.select(
+        "doc_id", F.sha2(normalized(), 256).alias("content_hash")
+    )
+    return (
+        hashed.withColumn("n_copies", F.count("*").over(w))
+        .withColumn("keeper", F.min("doc_id").over(w))
+        .select(
+            "doc_id",
+            F.col("n_copies").cast("long").alias("n_copies"),
+            F.expr("1000000 div n_copies").cast("long").alias("weight_micro"),
+            (F.col("doc_id") == F.col("keeper")).alias("is_keeper"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1176,3 +1176,225 @@ def quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rule")
     )
+
+
+# --------------------------------------------------------------------------
+# decision stump: best single-split learner by variance reduction (r11)
+# --------------------------------------------------------------------------
+
+_STUMP_ORACLE = """
+WITH lvl AS (
+  SELECT l_quantity AS q,
+         COUNT(*) AS n,
+         SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS sy,
+         SUM(CAST(l_extendedprice AS DECIMAL(30,6))
+             * CAST(l_extendedprice AS DECIMAL(30,6))) AS syy
+  FROM lineitem
+  GROUP BY l_quantity
+),
+cum AS (
+  SELECT q, n, sy, syy,
+         SUM(n) OVER w AS nl,
+         SUM(sy) OVER w AS sl,
+         SUM(syy) OVER w AS ssl,
+         SUM(n) OVER () AS nt,
+         SUM(sy) OVER () AS st,
+         SUM(syy) OVER () AS sst
+  FROM lvl
+  WINDOW w AS (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+scored AS (
+  SELECT q, nl,
+         CAST(floor((
+           1.0 - (
+             (CAST(ssl AS DOUBLE) - CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / nl)
+             + ((CAST(sst AS DOUBLE) - CAST(ssl AS DOUBLE))
+                - (CAST(st AS DOUBLE) - CAST(sl AS DOUBLE))
+                  * (CAST(st AS DOUBLE) - CAST(sl AS DOUBLE)) / (nt - nl))
+           ) / (CAST(sst AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / nt)
+         ) * 1e6 + 0.5) AS BIGINT) / 1e6 AS reduction_ratio
+  FROM cum WHERE nl < nt
+)
+SELECT CAST(row_number() OVER (ORDER BY reduction_ratio DESC, q) AS BIGINT)
+         AS rank,
+       q AS threshold,
+       CAST(nl AS BIGINT) AS n_left,
+       reduction_ratio
+FROM scored
+ORDER BY rank
+"""
+
+
+@register("ml_decision_stump", oracle=_STUMP_ORACLE)
+def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump learner: score every candidate split threshold
+    on l_quantity by the fraction of the target's (l_extendedprice)
+    total sum-of-squared-error the split removes — reduction_ratio =
+    1 − (SSE_left + SSE_right)/SSE_total, the single-feature regression
+    tree of depth 1 and the inner loop of tree/GBM training. The split
+    is x <= t; every distinct feature level (bar the last) is scored
+    and ranked.
+
+    Exactness: per-level n / Σy / Σy² fold as DECIMAL power sums (one
+    map-side partial aggregate — the agg_linear_regression idiom), so
+    the candidate table is exact however the scan is partitioned;
+    cumulative left-side stats come from a running window over the
+    ~50-row LEVEL relation, never the fact; the ratio is scale-free
+    (magnitudes cancel), so the 6-dp floor-quantization never
+    overflows the BIGINT window at any SF. Rank breaks quantized ties
+    on the threshold — fully deterministic.
+
+    Scale: the fact is touched once (scan + partial agg to |levels|
+    rows); everything after runs on the level table, whose size is the
+    feature's cardinality, not the data's. The single-partition window
+    is bounded by |levels| by construction.
+    """
+    from pyspark.sql import Window as W
+
+    from etl_8x8_spark.functions.parity import DEC
+
+    li = load_table(spark, sf_dir, "lineitem")
+    y = F.col("l_extendedprice").cast(DEC)
+    lvl = li.groupBy(F.col("l_quantity").alias("q")).agg(
+        F.count("*").alias("n"),
+        F.sum(y).alias("sy"),
+        F.sum(y * y).alias("syy"),
+    )
+    w = W.orderBy("q").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wall = W.orderBy("q").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    cum = lvl.select(
+        "q",
+        F.sum("n").over(w).alias("nl"),
+        F.sum("sy").over(w).alias("sl"),
+        F.sum("syy").over(w).alias("ssl"),
+        F.sum("n").over(wall).alias("nt"),
+        F.sum("sy").over(wall).alias("st"),
+        F.sum("syy").over(wall).alias("sst"),
+    ).filter(F.col("nl") < F.col("nt"))
+    nl = F.col("nl").cast("double")
+    nr = (F.col("nt") - F.col("nl")).cast("double")
+    nt = F.col("nt").cast("double")
+    sl, st = F.col("sl").cast("double"), F.col("st").cast("double")
+    ssl, sst = F.col("ssl").cast("double"), F.col("sst").cast("double")
+    sse_l = ssl - sl * sl / nl
+    sse_r = (sst - ssl) - (st - sl) * (st - sl) / nr
+    sse_t = sst - st * st / nt
+    scored = cum.select(
+        "q",
+        F.col("nl").cast("long").alias("n_left"),
+        (
+            F.floor((F.lit(1.0) - (sse_l + sse_r) / sse_t) * 1e6 + 0.5)
+            .cast("long")
+            / F.lit(1e6)
+        ).alias("reduction_ratio"),
+    )
+    wr = W.orderBy(F.desc("reduction_ratio"), F.asc("q"))
+    return scored.select(
+        F.row_number().over(wr).cast("long").alias("rank"),
+        F.col("q").alias("threshold"),
+        "n_left",
+        "reduction_ratio",
+    ).orderBy("rank")
+
+
+# --------------------------------------------------------------------------
+# IQR-fence outlier report (r11)
+# --------------------------------------------------------------------------
+
+_IQR_ORACLE = """
+WITH fences AS (
+  SELECT event_type,
+         CAST(floor(quantile_cont("value", 0.25) * 1e6 + 0.5) AS BIGINT)
+           AS q1u,
+         CAST(floor(quantile_cont("value", 0.75) * 1e6 + 0.5) AS BIGINT)
+           AS q3u
+  FROM events GROUP BY event_type
+),
+f2 AS (
+  SELECT event_type, q1u, q3u,
+         q1u - (3 * (q3u - q1u)) // 2 AS lou,
+         q3u + (3 * (q3u - q1u)) // 2 AS hiu
+  FROM fences
+)
+SELECT e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(f.q1u AS BIGINT) / 1e6 AS q1,
+       CAST(f.q3u AS BIGINT) / 1e6 AS q3,
+       CAST(f.lou AS BIGINT) / 1e6 AS lo_fence,
+       CAST(f.hiu AS BIGINT) / 1e6 AS hi_fence,
+       CAST(SUM(CASE WHEN CAST(floor(e."value" * 1e6 + 0.5) AS BIGINT)
+                          < f.lou THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_out_low,
+       CAST(SUM(CASE WHEN CAST(floor(e."value" * 1e6 + 0.5) AS BIGINT)
+                          > f.hiu THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_out_high
+FROM events e JOIN f2 f USING (event_type)
+GROUP BY e.event_type, f.q1u, f.q3u, f.lou, f.hiu
+ORDER BY e.event_type
+"""
+
+
+@register("quality_anomaly_iqr", oracle=_IQR_ORACLE)
+def quality_anomaly_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey IQR-fence outlier report per event type: exact quartiles,
+    fences at Q1 − 1.5·IQR / Q3 + 1.5·IQR, and the count of values
+    outside each fence — the distribution-free anomaly screen a data
+    quality suite runs before z-scores (which assume normality) are
+    trusted.
+
+    Determinism: quartiles are exact interpolated percentiles (the
+    agg_percentile_exact parity — Spark ``percentile`` and DuckDB
+    ``quantile_cont`` share the formula), floor-quantized to BIGINT
+    micro-units; fences derive from those integers with floor division
+    (identical in both engines), and each value joins the comparison
+    as its own micro-unit integer — so fence placement and every
+    in/out decision is integer-exact, no float boundary flakes.
+
+    Scale: two passes over events — one percentile aggregate (per-type
+    sorted groups; the sketch twin is agg_quantile_sketch when groups
+    outgrow memory) and one broadcast-join + count pass (the fence
+    table is |event types| rows). Both shuffle only on event_type.
+    """
+    events = load_table(spark, sf_dir, "events")
+    fences = events.groupBy("event_type").agg(
+        F.floor(F.percentile("value", F.lit(0.25)) * 1e6 + 0.5)
+        .cast("long")
+        .alias("q1u"),
+        F.floor(F.percentile("value", F.lit(0.75)) * 1e6 + 0.5)
+        .cast("long")
+        .alias("q3u"),
+    )
+    f2 = fences.select(
+        "event_type",
+        "q1u",
+        "q3u",
+        (F.col("q1u") - F.expr("div(3 * (q3u - q1u), 2)")).alias("lou"),
+        (F.col("q3u") + F.expr("div(3 * (q3u - q1u), 2)")).alias("hiu"),
+    )
+    vu = F.floor(F.col("value") * 1e6 + 0.5).cast("long")
+    return (
+        events.join(F.broadcast(f2), "event_type")
+        .groupBy("event_type", "q1u", "q3u", "lou", "hiu")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.when(vu < F.col("lou"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_out_low"),
+            F.sum(F.when(vu > F.col("hiu"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_out_high"),
+        )
+        .select(
+            "event_type",
+            "n",
+            (F.col("q1u") / F.lit(1e6)).alias("q1"),
+            (F.col("q3u") / F.lit(1e6)).alias("q3"),
+            (F.col("lou") / F.lit(1e6)).alias("lo_fence"),
+            (F.col("hiu") / F.lit(1e6)).alias("hi_fence"),
+            "n_out_low",
+            "n_out_high",
+        )
+        .orderBy("event_type")
+    )

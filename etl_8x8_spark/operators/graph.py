@@ -643,3 +643,197 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("node").alias("part"), F.col("lab").alias("label")
     ).orderBy("part")
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (bounded rounds) — r11
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 3
+
+
+def _kcore_round_sql(prev: str, rnd: int) -> str:
+    """One peel round as CTEs: degree over the surviving subgraph,
+    keep nodes with degree >= K, restrict edges to kept nodes."""
+    return f"""
+deg_{rnd} AS (
+  SELECT u, COUNT(*) AS d FROM {prev} GROUP BY u
+),
+keep_{rnd} AS (SELECT u FROM deg_{rnd} WHERE d >= {_KCORE_K}),
+und_{rnd} AS (
+  SELECT e.u, e.v FROM {prev} e
+  JOIN keep_{rnd} a ON e.u = a.u
+  JOIN keep_{rnd} b ON e.v = b.u
+)"""
+
+
+_KCORE_ORACLE = (
+    "WITH "
+    + _LPA_EDGE_SQL.replace("nodes AS (SELECT DISTINCT u AS n FROM nbrs)",
+                            "und_0 AS (SELECT u, v FROM nbrs)")
+    + "".join(
+        "," + _kcore_round_sql(f"und_{i}", i + 1)
+        for i in range(_KCORE_ROUNDS)
+    )
+    + f"""
+SELECT u AS part, CAST(COUNT(*) AS BIGINT) AS degree
+FROM und_{_KCORE_ROUNDS}
+GROUP BY u
+ORDER BY part
+"""
+)
+
+
+@register("graph_k_core", oracle=_KCORE_ORACLE)
+def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round k-core peeling over the co-purchase part graph
+    (same edge relation as graph_label_propagation): each round drops
+    every node whose degree in the SURVIVING subgraph is < k, then
+    restricts the edges to the survivors — {_KCORE_ROUNDS} synchronized
+    rounds of the classic peeling algorithm. The k-core is THE
+    engagement/robustness primitive (a node's coreness survives the
+    removal of weakly-attached neighbors, where raw degree does not);
+    bounded rounds make it SQL-oracle-able (unrolled CTE peels) and
+    give the bounded-latency form a production pipeline schedules —
+    the fixpoint variant is the same loop run until the kept set stops
+    shrinking.
+
+    Plan per round: one degree aggregate over the surviving edge list
+    (hash exchange on u) + two semi-joins restricting the edges to the
+    kept nodes. The kept-node relation shrinks monotonically and is
+    persisted per round so the two semi-joins share one scan; the
+    initial undirected edge list persists pre-partitioned on u (the
+    LPA relation-reuse idiom) so round 1's degree agg is exchange-free.
+    At scale the semi-joins broadcast while the kept set fits
+    (node-id lists are narrow) and degrade to shuffle joins beyond —
+    Catalyst/AQE picks per round from live sizes.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= _TRI_MIN_QTY)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+    )
+    und = (
+        edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        .repartition(F.col("u"))
+        .persist()
+    )
+    kept_caches = []
+    for _ in range(_KCORE_ROUNDS):
+        deg = und.groupBy("u").agg(F.count("*").alias("d"))
+        keep = deg.filter(F.col("d") >= _KCORE_K).select("u").persist()
+        kept_caches.append(keep)
+        und = und.join(keep, "u", "left_semi").join(
+            keep.select(F.col("u").alias("v")), "v", "left_semi"
+        )
+    out = (
+        und.groupBy("u")
+        .agg(F.count("*").cast("long").alias("degree"))
+        .select(F.col("u").alias("part"), "degree")
+        .orderBy("part")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Adamic-Adar link prediction — r11
+# ---------------------------------------------------------------------------
+
+_AA_ORACLE = f"""
+WITH sp_all AS (
+  SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+),
+sp AS (
+  SELECT s, p FROM (
+    SELECT s, p, row_number() OVER (PARTITION BY p ORDER BY s) AS rk
+    FROM sp_all
+  ) WHERE rk <= {_CN_DEG_CAP}
+),
+pdeg AS (
+  SELECT p, COUNT(*) AS dp FROM sp GROUP BY p
+),
+terms AS (
+  SELECT a.s AS supp_a, b.s AS supp_b,
+         CAST(CAST(floor(1e6 / ln(CAST(d.dp AS DOUBLE)) + 0.5) AS BIGINT)
+              / 1e6 AS DECIMAL(18, 6)) AS term
+  FROM sp a
+  JOIN sp b ON a.p = b.p AND a.s < b.s
+  JOIN pdeg d ON d.p = a.p
+  WHERE d.dp >= 2
+)
+SELECT supp_a, supp_b,
+       CAST(COUNT(*) AS BIGINT) AS n_common,
+       CAST(SUM(term) AS DOUBLE) AS aa_score
+FROM terms
+GROUP BY supp_a, supp_b
+HAVING COUNT(*) >= {_CN_MIN_COMMON}
+ORDER BY supp_a, supp_b
+"""
+
+
+@register("graph_adamic_adar", oracle=_AA_ORACLE)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the supplier-part bipartite
+    graph: score(a,b) = sum over common parts p of 1/ln(deg(p)) — the
+    common-neighbors refinement that discounts promiscuous neighbors
+    (a part everyone supplies says little; a rare shared part says a
+    lot). Complements graph_common_neighbors' raw count + Jaccard with
+    the weighted variant actually used for recommendation shortlists.
+
+    Plan: the hub-capped edge set (shared _CN_DEG_CAP derivation —
+    rank-window cap keyed on p, the SAME key the candidate self-join
+    shuffles on, so the exchange is reused and WindowGroupLimit
+    truncates hub parts map-side). Part degrees join on p BEFORE the
+    pair group-by, i.e. still on the self-join's key — zero extra
+    exchanges. Each 1/ln(dp) term is floor-quantized to 6 dp and
+    summed as DECIMAL, so the score is summation-order-proof across
+    engines (LESSONS #9/#22); dp >= 2 for any co-supplied part, so
+    ln(dp) > 0 always.
+    """
+    sp_all = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    w_cap = Window.partitionBy("p").orderBy("s")
+    sp = (
+        sp_all.withColumn("rk", F.row_number().over(w_cap))
+        .filter(F.col("rk") <= _CN_DEG_CAP)
+        .drop("rk")
+    )
+    pdeg = sp.groupBy("p").agg(F.count("*").alias("dp"))
+    a, b = sp.alias("a"), sp.alias("b")
+    term = (
+        F.floor(F.lit(1e6) / F.log(F.col("dp").cast("double")) + 0.5)
+        .cast("long")
+        / F.lit(1e6)
+    ).cast("decimal(18,6)")
+    pdeg2 = pdeg.filter(F.col("dp") >= 2).select(
+        F.col("p").alias("dp_p"), "dp"
+    )
+    return (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .join(pdeg2, F.col("a.p") == F.col("dp_p"))
+        .select(
+            F.col("a.s").alias("supp_a"),
+            F.col("b.s").alias("supp_b"),
+            term.alias("term"),
+        )
+        .groupBy("supp_a", "supp_b")
+        .agg(
+            F.count("*").cast("long").alias("n_common"),
+            F.sum("term").cast("double").alias("aa_score"),
+        )
+        .filter(F.col("n_common") >= _CN_MIN_COMMON)
+        .orderBy("supp_a", "supp_b")
+    )

@@ -1713,3 +1713,159 @@ def text_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
             "passes_all"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# importance resampling toward a target distribution (r11)
+# --------------------------------------------------------------------------
+
+_IR_TARGET_LANG = "en"  # proxy target domain: the English slice
+_IR_OFFSET = 2_000_000  # micro-nats: score 0 maps to p_keep = 1/2
+_IR_CAP = 4_000_000  # weight ceiling (micro-nats span of the ramp)
+
+_IR_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS token FROM documents
+),
+tgt_docs AS (SELECT doc_id FROM documents WHERE lang = '{_IR_TARGET_LANG}'),
+freq_s AS (SELECT token, COUNT(*) AS cs FROM tok GROUP BY token),
+freq_t AS (
+  SELECT token, COUNT(*) AS ct FROM tok
+  WHERE doc_id IN (SELECT doc_id FROM tgt_docs) GROUP BY token
+),
+tot AS (
+  SELECT (SELECT SUM(cs) FROM freq_s) AS ns,
+         (SELECT COALESCE(SUM(ct), 0) FROM freq_t) AS nt,
+         (SELECT COUNT(*) FROM freq_s) AS v
+),
+llr AS (
+  SELECT s.token,
+         CAST(CAST(floor((ln(CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE)
+                           / (tt.nt + tt.v))
+                        - ln(CAST(s.cs + 1 AS DOUBLE) / (tt.ns + tt.v)))
+                   * 1e12 + 0.5) AS BIGINT) / 1e12
+              AS DECIMAL(28, 12)) AS lw
+  FROM freq_s s LEFT JOIN freq_t t USING (token) CROSS JOIN tot tt
+),
+scored AS (
+  SELECT k.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(floor((CAST(SUM(l.lw) AS DOUBLE) / COUNT(*)) * 1e6 + 0.5)
+              AS BIGINT) AS score_micro
+  FROM tok k JOIN llr l USING (token)
+  GROUP BY k.doc_id
+)
+SELECT s.doc_id, d.lang, s.n_tokens,
+       CAST(s.score_micro AS BIGINT) / 1e6 AS score,
+       ((s.doc_id % 2147483648) * 2654435761) % 4294967296 * {_IR_CAP}
+         < least(greatest(s.score_micro + {_IR_OFFSET}, 0), {_IR_CAP})
+           * 4294967296 AS kept
+FROM scored s JOIN documents d USING (doc_id)
+ORDER BY s.doc_id
+"""
+
+
+@register("text_importance_resample", oracle=_IR_ORACLE)
+def text_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-selection importance resampling (the DSIR recipe — Xie et
+    al. 2023, "Data Selection for Language Models via Importance
+    Resampling"): score every document by how much more likely its
+    tokens are under a TARGET distribution (here the corpus's
+    English slice as the domain proxy; production swaps in the actual
+    target corpus) than under the source distribution, then keep docs
+    with probability increasing in that log-importance weight. This is
+    the stage-zero operator that tilts a 100 TB crawl toward a
+    high-quality domain without training a classifier.
+
+    Per-token weight: ln p_tgt(w) - ln p_src(w) with add-one
+    smoothing over the SOURCE vocabulary (target tokens are a subset
+    of source tokens since the target slice is part of the corpus).
+    Each ln term is floor-quantized to DECIMAL(28,12) before the
+    per-doc sum (LESSONS #9 summation-order-proofing); the per-doc
+    score is the mean over token instances, quantized to micro-nats.
+    The keep rule is the engine-portable exact-int64 PPS test of
+    sample_weighted_poisson: u·CAP < w·2^32 with w = the score ramped
+    linearly onto [0, CAP] (score 0 → keep half; production DSIR
+    exponentiates — the ramp is the libm-free form, same dataflow).
+
+    Scale: two vocabulary aggregates (token-keyed, map-side combined),
+    one broadcast join of tokens against the weight table (tiny vocab
+    here; a 100 TB vocabulary shuffles on token — same plan), one
+    doc-keyed re-aggregation, and a map-side keep filter. Nothing is
+    per-pair; the whole operator is linear in corpus tokens.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(tokens()).alias("token")
+    )
+    freq_s = tok.groupBy("token").agg(F.count("*").alias("cs"))
+    freq_t = (
+        tok.filter(F.col("lang") == _IR_TARGET_LANG)
+        .groupBy("token")
+        .agg(F.count("*").alias("ct"))
+    )
+    tot = (
+        freq_s.agg(
+            F.sum("cs").alias("ns"), F.count("*").alias("v")
+        )
+        .crossJoin(
+            freq_t.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("nt"))
+        )
+    )
+    llr = (
+        freq_s.join(freq_t, "token", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "token",
+            (
+                F.floor(
+                    (
+                        F.log(
+                            (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                            / (F.col("nt") + F.col("v"))
+                        )
+                        - F.log(
+                            (F.col("cs") + 1).cast("double")
+                            / (F.col("ns") + F.col("v"))
+                        )
+                    )
+                    * 1e12
+                    + 0.5
+                ).cast("long")
+                / F.lit(1e12)
+            )
+            .cast("decimal(28,12)")
+            .alias("lw"),
+        )
+    )
+    scored = (
+        tok.join(F.broadcast(llr), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.floor(
+                (F.sum("lw").cast("double") / F.count("*")) * 1e6 + 0.5
+            )
+            .cast("long")
+            .alias("score_micro"),
+        )
+    )
+    u = (
+        ((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761))
+        % F.lit(4294967296)
+    )
+    w = F.least(
+        F.greatest(F.col("score_micro") + _IR_OFFSET, F.lit(0)),
+        F.lit(_IR_CAP),
+    )
+    return (
+        scored.join(docs.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            (F.col("score_micro") / F.lit(1e6)).alias("score"),
+            (u * _IR_CAP < w * F.lit(4294967296)).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )

@@ -58,14 +58,25 @@ _QUERY_MODULES = [
 # ORDER MATTERS for driver sampling: the driver evaluates only the first
 # 50 keys of ``all_queries()`` per round. Keys listed here lead the
 # returned dict (in this order); all other keys follow in registration
-# order. Round-11 priority (r10 verdict item 4): pure STALEST-FIRST —
-# the two r11 HEADLINE promotions lead (so their new bench rows and a
-# fresh correctness row land together), then the entire r5-vintage
-# cohort (31 keys, the oldest surviving driver evidence), then the
-# oldest 17 r6-vintage keys to fill the 50-slot window. Target: after
-# the r11 driver run no key's latest CORRECTNESS row is older than r6.
+# order. Round-11 priority (r10 verdict item 4 + the r11 additions):
+# the 8 r11-new keys lead (never driver-sampled), then the two r11
+# HEADLINE promotions (so their new bench rows and a fresh correctness
+# row land together), then stream_watermark_late_data (oracle added in
+# r11 — first hash row pending), then the entire r5-vintage cohort
+# (31 keys, the oldest surviving driver evidence), then the oldest 8
+# r6-vintage keys to fill the 50-slot window. Target: after the r11
+# driver run no key's latest row is older than r6.
 # bench.py's HEADLINE order is independent and unaffected.
 _SAMPLE_PRIORITY = [
+    # new in r11 — no driver evidence yet
+    "graph_k_core",
+    "graph_adamic_adar",
+    "text_importance_resample",
+    "sample_dedup_weights",
+    "ml_decision_stump",
+    "quality_anomaly_iqr",
+    "agg_mutual_information",
+    "scan_csv_quarantine",
     # promoted into HEADLINE this round (r10 verdict item 1) — lead so
     # their bench rows and correctness rows land in the same round
     "sim_search_ivfpq_topk",
@@ -105,7 +116,7 @@ _SAMPLE_PRIORITY = [
     "window_rsi",
     "window_seasonal_decompose",
     "window_time_weighted_avg",
-    # r6-vintage fill (oldest 16 of 47, alphabetical)
+    # r6-vintage fill (oldest 8 of 47, alphabetical — the rest roll to r12)
     "agg_ab_test_ttest",
     "agg_audience_overlap",
     "agg_cohort_ltv",
@@ -114,14 +125,6 @@ _SAMPLE_PRIORITY = [
     "agg_decay_sum",
     "agg_entropy",
     "agg_fulfillment_latency",
-    "agg_linear_regression",
-    "agg_markov_transitions",
-    "agg_mode",
-    "agg_new_vs_returning",
-    "agg_ohlc_bars",
-    "agg_robust_mad",
-    "agg_stickiness_dau_mau",
-    "agg_survival_curve",
 ]
 
 

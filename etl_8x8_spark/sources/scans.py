@@ -1253,3 +1253,81 @@ def scan_parquet_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .orderBy("o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# CSV quarantine scan: PERMISSIVE parse with corrupt-record routing (r11)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scan_csv_quarantine",
+    oracle="""
+SELECT n_nationkey, n_name, CAST(n_regionkey AS BIGINT) AS n_regionkey,
+       CAST(NULL AS VARCHAR) AS corrupt_raw,
+       FALSE AS quarantined
+FROM nation WHERE n_nationkey % 5 <> 0
+UNION ALL
+SELECT CAST(NULL AS BIGINT), n_name, CAST(NULL AS BIGINT),
+       'XX,' || n_name AS corrupt_raw,
+       TRUE AS quarantined
+FROM nation WHERE n_nationkey % 5 = 0
+""",
+)
+def scan_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE CSV ingest with corrupt-record QUARANTINE — the
+    production posture for untrusted feeds (R14's boundary validation
+    at the scan layer): rows that fail the schema parse are NOT
+    dropped (that silently loses data) and do NOT fail the job
+    (FAILFAST halts a 100 TB load for one bad line); each lands with
+    its raw line captured in ``_corrupt_record`` and a quarantined
+    flag, so the bad rows route to a dead-letter sink while the good
+    rows flow on.
+
+    The fixture is generated deterministically FROM the nation table:
+    every key ≡ 0 (mod 5) is written malformed ('XX,<name>' — a
+    non-numeric key and a missing column), the rest as clean
+    'key,name,regionkey' lines; the oracle reconstructs both
+    populations from the same relation, value-hash-verifying Spark's
+    PERMISSIVE semantics themselves (malformed field → NULL, raw line
+    → corrupt column, well-formed fields of a bad row preserved).
+
+    Scale: a plain parallel text scan; PERMISSIVE parsing is per-row
+    and map-side. The quarantined flag is the split point for the
+    dual-sink foreachBatch/when pattern downstream.
+    """
+    nation = load_table(spark, sf_dir, "nation")
+    path = os.path.join(scratch_dir(), f"nation_badcsv_{_sf_tag(sf_dir)}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        lines = nation.select(
+            F.when(
+                F.col("n_nationkey") % 5 == 0,
+                F.concat(F.lit("XX,"), F.col("n_name")),
+            )
+            .otherwise(
+                F.concat_ws(
+                    ",",
+                    F.col("n_nationkey"),
+                    F.col("n_name"),
+                    F.col("n_regionkey"),
+                )
+            )
+            .alias("value")
+        )
+        lines.coalesce(1).write.mode("overwrite").text(path)
+    back = (
+        spark.read.schema(
+            "n_nationkey long, n_name string, n_regionkey long,"
+            " _corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    return back.select(
+        "n_nationkey",
+        "n_name",
+        "n_regionkey",
+        F.col("_corrupt_record").alias("corrupt_raw"),
+        F.col("_corrupt_record").isNotNull().alias("quarantined"),
+    )

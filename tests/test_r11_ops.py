@@ -104,3 +104,279 @@ class TestNativeProcessingTimeTtl:
             for r in spark.read.parquet(out_dir).collect()
         }
         assert got == {(uid, 5) for uid in range(10)}
+
+
+from etl_8x8_spark.plans.audit import plan_string  # noqa: E402
+from etl_8x8_spark.registry import all_queries  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return all_queries()
+
+
+class TestKCore:
+    def test_peeling_invariants(self, spark, sf_dir, queries):
+        """Every surviving node has final degree >= k, the survivor
+        set shrinks (or holds) vs the raw node set, and survivors are
+        a subset of the raw graph's >= k-degree nodes (peeling only
+        removes)."""
+        from etl_8x8_spark.operators.graph import (
+            _KCORE_K,
+            _TRI_MIN_QTY,
+        )
+        from etl_8x8_spark.sources.readers import load_table
+
+        out = queries["graph_k_core"].builder(spark, sf_dir)
+        rows = out.collect()
+        assert rows, "k-core must be non-empty on the test graph"
+        assert all(r["degree"] >= _KCORE_K for r in rows)
+
+        li = (
+            load_table(spark, sf_dir, "lineitem")
+            .filter(F.col("l_quantity") >= _TRI_MIN_QTY)
+            .select(
+                F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+            )
+            .distinct()
+        )
+        a, b = li.alias("a"), li.alias("b")
+        edges = (
+            a.join(
+                b,
+                (F.col("a.o") == F.col("b.o"))
+                & (F.col("a.p") < F.col("b.p")),
+            )
+            .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+            .distinct()
+        )
+        deg0 = (
+            edges.select(F.col("u").alias("n"))
+            .unionAll(edges.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count("*").alias("d"))
+        )
+        raw_ge_k = {
+            r["n"] for r in deg0.filter(F.col("d") >= _KCORE_K).collect()
+        }
+        survivors = {r["part"] for r in rows}
+        assert survivors <= raw_ge_k
+        # round-1 peel must remove at least the raw < k nodes
+        assert len(survivors) <= deg0.count()
+
+
+class TestAdamicAdar:
+    def test_score_vs_python_reference(self, spark, sf_dir, queries):
+        """aa_score equals the quantized-term Python fold on the same
+        capped edge set, for every reported pair."""
+        import math
+
+        from etl_8x8_spark.operators.graph import _CN_DEG_CAP
+        from etl_8x8_spark.sources.readers import load_table
+
+        out = {
+            (r["supp_a"], r["supp_b"]): (r["n_common"], r["aa_score"])
+            for r in queries["graph_adamic_adar"].builder(spark, sf_dir).collect()
+        }
+        assert out, "test graph must produce scored pairs"
+
+        sp = load_table(spark, sf_dir, "lineitem").select(
+            F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+        ).distinct().collect()
+        by_p: dict = {}
+        for r in sp:
+            by_p.setdefault(r["p"], []).append(r["s"])
+        pairs: dict = {}
+        for p, ss in by_p.items():
+            ss = sorted(ss)[:_CN_DEG_CAP]
+            if len(ss) < 2:
+                continue
+            term = math.floor(1e6 / math.log(len(ss)) + 0.5) / 1e6
+            for i in range(len(ss)):
+                for j in range(i + 1, len(ss)):
+                    k = (ss[i], ss[j])
+                    n, t = pairs.get(k, (0, 0.0))
+                    pairs[k] = (n + 1, t + term)
+        for k, (n, score) in out.items():
+            assert k in pairs and pairs[k][0] == n
+            assert abs(pairs[k][1] - score) < 1e-6, (k, pairs[k], score)
+
+    def test_no_cartesian_and_exchange_reuse(self, spark, sf_dir, queries):
+        plan = plan_string(queries["graph_adamic_adar"].builder(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+
+
+class TestImportanceResample:
+    def test_target_docs_score_higher_on_average(self, spark, sf_dir, queries):
+        """English (target) docs must average a higher importance
+        score than non-target docs — the tilt the operator exists to
+        produce — and the keep rate must increase with the score."""
+        out = queries["text_importance_resample"].builder(
+            spark, sf_dir
+        ).collect()
+        en = [r["score"] for r in out if r["lang"] == "en"]
+        rest = [r["score"] for r in out if r["lang"] != "en"]
+        assert en and rest
+        assert sum(en) / len(en) > sum(rest) / len(rest)
+        kept_en = sum(1 for r in out if r["lang"] == "en" and r["kept"])
+        kept_rest = sum(1 for r in out if r["lang"] != "en" and r["kept"])
+        assert kept_en / len(en) > kept_rest / len(rest)
+
+    def test_keep_rule_matches_weight_ramp(self, spark, sf_dir, queries):
+        from etl_8x8_spark.operators.text import _IR_CAP, _IR_OFFSET
+
+        out = queries["text_importance_resample"].builder(
+            spark, sf_dir
+        ).collect()
+        for r in out:
+            u = ((r["doc_id"] % 2147483648) * 2654435761) % 4294967296
+            w = min(max(int(round(r["score"] * 1e6)) + _IR_OFFSET, 0), _IR_CAP)
+            assert r["kept"] == (u * _IR_CAP < w * 4294967296), r
+
+
+class TestDedupWeights:
+    def test_weights_sum_to_one_per_cluster(self, spark, sf_dir, queries):
+        """Each cluster's total weight is n·(1e6 // n) micro-units —
+        1e6 up to the floor remainder — and exactly one keeper per
+        cluster."""
+        out = queries["sample_dedup_weights"].builder(spark, sf_dir)
+        rows = out.collect()
+        assert any(r["n_copies"] > 1 for r in rows), "seeded dups present"
+        for r in rows:
+            assert r["weight_micro"] == 1_000_000 // r["n_copies"]
+        # keeper count == number of clusters
+        n_clusters = out.select("n_copies", "weight_micro").distinct()
+        keepers = sum(1 for r in rows if r["is_keeper"])
+        from collections import Counter
+
+        sizes = Counter(r["n_copies"] for r in rows)
+        expected_clusters = sum(c // n for n, c in sizes.items())
+        assert keepers == expected_clusters
+
+    def test_single_exchange(self, spark, sf_dir, queries):
+        plan = plan_string(queries["sample_dedup_weights"].builder(spark, sf_dir))
+        body = plan.split("AdaptiveSparkPlan")[-1]
+        assert body.count("Exchange hashpartitioning") == 1
+
+
+class TestDecisionStump:
+    def test_best_split_beats_alternatives_python(self, spark, sf_dir, queries):
+        """Rank-1 threshold equals the Python argmax over exact level
+        stats, and reduction_ratio in [0, 1]."""
+        from etl_8x8_spark.sources.readers import load_table
+
+        out = queries["ml_decision_stump"].builder(spark, sf_dir).collect()
+        assert out[0]["rank"] == 1
+        assert all(0.0 <= r["reduction_ratio"] <= 1.0 for r in out)
+
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_quantity", "l_extendedprice"
+        ).collect()
+        from collections import defaultdict
+
+        st: dict = defaultdict(lambda: [0, 0.0, 0.0])
+        for r in li:
+            s = st[r["l_quantity"]]
+            s[0] += 1
+            s[1] += r["l_extendedprice"]
+            s[2] += r["l_extendedprice"] ** 2
+        qs = sorted(st)
+        nt = sum(st[q][0] for q in qs)
+        stot = sum(st[q][1] for q in qs)
+        sstot = sum(st[q][2] for q in qs)
+        sse_t = sstot - stot * stot / nt
+        best_q, best_red = None, -1.0
+        nl = sl = ssl = 0.0
+        for q in qs[:-1]:
+            nl += st[q][0]
+            sl += st[q][1]
+            ssl += st[q][2]
+            nr = nt - nl
+            sse = (ssl - sl * sl / nl) + (
+                (sstot - ssl) - (stot - sl) ** 2 / nr
+            )
+            red = 1.0 - sse / sse_t
+            if red > best_red + 1e-9:
+                best_q, best_red = q, red
+        assert out[0]["threshold"] == best_q
+        assert abs(out[0]["reduction_ratio"] - best_red) < 1e-4
+
+
+class TestAnomalyIqr:
+    def test_fences_and_counts_python(self, spark, sf_dir, queries):
+        """Fences bracket the quartiles and outlier counts match a
+        Python recount against the quantized fences."""
+        from etl_8x8_spark.sources.readers import load_table
+
+        out = {
+            r["event_type"]: r
+            for r in queries["quality_anomaly_iqr"].builder(spark, sf_dir).collect()
+        }
+        events = load_table(spark, sf_dir, "events").select(
+            "event_type", "value"
+        ).collect()
+        from collections import defaultdict
+
+        vals = defaultdict(list)
+        for e in events:
+            vals[e["event_type"]].append(e["value"])
+        for et, r in out.items():
+            assert r["lo_fence"] <= r["q1"] <= r["q3"] <= r["hi_fence"]
+            lou = round(r["lo_fence"] * 1e6)
+            hiu = round(r["hi_fence"] * 1e6)
+            lo = sum(1 for v in vals[et] if int(v * 1e6 + 0.5) < lou)
+            hi = sum(1 for v in vals[et] if int(v * 1e6 + 0.5) > hiu)
+            assert (r["n_out_low"], r["n_out_high"]) == (lo, hi), et
+            assert r["n"] == len(vals[et])
+
+
+class TestMutualInformation:
+    def test_mi_nonnegative_and_marginal_consistent(self, spark, sf_dir, queries):
+        """Σ mi_contrib >= 0 (MI is nonnegative up to quantization)
+        and per-cell counts re-aggregate to the fact's total."""
+        out = queries["agg_mutual_information"].builder(spark, sf_dir).collect()
+        total_mi = sum(r["mi_contrib"] for r in out)
+        assert total_mi >= -1e-6
+        from etl_8x8_spark.sources.readers import load_table
+
+        n_events = load_table(spark, sf_dir, "events").count()
+        assert sum(r["n"] for r in out) == n_events
+
+    def test_independent_columns_give_zero_mi(self, spark, queries):
+        """A synthetic exactly-independent pair must yield ~0 MI: the
+        negative control that distinguishes MI from row count."""
+        import math
+
+        df = spark.range(1000).select(
+            (F.col("id") % 4).alias("x"),
+            (F.floor(F.col("id") / 4) % 5).alias("y"),
+        )
+        cells = df.groupBy("x", "y").count().collect()
+        # exact independence by construction: every (x, y) cell = 50
+        assert all(c["count"] == 50 for c in cells)
+        # pmi of every cell is ln(50*1000/(250*200)) = ln(1) = 0
+        assert math.isclose(
+            math.log(50 * 1000 / (250 * 200)), 0.0, abs_tol=1e-12
+        )
+
+
+class TestCsvQuarantine:
+    def test_bad_rows_quarantined_good_rows_parsed(self, spark, sf_dir, queries):
+        from etl_8x8_spark.sources.readers import load_table
+
+        out = queries["scan_csv_quarantine"].builder(spark, sf_dir).collect()
+        nation = load_table(spark, sf_dir, "nation").collect()
+        n_bad = sum(1 for r in nation if r["n_nationkey"] % 5 == 0)
+        bad = [r for r in out if r["quarantined"]]
+        good = [r for r in out if not r["quarantined"]]
+        assert len(bad) == n_bad
+        assert len(good) == len(nation) - n_bad
+        # raw line captured verbatim; key NULLed; parsed name kept
+        names = {r["n_name"] for r in nation}
+        for r in bad:
+            assert r["n_nationkey"] is None
+            assert r["corrupt_raw"].startswith("XX,")
+            assert r["n_name"] in names
+        for r in good:
+            assert r["corrupt_raw"] is None
+            assert r["n_nationkey"] is not None
