@@ -3642,3 +3642,85 @@ def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e9)
         ).alias("mi_contrib"),
     ).orderBy("event_type", "cohort")
+
+
+# ---------------------------------------------------------------------------
+# top user-day event paths (sequence mining) (r11)
+# ---------------------------------------------------------------------------
+
+_PATH_STEPS = 3
+_PATH_TOP = 20
+
+_PATHS_ORACLE = f"""
+WITH ranked AS (
+  SELECT user_id, date_trunc('day', ts) AS d, event_type,
+         row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+paths AS (
+  SELECT user_id, d,
+         string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM ranked WHERE rn <= {_PATH_STEPS}
+  GROUP BY user_id, d
+),
+counted AS (SELECT path, COUNT(*) AS n FROM paths GROUP BY path)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, path) AS BIGINT) AS rank,
+       path,
+       CAST(n AS BIGINT) AS n_sessions
+FROM counted
+ORDER BY rank
+LIMIT {_PATH_TOP}
+"""
+
+
+@register("agg_top_paths", oracle=_PATHS_ORACLE)
+def agg_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user-journey paths: the first {_PATH_STEPS} events of each
+    user-day, joined into an ordered path string, counted corpus-wide,
+    top {_PATH_TOP} — the Sankey/flow primitive behind onboarding and
+    funnel-exploration dashboards (agg_markov_transitions gives the
+    memoryless edge view; this is the exact-prefix view).
+
+    Plan: rank window on (user_id, day) — the `rn <= {_PATH_STEPS}`
+    filter triggers WindowGroupLimit, so each map task forwards at
+    most {_PATH_STEPS} rows per user-day BEFORE the shuffle (a heavy
+    user caps itself); path assembly sorts the ≤{_PATH_STEPS}-element
+    struct array per group (deterministic order — collect_list alone
+    is arrival-ordered and hash-unstable); the path count is a
+    map-side-combined groupBy and the top-{_PATH_TOP} is
+    TakeOrderedAndProject, never a global sort.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", F.date_trunc("day", "ts")).orderBy(
+        "ts", "event_id"
+    )
+    ranked = (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _PATH_STEPS)
+        .select(
+            "user_id",
+            F.date_trunc("day", "ts").alias("d"),
+            "rn",
+            "event_type",
+        )
+    )
+    paths = ranked.groupBy("user_id", "d").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rn", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    counted = paths.groupBy("path").agg(F.count("*").alias("n"))
+    top = counted.orderBy(F.desc("n"), F.asc("path")).limit(_PATH_TOP)
+    wr = Window.orderBy(F.desc("n"), F.asc("path"))
+    return top.select(
+        F.row_number().over(wr).cast("long").alias("rank"),
+        "path",
+        F.col("n").cast("long").alias("n_sessions"),
+    ).orderBy("rank")

@@ -720,3 +720,62 @@ def fn_installments_codegen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_inst").cast("int").alias("n_inst"),
         F.when(F.col("seq") == 1, per).otherwise(rest).alias("amount_cents"),
     ).orderBy("o_orderkey", "seq")
+
+
+@register(
+    "fn_net",
+    oracle="""
+WITH ip AS (
+  SELECT event_id,
+         (user_id % 223 + 1) AS a,
+         (event_id % 256) AS b,
+         ((event_id // 256) % 256) AS c,
+         (user_id % 256) AS d
+  FROM events
+)
+SELECT event_id,
+       a || '.' || b || '.' || c || '.' || d AS ip,
+       CAST(a * 16777216 + b * 65536 + c * 256 + d AS BIGINT) AS ip_num,
+       (a * 16777216 + b * 65536 + c * 256 + d) >> 20 = 2753 AS in_cidr,
+       a || '.' || b || '.' || c || '.0/24' AS subnet24
+FROM ip
+""",
+)
+def fn_net(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Network-address scalar family: IPv4 render, dotted-quad →
+    uint32, CIDR containment (172.16.0.0/12 via prefix shift — the
+    classic is-it-private check), and /24 subnet bucketing — the log
+    analytics functions behind geo/abuse rollups. Addresses derive
+    deterministically from event/user ids (production parses a real
+    ip column — the arithmetic under test is identical).
+
+    All integer/bit built-ins (codegen'd; `shiftright` == DuckDB `>>`
+    on BIGINT), zero shuffles — a pure map-side projection, so the op
+    composes with any downstream groupBy at scan cost.
+    """
+    events = load_table(spark, sf_dir, "events")
+    a = F.col("user_id") % 223 + 1
+    b = F.col("event_id") % 256
+    c = F.floor(F.col("event_id") / 256).cast("long") % 256
+    d = F.col("user_id") % 256
+    ip_num = (a * 16777216 + b * 65536 + c * 256 + d).cast("long")
+    return events.select(
+        "event_id",
+        F.concat_ws(
+            ".",
+            a.cast("string"),
+            b.cast("string"),
+            c.cast("string"),
+            d.cast("string"),
+        ).alias("ip"),
+        ip_num.alias("ip_num"),
+        (F.shiftright(ip_num, 20) == F.lit(2753)).alias("in_cidr"),
+        F.concat(
+            a.cast("string"),
+            F.lit("."),
+            b.cast("string"),
+            F.lit("."),
+            c.cast("string"),
+            F.lit(".0/24"),
+        ).alias("subnet24"),
+    )

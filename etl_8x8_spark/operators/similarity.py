@@ -1640,3 +1640,108 @@ def sim_search_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# kNN majority-vote classifier over embeddings (r11)
+# --------------------------------------------------------------------------
+
+_KNN_CLS_K = 5
+_KNN_CLS_CLASSES = 3
+
+_KNN_CLS_ORACLE = f"""
+WITH normed AS (
+  SELECT vec_id, embedding, {oracle_norm("embedding")} AS nrm FROM embeddings
+),
+q AS (SELECT vec_id AS q_id, embedding AS qe, nrm AS qn
+      FROM normed WHERE vec_id < {_N_QUERIES}),
+labeled AS (
+  SELECT vec_id, embedding, nrm, vec_id % {_KNN_CLS_CLASSES} AS label
+  FROM normed WHERE vec_id >= {_N_QUERIES}
+),
+scored AS (
+  SELECT q.q_id, l.vec_id, l.label,
+         {oracle_dot("q.qe", "l.embedding")} / (q.qn * l.nrm) AS sim
+  FROM q JOIN labeled l ON TRUE
+),
+topk AS (
+  SELECT q_id, label, sim FROM (
+    SELECT q_id, label, sim,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY sim DESC, vec_id ASC) AS rk
+    FROM scored
+  ) WHERE rk <= {_KNN_CLS_K}
+),
+votes AS (
+  SELECT q_id, label, COUNT(*) AS n_votes
+  FROM topk GROUP BY q_id, label
+)
+SELECT q_id, CAST(label AS BIGINT) AS pred_label,
+       CAST(n_votes AS BIGINT) AS n_votes
+FROM (
+  SELECT q_id, label, n_votes,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY n_votes DESC, label ASC) AS rk
+  FROM votes
+) WHERE rk = 1
+ORDER BY q_id
+"""
+
+
+@register("ml_knn_classifier", oracle=_KNN_CLS_ORACLE)
+def ml_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-nearest-neighbor majority-vote classifier: each query vector
+    takes the modal label of its {_KNN_CLS_K} nearest labeled
+    neighbors by cosine — the zero-training classifier that serves as
+    the baseline (and often the production labeler) for
+    embedding-space classification; the fixture labels are
+    vec_id mod {_KNN_CLS_CLASSES} (deterministic; production swaps in
+    a label column, same dataflow).
+
+    Plan: the sim_search_topk skeleton — broadcast the query set,
+    map-side cosine over the labeled scan (corpus never shuffles),
+    WindowGroupLimit-cut per-query top-k — plus a |queries|·k-row
+    vote aggregate and a rank-1 mode pick with deterministic tie-break
+    (count desc, label asc). At 100 TB the scoring stage swaps to the
+    IVF/LSH bucketed variants; the vote stage is unchanged.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    normed = emb.select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    q = normed.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    labeled = normed.filter(F.col("vec_id") >= _N_QUERIES).withColumn(
+        "label", F.col("vec_id") % _KNN_CLS_CLASSES
+    )
+    scored = labeled.join(F.broadcast(q)).select(
+        "q_id",
+        "vec_id",
+        "label",
+        cosine(
+            F.col("qe"), F.col("embedding"), F.col("qn"), F.col("nrm")
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    topk = scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= _KNN_CLS_K
+    )
+    votes = topk.groupBy("q_id", "label").agg(
+        F.count("*").cast("long").alias("n_votes")
+    )
+    wv = Window.partitionBy("q_id").orderBy(
+        F.col("n_votes").desc(), F.col("label").asc()
+    )
+    return (
+        votes.withColumn("rk", F.row_number().over(wv))
+        .filter(F.col("rk") == 1)
+        .select(
+            "q_id", F.col("label").cast("long").alias("pred_label"), "n_votes"
+        )
+        .orderBy("q_id")
+    )

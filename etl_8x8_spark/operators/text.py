@@ -1869,3 +1869,165 @@ def text_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# TextRank keyword extraction (r11)
+# --------------------------------------------------------------------------
+
+_TR_MIN_LEN = 4  # vocab: words at least this long
+_TR_MIN_COUNT = 5  # ... occurring at least this often corpus-wide
+_TR_ROUNDS = 3
+_TR_TOP = 25
+_TR_SCALE = 1_000_000_000_000  # integer micro-units of rank
+
+
+def _tr_round_sql(prev: str, rnd: int) -> str:
+    return f"""
+contrib_{rnd} AS (
+  SELECT nb.v AS node, SUM(r.rank_u // nb.d) AS c
+  FROM nbrs_d nb JOIN r_{rnd - 1} r ON r.node = nb.u
+  GROUP BY nb.v
+),
+r_{rnd} AS (
+  SELECT n.node,
+         150000000000 + (85 * COALESCE(c.c, 0)) // 100 AS rank_u
+  FROM wnodes n LEFT JOIN contrib_{rnd} c ON c.node = n.node
+)"""
+
+
+_TEXTRANK_ORACLE = (
+    f"""
+WITH tok AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+vocab AS (
+  SELECT token FROM (SELECT unnest(t) AS token FROM tok)
+  WHERE length(token) >= {_TR_MIN_LEN}
+  GROUP BY token HAVING COUNT(*) >= {_TR_MIN_COUNT}
+),
+pairs_raw AS (
+  SELECT unnest(list_transform(
+           generate_series(1, greatest(len(t) - 1, 0)),
+           i -> CASE WHEN t[i] < t[i+1] THEN t[i] || ' ' || t[i+1]
+                     ELSE t[i+1] || ' ' || t[i] END)) AS pr
+  FROM tok
+),
+edges AS (
+  SELECT DISTINCT string_split(pr, ' ')[1] AS u,
+                  string_split(pr, ' ')[2] AS v
+  FROM pairs_raw
+  WHERE string_split(pr, ' ')[1] <> string_split(pr, ' ')[2]
+),
+vedges AS (
+  SELECT e.u, e.v FROM edges e
+  JOIN vocab a ON e.u = a.token
+  JOIN vocab b ON e.v = b.token
+),
+nbrs AS (SELECT u, v FROM vedges UNION ALL SELECT v AS u, u AS v FROM vedges),
+deg AS (SELECT u AS src, COUNT(*) AS d FROM nbrs GROUP BY u),
+nbrs_d AS (SELECT nb.u, nb.v, dg.d FROM nbrs nb JOIN deg dg ON dg.src = nb.u),
+wnodes AS (SELECT src AS node FROM deg),
+r_0 AS (SELECT node, CAST({_TR_SCALE} AS BIGINT) AS rank_u FROM wnodes)"""
+    + "".join("," + _tr_round_sql(f"r_{i}", i + 1) for i in range(_TR_ROUNDS))
+    + f"""
+SELECT node AS keyword, CAST(rank_u AS BIGINT) AS rank_u,
+       CAST(rank_u AS DOUBLE) / {_TR_SCALE} AS score
+FROM r_{_TR_ROUNDS}
+ORDER BY rank_u DESC, node
+LIMIT {_TR_TOP}
+"""
+)
+
+
+@register("text_textrank_keywords", oracle=_TEXTRANK_ORACLE)
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    over the word co-occurrence graph — adjacent-token pairs, vocab
+    floor of length ≥ {_TR_MIN_LEN} and corpus count ≥ {_TR_MIN_COUNT}
+    — for {_TR_ROUNDS} synchronized rounds; the top-{_TR_TOP} words by
+    stationary weight are the corpus's keywords. The graph-centrality
+    upgrade over raw tf-idf (a term matters if it co-occurs with other
+    mattering terms), and the classic unsupervised keyworder.
+
+    Exactness is the graph_pagerank_converged machinery verbatim:
+    contributions are integer micro-units rank//degree (floor-div in
+    both engines), summed exactly as BIGINTs in any order; the oracle
+    unrolls the rounds as CTEs. Adjacent pairs build with the
+    shifted-slice zip (the shingles() lesson — O(n) not O(n²) in
+    split evaluations); the per-round plan is one join of the rank
+    relation against the persisted pre-partitioned neighbor list + one
+    min-exchange partial-agg sum (the LPA relation-reuse idiom).
+
+    Scale: pair volume is linear in corpus tokens; the vocab floor
+    bounds the graph to frequent words, so the rank relation is
+    vocabulary-sized. At 100 TB the vocab join stays an equi-join on
+    token (broadcast while small, shuffle beyond — AQE picks).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(tokens().alias("t"))
+    vocab = (
+        docs.select(F.explode(tokens()).alias("token"))
+        .filter(F.length("token") >= _TR_MIN_LEN)
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= _TR_MIN_COUNT)
+        .select("token")
+    )
+    m = F.greatest(F.size("t") - 1, F.lit(0))
+    pr = F.zip_with(
+        F.slice(F.col("t"), 1, m),
+        F.slice(F.col("t"), 2, m),
+        lambda x, y: F.when(x < y, F.concat_ws(" ", x, y)).otherwise(
+            F.concat_ws(" ", y, x)
+        ),
+    )
+    pairs = (
+        tok.select(F.explode(pr).alias("pr"))
+        .select(
+            F.split("pr", " ").getItem(0).alias("u"),
+            F.split("pr", " ").getItem(1).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    vedges = pairs.join(
+        F.broadcast(vocab.select(F.col("token").alias("u"))), "u"
+    ).join(F.broadcast(vocab.select(F.col("token").alias("v"))), "v")
+    nbrs = vedges.select("u", "v").unionByName(
+        vedges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = nbrs.groupBy("u").agg(F.count("*").alias("d"))
+    nbrs_d = (
+        nbrs.join(deg, "u")
+        .repartition(F.col("u"))
+        .persist()
+    )
+    nodes = deg.select(F.col("u").alias("node")).persist()
+    ranks = nodes.select("node", F.lit(_TR_SCALE).cast("long").alias("rank_u"))
+    for _ in range(_TR_ROUNDS):
+        contrib = (
+            ranks.join(nbrs_d, ranks["node"] == nbrs_d["u"])
+            .select(
+                F.col("v").alias("cnode"),
+                F.expr("rank_u div d").alias("q"),
+            )
+            .groupBy("cnode")
+            .agg(F.sum("q").alias("c"))
+        )
+        ranks = nodes.join(
+            contrib, nodes["node"] == contrib["cnode"], "left"
+        ).select(
+            "node",
+            (
+                F.lit(150_000_000_000)
+                + F.expr("85 * coalesce(c, 0) div 100")
+            ).cast("long").alias("rank_u"),
+        )
+    return (
+        ranks.orderBy(F.desc("rank_u"), F.asc("node"))
+        .limit(_TR_TOP)
+        .select(
+            F.col("node").alias("keyword"),
+            "rank_u",
+            (F.col("rank_u").cast("double") / _TR_SCALE).alias("score"),
+        )
+    )

@@ -2333,3 +2333,99 @@ def window_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         q6(F.element_at("st", 2)).alias("trend"),
         q6(seas).alias("seasonal"),
     )
+
+
+# --------------------------------------------------------------------------
+# autocorrelation of the daily-revenue series (r11)
+# --------------------------------------------------------------------------
+
+_ACF_LAGS = (1, 7)
+
+
+def _acf_lag_sql(k: int) -> str:
+    return f"""
+SELECT CAST({k} AS BIGINT) AS lag,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(floor(((COUNT(*) * CAST(SUM(x * y) AS DOUBLE)
+                    - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))
+                   / sqrt((COUNT(*) * CAST(SUM(x * x) AS DOUBLE)
+                           - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE))
+                          * (COUNT(*) * CAST(SUM(y * y) AS DOUBLE)
+                             - CAST(SUM(y) AS DOUBLE)
+                               * CAST(SUM(y) AS DOUBLE))))
+                  * 1e6 + 0.5) AS BIGINT) / 1e6 AS acf
+FROM (
+  SELECT lag(revenue, {k}) OVER (ORDER BY day_str) AS x,
+         revenue AS y
+  FROM daily
+) WHERE x IS NOT NULL
+"""
+
+
+_ACF_ORACLE = (
+    """
+WITH daily AS (
+  SELECT CAST(CAST(date_trunc('day', o_orderdate) AS DATE) AS STRING)
+             AS day_str,
+         SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS revenue
+  FROM orders
+  GROUP BY 1
+)
+"""
+    + " UNION ALL ".join(f"({_acf_lag_sql(k)})" for k in _ACF_LAGS)
+    + "\nORDER BY lag"
+)
+
+
+@register("window_autocorr", oracle=_ACF_ORACLE)
+def window_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of daily revenue at lags {1, 7}: the Pearson
+    correlation between the series and its k-day-lagged self — lag 1
+    reads momentum, lag 7 reads weekly seasonality (the signal
+    window_seasonal_decompose then extracts). The standard first
+    diagnostic before fitting any of the forecast family.
+
+    Exactness: the daily series is an exact DECIMAL revenue sum; each
+    lag pairs rows via ONE ordered window over the calendar-bounded
+    daily relation (days don't grow with corpus size — the
+    window_holt_forecast argument), and the five correlation component
+    sums fold the decimal values exactly, so the final quantized
+    double is engine-identical. Per-lag aggregates are 1-row; the
+    union is |lags| rows.
+    """
+    from etl_8x8_spark.functions.parity import DEC
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").cast("string").alias(
+            "day_str"
+        )
+    ).agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("revenue"))
+    out = None
+    for k in _ACF_LAGS:
+        w = Window.orderBy("day_str")
+        paired = daily.select(
+            F.lag("revenue", k).over(w).alias("x"), F.col("revenue").alias("y")
+        ).filter(F.col("x").isNotNull())
+        agg = paired.agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+        n = F.col("n")
+        sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+        sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+        sxy = F.col("sxy").cast("double")
+        acf = (n * sxy - sx * sy) / F.sqrt(
+            (n * sxx - sx * sx) * (n * syy - sy * sy)
+        )
+        row = agg.select(
+            F.lit(k).cast("long").alias("lag"),
+            n.cast("long").alias("n_pairs"),
+            (F.floor(acf * 1e6 + 0.5).cast("long") / F.lit(1e6)).alias("acf"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("lag")

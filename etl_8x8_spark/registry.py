@@ -59,16 +59,23 @@ _QUERY_MODULES = [
 # 50 keys of ``all_queries()`` per round. Keys listed here lead the
 # returned dict (in this order); all other keys follow in registration
 # order. Round-11 priority (r10 verdict item 4 + the r11 additions):
-# the 8 r11-new keys lead (never driver-sampled), then the two r11
+# the 14 r11-new keys lead (never driver-sampled), then the two r11
 # HEADLINE promotions (so their new bench rows and a fresh correctness
 # row land together), then stream_watermark_late_data (oracle added in
 # r11 — first hash row pending), then the entire r5-vintage cohort
-# (31 keys, the oldest surviving driver evidence), then the oldest 8
+# (31 keys, the oldest surviving driver evidence), then the oldest 2
 # r6-vintage keys to fill the 50-slot window. Target: after the r11
-# driver run no key's latest row is older than r6.
+# driver run no key's latest row is older than r6 and every r11 key
+# has a first-round hash row.
 # bench.py's HEADLINE order is independent and unaffected.
 _SAMPLE_PRIORITY = [
     # new in r11 — no driver evidence yet
+    "ml_knn_classifier",
+    "window_autocorr",
+    "agg_top_paths",
+    "fn_net",
+    "sink_manifest_stats",
+    "text_textrank_keywords",
     "graph_k_core",
     "graph_adamic_adar",
     "text_importance_resample",
@@ -116,15 +123,9 @@ _SAMPLE_PRIORITY = [
     "window_rsi",
     "window_seasonal_decompose",
     "window_time_weighted_avg",
-    # r6-vintage fill (oldest 8 of 47, alphabetical — the rest roll to r12)
+    # r6-vintage fill (oldest 2 of 47, alphabetical — the rest roll to r12)
     "agg_ab_test_ttest",
     "agg_audience_overlap",
-    "agg_cohort_ltv",
-    "agg_conversion_latency",
-    "agg_corr_matrix",
-    "agg_decay_sum",
-    "agg_entropy",
-    "agg_fulfillment_latency",
 ]
 
 

@@ -1331,3 +1331,67 @@ def scan_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_corrupt_record").alias("corrupt_raw"),
         F.col("_corrupt_record").isNotNull().alias("quarantined"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stats-manifest writer: the lakehouse write path's skipping metadata (r11)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sink_manifest_stats",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(1 AS BIGINT) AS n_files,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def sink_manifest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITER half of manifest-driven skipping (scan_manifest_pruned
+    is the reader): write orders hash-clustered so each partition value
+    lands in exactly ONE file, then read back and derive the per-file
+    stats manifest (file count, row count, min/max of the skip key) the
+    lakehouse scan planner prunes with. Producing stats AT WRITE TIME
+    is what makes the read path's file skipping possible at all — this
+    pins that the written layout actually carries them.
+
+    Determinism: ``repartition(col)`` routes every partition value to
+    one task, so each partitionBy dir holds exactly one data file
+    (asserted in the result's n_files); min/max per file then equal
+    min/max per partition value, which is what the SQL oracle computes
+    from the source relation. The manifest derivation groups on the
+    partition value after an ``input_file_name()`` distinct-count —
+    metadata-sized, like scan_manifest_pruned's read side.
+
+    Scale: one hash exchange on the partition key for the clustered
+    write (the small-file-prevention pattern sink_compaction repairs
+    after the fact); the manifest pass reads footer-cheap columns only.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    path = os.path.join(scratch_dir(), f"orders_mstats_{_sf_tag(sf_dir)}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            orders.select("o_orderkey", "o_orderpriority")
+            .repartition(F.col("o_orderpriority"))
+            .write.mode("overwrite")
+            .partitionBy("o_orderpriority")
+            .parquet(path)
+        )
+    back = spark.read.parquet(path).withColumn(
+        "_file", F.input_file_name()
+    )
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("_file").cast("long").alias("n_files"),
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -380,3 +380,157 @@ class TestCsvQuarantine:
         for r in good:
             assert r["corrupt_raw"] is None
             assert r["n_nationkey"] is not None
+
+
+class TestKnnClassifier:
+    def test_votes_match_python_reference(self, spark, sf_dir, queries):
+        """Predictions equal a Python kNN on the same cosine scores
+        with identical tie-breaks."""
+        import math
+
+        from etl_8x8_spark.operators.similarity import (
+            _KNN_CLS_CLASSES,
+            _KNN_CLS_K,
+            _N_QUERIES,
+        )
+        from etl_8x8_spark.sources.readers import load_table
+
+        out = {
+            r["q_id"]: (r["pred_label"], r["n_votes"])
+            for r in queries["ml_knn_classifier"].builder(spark, sf_dir).collect()
+        }
+        assert len(out) == _N_QUERIES
+
+        vecs = {
+            r["vec_id"]: r["embedding"]
+            for r in load_table(spark, sf_dir, "embeddings")
+            .select("vec_id", "embedding")
+            .collect()
+        }
+
+        def cos(a, b):
+            dot = sum(float(x) * float(y) for x, y in zip(a, b))
+            na = math.sqrt(sum(float(x) ** 2 for x in a))
+            nb = math.sqrt(sum(float(y) ** 2 for y in b))
+            return dot / (na * nb)
+
+        from collections import Counter
+
+        for qid in range(_N_QUERIES):
+            scored = sorted(
+                (
+                    (-cos(vecs[qid], v), vid)
+                    for vid, v in vecs.items()
+                    if vid >= _N_QUERIES
+                ),
+            )[:_KNN_CLS_K]
+            votes = Counter(vid % _KNN_CLS_CLASSES for _, vid in scored)
+            pred = min(votes, key=lambda l: (-votes[l], l))
+            assert out[qid] == (pred, votes[pred]), qid
+
+
+class TestAutocorr:
+    def test_lag7_detects_planted_weekly_cycle(self, spark):
+        """A synthetic series with a strong 7-day cycle must show
+        acf(lag 7) >> acf(lag 1) — the diagnostic the operator
+        exists to produce. Uses the same component formula inline."""
+        import math
+
+        days = 140
+        ys = [100.0 + (50.0 if d % 7 == 0 else 0.0) + (d % 3) for d in range(days)]
+
+        def acf(k):
+            x, y = ys[:-k], ys[k:]
+            n = len(x)
+            sx, sy = sum(x), sum(y)
+            sxx = sum(v * v for v in x)
+            syy = sum(v * v for v in y)
+            sxy = sum(a * b for a, b in zip(x, y))
+            return (n * sxy - sx * sy) / math.sqrt(
+                (n * sxx - sx * sx) * (n * syy - sy * sy)
+            )
+
+        assert acf(7) > 0.9 > abs(acf(1))
+
+    def test_daily_series_acf_bounds(self, spark, sf_dir, queries):
+        out = queries["window_autocorr"].builder(spark, sf_dir).collect()
+        assert [r["lag"] for r in out] == [1, 7]
+        for r in out:
+            assert -1.0 <= r["acf"] <= 1.0
+            assert r["n_pairs"] > 0
+
+
+class TestTopPaths:
+    def test_paths_ordered_and_counted(self, spark, sf_dir, queries):
+        from etl_8x8_spark.operators.aggregates import _PATH_STEPS, _PATH_TOP
+
+        out = queries["agg_top_paths"].builder(spark, sf_dir).collect()
+        assert 0 < len(out) <= _PATH_TOP
+        assert [r["rank"] for r in out] == list(range(1, len(out) + 1))
+        ns = [r["n_sessions"] for r in out]
+        assert ns == sorted(ns, reverse=True)
+        for r in out:
+            assert 1 <= len(r["path"].split(">")) <= _PATH_STEPS
+
+
+class TestFnNet:
+    def test_ip_roundtrip_and_cidr(self, spark, sf_dir, queries):
+        out = queries["fn_net"].builder(spark, sf_dir).limit(500).collect()
+        for r in out:
+            a, b, c, d = map(int, r["ip"].split("."))
+            assert r["ip_num"] == a * 2**24 + b * 2**16 + c * 2**8 + d
+            assert r["in_cidr"] == (r["ip_num"] >> 20 == 2753)
+            assert r["subnet24"] == f"{a}.{b}.{c}.0/24"
+
+    def test_zero_exchanges(self, spark, sf_dir, queries):
+        plan = plan_string(queries["fn_net"].builder(spark, sf_dir))
+        assert "Exchange" not in plan
+
+
+class TestManifestStats:
+    def test_one_file_per_partition_and_stats_match(self, spark, sf_dir, queries):
+        from etl_8x8_spark.sources.readers import load_table
+
+        out = {
+            r["o_orderpriority"]: r
+            for r in queries["sink_manifest_stats"].builder(spark, sf_dir).collect()
+        }
+        src = (
+            load_table(spark, sf_dir, "orders")
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n"),
+                F.min("o_orderkey").alias("mn"),
+                F.max("o_orderkey").alias("mx"),
+            )
+            .collect()
+        )
+        assert len(out) == len(src)
+        for s in src:
+            r = out[s["o_orderpriority"]]
+            assert r["n_files"] == 1, "hash-clustered write must yield 1 file"
+            assert (r["n_rows"], r["min_key"], r["max_key"]) == (
+                s["n"],
+                s["mn"],
+                s["mx"],
+            )
+
+
+class TestTextrank:
+    def test_keywords_are_frequent_connected_words(self, spark, sf_dir, queries):
+        """Every keyword satisfies the vocab floor, ranks are
+        PageRank-positive, and the top word has more graph weight than
+        the bottom."""
+        from etl_8x8_spark.operators.text import (
+            _TR_MIN_COUNT,
+            _TR_MIN_LEN,
+            _TR_SCALE,
+        )
+
+        out = queries["text_textrank_keywords"].builder(spark, sf_dir).collect()
+        assert out, "keywords expected on the documents corpus"
+        for r in out:
+            assert len(r["keyword"]) >= _TR_MIN_LEN
+            assert r["rank_u"] >= 150_000_000_000  # teleport floor
+            assert abs(r["score"] - r["rank_u"] / _TR_SCALE) < 1e-9
+        assert out[0]["rank_u"] >= out[-1]["rank_u"]
