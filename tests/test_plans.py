@@ -592,3 +592,49 @@ class TestR10Plans:
         not shuffle)."""
         plan = plan_of(spark, sf_dir, queries, "sample_weighted_poisson")
         assert "Exchange hashpartitioning" not in plan
+
+
+class TestR11Plans:
+    """Plan pins for the round-11 operators — the shapes their
+    docstrings promise are the shapes Spark runs."""
+
+    def test_top_paths_window_group_limit(self, spark, sf_dir, queries):
+        """The rn <= 3 filter on the rank window must trigger
+        WindowGroupLimit so heavy user-days cap themselves map-side."""
+        plan = plan_of(spark, sf_dir, queries, "agg_top_paths")
+        assert "WindowGroupLimit" in plan
+        # top-20 is a TakeOrderedAndProject, never a global sort
+        assert "TakeOrderedAndProject" in plan
+
+    def test_knn_classifier_broadcasts_queries(self, spark, sf_dir, queries):
+        plan = plan_of(spark, sf_dir, queries, "ml_knn_classifier")
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+        assert "WindowGroupLimit" in plan  # per-query top-k cut
+
+    def test_fn_net_zero_exchanges(self, spark, sf_dir, queries):
+        plan = plan_of(spark, sf_dir, queries, "fn_net")
+        assert "Exchange" not in plan
+
+    def test_decision_stump_single_fact_pass(self, spark, sf_dir, queries):
+        """The fact is partial-aggregated to |levels| rows in one
+        pass; everything downstream runs on the level table."""
+        plan = plan_of(spark, sf_dir, queries, "ml_decision_stump")
+        assert plan.count("HashAggregate") >= 2  # partial + final
+        assert "partial_" in plan
+
+    def test_iqr_fence_table_broadcasts(self, spark, sf_dir, queries):
+        plan = plan_of(spark, sf_dir, queries, "quality_anomaly_iqr")
+        assert "BroadcastHashJoin" in plan
+
+    def test_dedup_weights_text_never_shuffles(self, spark, sf_dir, queries):
+        """Only 32-byte hashes cross the one exchange — the window
+        partitions on content_hash, and no second hash exchange
+        exists."""
+        plan = plan_of(spark, sf_dir, queries, "sample_dedup_weights")
+        body = plan.split("AdaptiveSparkPlan")[-1]
+        assert body.count("Exchange hashpartitioning") == 1
+
+    def test_adamic_adar_no_cartesian_hubcap_window(self, spark, sf_dir, queries):
+        plan = plan_of(spark, sf_dir, queries, "graph_adamic_adar")
+        assert "CartesianProduct" not in plan
+        assert "WindowGroupLimit" in plan  # the hub cap cuts map-side
