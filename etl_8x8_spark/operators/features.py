@@ -1398,3 +1398,63 @@ def quality_anomaly_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# data-freshness SLA report (r11 wave 3)
+# --------------------------------------------------------------------------
+
+_FRESH_SLA_HOURS = 24
+
+_FRESH_ORACLE = f"""
+WITH per AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         MAX(epoch_us(ts)) AS max_us
+  FROM events GROUP BY event_type
+),
+g AS (SELECT MAX(max_us) AS global_us FROM per)
+SELECT p.event_type,
+       CAST(p.n AS BIGINT) AS n,
+       CAST(p.max_us AS BIGINT) AS max_ts_us,
+       CAST((g.global_us - p.max_us) // 3600000000 AS BIGINT) AS lag_hours,
+       (g.global_us - p.max_us) // 3600000000 >= {_FRESH_SLA_HOURS}
+         AS stale
+FROM per p CROSS JOIN g
+ORDER BY p.event_type
+"""
+
+
+@register("quality_freshness", oracle=_FRESH_ORACLE)
+def quality_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness SLA report: per feed (event type), the newest
+    event's timestamp, its lag in whole hours behind the newest event
+    anywhere, and a stale flag at the {_FRESH_SLA_HOURS} h SLA — the
+    first page of every pipeline-health dashboard (a feed whose
+    max(ts) stops advancing is a dead producer long before volume
+    alarms fire).
+
+    Determinism: all arithmetic on integer epoch-microseconds with
+    floor division (identical in both engines) — no timestamp-local
+    rendering, no float hours. One scan to the per-feed aggregate; the
+    global max is a 1-row cross join, so the report costs one
+    map-side-combined pass at any scale.
+    """
+    events = load_table(spark, sf_dir, "events")
+    per = events.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.max(F.unix_micros("ts")).alias("max_ts_us"),
+    )
+    g = per.agg(F.max("max_ts_us").alias("global_us"))
+    lag = F.expr(f"div(global_us - max_ts_us, {3600 * 1_000_000})")
+    return (
+        per.crossJoin(F.broadcast(g))
+        .select(
+            "event_type",
+            "n",
+            "max_ts_us",
+            lag.cast("long").alias("lag_hours"),
+            (lag >= _FRESH_SLA_HOURS).alias("stale"),
+        )
+        .orderBy("event_type")
+    )

@@ -1745,3 +1745,104 @@ def ml_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id")
     )
+
+
+# --------------------------------------------------------------------------
+# binary-quantized Hamming ANN (r11 wave 3)
+# --------------------------------------------------------------------------
+
+_HAM_TOP_K = 10
+_HAM_WORDS = (0, 32)  # two 32-bit words cover the 64-dim embeddings
+
+
+def _ham_pack_sql(col: str, off: int) -> str:
+    return (
+        f"list_reduce(list_transform(generate_series(0, 31),"
+        f" i -> CASE WHEN {col}[i + {off} + 1] > 0"
+        f" THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END),"
+        f" (acc, v) -> acc + v)"
+    )
+
+
+_HAM_ORACLE = f"""
+WITH sig AS (
+  SELECT vec_id,
+         {_ham_pack_sql("embedding", 0)} AS w0,
+         {_ham_pack_sql("embedding", 32)} AS w1
+  FROM embeddings
+),
+q AS (SELECT vec_id AS q_id, w0 AS q0, w1 AS q1 FROM sig
+      WHERE vec_id < {_N_QUERIES}),
+scored AS (
+  SELECT q.q_id, s.vec_id,
+         bit_count(xor(q.q0, s.w0)) + bit_count(xor(q.q1, s.w1)) AS hdist
+  FROM q JOIN sig s ON s.vec_id <> q.q_id
+)
+SELECT q_id, vec_id, CAST(hdist AS BIGINT) AS hdist, rank
+FROM (
+  SELECT q_id, vec_id, hdist,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY hdist ASC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {_HAM_TOP_K}
+ORDER BY q_id, rank
+"""
+
+
+@register("sim_search_hamming_topk", oracle=_HAM_ORACLE)
+def sim_search_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized ANN: 1-bit sign quantization packs each 64-dim
+    embedding into two BIGINT words; similarity search is Hamming
+    distance — two XORs and two popcounts per candidate. This is the
+    32×-compression retrieval tier (binary embeddings / BitVec) used
+    as the coarse pass in front of float re-ranking: at 100 TB the
+    corpus signature table is 16 bytes/vector + id and the scan is
+    pure ALU, no float math, no vector reads.
+
+    Packing uses bits 0..31 of two words (never bit 63, so no signed
+    overflow ambiguity); Spark `aggregate` over a 32-int sequence and
+    DuckDB `list_reduce` fold identically. Query signatures broadcast;
+    scoring is map-side (`bitwiseXOR` + `bit_count`, both codegen'd);
+    the per-query top-k is the WindowGroupLimit cut of the exact
+    family. Ties break on vec_id.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def pack(off: int):
+        # 2^i via pow(2.0, i): exact in binary64 for i <= 31 (shiftleft
+        # built-in takes only a literal bit count, not a lambda var)
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(31)),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc
+            + F.when(
+                F.element_at(F.col("embedding"), i + off + 1) > 0,
+                F.pow(F.lit(2.0), i.cast("double")).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+
+    sig = emb.select(
+        "vec_id", pack(0).alias("w0"), pack(32).alias("w1")
+    )
+    q = sig.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("w0").alias("q0"),
+        F.col("w1").alias("q1"),
+    )
+    scored = sig.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
+        "q_id",
+        "vec_id",
+        (
+            F.bit_count(F.col("q0").bitwiseXOR(F.col("w0")))
+            + F.bit_count(F.col("q1").bitwiseXOR(F.col("w1")))
+        ).cast("long").alias("hdist"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("hdist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _HAM_TOP_K)
+        .select("q_id", "vec_id", "hdist", "rank")
+        .orderBy("q_id", "rank")
+    )

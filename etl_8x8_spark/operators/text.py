@@ -2031,3 +2031,97 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rank_u").cast("double") / _TR_SCALE).alias("score"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# CCNet-style LM-perplexity bucketing (r11 wave 3)
+# --------------------------------------------------------------------------
+
+_CCNET_T = 1.0 / 3.0  # tertile split, exact binary64 in both engines
+
+_CCNET_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS token FROM documents
+),
+freq AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+total AS (SELECT SUM(cnt) AS n FROM freq),
+terms AS (
+  SELECT t.doc_id,
+         CAST(CAST(floor((ln(CAST(f.cnt AS DOUBLE) / CAST(tt.n AS DOUBLE))) * 1e12 + 0.5) AS BIGINT) / 1e12
+              AS DECIMAL(28, 12)) AS lp
+  FROM tok t JOIN freq f USING (token) CROSS JOIN total tt
+),
+scored AS (
+  SELECT doc_id,
+         CAST(floor((CAST(SUM(lp) AS DOUBLE) / COUNT(*)) * 1e6 + 0.5) AS BIGINT) / 1e6 AS avg_logprob
+  FROM terms GROUP BY doc_id
+),
+cuts AS (
+  SELECT CAST(floor(quantile_cont(avg_logprob, {_CCNET_T!r}) * 1e6 + 0.5)
+              AS BIGINT) AS t_lo_u,
+         CAST(floor(quantile_cont(avg_logprob, {2 * _CCNET_T!r}) * 1e6 + 0.5)
+              AS BIGINT) AS t_hi_u
+  FROM scored
+)
+SELECT s.doc_id, d.lang, s.avg_logprob,
+       CASE WHEN CAST(floor(s.avg_logprob * 1e6 + 0.5) AS BIGINT) >= c.t_hi_u
+              THEN 'head'
+            WHEN CAST(floor(s.avg_logprob * 1e6 + 0.5) AS BIGINT) >= c.t_lo_u
+              THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored s
+JOIN documents d USING (doc_id)
+CROSS JOIN cuts c
+ORDER BY s.doc_id
+"""
+
+
+@register("text_ccnet_buckets", oracle=_CCNET_ORACLE)
+def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al. 2020): score every
+    document with the unigram-LM mean log-probability (the
+    text_unigram_logprob machinery; CCNet uses KenLM — same dataflow)
+    and split the corpus into head / middle / tail TERTILES by score.
+    Pretraining recipes then mix buckets by quota instead of applying
+    a hard filter — this is the operator that materializes the split.
+
+    Determinism: the per-doc score is the quantized decimal fold from
+    the unigram op; the tertile thresholds are exact interpolated
+    percentiles OVER the quantized scores, themselves floor-quantized
+    to micro-units, and bucket membership compares micro-unit
+    INTEGERS — no float boundary can flip a doc between engines.
+
+    Scale: the unigram pass (two token-keyed aggregates + a doc
+    re-aggregation) dominates and is linear in corpus tokens; the
+    threshold aggregate is one 1-row pass over |docs| scores, and the
+    bucket assignment is a broadcast of two integers.
+    """
+    scored = text_unigram_logprob(spark, sf_dir).select(
+        "doc_id", "avg_logprob"
+    )
+    cuts = scored.agg(
+        F.floor(F.percentile("avg_logprob", F.lit(_CCNET_T)) * 1e6 + 0.5)
+        .cast("long")
+        .alias("t_lo_u"),
+        F.floor(
+            F.percentile("avg_logprob", F.lit(2 * _CCNET_T)) * 1e6 + 0.5
+        )
+        .cast("long")
+        .alias("t_hi_u"),
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    su = F.floor(F.col("avg_logprob") * 1e6 + 0.5).cast("long")
+    return (
+        scored.join(docs, "doc_id")
+        .crossJoin(F.broadcast(cuts))
+        .select(
+            "doc_id",
+            "lang",
+            "avg_logprob",
+            F.when(su >= F.col("t_hi_u"), "head")
+            .when(su >= F.col("t_lo_u"), "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )

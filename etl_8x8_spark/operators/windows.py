@@ -2429,3 +2429,102 @@ def window_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("lag")
+
+
+# --------------------------------------------------------------------------
+# Theil-Sen robust trend estimator (r11 wave 3)
+# --------------------------------------------------------------------------
+
+_TS_ORACLE = """
+WITH daily AS (
+  SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS day_no,
+         SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS revenue
+  FROM orders
+  GROUP BY 1
+),
+slopes AS (
+  SELECT (CAST(b.revenue AS DOUBLE) - CAST(a.revenue AS DOUBLE))
+           / (b.day_no - a.day_no) AS slope
+  FROM daily a JOIN daily b ON a.day_no < b.day_no
+),
+med AS (
+  SELECT (SELECT COUNT(*) FROM daily) AS n_days,
+         COUNT(*) AS n_pairs,
+         quantile_cont(slope, 0.5) AS slope_med
+  FROM slopes
+),
+dm AS (
+  SELECT quantile_cont(CAST(revenue AS DOUBLE), 0.5) AS rev_med,
+         quantile_cont(CAST(day_no AS DOUBLE), 0.5) AS day_med
+  FROM daily
+)
+SELECT CAST(m.n_days AS BIGINT) AS n_days,
+       CAST(m.n_pairs AS BIGINT) AS n_pairs,
+       CAST(floor(m.slope_med * 1e6 + 0.5) AS BIGINT) / 1e6 AS slope,
+       CAST(floor((d.rev_med - m.slope_med * d.day_med) * 1e6 + 0.5)
+            AS BIGINT) / 1e6 AS intercept
+FROM med m CROSS JOIN dm d
+"""
+
+
+@register("window_theil_sen", oracle=_TS_ORACLE)
+def window_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily revenue: the MEDIAN of all
+    pairwise slopes (and the median-based intercept) — the
+    breakdown-resistant line fit that one bad day cannot bend, the
+    robust sibling of agg_linear_regression's OLS and the estimator
+    behind window_mann_kendall's trend test.
+
+    Scale argument = mann_kendall's: the pairwise slope set is
+    O(days²) on the CALENDAR-BOUNDED daily relation (days don't grow
+    with corpus size; the fact collapses to ≤ a-few-thousand rows
+    first), so the self-join is a constant-size tail after a
+    scan-bound daily aggregate. Medians are exact interpolated
+    percentiles (the agg_percentile_exact parity); slope inputs are
+    exact decimal revenue diffs over integer day gaps, so every slope
+    double is engine-identical before the median.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    from etl_8x8_spark.functions.parity import DEC
+
+    epoch_us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    daily = orders.groupBy(
+        F.floor(epoch_us / F.lit(86400 * 1_000_000)).cast("long").alias(
+            "day_no"
+        )
+    ).agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("revenue"))
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(b, F.col("a.day_no") < F.col("b.day_no")).select(
+        (
+            (F.col("b.revenue").cast("double") - F.col("a.revenue").cast("double"))
+            / (F.col("b.day_no") - F.col("a.day_no"))
+        ).alias("slope")
+    )
+    med = slopes.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.percentile("slope", F.lit(0.5)).alias("slope_med"),
+    )
+    dm = daily.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.percentile(F.col("revenue").cast("double"), F.lit(0.5)).alias(
+            "rev_med"
+        ),
+        F.percentile(F.col("day_no").cast("double"), F.lit(0.5)).alias(
+            "day_med"
+        ),
+    )
+    return med.crossJoin(dm).select(
+        "n_days",
+        "n_pairs",
+        (F.floor(F.col("slope_med") * 1e6 + 0.5).cast("long") / F.lit(1e6)).alias(
+            "slope"
+        ),
+        (
+            F.floor(
+                (F.col("rev_med") - F.col("slope_med") * F.col("day_med"))
+                * 1e6
+                + 0.5
+            ).cast("long")
+            / F.lit(1e6)
+        ).alias("intercept"),
+    )

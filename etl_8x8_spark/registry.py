@@ -59,17 +59,21 @@ _QUERY_MODULES = [
 # 50 keys of ``all_queries()`` per round. Keys listed here lead the
 # returned dict (in this order); all other keys follow in registration
 # order. Round-11 priority (r10 verdict item 4 + the r11 additions):
-# the 14 r11-new keys lead (never driver-sampled), then the two r11
+# the 19 r11-new keys lead (never driver-sampled), then the two r11
 # HEADLINE promotions (so their new bench rows and a fresh correctness
 # row land together), then stream_watermark_late_data (oracle added in
 # r11 — first hash row pending), then the entire r5-vintage cohort
-# (31 keys, the oldest surviving driver evidence), then the oldest 2
-# r6-vintage keys to fill the 50-slot window. Target: after the r11
-# driver run no key's latest row is older than r6 and every r11 key
-# has a first-round hash row.
+# (28 of its 31 keys — the last 3 and the r6 cohort roll to r12).
+# Target: after the r11 driver run every r11 key has a first hash row
+# and no sampled key's latest row is older than r5.
 # bench.py's HEADLINE order is independent and unaffected.
 _SAMPLE_PRIORITY = [
     # new in r11 — no driver evidence yet
+    "sim_search_hamming_topk",
+    "window_theil_sen",
+    "text_ccnet_buckets",
+    "quality_freshness",
+    "sink_txn_log_commit",
     "ml_knn_classifier",
     "window_autocorr",
     "agg_top_paths",
@@ -91,7 +95,7 @@ _SAMPLE_PRIORITY = [
     # oracle added in r11 (was the last rows-only key) — needs its first
     # hash-green driver row
     "stream_watermark_late_data",
-    # r5-vintage evidence (the stalest cohort, all 31, alphabetical)
+    # r5-vintage evidence (oldest 28 of 31; the last 3 + all r6 roll to r12)
     "sql_tpch_q14_shape",
     "sql_tpch_q15_shape",
     "sql_tpch_q16_shape",
@@ -120,12 +124,6 @@ _SAMPLE_PRIORITY = [
     "window_pct_change",
     "window_rank_change",
     "window_rolling_corr",
-    "window_rsi",
-    "window_seasonal_decompose",
-    "window_time_weighted_avg",
-    # r6-vintage fill (oldest 2 of 47, alphabetical — the rest roll to r12)
-    "agg_ab_test_ttest",
-    "agg_audience_overlap",
 ]
 
 

@@ -1395,3 +1395,100 @@ def sink_manifest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# minimal transaction-log table: atomic commits on plain files (r11 wave 3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sink_txn_log_commit",
+    oracle=f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n,
+       {oracle_dsum("o_totalprice", "sum_price")}
+FROM orders
+WHERE o_orderkey % 10 <> 0
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def sink_txn_log_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimal TRANSACTION-LOG table on plain files — the Delta/Iceberg
+    commit protocol in one operator, and the atomic answer to the
+    rmtree+rename hazard LESSONS #44 records for cdc_stream_apply:
+    data files are IMMUTABLE once written; table state is defined
+    solely by an ordered log of commit records (adds + removes); and
+    each commit becomes visible via ONE atomic ``os.rename`` of its
+    log entry — a reader sees the table before or after a commit,
+    never in between, and a crash mid-commit leaves only an invisible
+    tmp file.
+
+    Three commits are replayed: (1) add file A (orders first half),
+    (2) add file B (second half), (3) COMPACT-AND-DELETE — write file
+    C = (A ∪ B) minus o_orderkey % 10 == 0, add C, remove A and B.
+    The reader lists the log, folds adds/removes into the live set
+    ({{C}}), reads only live files, and aggregates; the oracle computes
+    the same final state from the source relation, value-hash-pinning
+    the whole protocol (a reader that saw A/B after commit 3, or
+    missed C, hashes differently).
+
+    Scale: the log is metadata-sized (file names, not data); the
+    reader's planning cost is |live files|. Production formats add
+    per-file stats to the commit record (sink_manifest_stats is that
+    producer) and optimistic-concurrency version checks — same
+    protocol skeleton.
+    """
+    import json
+    import shutil
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    base = os.path.join(scratch_dir(), f"txnlog_{_sf_tag(sf_dir)}")
+    log_dir = os.path.join(base, "_log")
+    done = os.path.join(base, "_ALL_COMMITTED")
+    if not os.path.exists(done):
+        if os.path.exists(base):
+            shutil.rmtree(base)
+        os.makedirs(log_dir)
+
+        def commit(version: int, adds: list, removes: list) -> None:
+            rec = {"adds": adds, "removes": removes}
+            tmp = os.path.join(log_dir, f"{version:05d}.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump(rec, f)
+            # the atomic pointer flip: visible iff the rename happened
+            os.rename(tmp, os.path.join(log_dir, f"{version:05d}.json"))
+
+        median = orders.approxQuantile("o_orderkey", [0.5], 0.0)[0]
+        a_dir, b_dir, c_dir = (
+            os.path.join(base, d) for d in ("dataA", "dataB", "dataC")
+        )
+        orders.filter(F.col("o_orderkey") <= median).write.parquet(a_dir)
+        commit(0, ["dataA"], [])
+        orders.filter(F.col("o_orderkey") > median).write.parquet(b_dir)
+        commit(1, ["dataB"], [])
+        spark.read.parquet(a_dir, b_dir).filter(
+            F.col("o_orderkey") % 10 != 0
+        ).write.parquet(c_dir)
+        commit(2, ["dataC"], ["dataA", "dataB"])
+        open(done, "w").close()
+
+    live: list[str] = []
+    import json as _json
+
+    for name in sorted(os.listdir(log_dir)):
+        if not name.endswith(".json"):
+            continue
+        rec = _json.load(open(os.path.join(log_dir, name)))
+        for r in rec["removes"]:
+            live.remove(r)
+        live.extend(rec["adds"])
+    table = spark.read.parquet(*(os.path.join(base, d) for d in live))
+    return (
+        table.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), dsum("o_totalprice", "sum_price"))
+        .orderBy("o_orderpriority")
+    )

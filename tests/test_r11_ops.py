@@ -534,3 +534,154 @@ class TestTextrank:
             assert r["rank_u"] >= 150_000_000_000  # teleport floor
             assert abs(r["score"] - r["rank_u"] / _TR_SCALE) < 1e-9
         assert out[0]["rank_u"] >= out[-1]["rank_u"]
+
+
+class TestHammingTopk:
+    def test_signatures_and_distance_python(self, spark, sf_dir, queries):
+        """Packed signatures and Hamming top-1 match a Python
+        reference on the raw embeddings."""
+        from etl_8x8_spark.operators.similarity import _N_QUERIES
+        from etl_8x8_spark.sources.readers import load_table
+
+        out = [
+            r
+            for r in queries["sim_search_hamming_topk"].builder(spark, sf_dir).collect()
+            if r["rank"] == 1
+        ]
+        vecs = {
+            r["vec_id"]: r["embedding"]
+            for r in load_table(spark, sf_dir, "embeddings").collect()
+        }
+
+        def sig(v):
+            return sum(1 << i for i, x in enumerate(v) if x > 0)
+
+        sigs = {vid: sig(v) for vid, v in vecs.items()}
+        for r in out:
+            q = r["q_id"]
+            best = min(
+                ((bin(sigs[q] ^ s).count("1"), vid)
+                 for vid, s in sigs.items() if vid != q),
+            )
+            assert (r["hdist"], r["vec_id"]) == best, r
+
+    def test_recall_vs_exact_cosine(self, spark, sf_dir, queries):
+        """The 1-bit tier is a coarse pass: its top-10 should overlap
+        the exact cosine top-10 well above chance (recall >= 0.15 on
+        the 500-vector near-random fixture — measured 0.25; chance is
+        10/499 ~= 0.02, so the bound is 7x chance with headroom)."""
+        exact = queries["sim_search_topk"].builder(spark, sf_dir).collect()
+        ham = queries["sim_search_hamming_topk"].builder(spark, sf_dir).collect()
+        from collections import defaultdict
+
+        e, h = defaultdict(set), defaultdict(set)
+        for r in exact:
+            e[r["q_id"]].add(r["vec_id"])
+        for r in ham:
+            h[r["q_id"]].add(r["vec_id"])
+        recall = sum(len(e[q] & h[q]) for q in e) / sum(len(e[q]) for q in e)
+        assert recall >= 0.15, recall
+
+
+class TestTheilSen:
+    def test_robust_to_outlier_python(self, spark):
+        """Theil-Sen's defining property on synthetic data: one wild
+        outlier day barely moves the median slope while it would wreck
+        the OLS slope."""
+        import statistics
+
+        days = list(range(60))
+        clean = [10.0 + 2.0 * d for d in days]
+        dirty = clean[:]
+        dirty[30] = 10_000.0
+
+        def ts_slope(ys):
+            slopes = [
+                (ys[j] - ys[i]) / (j - i)
+                for i in range(len(ys))
+                for j in range(i + 1, len(ys))
+            ]
+            return statistics.median(slopes)
+
+        assert abs(ts_slope(clean) - 2.0) < 1e-9
+        assert abs(ts_slope(dirty) - 2.0) < 0.1  # robust
+
+    def test_output_shape(self, spark, sf_dir, queries):
+        out = queries["window_theil_sen"].builder(spark, sf_dir).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["n_pairs"] == r["n_days"] * (r["n_days"] - 1) // 2
+
+
+class TestCcnetBuckets:
+    def test_tertiles_partition_the_corpus(self, spark, sf_dir, queries):
+        from collections import Counter
+
+        out = queries["text_ccnet_buckets"].builder(spark, sf_dir).collect()
+        n = len(out)
+        c = Counter(r["bucket"] for r in out)
+        assert set(c) <= {"head", "middle", "tail"}
+        # tertiles: each bucket within a tolerant band of n/3 (score
+        # ties at the integer thresholds can shift a few docs)
+        for b in ("head", "middle", "tail"):
+            assert abs(c[b] - n / 3) < n * 0.12, (b, c)
+        # heads score at least as high as tails, pointwise by bucket min/max
+        head_min = min(r["avg_logprob"] for r in out if r["bucket"] == "head")
+        tail_max = max(r["avg_logprob"] for r in out if r["bucket"] == "tail")
+        assert head_min >= tail_max - 1e-9
+
+
+class TestQualityFreshness:
+    def test_lag_vs_python(self, spark, sf_dir, queries):
+        from etl_8x8_spark.sources.readers import load_table
+
+        out = {
+            r["event_type"]: r
+            for r in queries["quality_freshness"].builder(spark, sf_dir).collect()
+        }
+        rows = (
+            load_table(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(F.max(F.unix_micros("ts")).alias("m"), F.count("*").alias("n"))
+            .collect()
+        )
+        g = max(r["m"] for r in rows)
+        for r in rows:
+            o = out[r["event_type"]]
+            assert o["max_ts_us"] == r["m"] and o["n"] == r["n"]
+            assert o["lag_hours"] == (g - r["m"]) // 3_600_000_000
+            assert o["stale"] == (o["lag_hours"] >= 24)
+
+
+class TestTxnLogCommit:
+    def test_log_replay_sees_only_final_state(self, spark, sf_dir, queries):
+        """After the compact-and-delete commit, the reader must see
+        file C only: row count equals the filtered source, and no
+        deleted key survives."""
+        import json
+        import os as _os
+
+        from etl_8x8_spark.sources.readers import load_table, scratch_dir
+
+        out = queries["sink_txn_log_commit"].builder(spark, sf_dir).collect()
+        src = (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % 10 != 0)
+            .groupBy("o_orderpriority")
+            .count()
+            .collect()
+        )
+        want = {r["o_orderpriority"]: r["count"] for r in src}
+        got = {r["o_orderpriority"]: r["n"] for r in out}
+        assert got == want
+
+        sf_tag = _os.path.basename(sf_dir.rstrip("/"))
+        log_dir = _os.path.join(scratch_dir(), f"txnlog_{sf_tag}", "_log")
+        logs = sorted(
+            f for f in _os.listdir(log_dir) if f.endswith(".json")
+        )
+        assert logs == ["00000.json", "00001.json", "00002.json"]
+        last = json.load(open(_os.path.join(log_dir, logs[-1])))
+        assert last == {"adds": ["dataC"], "removes": ["dataA", "dataB"]}
+        # no stray tmp file — every commit completed its atomic rename
+        assert not any(f.endswith(".tmp") for f in _os.listdir(log_dir))
