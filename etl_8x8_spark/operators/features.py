@@ -1458,3 +1458,177 @@ def quality_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# gradient-boosting rounds over decision stumps (r11 wave 4)
+# --------------------------------------------------------------------------
+
+_GBM_STAGE_SQL = """
+cum{r} AS (
+  SELECT q, n, sy, syy,
+         SUM(n) OVER w AS nl, SUM(sy) OVER w AS sl, SUM(syy) OVER w AS ssl,
+         SUM(n) OVER () AS nt, SUM(sy) OVER () AS st, SUM(syy) OVER () AS sst
+  FROM lvl{r}
+  WINDOW w AS (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+scored{r} AS (
+  SELECT q, nl, nt, sl, st,
+         CAST(floor((
+           1.0 - (
+             (CAST(ssl AS DOUBLE) - CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / nl)
+             + ((CAST(sst AS DOUBLE) - CAST(ssl AS DOUBLE))
+                - (CAST(st AS DOUBLE) - CAST(sl AS DOUBLE))
+                  * (CAST(st AS DOUBLE) - CAST(sl AS DOUBLE)) / (nt - nl))
+           ) / (CAST(sst AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / nt)
+         ) * 1e6 + 0.5) AS BIGINT) / 1e6 AS reduction_ratio
+  FROM cum{r} WHERE nl < nt
+),
+best{r} AS (
+  SELECT q AS t, reduction_ratio,
+         CAST(floor(CAST(sl AS DOUBLE) / nl + 0.5) AS BIGINT) AS pl,
+         CAST(floor((CAST(st AS DOUBLE) - CAST(sl AS DOUBLE)) / (nt - nl) + 0.5)
+              AS BIGINT) AS pr
+  FROM scored{r} ORDER BY reduction_ratio DESC, q LIMIT 1
+)"""
+
+_GBM_ORACLE = (
+    """
+WITH lvl1 AS (
+  SELECT l_quantity AS q,
+         COUNT(*) AS n,
+         SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS sy,
+         SUM(CAST(l_extendedprice AS DECIMAL(30,6))
+             * CAST(l_extendedprice AS DECIMAL(30,6))) AS syy
+  FROM lineitem GROUP BY l_quantity
+),"""
+    + _GBM_STAGE_SQL.format(r=1)
+    + """,
+lvl2 AS (
+  SELECT l.q, l.n,
+         l.sy - CAST(l.n * (CASE WHEN l.q <= b.t THEN b.pl ELSE b.pr END)
+                     AS DECIMAL(30,6)) AS sy,
+         l.syy
+           - 2 * (CASE WHEN l.q <= b.t THEN b.pl ELSE b.pr END) * l.sy
+           + CAST(l.n * (CASE WHEN l.q <= b.t THEN b.pl ELSE b.pr END)
+                      * (CASE WHEN l.q <= b.t THEN b.pl ELSE b.pr END)
+                  AS DECIMAL(38,6)) AS syy
+  FROM lvl1 l CROSS JOIN best1 b
+),"""
+    + _GBM_STAGE_SQL.format(r=2)
+    + """
+SELECT CAST(1 AS BIGINT) AS round, t AS threshold,
+       pl AS pred_left, pr AS pred_right, reduction_ratio
+FROM best1
+UNION ALL
+SELECT CAST(2 AS BIGINT), t, pl, pr, reduction_ratio FROM best2
+ORDER BY round
+"""
+)
+
+
+@register("ml_gbm_boost_rounds", oracle=_GBM_ORACLE)
+def ml_gbm_boost_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO GRADIENT-BOOSTING ROUNDS over depth-1 trees: fit
+    ml_decision_stump's best split, subtract its (integer-dollar
+    quantized) leaf predictions, fit a second stump ON THE RESIDUALS —
+    the inner loop of every GBDT trainer, here with the boosting
+    recursion made exact: because a stump's prediction is constant per
+    feature LEVEL, the residual level-statistics derive in CLOSED FORM
+    from the round-1 level stats (sy' = sy − n·p,
+    syy' = syy − 2p·sy + n·p²) — the fact is scanned ONCE for both
+    rounds, and with integer predictions every adjusted statistic is
+    an exact DECIMAL (products only, no decimal division anywhere), so
+    both rounds' split choices are bit-deterministic cross-engine.
+
+    Output: one row per round — threshold, leaf predictions, and the
+    round's SSE reduction ratio (round 2's ratio is over the RESIDUAL
+    SSE, the standard boosting view).
+
+    Scale: identical to the stump — one map-side partial aggregate to
+    |levels| rows; both boosting rounds run on the level table
+    (windows + a 1-row broadcast of each round's best split). A
+    production K-round trainer is this recursion looped K times, still
+    one fact pass per FEATURE, not per round.
+    """
+    from pyspark.sql import Window as W
+
+    from etl_8x8_spark.functions.parity import DEC
+
+    li = load_table(spark, sf_dir, "lineitem")
+    y = F.col("l_extendedprice").cast(DEC)
+    lvl = li.groupBy(F.col("l_quantity").alias("q")).agg(
+        F.count("*").alias("n"),
+        F.sum(y).alias("sy"),
+        F.sum(y * y).alias("syy"),
+    )
+
+    def best_split(level_df):
+        w = W.orderBy("q").rowsBetween(W.unboundedPreceding, W.currentRow)
+        wall = W.orderBy("q").rowsBetween(
+            W.unboundedPreceding, W.unboundedFollowing
+        )
+        cum = level_df.select(
+            "q",
+            F.sum("n").over(w).alias("nl"),
+            F.sum("sy").over(w).alias("sl"),
+            F.sum("syy").over(w).alias("ssl"),
+            F.sum("n").over(wall).alias("nt"),
+            F.sum("sy").over(wall).alias("st"),
+            F.sum("syy").over(wall).alias("sst"),
+        ).filter(F.col("nl") < F.col("nt"))
+        nl = F.col("nl").cast("double")
+        nr = (F.col("nt") - F.col("nl")).cast("double")
+        nt = F.col("nt").cast("double")
+        sl, st = F.col("sl").cast("double"), F.col("st").cast("double")
+        ssl, sst = F.col("ssl").cast("double"), F.col("sst").cast("double")
+        red = (
+            F.floor(
+                (
+                    F.lit(1.0)
+                    - (
+                        (ssl - sl * sl / nl)
+                        + ((sst - ssl) - (st - sl) * (st - sl) / nr)
+                    )
+                    / (sst - st * st / nt)
+                )
+                * 1e6
+                + 0.5
+            ).cast("long")
+            / F.lit(1e6)
+        )
+        scored = cum.select(
+            "q",
+            red.alias("reduction_ratio"),
+            F.floor(sl / nl + 0.5).cast("long").alias("pl"),
+            F.floor((st - sl) / nr + 0.5).cast("long").alias("pr"),
+        )
+        return scored.orderBy(
+            F.desc("reduction_ratio"), F.asc("q")
+        ).limit(1).select(
+            F.col("q").alias("t"), "pl", "pr", "reduction_ratio"
+        )
+
+    best1 = best_split(lvl)
+    pred = F.when(F.col("q") <= F.col("t"), F.col("pl")).otherwise(
+        F.col("pr")
+    )
+    lvl2 = lvl.crossJoin(F.broadcast(best1)).select(
+        "q",
+        "n",
+        (F.col("sy") - (F.col("n") * pred).cast("decimal(30,6)")).alias("sy"),
+        (
+            F.col("syy")
+            - F.lit(2) * pred * F.col("sy")
+            + (F.col("n") * pred * pred).cast("decimal(38,6)")
+        ).alias("syy"),
+    )
+    best2 = best_split(lvl2)
+    row = lambda rnd, b: b.select(  # noqa: E731
+        F.lit(rnd).cast("long").alias("round"),
+        F.col("t").alias("threshold"),
+        F.col("pl").alias("pred_left"),
+        F.col("pr").alias("pred_right"),
+        "reduction_ratio",
+    )
+    return row(1, best1).unionByName(row(2, best2)).orderBy("round")

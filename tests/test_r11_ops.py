@@ -685,3 +685,72 @@ class TestTxnLogCommit:
         assert last == {"adds": ["dataC"], "removes": ["dataA", "dataB"]}
         # no stray tmp file — every commit completed its atomic rename
         assert not any(f.endswith(".tmp") for f in _os.listdir(log_dir))
+
+
+class TestGbmBoostRounds:
+    def test_round2_improves_on_residuals_python(self, spark, sf_dir, queries):
+        """Round-1 split matches the standalone stump; round-2 split
+        and leaf predictions match a Python boosting reference on
+        exact level statistics."""
+        import math
+
+        from etl_8x8_spark.sources.readers import load_table
+
+        out = {
+            r["round"]: r
+            for r in queries["ml_gbm_boost_rounds"].builder(spark, sf_dir).collect()
+        }
+        assert set(out) == {1, 2}
+        stump = queries["ml_decision_stump"].builder(spark, sf_dir).collect()
+        assert out[1]["threshold"] == stump[0]["threshold"]
+        assert out[1]["reduction_ratio"] == stump[0]["reduction_ratio"]
+
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_quantity", "l_extendedprice"
+        ).collect()
+        from collections import defaultdict
+
+        st: dict = defaultdict(lambda: [0, 0.0, 0.0])
+        for r in li:
+            s = st[r["l_quantity"]]
+            s[0] += 1
+            s[1] += r["l_extendedprice"]
+            s[2] += r["l_extendedprice"] ** 2
+
+        def boost(levels):
+            qs = sorted(levels)
+            nt = sum(levels[q][0] for q in qs)
+            stot = sum(levels[q][1] for q in qs)
+            sstot = sum(levels[q][2] for q in qs)
+            sse_t = sstot - stot * stot / nt
+            best = None
+            nl = sl = ssl = 0.0
+            for q in qs[:-1]:
+                nl += levels[q][0]
+                sl += levels[q][1]
+                ssl += levels[q][2]
+                nr = nt - nl
+                sse = (ssl - sl * sl / nl) + (
+                    (sstot - ssl) - (stot - sl) ** 2 / nr
+                )
+                red = math.floor((1.0 - sse / sse_t) * 1e6 + 0.5) / 1e6
+                pl = math.floor(sl / nl + 0.5)
+                pr = math.floor((stot - sl) / nr + 0.5)
+                if best is None or red > best[3]:
+                    best = (q, pl, pr, red)
+            return best
+
+        t1, pl1, pr1, red1 = boost(st)
+        assert (out[1]["threshold"], out[1]["pred_left"],
+                out[1]["pred_right"]) == (t1, pl1, pr1)
+        # closed-form residual stats, then round 2
+        st2 = {}
+        for q, (n, sy, syy) in st.items():
+            p = pl1 if q <= t1 else pr1
+            st2[q] = [n, sy - n * p, syy - 2 * p * sy + n * p * p]
+        t2, pl2, pr2, red2 = boost(st2)
+        assert (out[2]["threshold"], out[2]["pred_left"],
+                out[2]["pred_right"]) == (t2, pl2, pr2)
+        assert abs(out[2]["reduction_ratio"] - red2) < 2e-6
+        # boosting must actually reduce residual SSE
+        assert out[2]["reduction_ratio"] > 0
