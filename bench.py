@@ -283,10 +283,11 @@ HEADLINE = [
     "graph_label_propagation",
     # r11-new key meeting the promotion rule (iterative degree-peel
     # shape — per-round degree agg + edge restriction — not otherwise
-    # represented; >=0.5 s at sf0.1). The other 7 r11 keys are small
+    # represented; >=0.5 s at sf0.1). The other 19 r11 keys are small
     # or shape-covered and stay driver-gated only: adamic_adar is the
-    # common-neighbors self-join shape, the rest are sub-second
-    # single-agg/window/scan plans.
+    # common-neighbors self-join shape, theil_sen the mann_kendall
+    # calendar-bounded pairwise shape, gbm the stump's level-table
+    # shape, the rest sub-second single-agg/window/scan plans.
     "graph_k_core",
 ]
 # HEADLINE is FROZEN as of r10 (r9 verdict item 8): it no longer grows
