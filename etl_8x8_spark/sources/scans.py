@@ -1373,6 +1373,12 @@ def sink_manifest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     after the fact); the manifest pass reads footer-cheap columns only.
     """
     orders = load_table(spark, sf_dir, "orders")
+    if orders.limit(1).isEmpty():  # empty-input contract: empty result,
+        return spark.createDataFrame(  # normal schema (no files to stat)
+            [],
+            "o_orderpriority string, n_files long, n_rows long,"
+            " min_key long, max_key long",
+        )
     path = os.path.join(scratch_dir(), f"orders_mstats_{_sf_tag(sf_dir)}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         (
@@ -1446,6 +1452,10 @@ def sink_txn_log_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
+    if orders.limit(1).isEmpty():  # empty-input contract: nothing to
+        return spark.createDataFrame(  # commit, empty result w/ schema
+            [], "o_orderpriority string, n long, sum_price double"
+        )
     base = os.path.join(scratch_dir(), f"txnlog_{_sf_tag(sf_dir)}")
     log_dir = os.path.join(base, "_log")
     done = os.path.join(base, "_ALL_COMMITTED")
