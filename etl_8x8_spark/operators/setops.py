@@ -795,3 +795,82 @@ def sample_weighted_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# weighted sampling WITHOUT replacement: Efraimidis-Spirakis top-k (r11)
+# --------------------------------------------------------------------------
+
+_ESWR_K = 200
+_ESWR_WCAP = 2000  # same capped length-proxy weight as the PPS sampler
+
+_ESWR_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         CAST(least(length(text), {_ESWR_WCAP}) AS BIGINT) AS weight,
+         CAST(floor(
+           ln((CAST(((doc_id % 2147483648) * 2654435761) % 4294967296
+                    AS DOUBLE) + 1) / 4294967296)
+           / least(length(text), {_ESWR_WCAP}) * 1e12 + 0.5
+         ) AS BIGINT) AS es_key_p
+  FROM documents
+)
+SELECT CAST(row_number() OVER (ORDER BY es_key_p DESC, doc_id) AS BIGINT)
+         AS sample_rank,
+       doc_id, weight, es_key_p
+FROM (
+  SELECT * FROM keyed ORDER BY es_key_p DESC, doc_id LIMIT {_ESWR_K}
+)
+ORDER BY sample_rank
+"""
+
+
+@register("sample_weighted_topk", oracle=_ESWR_ORACLE)
+def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the
+    Efraimidis-Spirakis A-Res key (2006): each row draws
+    u = (hash+1)/2^32 ∈ (0,1] from the Knuth id-hash and keeps key
+    ln(u)/w — the top-{_ESWR_K} rows by key are an exact weighted
+    sample without replacement (P(i first) = w_i/Σw, recursively).
+    Complements the samplers: sample_weighted_poisson gives
+    independent per-row inclusion (random sample SIZE);
+    sample_bottom_k_sketch gives uniform fixed-size; THIS gives
+    weighted fixed-size without replacement — the corpus-curation
+    "pick exactly N docs, quality-weighted" primitive.
+
+    Determinism: u derives from the id hash (reproducible anywhere);
+    ln on identical doubles is bit-identical cross-engine; the key is
+    floor-quantized to 1e-12 BIGINT before ranking so no float tie can
+    reorder engines, and doc_id breaks exact key ties.
+
+    Scale: the key is a map-side projection; ``ORDER BY key LIMIT k``
+    executes as TakeOrderedAndProject — every task forwards at most k
+    rows, the driver merges P·k candidates, no global sort. The
+    ES key is MERGEABLE exactly like bottom-k: top-k of a union is the
+    top-k of per-partition top-k's, which is what makes the one-pass
+    distributed weighted draw possible at all.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = (
+        ((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761))
+        % F.lit(4294967296)
+    )
+    w = F.least(F.length("text"), F.lit(_ESWR_WCAP)).cast("long")
+    key_p = F.floor(
+        F.log((h.cast("double") + 1) / F.lit(4294967296.0))
+        / w
+        * 1e12
+        + 0.5
+    ).cast("long")
+    top = (
+        docs.select("doc_id", w.alias("weight"), key_p.alias("es_key_p"))
+        .orderBy(F.desc("es_key_p"), F.asc("doc_id"))
+        .limit(_ESWR_K)
+    )
+    wr = Window.orderBy(F.desc("es_key_p"), F.asc("doc_id"))
+    return top.select(
+        F.row_number().over(wr).cast("long").alias("sample_rank"),
+        "doc_id",
+        "weight",
+        "es_key_p",
+    ).orderBy("sample_rank")

@@ -754,3 +754,39 @@ class TestGbmBoostRounds:
         assert abs(out[2]["reduction_ratio"] - red2) < 2e-6
         # boosting must actually reduce residual SSE
         assert out[2]["reduction_ratio"] > 0
+
+
+class TestWeightedTopk:
+    def test_matches_python_es_keys(self, spark, sf_dir, queries):
+        """Sample == Python A-Res top-k with identical quantized keys,
+        and heavier docs are over-represented vs uniform."""
+        import math
+
+        from etl_8x8_spark.operators.setops import _ESWR_K, _ESWR_WCAP
+        from etl_8x8_spark.sources.readers import load_table
+
+        out = queries["sample_weighted_topk"].builder(spark, sf_dir).collect()
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.length("text").alias("L")
+        ).collect()
+        keyed = []
+        for r in docs:
+            w = min(r["L"], _ESWR_WCAP)
+            h = ((r["doc_id"] % 2147483648) * 2654435761) % 4294967296
+            k = math.floor(math.log((h + 1) / 4294967296) / w * 1e12 + 0.5)
+            keyed.append((-k, r["doc_id"], w))
+        keyed.sort()
+        want = keyed[: min(_ESWR_K, len(keyed))]
+        assert [(r["doc_id"], r["weight"], r["es_key_p"]) for r in out] == [
+            (d, w, -nk) for nk, d, w in want
+        ]
+        # weighting bites: mean weight in the sample > corpus mean
+        mean_sample = sum(r["weight"] for r in out) / len(out)
+        mean_all = sum(min(r["L"], _ESWR_WCAP) for r in docs) / len(docs)
+        assert mean_sample > mean_all
+
+    def test_take_ordered_plan(self, spark, sf_dir, queries):
+        plan = plan_string(
+            queries["sample_weighted_topk"].builder(spark, sf_dir)
+        )
+        assert "TakeOrderedAndProject" in plan
