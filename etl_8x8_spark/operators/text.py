@@ -2125,3 +2125,207 @@ def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# composed corpus-curation mix (r11 capstone): CCNet buckets x soft
+# dedup x weighted draw-without-replacement in ONE plan
+# --------------------------------------------------------------------------
+
+_MIXK = 300
+_MIX_MULT = {"head": 4, "middle": 2, "tail": 1}  # bucket quality quotas
+
+_MIX_MULT_SQL = (
+    "CASE bucket WHEN 'head' THEN 4 WHEN 'middle' THEN 2 ELSE 1 END"
+)
+
+_CORPUS_MIX_ORACLE = f"""
+WITH corpus AS ({{seeded}}),
+tok AS (SELECT doc_id, unnest({_TOKENS_SQL}) AS token FROM corpus),
+freq AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+total AS (SELECT SUM(cnt) AS n FROM freq),
+terms AS (
+  SELECT t.doc_id,
+         CAST(CAST(floor((ln(CAST(f.cnt AS DOUBLE) / CAST(tt.n AS DOUBLE))) * 1e12 + 0.5) AS BIGINT) / 1e12
+              AS DECIMAL(28, 12)) AS lp
+  FROM tok t JOIN freq f USING (token) CROSS JOIN total tt
+),
+scored AS (
+  SELECT doc_id,
+         CAST(floor((CAST(SUM(lp) AS DOUBLE) / COUNT(*)) * 1e6 + 0.5) AS BIGINT) / 1e6 AS avg_logprob
+  FROM terms GROUP BY doc_id
+),
+cuts AS (
+  SELECT CAST(floor(quantile_cont(avg_logprob, {_CCNET_T!r}) * 1e6 + 0.5)
+              AS BIGINT) AS t_lo_u,
+         CAST(floor(quantile_cont(avg_logprob, {2 * _CCNET_T!r}) * 1e6 + 0.5)
+              AS BIGINT) AS t_hi_u
+  FROM scored
+),
+bucketed AS (
+  SELECT s.doc_id,
+         CASE WHEN CAST(floor(s.avg_logprob * 1e6 + 0.5) AS BIGINT) >= c.t_hi_u
+                THEN 'head'
+              WHEN CAST(floor(s.avg_logprob * 1e6 + 0.5) AS BIGINT) >= c.t_lo_u
+                THEN 'middle'
+              ELSE 'tail' END AS bucket
+  FROM scored s CROSS JOIN cuts c
+),
+sized AS (
+  SELECT doc_id,
+         COUNT(*) OVER (PARTITION BY sha256({_NORM_SQL})) AS n_copies
+  FROM corpus
+),
+weighted AS (
+  SELECT b.doc_id, b.bucket, z.n_copies,
+         CAST((1000000 // z.n_copies)
+              * ({_MIX_MULT_SQL}) AS BIGINT) AS w
+  FROM bucketed b JOIN sized z USING (doc_id)
+),
+keyed AS (
+  SELECT doc_id, bucket, CAST(n_copies AS BIGINT) AS n_copies, w,
+         CAST(floor(
+           ln((CAST(((doc_id % 2147483648) * 2654435761) % 4294967296
+                    AS DOUBLE) + 1) / 4294967296) / w * 1e18 + 0.5
+         ) AS BIGINT) AS es_key_a
+  FROM weighted
+)
+SELECT CAST(row_number() OVER (ORDER BY es_key_a DESC, doc_id) AS BIGINT)
+         AS sample_rank,
+       doc_id, bucket, n_copies, w, es_key_a
+FROM (SELECT * FROM keyed ORDER BY es_key_a DESC, doc_id LIMIT {_MIXK})
+ORDER BY sample_rank
+"""
+
+
+@register("pipeline_corpus_mix", oracle=None)
+def pipeline_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED curation pipeline the r11 additions exist for, in
+    one Catalyst plan: CCNet-tertile quality buckets
+    (text_ccnet_buckets) × soft-dedup weights from exact-dup clusters
+    (sample_dedup_weights) × a quality-quota'd Efraimidis-Spirakis
+    draw WITHOUT replacement (sample_weighted_topk) — i.e. "sample
+    exactly N documents, preferring fluent text, discounting
+    duplicated content, with head/middle/tail quotas via weight
+    multipliers {_MIX_MULT}". This is the stage-one corpus-mix job a
+    pretraining run schedules.
+
+    Per-doc combined weight = (1e6 // dup_cluster_size) ·
+    bucket_multiplier; the draw key ln(u)/w is quantized at 1e-18 (w
+    spans 4 decades here, so the finer grain keeps distinct docs from
+    colliding) and the top-{_MIXK} is a mergeable
+    TakeOrderedAndProject.
+
+    Scale: the unigram scoring pass dominates (linear in corpus
+    tokens); the dedup window moves 32-byte hashes on one exchange;
+    bucket thresholds broadcast as two integers; the final draw is
+    map-side + per-partition top-k. One composed plan, no driver-side
+    data dependency.
+    """
+    from etl_8x8_spark.operators.dedup import (
+        normalized,
+        seeded_exact_corpus,
+        tokens,
+    )
+
+    corpus = seeded_exact_corpus(
+        load_table(spark, sf_dir, "documents")
+    ).persist()
+    tok = corpus.select("doc_id", F.explode(tokens()).alias("token"))
+    freq = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("n"))
+    terms = (
+        tok.join(F.broadcast(freq), "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            (
+                F.floor(
+                    F.log(F.col("cnt").cast("double") / F.col("n").cast("double"))
+                    * 1e12
+                    + 0.5
+                ).cast("long")
+                / F.lit(1e12)
+            )
+            .cast("decimal(28,12)")
+            .alias("lp"),
+        )
+    )
+    scored = terms.groupBy("doc_id").agg(
+        (
+            F.floor((F.sum("lp").cast("double") / F.count("*")) * 1e6 + 0.5)
+            .cast("long")
+            / F.lit(1e6)
+        ).alias("avg_logprob")
+    )
+    cuts = scored.agg(
+        F.floor(F.percentile("avg_logprob", F.lit(_CCNET_T)) * 1e6 + 0.5)
+        .cast("long")
+        .alias("t_lo_u"),
+        F.floor(F.percentile("avg_logprob", F.lit(2 * _CCNET_T)) * 1e6 + 0.5)
+        .cast("long")
+        .alias("t_hi_u"),
+    )
+    su = F.floor(F.col("avg_logprob") * 1e6 + 0.5).cast("long")
+    bucketed = scored.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        F.when(su >= F.col("t_hi_u"), "head")
+        .when(su >= F.col("t_lo_u"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+    wsize = Window.partitionBy(F.sha2(normalized(), 256))
+    sized = corpus.select(
+        "doc_id", F.count("*").over(wsize).alias("n_copies")
+    )
+    mult = (
+        F.when(F.col("bucket") == "head", 4)
+        .when(F.col("bucket") == "middle", 2)
+        .otherwise(1)
+    )
+    weighted = bucketed.join(sized, "doc_id").select(
+        "doc_id",
+        "bucket",
+        F.col("n_copies").cast("long").alias("n_copies"),
+        (F.expr("1000000 div n_copies") * mult).cast("long").alias("w"),
+    )
+    h = (
+        ((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761))
+        % F.lit(4294967296)
+    )
+    key_a = F.floor(
+        F.log((h.cast("double") + 1) / F.lit(4294967296.0)) / F.col("w") * 1e18
+        + 0.5
+    ).cast("long")
+    top = (
+        weighted.withColumn("es_key_a", key_a)
+        .orderBy(F.desc("es_key_a"), F.asc("doc_id"))
+        .limit(_MIXK)
+    )
+    wr = Window.orderBy(F.desc("es_key_a"), F.asc("doc_id"))
+    return top.select(
+        F.row_number().over(wr).cast("long").alias("sample_rank"),
+        "doc_id",
+        "bucket",
+        "n_copies",
+        "w",
+        "es_key_a",
+    ).orderBy("sample_rank")
+
+
+# the oracle references the seeded-corpus SQL owned by dedup.py; wire
+# it in at import time (keeps one definition of the fixture)
+def _wire_corpus_mix_oracle() -> None:
+    from etl_8x8_spark.operators.dedup import _SEEDED_SQL
+    from etl_8x8_spark.registry import _REGISTRY, QuerySpec
+
+    spec = _REGISTRY["pipeline_corpus_mix"]
+    _REGISTRY["pipeline_corpus_mix"] = QuerySpec(
+        spec.name,
+        spec.builder,
+        _CORPUS_MIX_ORACLE.format(seeded=_SEEDED_SQL),
+        spec.doc,
+    )
+
+
+_wire_corpus_mix_oracle()

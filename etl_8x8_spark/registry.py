@@ -59,7 +59,7 @@ _QUERY_MODULES = [
 # 50 keys of ``all_queries()`` per round. Keys listed here lead the
 # returned dict (in this order); all other keys follow in registration
 # order. Round-11 priority (r10 verdict item 4 + the r11 additions):
-# the 21 r11-new keys lead (never driver-sampled), then the two r11
+# the 22 r11-new keys lead (never driver-sampled), then the two r11
 # HEADLINE promotions (so their new bench rows and a fresh correctness
 # row land together), then stream_watermark_late_data (oracle added in
 # r11 — first hash row pending), then the entire r5-vintage cohort
@@ -69,6 +69,7 @@ _QUERY_MODULES = [
 # bench.py's HEADLINE order is independent and unaffected.
 _SAMPLE_PRIORITY = [
     # new in r11 — no driver evidence yet
+    "pipeline_corpus_mix",
     "sample_weighted_topk",
     "ml_gbm_boost_rounds",
     "sim_search_hamming_topk",
@@ -97,7 +98,7 @@ _SAMPLE_PRIORITY = [
     # oracle added in r11 (was the last rows-only key) — needs its first
     # hash-green driver row
     "stream_watermark_late_data",
-    # r5-vintage evidence (oldest 26 of 31; the last 5 + all r6 roll to r12)
+    # r5-vintage evidence (oldest 25 of 31; the last 6 + all r6 roll to r12)
     "sql_tpch_q14_shape",
     "sql_tpch_q15_shape",
     "sql_tpch_q16_shape",
@@ -123,7 +124,6 @@ _SAMPLE_PRIORITY = [
     "window_forward_fill",
     "window_linear_interpolate",
     "window_max_drawdown",
-    "window_pct_change",
 ]
 
 

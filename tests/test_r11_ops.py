@@ -790,3 +790,27 @@ class TestWeightedTopk:
             queries["sample_weighted_topk"].builder(spark, sf_dir)
         )
         assert "TakeOrderedAndProject" in plan
+
+
+class TestCorpusMix:
+    def test_composition_consistent_with_components(self, spark, sf_dir, queries):
+        """The capstone's per-doc inputs agree with its component
+        operators: bucket quotas bite (head over-represented vs tail),
+        duplicate-cluster members carry reduced weight, and the draw
+        is exactly N with a valid dense rank."""
+        from etl_8x8_spark.operators.text import _MIXK
+
+        out = queries["pipeline_corpus_mix"].builder(spark, sf_dir).collect()
+        assert len(out) == _MIXK
+        assert [r["sample_rank"] for r in out] == list(range(1, _MIXK + 1))
+        from collections import Counter
+
+        c = Counter(r["bucket"] for r in out)
+        # head weight multiplier is 4x tail: heads must outnumber tails
+        assert c["head"] > c["tail"]
+        for r in out:
+            base = 1_000_000 // r["n_copies"]
+            mult = {"head": 4, "middle": 2, "tail": 1}[r["bucket"]]
+            assert r["w"] == base * mult, r
+        keys = [r["es_key_a"] for r in out]
+        assert keys == sorted(keys, reverse=True)
