@@ -1557,10 +1557,19 @@ def ml_gbm_boost_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     y = F.col("l_extendedprice").cast(DEC)
-    lvl = li.groupBy(F.col("l_quantity").alias("q")).agg(
-        F.count("*").alias("n"),
-        F.sum(y).alias("sy"),
-        F.sum(y * y).alias("syy"),
+    # persisted: the level table has THREE consumers in the final DAG
+    # (round-1 split, the residual transform, and best1's output row);
+    # without the barrier each consumer re-derives it — re-scanning the
+    # fact — and the "one fact pass" contract silently breaks (caught
+    # by tests/test_plans.py::TestR11Plans::test_gbm_single_fact_scan)
+    lvl = (
+        li.groupBy(F.col("l_quantity").alias("q"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(y).alias("sy"),
+            F.sum(y * y).alias("syy"),
+        )
+        .persist()
     )
 
     def best_split(level_df):
@@ -1609,7 +1618,7 @@ def ml_gbm_boost_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("q").alias("t"), "pl", "pr", "reduction_ratio"
         )
 
-    best1 = best_split(lvl)
+    best1 = best_split(lvl).persist()  # 1 row, two consumers
     pred = F.when(F.col("q") <= F.col("t"), F.col("pl")).otherwise(
         F.col("pr")
     )

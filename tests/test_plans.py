@@ -638,3 +638,30 @@ class TestR11Plans:
         plan = plan_of(spark, sf_dir, queries, "graph_adamic_adar")
         assert "CartesianProduct" not in plan
         assert "WindowGroupLimit" in plan  # the hub cap cuts map-side
+
+    def test_hamming_broadcasts_signatures(self, spark, sf_dir, queries):
+        """The binary-ANN scan: query signatures broadcast; scoring is
+        map-side XOR+popcount; top-k cut via WindowGroupLimit."""
+        plan = plan_of(spark, sf_dir, queries, "sim_search_hamming_topk")
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+        assert "WindowGroupLimit" in plan
+
+    def test_weighted_topk_take_ordered(self, spark, sf_dir, queries):
+        """The ES draw must be the mergeable per-partition top-k, not a
+        global sort."""
+        plan = plan_of(spark, sf_dir, queries, "sample_weighted_topk")
+        assert "TakeOrderedAndProject" in plan
+
+    def test_gbm_single_fact_scan(self, spark, sf_dir, queries):
+        """Both boosting rounds derive from ONE fact aggregation: the
+        level table is persisted, so every consumer reads the
+        InMemoryRelation instead of re-scanning lineitem (the pin that
+        caught the original unpersisted 3-scan plan)."""
+        plan = plan_of(spark, sf_dir, queries, "ml_gbm_boost_rounds")
+        assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+
+    def test_freshness_single_pass(self, spark, sf_dir, queries):
+        plan = plan_of(spark, sf_dir, queries, "quality_freshness")
+        # per-feed agg is partial+final; global max joins broadcast
+        assert "partial_" in plan
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
