@@ -3570,10 +3570,13 @@ m AS (
   FROM cells
 )
 SELECT event_type, cohort, CAST(c AS BIGINT) AS n,
-       CAST(floor(ln(CAST(c AS DOUBLE) * nt / (cx * cy)) * 1e6 + 0.5)
+       CAST(floor(ln((CAST(c AS DOUBLE) / CAST(cx AS DOUBLE))
+                     * (CAST(nt AS DOUBLE) / CAST(cy AS DOUBLE)))
+                  * 1e6 + 0.5)
             AS BIGINT) / 1e6 AS pmi,
        CAST(floor((CAST(c AS DOUBLE) / nt)
-                  * (CAST(floor(ln(CAST(c AS DOUBLE) * nt / (cx * cy))
+                  * (CAST(floor(ln((CAST(c AS DOUBLE) / CAST(cx AS DOUBLE))
+                                   * (CAST(nt AS DOUBLE) / CAST(cy AS DOUBLE)))
                                 * 1e6 + 0.5) AS BIGINT) / 1e6)
                   * 1e9 + 0.5) AS BIGINT) / 1e9 AS mi_contrib
 FROM m
@@ -3618,12 +3621,15 @@ def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").over(wy).alias("cy"),
         F.sum("c").over(wall).alias("nt"),
     )
+    # (c/cx)·(nt/cy), each factor in DOUBLE: cx·cy as BIGINT would
+    # overflow once both marginals exceed ~3e9 rows (DuckDB's window
+    # SUM widens to HUGEINT and would silently diverge) — per-factor
+    # double division is IEEE-identical in both engines at any scale
     pmi = (
         F.floor(
             F.log(
-                F.col("c").cast("double")
-                * F.col("nt")
-                / (F.col("cx") * F.col("cy"))
+                (F.col("c").cast("double") / F.col("cx").cast("double"))
+                * (F.col("nt").cast("double") / F.col("cy").cast("double"))
             )
             * 1e6
             + 0.5

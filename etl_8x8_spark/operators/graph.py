@@ -702,7 +702,8 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan per round: one degree aggregate over the surviving edge list
     (hash exchange on u) + two semi-joins restricting the edges to the
     kept nodes. The kept-node relation shrinks monotonically and is
-    persisted per round so the two semi-joins share one scan; the
+    localCheckpoint'd per round so the two semi-joins share one
+    materialization without CacheManager residue; the
     initial undirected edge list persists pre-partitioned on u (the
     LPA relation-reuse idiom) so round 1's degree agg is exchange-free.
     At scale the semi-joins broadcast while the kept set fits
@@ -728,11 +729,13 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(F.col("u"))
         .persist()
     )
-    kept_caches = []
     for _ in range(_KCORE_ROUNDS):
         deg = und.groupBy("u").agg(F.count("*").alias("d"))
-        keep = deg.filter(F.col("d") >= _KCORE_K).select("u").persist()
-        kept_caches.append(keep)
+        # eager localCheckpoint, not persist: the two semi-joins share
+        # the materialized node list, lineage stops growing 2^rounds,
+        # and the blocks die with the returned plan's GC instead of
+        # accumulating in the CacheManager for the whole session
+        keep = deg.filter(F.col("d") >= _KCORE_K).select("u").localCheckpoint()
         und = und.join(keep, "u", "left_semi").join(
             keep.select(F.col("u").alias("v")), "v", "left_semi"
         )

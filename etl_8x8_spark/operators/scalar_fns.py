@@ -756,7 +756,9 @@ def fn_net(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     a = F.col("user_id") % 223 + 1
     b = F.col("event_id") % 256
-    c = F.floor(F.col("event_id") / 256).cast("long") % 256
+    # integer `div`, not float floor-division: doubles lose integer
+    # precision above 2^53, and the oracle's `//` is exact at any id
+    c = F.expr("event_id div 256") % 256
     d = F.col("user_id") % 256
     ip_num = (a * 16777216 + b * 65536 + c * 256 + d).cast("long")
     return events.select(

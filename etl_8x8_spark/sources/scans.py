@@ -34,6 +34,19 @@ def _sf_tag(sf_dir: str) -> str:
     return os.path.basename(sf_dir.rstrip("/")) or "sf"
 
 
+def _src_tag(sf_dir: str, table: str) -> str:
+    """Scratch-reuse key that survives fixture regeneration: sf tag +
+    the source table's mtime (the _pq_base_vectors cache-key idiom) —
+    a regenerated parquet at the same path gets a fresh scratch dir
+    instead of being served stale derived files."""
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        mt = os.stat(p).st_mtime_ns
+    except OSError:
+        mt = -1
+    return f"{_sf_tag(sf_dir)}_{mt}"
+
+
 @register(
     "scan_parquet",
     oracle="""
@@ -1297,7 +1310,9 @@ def scan_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     dual-sink foreachBatch/when pattern downstream.
     """
     nation = load_table(spark, sf_dir, "nation")
-    path = os.path.join(scratch_dir(), f"nation_badcsv_{_sf_tag(sf_dir)}")
+    path = os.path.join(
+        scratch_dir(), f"nation_badcsv_{_src_tag(sf_dir, 'nation')}"
+    )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         lines = nation.select(
             F.when(
@@ -1379,7 +1394,9 @@ def sink_manifest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority string, n_files long, n_rows long,"
             " min_key long, max_key long",
         )
-    path = os.path.join(scratch_dir(), f"orders_mstats_{_sf_tag(sf_dir)}")
+    path = os.path.join(
+        scratch_dir(), f"orders_mstats_{_src_tag(sf_dir, 'orders')}"
+    )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         (
             orders.select("o_orderkey", "o_orderpriority")
@@ -1456,7 +1473,9 @@ def sink_txn_log_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(  # commit, empty result w/ schema
             [], "o_orderpriority string, n long, sum_price double"
         )
-    base = os.path.join(scratch_dir(), f"txnlog_{_sf_tag(sf_dir)}")
+    base = os.path.join(
+        scratch_dir(), f"txnlog_{_src_tag(sf_dir, 'orders')}"
+    )
     log_dir = os.path.join(base, "_log")
     done = os.path.join(base, "_ALL_COMMITTED")
     if not os.path.exists(done):
