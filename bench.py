@@ -285,10 +285,18 @@ HEADLINE = [
     # shape — per-round degree agg + edge restriction — not otherwise
     # represented; >=0.5 s at sf0.1). The other 19 r11 keys are small
     # or shape-covered and stay driver-gated only: adamic_adar is the
-    # common-neighbors self-join shape, theil_sen the mann_kendall
-    # calendar-bounded pairwise shape, gbm the stump's level-table
+    # common-neighbors self-join shape, gbm the stump's level-table
     # shape, the rest sub-second single-agg/window/scan plans.
     "graph_k_core",
+    # r12 promotions (r11 verdict item 1): the calendar-bounded
+    # pairwise-slopes shape had NO committed row anywhere — theil_sen
+    # was ~11 s (single-reducer exact percentile over 2.9 M slopes,
+    # histogram-pruned to ~1.3 s in r12) and mann_kendall is the same
+    # pair generation + sign agg; both >=0.5 s at sf0.1 and the shape
+    # is otherwise unrepresented, so both enter HEADLINE + the diag
+    # lane to keep the shape drift-visible.
+    "window_theil_sen",
+    "window_mann_kendall",
 ]
 # HEADLINE is FROZEN as of r10 (r9 verdict item 8): it no longer grows
 # mechanically with the registry. Promotion rule (documented in
@@ -377,6 +385,8 @@ SCALE_DIAGNOSTIC = [
     "window_scd2_build",
     "window_seasonal_decompose",
     "window_rolling_corr",
+    "window_theil_sen",
+    "window_mann_kendall",
     # TPC-H 22
     *[f"sql_tpch_q{i}_shape" for i in range(1, 23)],
     # scan/sink layout machinery

@@ -224,27 +224,49 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return untouched.unionByName(applied)
 
 
+# merge-key bucket modulus for the streamed table: 7·11 shares factors
+# with the planted update/delete residues (_CH_U1/_CH_U2 are multiples
+# of 7, _CH_D of 11), so the seq-2 update batch touches 11/77 buckets
+# and the seq-3 delete batch 7/77 — the same delta concentration a
+# production time-bucketed table gets from recent-key updates. Bucket
+# COUNT is a layout parameter (a 100 TB table would carry thousands);
+# what the operator pins is that untouched buckets are neither read
+# nor rewritten.
+_CDC_NB = 77
+
+
 @register("cdc_stream_apply", oracle=_APPLY_ORACLE)
 def cdc_stream_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STREAMING half of CDC replay: the same changelog as
     cdc_apply_changes, consumed as a checkpointed file stream in
     sequence order (three availableNow micro-batches: the seq-1
     updates+inserts, the seq-2 updates, the seq-3 deletes) and
-    MERGE-applied onto the keyed table inside ``foreachBatch`` —
-    per batch: compact the delta by key (highest seq wins), anti-join
-    the touched keys out of the current table, union the surviving
-    images in, atomically swap the table dir. Final table must equal
-    the one-shot batch replay EXACTLY — same oracle, so ordering,
-    override (U2 over U1) and delete-wins semantics are value-pinned
-    across the batch/stream boundary.
+    MERGE-applied inside ``foreachBatch`` onto a table stored as
+    merge-key BUCKET partitions under a transaction log (the
+    sink_txn_log_commit protocol: immutable data files, state = the
+    fold of an ordered log of adds/removes, each commit one atomic
+    ``os.rename``). Per batch: compact the delta by key (highest seq
+    wins), derive the TOUCHED buckets from the compacted keys (a
+    bounded ≤77-row metadata collect), read ONLY the live files of
+    touched buckets, anti-join the touched keys out, union the
+    surviving images in, write one new file per touched bucket, and
+    commit (adds=new bucket files, removes=their predecessors)
+    atomically — untouched buckets are neither read nor rewritten,
+    and a reader sees the table before or after a commit, never
+    mid-swap (retires the rmtree+rename hazard LESSONS #44 recorded).
+    Final table must equal the one-shot batch replay EXACTLY — same
+    oracle, so ordering, override (U2 over U1) and delete-wins
+    semantics are value-pinned across the batch/stream boundary.
 
     This is the production continuous-ingest shape (Debezium/binlog →
-    bronze table): the per-batch work is delta-sized (the window runs
-    over the BATCH, never the table), the table pays one anti-join +
-    append per batch, and the checkpoint makes redelivery idempotent.
-    At 100 TB the dir swap becomes a transactional table-format
-    commit (Delta/Iceberg MERGE) — identical dataflow.
+    bronze Delta/Iceberg MERGE): per-batch compaction work is
+    delta-sized (the window runs over the BATCH, never the table),
+    per-batch I/O is touched-partition-sized (the seq-2/seq-3 batches
+    rewrite 11/77 and 7/77 of the table here), and the stream
+    checkpoint + idempotent per-batch version names make redelivery
+    safe.
     """
+    import json
     import shutil
 
     from pyspark.sql import Window
@@ -256,12 +278,52 @@ def cdc_stream_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
     base = os.path.join(scratch_dir(), f"cdc_stream_{sf_tag}")
     in_dir = os.path.join(base, "in")
-    tbl = os.path.join(base, "table")
+    data = os.path.join(base, "data")
+    log_dir = os.path.join(base, "_log")
     ckpt = os.path.join(base, "ckpt")
-    for d in (base,):
-        if os.path.exists(d):
-            shutil.rmtree(d)
-    old.write.parquet(tbl)
+    if os.path.exists(base):
+        shutil.rmtree(base)
+    os.makedirs(log_dir)
+
+    def commit(adds: list, removes: list) -> None:
+        version = len(
+            [n for n in os.listdir(log_dir) if n.endswith(".json")]
+        )
+        tmp = os.path.join(log_dir, f"{version:05d}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"adds": adds, "removes": removes}, f)
+        # the atomic pointer flip: visible iff the rename happened
+        os.rename(tmp, os.path.join(log_dir, f"{version:05d}.json"))
+
+    def live_files() -> list[str]:
+        live: list[str] = []
+        for name in sorted(os.listdir(log_dir)):
+            if not name.endswith(".json"):
+                continue
+            rec = json.load(open(os.path.join(log_dir, name)))
+            for r in rec["removes"]:
+                live.remove(r)
+            live.extend(rec["adds"])
+        return live
+
+    def bucket_dirs(vdir: str) -> list[str]:
+        vpath = os.path.join(data, vdir)
+        return sorted(
+            os.path.join(vdir, d)
+            for d in os.listdir(vpath)
+            if d.startswith("b=")
+        )
+
+    def write_bucketed(df: DataFrame, vdir: str) -> list[str]:
+        (
+            df.withColumn("b", F.pmod(F.col("o_orderkey"), F.lit(_CDC_NB)))
+            .repartition(F.col("b"))
+            .write.partitionBy("b")
+            .parquet(os.path.join(data, vdir))
+        )
+        return bucket_dirs(vdir)
+
+    commit(write_bucketed(old, "v00000"), [])
 
     def change(residue: int, op: str, seq: int, priority) -> DataFrame:
         prio = (
@@ -286,21 +348,42 @@ def cdc_stream_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             batch.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
         )
-        cur = spark.read.parquet(tbl)
-        untouched = cur.join(
-            latest.select("key").distinct(),
-            cur["o_orderkey"] == F.col("key"),
-            "left_anti",
-        )
+        touched = {
+            r[0]
+            for r in latest.select(
+                F.pmod(F.col("key"), F.lit(_CDC_NB)).alias("b")
+            )
+            .distinct()
+            .collect()  # bounded: <= _CDC_NB bucket ids (metadata)
+        }
+        old_files = [
+            p
+            for p in live_files()
+            if int(p.split("b=")[-1]) in touched
+        ]
+        if old_files:
+            cur = spark.read.parquet(
+                *(os.path.join(data, p) for p in old_files)
+            )
+            untouched = cur.join(
+                latest.select("key").distinct(),
+                cur["o_orderkey"] == F.col("key"),
+                "left_anti",
+            )
+        else:
+            untouched = spark.createDataFrame(
+                [], "o_orderkey long, o_orderpriority string,"
+                " o_totalprice double"
+            )
         applied = latest.filter(F.col("op") != "D").select(
             F.col("key").alias("o_orderkey"),
             F.col("new_priority").alias("o_orderpriority"),
             F.col("price").alias("o_totalprice"),
         )
-        tmp = tbl + f"_v{batch_id}"
-        untouched.unionByName(applied).write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(tbl)
-        os.rename(tmp, tbl)
+        adds = write_bucketed(
+            untouched.unionByName(applied), f"v{batch_id + 1:05d}"
+        )
+        commit(adds, old_files)
 
     def run_phase(df: DataFrame) -> None:
         df.coalesce(1).write.mode("append").parquet(in_dir)
@@ -322,4 +405,4 @@ def cdc_stream_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_phase(change(_CH_U2, "U", 2, "U-PASS2"))
     run_phase(change(_CH_D, "D", 3, None))
-    return spark.read.parquet(tbl)
+    return spark.read.parquet(*(os.path.join(data, p) for p in live_files()))

@@ -14,9 +14,13 @@ from pyspark.sql import functions as F
 
 from etl_8x8_spark.operators.dedup import (
     _NORM_SQL,
+    _PH_B_MOD,
+    _PH_B_MUL,
     _TOKENS_SQL,
+    _token_hashes_sql,
     normalized,
     shingles,
+    token_hashes,
     tokens,
 )
 from etl_8x8_spark.registry import register
@@ -2329,3 +2333,267 @@ def _wire_corpus_mix_oracle() -> None:
 
 
 _wire_corpus_mix_oracle()
+
+
+# --------------------------------------------------------------------------
+# fasttext-style quality-classifier scoring (r12)
+# --------------------------------------------------------------------------
+
+# The "shipped model": a K-bucket hashed-feature linear classifier
+# (the fastText trick — every token hashes into a weight bucket, the
+# document logit is the mean bucket weight). Weights are integer
+# MICRO-units in [-0.5, 0.5), derived from a fixed Knuth-multiplicative
+# formula so both engines inline the identical literal vector — the
+# production analogue ships the trained float array to executors the
+# same way (a plan literal / broadcast, never a per-row lookup
+# service).
+_QC_K = 64
+_QC_W_MICRO = [
+    ((b + 1) * 2_654_435_761) % 1_000_001 - 500_000 for b in range(_QC_K)
+]
+_QC_W_SQL = "[" + ", ".join(str(w) for w in _QC_W_MICRO) + "]"
+
+_QCLS_ORACLE = f"""
+WITH th AS (
+  SELECT doc_id, lang,
+         {_token_hashes_sql(_TOKENS_SQL)} AS th
+  FROM documents
+),
+s AS (
+  SELECT doc_id, lang, len(th) AS n,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(th, t ->
+               CAST({_QC_W_SQL}[
+                 CAST((t * {_PH_B_MUL}) % {_PH_B_MOD} % {_QC_K} AS INT) + 1
+               ] AS BIGINT))),
+           (acc, v) -> acc + v) AS z
+  FROM th
+)
+SELECT doc_id, lang, CAST(n AS BIGINT) AS n_tokens,
+       CAST(floor(CAST(z AS DOUBLE) / n + 0.5) AS BIGINT) / 1e6 AS logit,
+       CAST(floor(1e6 / (1 + exp(-(CAST(z AS DOUBLE) / n) / 1e6)) + 0.5)
+            AS BIGINT) / 1e6 AS prob,
+       z > 0 AS keep
+FROM s
+ORDER BY doc_id
+"""
+
+
+@register("text_quality_classifier", oracle=_QCLS_ORACLE)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style quality-classifier SCORING — the standard
+    curation stage that gates pretraining corpora on a trained linear
+    model (CCNet/LLaMA-style "looks like Wikipedia" filters): every
+    token hashes into one of 64 weight buckets, the document logit is
+    the mean bucket weight, and the keep decision is the logit's sign.
+    The weight vector here is a fixed deterministic stand-in for the
+    trained model (the reference's jwt_verify takes the same
+    deterministic-stand-in approach to a shipped secret,
+    src/handlers.py:35-47); the Spark-side plumbing — model as a plan
+    literal on every executor, zero per-row I/O — is the production
+    shape.
+
+    Parity: token hashes are the portable char-fold (dedup.py's
+    minhash components); bucket weights are integer micro-units, so
+    the per-doc weight SUM is exact in both engines; the logit is one
+    double division of exact integers (IEEE-identical) and only the
+    reported sigmoid goes through exp (micro-quantized, the ln
+    precedent from agg_mutual_information). The keep flag compares the
+    exact integer sum — no float at all.
+
+    Scale: ZERO shuffles — tokenize, hash, weight-sum, score are all
+    narrow higher-order functions inside one codegen'd projection; at
+    100 TB this runs at corpus-scan speed next to the other map-side
+    quality gates (gopher/ccnet), and the same plan shape holds for a
+    real model by swapping the literal for a broadcast array.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w_arr = F.array(*[F.lit(w).cast("long") for w in _QC_W_MICRO])
+    th = token_hashes(tokens())
+    z = F.aggregate(
+        th,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.element_at(
+            w_arr,
+            ((t * _PH_B_MUL) % _PH_B_MOD % _QC_K).cast("int") + 1,
+        ),
+    )
+    base = docs.select(
+        "doc_id",
+        "lang",
+        # count the raw split, not the hashed transform — size(th)
+        # would re-derive every per-token char fold just to count
+        F.size(tokens()).alias("n"),
+        z.alias("z"),
+    )
+    avg_micro = F.col("z").cast("double") / F.col("n")
+    return base.select(
+        "doc_id",
+        "lang",
+        F.col("n").cast("long").alias("n_tokens"),
+        (F.floor(avg_micro + 0.5).cast("long") / F.lit(1e6)).alias("logit"),
+        (
+            F.floor(
+                F.lit(1e6) / (F.lit(1.0) + F.exp(-avg_micro / F.lit(1e6)))
+                + 0.5
+            ).cast("long")
+            / F.lit(1e6)
+        ).alias("prob"),
+        (F.col("z") > 0).alias("keep"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# tokenizer-aware token counting: BPE merge application (r12)
+# --------------------------------------------------------------------------
+
+# The "shipped tokenizer": a rank-ordered BPE merge table (the
+# tiktoken/sentencepiece artifact in miniature). Rules apply in rank
+# order, each merging all its left-to-right non-overlapping adjacent
+# occurrences before the next rule — lower-rank outputs feed
+# higher-rank rules (th+e, in+g, an+d), exactly the cascading shape of
+# a real merge list.
+_BPE_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("e", "r"),
+    ("a", "n"), ("o", "n"), ("r", "e"), ("a", "t"),
+    ("e", "n"), ("o", "r"), ("e", "s"), ("s", "t"),
+    ("a", "r"), ("o", "u"), ("in", "g"), ("an", "d"),
+]
+
+
+def bpe_symbols(word):
+    """Apply every merge rule in rank order to a word column and
+    return the resulting symbol array (pure built-in fold — no UDF).
+    Each rule folds left-to-right, merging non-overlapping adjacent
+    (a, b) occurrences; the merged symbol differs from its parts, so a
+    rule never re-fires on its own output within a pass."""
+
+    def merge_rule(a: str, b: str):
+        # factory, not default-args: pyspark introspects the lambda's
+        # parameter count and rejects bound extras
+        def fold(acc, s):
+            return F.when(
+                (F.size(acc) > 0)
+                & (F.try_element_at(acc, F.lit(-1)) == a)
+                & (s == b),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1),
+                    F.array(F.lit(a + b)),
+                ),
+            ).otherwise(F.concat(acc, F.array(s)))
+
+        return fold
+
+    syms = F.split(word, "")
+    for a, b in _BPE_MERGES:
+        syms = F.aggregate(
+            syms,
+            F.expr("CAST(array() AS array<string>)"),
+            merge_rule(a, b),
+        )
+    return syms
+
+
+def _bpe_fold_sql(prev: str, a: str, b: str) -> str:
+    """One merge rule as a DuckDB list fold: symbols are VARCHAR lists;
+    the accumulator and the elements are both lists so list_reduce
+    types unify (the _token_hashes_sql prepend-the-init idiom)."""
+    return (
+        f"list_reduce(list_prepend(CAST([] AS VARCHAR[]), "
+        f"list_transform({prev}, s -> [s])), "
+        f"(acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = '{a}' "
+        f"AND x[1] = '{b}' "
+        f"THEN list_append(acc[:len(acc)-1], '{a}{b}') "
+        f"ELSE list_append(acc, x[1]) END)"
+    )
+
+
+def _bpe_vocab_sql() -> str:
+    """CTE chain applying every merge rule to the distinct vocabulary."""
+    ctes = [
+        "tok AS (SELECT doc_id, lang, unnest("
+        + _TOKENS_SQL
+        + ") AS w FROM documents)",
+        "vp0 AS (SELECT w, string_split(w, '') AS s FROM "
+        "(SELECT DISTINCT w FROM tok WHERE len(w) > 0))",
+    ]
+    for i, (a, b) in enumerate(_BPE_MERGES):
+        ctes.append(
+            f"vp{i + 1} AS (SELECT w, {_bpe_fold_sql('s', a, b)} AS s "
+            f"FROM vp{i})"
+        )
+    ctes.append(
+        f"vp AS (SELECT w, len(s) AS n_pieces, len(w) AS wl "
+        f"FROM vp{len(_BPE_MERGES)})"
+    )
+    return ",\n".join(ctes)
+
+
+_BPE_ORACLE = f"""
+WITH {_bpe_vocab_sql()}
+SELECT t.doc_id, t.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(v.n_pieces) AS BIGINT) AS n_bpe_tokens,
+       CAST(floor(CAST(SUM(v.wl) AS DOUBLE) / SUM(v.n_pieces) * 1e6 + 0.5)
+            AS BIGINT) / 1e6 AS chars_per_token
+FROM tok t JOIN vp v USING (w)
+GROUP BY t.doc_id, t.lang
+ORDER BY t.doc_id
+"""
+
+
+@register("text_bpe_token_count", oracle=_BPE_ORACLE)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-aware token counting: apply a rank-ordered BPE merge
+    table and count the resulting PIECES per document — the number a
+    training-data budget actually bills against (whitespace counts
+    under-bill long words and over-bill function words;
+    text_token_budget_pack's budgets assume this counter's output).
+
+    Scale design — BPE cost is VOCABULARY-sized, never corpus-sized:
+    the merge fold (16 rules × per-word symbol list) runs once per
+    DISTINCT word (Zipf: vocab ≪ corpus tokens), and the per-word
+    piece count broadcast-joins back to the exploded corpus, which
+    then re-aggregates per doc. Two shuffles total (vocab distinct +
+    the doc re-agg; the join is broadcast) regardless of corpus size;
+    a real 100k-merge tokenizer swaps the literal rule chain for a
+    ``mapInPandas`` over the SAME vocab-sized relation — the plan
+    shape (dedup → compute → broadcast back) is the part that
+    matters at 100 TB.
+
+    Parity: the fold is pure list/string manipulation (no floats);
+    both engines apply identical left-to-right non-overlapping merges
+    per rank (the merged symbol differs from its parts, so a rule
+    never re-fires on its own output within a pass). chars_per_token
+    is one double division of exact integers, micro-quantized.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(tokens()).alias("w")
+    )
+    vocab = tok.select("w").filter(F.length("w") > 0).distinct()
+    vp = vocab.select(
+        "w",
+        bpe_symbols(F.col("w")).alias("syms"),
+        F.length("w").alias("wl"),
+    ).select("w", F.size("syms").alias("n_pieces"), "wl")
+    return (
+        tok.join(F.broadcast(vp), "w")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_pieces").cast("long").alias("n_bpe_tokens"),
+            (
+                F.floor(
+                    F.sum("wl").cast("double")
+                    / F.sum("n_pieces")
+                    * 1e6
+                    + 0.5
+                ).cast("long")
+                / F.lit(1e6)
+            ).alias("chars_per_token"),
+        )
+        .orderBy("doc_id")
+    )

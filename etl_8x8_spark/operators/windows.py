@@ -2479,20 +2479,45 @@ def window_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(days²) on the CALENDAR-BOUNDED daily relation (days don't grow
     with corpus size; the fact collapses to ≤ a-few-thousand rows
     first), so the self-join is a constant-size tail after a
-    scan-bound daily aggregate. Medians are exact interpolated
-    percentiles (the agg_percentile_exact parity); slope inputs are
-    exact decimal revenue diffs over integer day gaps, so every slope
-    double is engine-identical before the median.
+    scan-bound daily aggregate.
+
+    The slope median is HISTOGRAM-PRUNED (the agg_weighted_median
+    idiom), not a single-reducer ``percentile`` over the ~2.9 M slope
+    rows (profiled at ~10 s — the one-buffer exact percentile was the
+    whole cost of this operator). Two passes over the pair relation:
+    pass A counts FIXED order-preserving buckets
+    (``floor(asinh(slope)·256)`` — monotone, sign-symmetric,
+    log-spaced, so no min/max pre-pass and no broadcast-stats join is
+    needed) and the driver folds the ≤ a-few-thousand bucket counts
+    (a BOUNDED metadata collect, the Bloom-bitmap class) into the two
+    crossing buckets for the middle ranks; pass B rank-selects the two
+    middle VALUES from only those buckets (~0.4 %-relative slope
+    span) and applies ``percentile``'s own interpolation arithmetic
+    (0.5·lo + 0.5·hi), so the result is bit-identical to the exact
+    percentile both engines computed before. Bucketing only PRUNES —
+    any monotone bucket map yields the same selected values. The daily
+    relation is localCheckpoint'd pre-spread across cores so the fact
+    scans once and both pair passes regenerate from ~2.4 k cached rows
+    (a broadcast nested-loop — milliseconds). Medians over daily
+    itself stay plain ``percentile`` (thousands of rows).
     """
     orders = load_table(spark, sf_dir, "orders")
     from etl_8x8_spark.functions.parity import DEC
 
     epoch_us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
-    daily = orders.groupBy(
-        F.floor(epoch_us / F.lit(86400 * 1_000_000)).cast("long").alias(
-            "day_no"
+    daily = (
+        orders.groupBy(
+            F.floor(epoch_us / F.lit(86400 * 1_000_000)).cast("long").alias(
+                "day_no"
+            )
         )
-    ).agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("revenue"))
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("revenue"))
+        # AQE coalesces the tiny post-agg shuffle to ONE partition,
+        # which would single-thread every pair-generation pass; spread
+        # the stream side of the nested-loop join across the cores
+        .repartition(16)
+        .localCheckpoint()
+    )
     a, b = daily.alias("a"), daily.alias("b")
     slopes = a.join(b, F.col("a.day_no") < F.col("b.day_no")).select(
         (
@@ -2500,10 +2525,68 @@ def window_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("b.day_no") - F.col("a.day_no"))
         ).alias("slope")
     )
-    med = slopes.agg(
-        F.count("*").cast("long").alias("n_pairs"),
-        F.percentile("slope", F.lit(0.5)).alias("slope_med"),
-    )
+    bidx = F.floor(F.asinh(F.col("slope")) * F.lit(256.0)).cast("long")
+    counts = {
+        r["bkt"]: r["w"]
+        for r in slopes.select(bidx.alias("bkt"))
+        .groupBy("bkt")
+        .agg(F.count("*").alias("w"))
+        .collect()
+    }
+    n = sum(counts.values())
+    if n == 0:  # degenerate empty input: match percentile-over-empty
+        med = spark.range(1).select(
+            F.lit(0).cast("long").alias("n_pairs"),
+            F.lit(None).cast("double").alias("slope_med"),
+        )
+    else:
+        # the two middle 1-indexed ranks of percentile(0.5) over n
+        # values: 0-based position (n-1)/2 -> lower rank
+        # (n+1) div 2, higher rank n div 2 + 1 (equal when n is odd)
+        k1, k2 = (n + 1) // 2, n // 2 + 1
+        cum, b1, b2 = 0, None, None
+        for bk in sorted(counts):
+            nxt = cum + counts[bk]
+            if b1 is None and nxt >= k1:
+                b1 = bk
+            if nxt >= k2:
+                b2 = bk
+                break
+            cum = nxt
+        # convert the crossing buckets to VALUE bounds with a full
+        # bucket of slack on each side: the histogram then only needs
+        # to be approximately placed (any ulp-level asinh
+        # non-monotonicity is absorbed by the margin) — exactness
+        # comes from the value-predicate count below, not bucket ids
+        import math
+
+        lo = math.sinh((b1 - 1) / 256.0)
+        hi = math.sinh((b2 + 2) / 256.0)
+        s = F.col("slope")
+        one = slopes.agg(
+            F.sum(F.when(s < lo, 1).otherwise(0)).cast("long").alias(
+                "cnt_lt"
+            ),
+            F.sort_array(
+                F.collect_list(F.when((s >= lo) & (s <= hi), s))
+            ).alias("cand"),
+        )
+        med = one.select(
+            F.lit(n).cast("long").alias("n_pairs"),
+            # percentile()'s interpolation form exactly: (hi-pos)·lo +
+            # (pos-lo_idx)·hi = 0.5·lo + 0.5·hi at p=0.5 (odd n:
+            # lo == hi, and 0.5v+0.5v == v exactly)
+            (
+                F.lit(0.5)
+                * F.element_at(
+                    "cand", (F.lit(k1) - F.col("cnt_lt")).cast("int")
+                )
+                + F.lit(0.5)
+                * F.element_at(
+                    "cand", (F.lit(k2) - F.col("cnt_lt")).cast("int")
+                )
+            ).alias("slope_med"),
+        )
     dm = daily.agg(
         F.count("*").cast("long").alias("n_days"),
         F.percentile(F.col("revenue").cast("double"), F.lit(0.5)).alias(

@@ -58,72 +58,77 @@ _QUERY_MODULES = [
 # ORDER MATTERS for driver sampling: the driver evaluates only the first
 # 50 keys of ``all_queries()`` per round. Keys listed here lead the
 # returned dict (in this order); all other keys follow in registration
-# order. Round-11 priority (r10 verdict item 4 + the r11 additions):
-# the 22 r11-new keys lead (never driver-sampled), then the two r11
-# HEADLINE promotions (so their new bench rows and a fresh correctness
-# row land together), then stream_watermark_late_data (oracle added in
-# r11 — first hash row pending), then the entire r5-vintage cohort
-# (28 of its 31 keys — the last 3 and the r6 cohort roll to r12).
-# Target: after the r11 driver run every r11 key has a first hash row
-# and no sampled key's latest row is older than r5.
-# bench.py's HEADLINE order is independent and unaffected.
+# order. Round-12 priority (r11 verdict item 4 + the r12 changes),
+# filling exactly the 50-slot window as 2 + 9 + 6 + 33:
+#   1. the 2 r12-new keys (no driver evidence yet);
+#   2. the 9 keys whose implementation changed in r12 (theil_sen
+#      histogram-prune rework, cdc_stream_apply txn-log rebase,
+#      agg_mutual_information/fn_net parity fixes, graph_k_core
+#      cache fix, the 3 mtime-keyed scratch ops, and
+#      window_mann_kendall so its HEADLINE promotion lands with a
+#      fresh correctness row);
+#   3. the 6 r5-vintage leftovers (the oldest evidence anywhere);
+#   4. the first 33 (alphabetical) of the 47-key r6 cohort — the
+#      remaining 14 (quality_key_skew_report .. window_vwap) plus
+#      anything r6-vintage still unsampled roll to r13.
+# Target: after the r12 driver run no key's evidence is older than r6,
+# and the r6 tail is 14 keys. bench.py's HEADLINE order is independent
+# and unaffected.
 _SAMPLE_PRIORITY = [
-    # new in r11 — no driver evidence yet
-    "pipeline_corpus_mix",
-    "sample_weighted_topk",
-    "ml_gbm_boost_rounds",
-    "sim_search_hamming_topk",
+    # new in r12 — no driver evidence yet
+    "text_quality_classifier",
+    "text_bpe_token_count",
+    # implementation changed in r12 — previous rows are stale evidence
     "window_theil_sen",
-    "text_ccnet_buckets",
-    "quality_freshness",
-    "sink_txn_log_commit",
-    "ml_knn_classifier",
-    "window_autocorr",
-    "agg_top_paths",
-    "fn_net",
-    "sink_manifest_stats",
-    "text_textrank_keywords",
-    "graph_k_core",
-    "graph_adamic_adar",
-    "text_importance_resample",
-    "sample_dedup_weights",
-    "ml_decision_stump",
-    "quality_anomaly_iqr",
+    "window_mann_kendall",
+    "cdc_stream_apply",
     "agg_mutual_information",
+    "fn_net",
+    "graph_k_core",
     "scan_csv_quarantine",
-    # promoted into HEADLINE this round (r10 verdict item 1) — lead so
-    # their bench rows and correctness rows land in the same round
-    "sim_search_ivfpq_topk",
-    "graph_label_propagation",
-    # oracle added in r11 (was the last rows-only key) — needs its first
-    # hash-green driver row
-    "stream_watermark_late_data",
-    # r5-vintage evidence (oldest 25 of 31; the last 6 + all r6 roll to r12)
-    "sql_tpch_q14_shape",
-    "sql_tpch_q15_shape",
-    "sql_tpch_q16_shape",
-    "sql_tpch_q17_shape",
-    "sql_tpch_q19_shape",
-    "sql_tpch_q1_shape",
-    "sql_tpch_q20_shape",
-    "sql_tpch_q21_shape",
-    "sql_tpch_q22_shape",
-    "sql_tpch_q2_shape",
-    "sql_tpch_q4_shape",
-    "sql_tpch_q6_shape",
-    "sql_tpch_q8_shape",
-    "sql_tpch_q9_shape",
-    "text_bigram_perplexity",
-    "text_bm25_rank",
-    "text_pmi_cooccur",
-    "text_zipf_fit",
-    "window_attribution_last_touch",
-    "window_bollinger_bands",
-    "window_cusum_detect",
-    "window_ewma_smooth",
-    "window_forward_fill",
-    "window_linear_interpolate",
-    "window_max_drawdown",
+    "sink_manifest_stats",
+    "sink_txn_log_commit",
+    # r5-vintage evidence (the last 6; after this round r5 tail = 0)
+    "window_pct_change",
+    "window_rank_change",
+    "window_rolling_corr",
+    "window_rsi",
+    "window_seasonal_decompose",
+    "window_time_weighted_avg",
+    # r6-vintage cohort, first 33 of 47 alphabetically
+    "agg_ab_test_ttest",
+    "agg_audience_overlap",
+    "agg_cohort_ltv",
+    "agg_conversion_latency",
+    "agg_corr_matrix",
+    "agg_decay_sum",
+    "agg_entropy",
+    "agg_fulfillment_latency",
+    "agg_linear_regression",
+    "agg_markov_transitions",
+    "agg_mode",
+    "agg_new_vs_returning",
+    "agg_ohlc_bars",
+    "agg_robust_mad",
+    "agg_stickiness_dau_mau",
+    "agg_survival_curve",
+    "agg_weighted_median",
+    "cdc_apply_changes",
+    "dedup_containment",
+    "fn_struct",
+    "fn_udtf_installments",
+    "fn_variant",
+    "graph_degree_distribution",
+    "graph_pagerank_converged",
+    "graph_triangle_count",
+    "join_asof_nearest",
+    "join_existence_mark",
+    "join_grid_proximity",
+    "join_interval_overlap",
+    "join_lateral_topk",
+    "join_null_safe",
+    "ml_feature_scaling",
+    "ml_kmeans_converged",
 ]
 
 
