@@ -297,6 +297,12 @@ HEADLINE = [
     # lane to keep the shape drift-visible.
     "window_theil_sen",
     "window_mann_kendall",
+    # r12-new keys meeting the promotion rule: the classifier is the
+    # corpus-scan-bound hashed-model projection (~2 s sf0.1), the BPE
+    # counter is the vocab-dedup -> per-word compute -> broadcast-back
+    # shape not otherwise represented (~1.6 s sf0.1)
+    "text_quality_classifier",
+    "text_bpe_token_count",
 ]
 # HEADLINE is FROZEN as of r10 (r9 verdict item 8): it no longer grows
 # mechanically with the registry. Promotion rule (documented in
@@ -356,6 +362,8 @@ SCALE_DIAGNOSTIC = [
     "text_token_budget_pack",
     "text_quality_gopher",
     "text_bigram_perplexity",
+    "text_quality_classifier",
+    "text_bpe_token_count",
     # composed pipelines
     "pipeline_training_data",
     "pipeline_pretrain_corpus",

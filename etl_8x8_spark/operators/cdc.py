@@ -274,6 +274,8 @@ def cdc_stream_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
+    if old.limit(1).isEmpty():  # empty-input contract: an empty table
+        return old  # has no files to commit and no changes to stream
     key = F.col("o_orderkey")
     sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
     base = os.path.join(scratch_dir(), f"cdc_stream_{sf_tag}")
@@ -356,11 +358,14 @@ def cdc_stream_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .collect()  # bounded: <= _CDC_NB bucket ids (metadata)
         }
-        old_files = [
-            p
-            for p in live_files()
-            if int(p.split("b=")[-1]) in touched
-        ]
+
+        def bucket_of(p: str):
+            tag = p.split("b=")[-1]
+            # a null merge key writes the Hive default partition;
+            # None compares fine against the touched set
+            return int(tag) if tag.lstrip("-").isdigit() else None
+
+        old_files = [p for p in live_files() if bucket_of(p) in touched]
         if old_files:
             cur = spark.read.parquet(
                 *(os.path.join(data, p) for p in old_files)

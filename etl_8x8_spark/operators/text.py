@@ -2555,9 +2555,10 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale design — BPE cost is VOCABULARY-sized, never corpus-sized:
     the merge fold (16 rules × per-word symbol list) runs once per
     DISTINCT word (Zipf: vocab ≪ corpus tokens), and the per-word
-    piece count broadcast-joins back to the exploded corpus, which
-    then re-aggregates per doc. Two shuffles total (vocab distinct +
-    the doc re-agg; the join is broadcast) regardless of corpus size;
+    piece count joins back to the exploded corpus (AQE broadcasts
+    while the piece table fits, shuffle-joins beyond), which then
+    re-aggregates per doc. Two shuffles total (vocab distinct + the
+    doc re-agg) at any realistic vocab, regardless of corpus size;
     a real 100k-merge tokenizer swaps the literal rule chain for a
     ``mapInPandas`` over the SAME vocab-sized relation — the plan
     shape (dedup → compute → broadcast back) is the part that
@@ -2580,7 +2581,11 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("w").alias("wl"),
     ).select("w", F.size("syms").alias("n_pieces"), "wl")
     return (
-        tok.join(F.broadcast(vp), "w")
+        # not a forced broadcast: AQE broadcasts while the piece table
+        # fits (any realistic merge-table vocab) and degrades to a
+        # shuffle join on w beyond — a web-scale typo/URL vocabulary
+        # must not pin the driver
+        tok.join(vp, "w")
         .groupBy("doc_id", "lang")
         .agg(
             F.count("*").cast("long").alias("n_words"),

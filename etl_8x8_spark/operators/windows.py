@@ -2533,10 +2533,14 @@ def window_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("w"))
         .collect()
     }
+    # percentile semantics: NULL slopes are excluded from the median
+    # ranks but count("*") counts them — split the null bucket out
+    n_null = counts.pop(None, 0)
     n = sum(counts.values())
-    if n == 0:  # degenerate empty input: match percentile-over-empty
+    n_pairs_total = n + n_null
+    if n == 0:  # no non-null slopes: percentile returns NULL
         med = spark.range(1).select(
-            F.lit(0).cast("long").alias("n_pairs"),
+            F.lit(n_pairs_total).cast("long").alias("n_pairs"),
             F.lit(None).cast("double").alias("slope_med"),
         )
     else:
@@ -2572,7 +2576,7 @@ def window_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cand"),
         )
         med = one.select(
-            F.lit(n).cast("long").alias("n_pairs"),
+            F.lit(n_pairs_total).cast("long").alias("n_pairs"),
             # percentile()'s interpolation form exactly: (hi-pos)·lo +
             # (pos-lo_idx)·hi = 0.5·lo + 0.5·hi at p=0.5 (odd n:
             # lo == hi, and 0.5v+0.5v == v exactly)
