@@ -1521,3 +1521,113 @@ def sink_txn_log_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), dsum("o_totalprice", "sum_price"))
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "scan_txn_log_time_travel",
+    oracle=f"""
+WITH v0 AS (
+  SELECT CAST(0 AS BIGINT) AS version, COUNT(*) AS n,
+         {oracle_dsum("o_totalprice", "sum_price")}
+  FROM orders WHERE o_orderkey % 2 = 0
+),
+v1 AS (
+  SELECT CAST(1 AS BIGINT), COUNT(*), {oracle_dsum("o_totalprice", "s")}
+  FROM orders
+),
+v2 AS (
+  SELECT CAST(2 AS BIGINT), COUNT(*), {oracle_dsum("o_totalprice", "s")}
+  FROM orders WHERE o_orderkey % 10 <> 0
+)
+SELECT * FROM v0 UNION ALL SELECT * FROM v1 UNION ALL SELECT * FROM v2
+ORDER BY version
+""",
+)
+def scan_txn_log_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL over the transaction-log table — the reader half
+    that makes the commit protocol a snapshot-isolation story, not
+    just crash safety: because data files are immutable and removes
+    never delete, folding any PREFIX of the ordered log reconstructs
+    the table exactly AS OF that version (Delta's `versionAsOf` /
+    Iceberg snapshot reads). Three commits are replayed (add evens ·
+    add odds · compact-and-delete the keys ≡ 0 mod 10), then the
+    reader folds the log prefix for EACH version and aggregates that
+    snapshot; the oracle recomputes all three states from the source
+    relation, value-hash-pinning that no snapshot leaks rows forward
+    (a reader that sees the deletes at v1) or backward (one that
+    misses the v0→v1 boundary).
+
+    The split is `o_orderkey % 2` (not a data-dependent quantile) so
+    every version's state is a pure relation of the source — the
+    cross-engine contract stays arithmetic.
+
+    Scale: the log is metadata-sized; per-version planning cost is
+    |live files at that version|. Production table formats add
+    checkpoint compaction of the log itself beyond ~10^4 commits —
+    same fold, memoized prefix.
+    """
+    import json
+    import shutil
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    if orders.limit(1).isEmpty():  # empty-input contract
+        return spark.createDataFrame(
+            [], "version long, n long, sum_price double"
+        )
+    base = os.path.join(
+        scratch_dir(), f"txnlog_tt_{_src_tag(sf_dir, 'orders')}"
+    )
+    log_dir = os.path.join(base, "_log")
+    done = os.path.join(base, "_ALL_COMMITTED")
+    if not os.path.exists(done):
+        if os.path.exists(base):
+            shutil.rmtree(base)
+        os.makedirs(log_dir)
+
+        def commit(version: int, adds: list, removes: list) -> None:
+            rec = {"adds": adds, "removes": removes}
+            tmp = os.path.join(log_dir, f"{version:05d}.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump(rec, f)
+            os.rename(tmp, os.path.join(log_dir, f"{version:05d}.json"))
+
+        a_dir, b_dir, c_dir = (
+            os.path.join(base, d) for d in ("dataA", "dataB", "dataC")
+        )
+        orders.filter(F.col("o_orderkey") % 2 == 0).write.parquet(a_dir)
+        commit(0, ["dataA"], [])
+        orders.filter(F.col("o_orderkey") % 2 != 0).write.parquet(b_dir)
+        commit(1, ["dataB"], [])
+        spark.read.parquet(a_dir, b_dir).filter(
+            F.col("o_orderkey") % 10 != 0
+        ).write.parquet(c_dir)
+        commit(2, ["dataC"], ["dataA", "dataB"])
+        open(done, "w").close()
+
+    import json as _json
+
+    records = [
+        _json.load(open(os.path.join(log_dir, name)))
+        for name in sorted(os.listdir(log_dir))
+        if name.endswith(".json")
+    ]
+    snapshots = []
+    live: list[str] = []
+    for version, rec in enumerate(records):
+        for r in rec["removes"]:
+            live.remove(r)
+        live.extend(rec["adds"])
+        snap = spark.read.parquet(
+            *(os.path.join(base, d) for d in live)
+        ).agg(
+            F.lit(version).cast("long").alias("version"),
+            F.count("*").alias("n"),
+            dsum("o_totalprice", "sum_price"),
+        )
+        snapshots.append(snap)
+    out = snapshots[0]
+    for s in snapshots[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("version")

@@ -135,3 +135,20 @@ class TestCdcStreamLogConsistency:
         assert counts[1] > counts[0]
         assert counts[2] == counts[1]
         assert counts[3] < counts[2]
+
+
+class TestTimeTravel:
+    def test_versions_are_the_planted_states(self, spark):
+        """v0 = evens only, v1 = whole table, v2 = v1 minus the
+        mod-10 deletes — and no state leaks across versions."""
+        rows = {
+            r["version"]: r
+            for r in all_queries()["scan_txn_log_time_travel"]
+            .builder(spark, SF_DIR)
+            .collect()
+        }
+        assert sorted(rows) == [0, 1, 2]
+        assert rows[0]["n"] < rows[1]["n"]  # evens ⊂ all
+        assert rows[2]["n"] < rows[1]["n"]  # deletes shrink
+        # v2 must still contain the even non-mod-10 keys from v0
+        assert rows[2]["n"] > rows[0]["n"] // 2
