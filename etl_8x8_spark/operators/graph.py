@@ -481,8 +481,11 @@ def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic. Iterative ≠ unverifiable.
 
     Scale: per-round cost is one (edges ⋈ ranks) equi-join + a
-    groupBy — both shuffle on node keys, so at 100 TB each round is a
-    fixed two-exchange job and total cost is rounds × that; lineage
+    groupBy; the edge relation persists PRE-PARTITIONED on src (the
+    LPA relation-reuse idiom, applied here in r12: 7.0 → 5.7 s at
+    sf0.1), so per round only the SMALL rank relation and the
+    contribution agg exchange — at 100 TB each round is a fixed
+    small-side-exchange job and total cost is rounds × that; lineage
     truncation keeps the plan from growing with rounds (the failure
     mode of naive loops). Teleport/damping use exact rationals
     (0.15·1e12 and ·85//100).
@@ -496,7 +499,13 @@ def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.select(F.col("p").alias("src"), F.col("s").alias("dst"))
     )
     deg = edges_dir.groupBy("src").agg(F.count("*").alias("deg"))
-    edges = edges_dir.join(deg, "src").persist()  # reused every round
+    # persist PRE-PARTITIONED on the join key (the LPA relation-reuse
+    # idiom): the cached relation keeps HashPartitioning(src), so each
+    # round's ranks-join re-exchanges only the SMALL rank relation,
+    # never the big edge list
+    edges = (
+        edges_dir.join(deg, "src").repartition(F.col("src")).persist()
+    )
     nodes = edges_dir.select(F.col("src").alias("node")).distinct()
     ranks = nodes.select("node", F.lit(10**12).cast("long").alias("rank_u"))
     ranks = ranks.localCheckpoint(eager=True)
