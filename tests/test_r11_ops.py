@@ -675,7 +675,9 @@ class TestTxnLogCommit:
         got = {r["o_orderpriority"]: r["n"] for r in out}
         assert got == want
 
-        sf_tag = _os.path.basename(sf_dir.rstrip("/"))
+        from etl_8x8_spark.sources.scans import _src_tag
+
+        sf_tag = _src_tag(sf_dir, "orders")
         log_dir = _os.path.join(scratch_dir(), f"txnlog_{sf_tag}", "_log")
         logs = sorted(
             f for f in _os.listdir(log_dir) if f.endswith(".json")
