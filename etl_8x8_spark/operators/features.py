@@ -1641,3 +1641,525 @@ def ml_gbm_boost_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         "reduction_ratio",
     )
     return row(1, best1).unionByName(row(2, best2)).orderBy("round")
+
+
+# --------------------------------------------------------------------------
+# logistic regression by bounded gradient descent (r12 wave 2)
+# --------------------------------------------------------------------------
+
+# lr = 1/_LR_DIV per mean-gradient micro-unit. Chosen so three rounds
+# trace a visible (non-saturating) weight trajectory on the TPC-H mix.
+_LR_DIV = 1000
+_LOGIT_ROUNDS = 3
+
+_LOGIT_STAGE_SQL = """
+g{r} AS (
+  SELECT
+    SUM(CAST(n AS DECIMAL(38,0))) AS nn,
+    SUM(CAST(n AS DECIMAL(38,0)) * (s - y * 1000000)) AS g0,
+    SUM(CAST(n AS DECIMAL(38,0)) * (s - y * 1000000) * q) AS gq,
+    SUM(CAST(n AS DECIMAL(38,0)) * (s - y * 1000000) * d) AS gd,
+    SUM(CAST(n AS DECIMAL(38,0))
+        * (CASE WHEN (s > 500000) = (y = 1) THEN 1 ELSE 0 END)) AS ok
+  FROM (
+    SELECT l.*,
+           CAST(floor(1e6 / (1 + exp(
+             -CAST(w.wq * l.q + w.wd * l.d + w.b AS DOUBLE) / 1e6
+           )) + 0.5) AS BIGINT) AS s
+    FROM lvl l CROSS JOIN w{p} w
+  )
+),
+w{r} AS (
+  SELECT
+    w.wq - CAST(floor(CAST(g.gq AS DOUBLE) / CAST(g.nn AS DOUBLE)
+                      / {lrdiv} + 0.5) AS BIGINT) AS wq,
+    w.wd - CAST(floor(CAST(g.gd AS DOUBLE) / CAST(g.nn AS DOUBLE)
+                      / {lrdiv} + 0.5) AS BIGINT) AS wd,
+    w.b - CAST(floor(CAST(g.g0 AS DOUBLE) / CAST(g.nn AS DOUBLE)
+                     / {lrdiv} + 0.5) AS BIGINT) AS b,
+    CAST(floor(CAST(g.ok AS DOUBLE) / CAST(g.nn AS DOUBLE) * 1e6 + 0.5)
+         AS BIGINT) AS acc
+  FROM g{r} g CROSS JOIN w{p} w
+)"""
+
+
+def _logit_oracle() -> str:
+    stages = ",".join(
+        _LOGIT_STAGE_SQL.format(r=r, p=r - 1, lrdiv=_LR_DIV)
+        for r in range(1, _LOGIT_ROUNDS + 1)
+    )
+    rows = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, wq AS wq_micro,"
+        f" wd AS wd_micro, b AS bias_micro, acc AS acc_micro FROM w{r}"
+        for r in range(1, _LOGIT_ROUNDS + 1)
+    )
+    return f"""
+WITH lvl AS (
+  SELECT CAST(COALESCE(l_quantity, 0) AS BIGINT) AS q,
+         CAST(floor(COALESCE(l_discount, 0) * 100 + 0.5) AS BIGINT) AS d,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+         COUNT(*) AS n
+  FROM lineitem GROUP BY 1, 2, 3
+),
+w0 AS (SELECT CAST(0 AS BIGINT) AS wq, CAST(0 AS BIGINT) AS wd,
+              CAST(0 AS BIGINT) AS b),
+{stages}
+SELECT * FROM ({rows}) WHERE acc_micro IS NOT NULL ORDER BY round
+"""
+
+
+@register("ml_logistic_regression_gd", oracle=_logit_oracle())
+def ml_logistic_regression_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE full-batch gradient-descent rounds of a two-feature
+    logistic regression (label: l_returnflag = 'R'; features: quantity
+    and discount-cents) — the distributed-trainer inner loop expressed
+    as aggregates, the way a Spark pipeline actually fits a calibrated
+    keep/drop model before text_quality_classifier SCORES with it.
+
+    Exactness contract: the fact aggregates once into a LEVEL table
+    (quantity × discount-cents × label — bounded at 50 × 11 × 2 rows
+    regardless of corpus size), so each GD round is arithmetic over
+    ≤1100 rows, not a fact re-scan. Weights live in integer
+    MICRO-units; the per-level logit w·x is exact BIGINT; the sigmoid
+    is micro-quantized straight off the exp (the ln/exp precedent from
+    agg_mutual_information / text_quality_classifier); gradients are
+    exact DECIMAL(38,0) sums of integer terms (never through double
+    until the single mean-gradient division, floor-quantized back to
+    micro). Every round's weights are therefore bit-identical
+    cross-engine, and round r's reported acc_micro is the training
+    accuracy of the weights ENTERING the round (progress metric).
+
+    Scale: ONE map-side partial aggregate over the fact (the stump /
+    GBM idiom, features.py:1531); the level table is persisted with
+    all three rounds as consumers, each round a 1-row cross-join
+    broadcast — a K-round trainer is this chain looped K times with
+    still exactly one fact pass.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    lvl = (
+        li.select(
+            F.coalesce(F.col("l_quantity"), F.lit(0))
+            .cast("long")
+            .alias("q"),
+            F.floor(F.coalesce(F.col("l_discount"), F.lit(0)) * 100 + 0.5)
+            .cast("long")
+            .alias("d"),
+            F.when(F.col("l_returnflag") == "R", 1)
+            .otherwise(0)
+            .alias("y"),
+        )
+        .groupBy("q", "d", "y")
+        .agg(F.count("*").alias("n"))
+        .persist()
+    )
+    w = spark.range(1).select(
+        F.lit(0).cast("long").alias("wq"),
+        F.lit(0).cast("long").alias("wd"),
+        F.lit(0).cast("long").alias("b"),
+    )
+    ndec = F.col("n").cast("decimal(38,0)")
+    rows = []
+    for r in range(1, _LOGIT_ROUNDS + 1):
+        j = lvl.crossJoin(F.broadcast(w))
+        z = F.col("wq") * F.col("q") + F.col("wd") * F.col("d") + F.col("b")
+        s = F.floor(
+            F.lit(1e6)
+            / (F.lit(1.0) + F.exp(-z.cast("double") / F.lit(1e6)))
+            + 0.5
+        ).cast("long")
+        scored = j.withColumn("s", s)
+        resid = F.col("s") - F.col("y") * F.lit(1000000)
+        g = scored.agg(
+            F.sum(ndec).alias("nn"),
+            F.sum(ndec * resid).alias("g0"),
+            F.sum(ndec * resid * F.col("q")).alias("gq"),
+            F.sum(ndec * resid * F.col("d")).alias("gd"),
+            F.sum(
+                ndec
+                * F.when(
+                    (F.col("s") > 500000) == (F.col("y") == 1), 1
+                ).otherwise(0)
+            ).alias("ok"),
+        )
+        step = lambda gc: F.floor(  # noqa: E731
+            gc.cast("double") / F.col("nn").cast("double") / _LR_DIV + 0.5
+        ).cast("long")
+        w = g.crossJoin(F.broadcast(w)).select(
+            (F.col("wq") - step(F.col("gq"))).alias("wq"),
+            (F.col("wd") - step(F.col("gd"))).alias("wd"),
+            (F.col("b") - step(F.col("g0"))).alias("b"),
+            F.floor(
+                F.col("ok").cast("double")
+                / F.col("nn").cast("double")
+                * 1e6
+                + 0.5
+            )
+            .cast("long")
+            .alias("acc"),
+        )
+        rows.append(
+            w.select(
+                F.lit(r).cast("long").alias("round"),
+                F.col("wq").alias("wq_micro"),
+                F.col("wd").alias("wd_micro"),
+                F.col("b").alias("bias_micro"),
+                F.col("acc").alias("acc_micro"),
+            )
+        )
+        w = w.select("wq", "wd", "b")
+    out = rows[0]
+    for r_df in rows[1:]:
+        out = out.unionByName(r_df)
+    return out.filter(F.col("acc_micro").isNotNull()).orderBy("round")
+
+
+# --------------------------------------------------------------------------
+# PCA top component by bounded power iteration (r12 wave 2)
+# --------------------------------------------------------------------------
+
+_PCA_ROUNDS = 5
+
+_PCA_FEATS_SQL = """
+  SELECT CAST(COALESCE(l_quantity, 0) AS BIGINT) AS x1,
+         CAST(floor(COALESCE(l_discount, 0) * 100 + 0.5) AS BIGINT) AS x2,
+         CAST(floor(COALESCE(l_tax, 0) * 100 + 0.5) AS BIGINT) AS x3
+  FROM lineitem
+"""
+
+_PCA_ITER_SQL = """
+it{r} AS (
+  SELECT c.*,
+         CAST(v.v1 AS DOUBLE) / 1e6 AS p1,
+         CAST(v.v2 AS DOUBLE) / 1e6 AS p2,
+         CAST(v.v3 AS DOUBLE) / 1e6 AS p3
+  FROM cov c CROSS JOIN it{p} v
+),
+itm{r} AS (
+  SELECT *,
+         (c11 * p1 + c12 * p2) + c13 * p3 AS u1,
+         (c12 * p1 + c22 * p2) + c23 * p3 AS u2,
+         (c13 * p1 + c23 * p2) + c33 * p3 AS u3
+  FROM it{r}
+),
+it{r}n AS (
+  SELECT CAST(floor(sg * u1 / nrm * 1e6 + 0.5) AS BIGINT) AS v1,
+         CAST(floor(sg * u2 / nrm * 1e6 + 0.5) AS BIGINT) AS v2,
+         CAST(floor(sg * u3 / nrm * 1e6 + 0.5) AS BIGINT) AS v3
+  FROM (
+    SELECT u1, u2, u3,
+           NULLIF(sqrt((u1 * u1 + u2 * u2) + u3 * u3), 0) AS nrm,
+           CASE WHEN u1 < 0 THEN -1.0 ELSE 1.0 END AS sg
+    FROM itm{r}
+  )
+)"""
+
+
+def _pca_oracle() -> str:
+    stages = ",".join(
+        _PCA_ITER_SQL.format(r=r, p=f"{r - 1}n" if r > 1 else "0")
+        for r in range(1, _PCA_ROUNDS + 1)
+    )
+    last = f"it{_PCA_ROUNDS}n"
+    return f"""
+WITH f AS ({_PCA_FEATS_SQL}),
+sums AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(x1 AS DECIMAL(38,0))) AS s1,
+         SUM(CAST(x2 AS DECIMAL(38,0))) AS s2,
+         SUM(CAST(x3 AS DECIMAL(38,0))) AS s3,
+         SUM(CAST(x1 AS DECIMAL(38,0)) * x1) AS s11,
+         SUM(CAST(x1 AS DECIMAL(38,0)) * x2) AS s12,
+         SUM(CAST(x1 AS DECIMAL(38,0)) * x3) AS s13,
+         SUM(CAST(x2 AS DECIMAL(38,0)) * x2) AS s22,
+         SUM(CAST(x2 AS DECIMAL(38,0)) * x3) AS s23,
+         SUM(CAST(x3 AS DECIMAL(38,0)) * x3) AS s33
+  FROM f
+),
+cov AS (
+  SELECT
+    CAST(s11 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS c11,
+    CAST(s12 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n) AS c12,
+    CAST(s13 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n) AS c13,
+    CAST(s22 AS DOUBLE) / n - (CAST(s2 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n) AS c22,
+    CAST(s23 AS DOUBLE) / n - (CAST(s2 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n) AS c23,
+    CAST(s33 AS DOUBLE) / n - (CAST(s3 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n) AS c33
+  FROM sums
+),
+it0 AS (SELECT CAST(1000000 AS BIGINT) AS v1, CAST(0 AS BIGINT) AS v2,
+               CAST(0 AS BIGINT) AS v3),
+{stages},
+ray AS (
+  SELECT v.v1, v.v2, v.v3,
+         CAST(v.v1 AS DOUBLE) / 1e6 AS p1,
+         CAST(v.v2 AS DOUBLE) / 1e6 AS p2,
+         CAST(v.v3 AS DOUBLE) / 1e6 AS p3,
+         c.c11, c.c12, c.c13, c.c22, c.c23, c.c33
+  FROM {last} v CROSS JOIN cov c
+)
+SELECT v1 AS v1_micro, v2 AS v2_micro, v3 AS v3_micro,
+       CAST(floor(
+         ((p1 * ((c11 * p1 + c12 * p2) + c13 * p3)
+           + p2 * ((c12 * p1 + c22 * p2) + c23 * p3))
+          + p3 * ((c13 * p1 + c23 * p2) + c33 * p3))
+         / NULLIF((p1 * p1 + p2 * p2) + p3 * p3, 0) * 1e6 + 0.5
+       ) AS BIGINT) AS lambda_micro,
+       CAST(floor(
+         (((p1 * ((c11 * p1 + c12 * p2) + c13 * p3)
+            + p2 * ((c12 * p1 + c22 * p2) + c23 * p3))
+           + p3 * ((c13 * p1 + c23 * p2) + c33 * p3))
+          / NULLIF((p1 * p1 + p2 * p2) + p3 * p3, 0))
+         / NULLIF((c11 + c22) + c33, 0) * 1e6 + 0.5
+       ) AS BIGINT) AS evr_micro
+FROM ray
+"""
+
+
+@register("ml_pca_power_iteration", oracle=_pca_oracle())
+def ml_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the (quantity, discount-cents,
+    tax-cents) feature covariance by FIVE power-iteration rounds —
+    the dimensionality-reduction fit step (choose the serving basis
+    before embed_mrl_truncate / embed_pq_encode compress against it),
+    expressed so the distributed part is ONE exact aggregate.
+
+    Exactness contract: features are integers, so the ten power sums
+    (n, Σx_i, Σx_i·x_j) are exact DECIMAL(38,0) in both engines; the
+    3×3 covariance entries are each computed by the SAME fixed
+    double-precision expression from those exact sums (identical IEEE
+    ops → identical doubles). Power iteration then runs on the ONE
+    covariance row: every round's vector is floor-quantized back to
+    integer micro-units (the cross-engine sync point), matvec terms
+    fold in fixed order, and a sign gate pins u1 ≥ 0 so both engines
+    converge to the same eigenvector orientation. Output: the unit
+    eigenvector (micro), its Rayleigh eigenvalue, and the explained-
+    variance ratio λ/trace.
+
+    Scale: the fact is scanned ONCE into a 1-row sum relation (map-side
+    partial aggregate, zero shuffled bytes beyond 32 partial rows); all
+    five rounds are constant-size scalar arithmetic Catalyst folds into
+    a handful of projections — a D-dim PCA fit is this same shape with
+    D(D+1)/2 power sums, still one fact pass.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.select(
+        F.coalesce(F.col("l_quantity"), F.lit(0)).cast("long").alias("x1"),
+        F.floor(F.coalesce(F.col("l_discount"), F.lit(0)) * 100 + 0.5)
+        .cast("long")
+        .alias("x2"),
+        F.floor(F.coalesce(F.col("l_tax"), F.lit(0)) * 100 + 0.5)
+        .cast("long")
+        .alias("x3"),
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    sums = f.agg(
+        F.count("*").alias("n"),
+        F.sum(d38("x1")).alias("s1"),
+        F.sum(d38("x2")).alias("s2"),
+        F.sum(d38("x3")).alias("s3"),
+        F.sum(d38("x1") * F.col("x1")).alias("s11"),
+        F.sum(d38("x1") * F.col("x2")).alias("s12"),
+        F.sum(d38("x1") * F.col("x3")).alias("s13"),
+        F.sum(d38("x2") * F.col("x2")).alias("s22"),
+        F.sum(d38("x2") * F.col("x3")).alias("s23"),
+        F.sum(d38("x3") * F.col("x3")).alias("s33"),
+    )
+
+    def cv(sij: str, si: str, sj: str):
+        n = F.col("n")
+        return F.col(sij).cast("double") / n - (
+            F.col(si).cast("double") / n
+        ) * (F.col(sj).cast("double") / n)
+
+    cov = sums.select(
+        cv("s11", "s1", "s1").alias("c11"),
+        cv("s12", "s1", "s2").alias("c12"),
+        cv("s13", "s1", "s3").alias("c13"),
+        cv("s22", "s2", "s2").alias("c22"),
+        cv("s23", "s2", "s3").alias("c23"),
+        cv("s33", "s3", "s3").alias("c33"),
+    )
+    # iteration state rides along as extra columns on the 1-row cov
+    # relation — no joins, just chained projections
+    it = cov.withColumns(
+        {
+            "v1": F.lit(1000000).cast("long"),
+            "v2": F.lit(0).cast("long"),
+            "v3": F.lit(0).cast("long"),
+        }
+    )
+    for _ in range(_PCA_ROUNDS):
+        p1 = F.col("v1").cast("double") / 1e6
+        p2 = F.col("v2").cast("double") / 1e6
+        p3 = F.col("v3").cast("double") / 1e6
+        stepped = it.withColumns(
+            {
+                "u1": (F.col("c11") * p1 + F.col("c12") * p2)
+                + F.col("c13") * p3,
+                "u2": (F.col("c12") * p1 + F.col("c22") * p2)
+                + F.col("c23") * p3,
+                "u3": (F.col("c13") * p1 + F.col("c23") * p2)
+                + F.col("c33") * p3,
+            }
+        )
+        nrm = F.nullif(
+            F.sqrt(
+                (
+                    F.col("u1") * F.col("u1")
+                    + F.col("u2") * F.col("u2")
+                )
+                + F.col("u3") * F.col("u3")
+            ),
+            F.lit(0.0),
+        )
+        sg = F.when(F.col("u1") < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+        it = stepped.withColumns(
+            {
+                "v1": F.floor(sg * F.col("u1") / nrm * 1e6 + 0.5).cast(
+                    "long"
+                ),
+                "v2": F.floor(sg * F.col("u2") / nrm * 1e6 + 0.5).cast(
+                    "long"
+                ),
+                "v3": F.floor(sg * F.col("u3") / nrm * 1e6 + 0.5).cast(
+                    "long"
+                ),
+            }
+        ).drop("u1", "u2", "u3")
+    p1 = F.col("v1").cast("double") / 1e6
+    p2 = F.col("v2").cast("double") / 1e6
+    p3 = F.col("v3").cast("double") / 1e6
+    av1 = (F.col("c11") * p1 + F.col("c12") * p2) + F.col("c13") * p3
+    av2 = (F.col("c12") * p1 + F.col("c22") * p2) + F.col("c23") * p3
+    av3 = (F.col("c13") * p1 + F.col("c23") * p2) + F.col("c33") * p3
+    lam = ((p1 * av1 + p2 * av2) + p3 * av3) / F.nullif(
+        (p1 * p1 + p2 * p2) + p3 * p3, F.lit(0.0)
+    )
+    trace = F.nullif((F.col("c11") + F.col("c22")) + F.col("c33"), F.lit(0.0))
+    return it.select(
+        F.col("v1").alias("v1_micro"),
+        F.col("v2").alias("v2_micro"),
+        F.col("v3").alias("v3_micro"),
+        F.floor(lam * 1e6 + 0.5).cast("long").alias("lambda_micro"),
+        F.floor(lam / trace * 1e6 + 0.5).cast("long").alias("evr_micro"),
+    )
+
+
+# --------------------------------------------------------------------------
+# calibration report: reliability bins + expected calibration error (r12)
+# --------------------------------------------------------------------------
+
+# the "shipped model" score: a fixed micro-unit logit over the two
+# integer features — spreads predictions across ~9 of the 10 bins on
+# the TPC-H mix so the reliability diagram is non-degenerate
+_CAL_ZW_D = 200000
+_CAL_ZW_Q = -60000
+_CAL_Z0 = 1000000
+
+_CAL_ORACLE = f"""
+WITH scored AS (
+  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+         CAST(floor(1e6 / (1 + exp(-CAST(
+           {_CAL_ZW_D} * CAST(floor(COALESCE(l_discount, 0) * 100 + 0.5)
+                              AS BIGINT)
+           + {_CAL_ZW_Q} * CAST(COALESCE(l_quantity, 0) AS BIGINT)
+           + {_CAL_Z0} AS DOUBLE) / 1e6)) + 0.5) AS BIGINT) AS p
+  FROM lineitem
+),
+bins AS (
+  SELECT LEAST(CAST(floor(p / 100000) AS BIGINT), 9) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(p AS DECIMAL(38,0))) AS sp,
+         SUM(CAST(y AS DECIMAL(38,0))) AS sy
+  FROM scored GROUP BY 1
+),
+rel AS (
+  SELECT bin, n,
+         CAST(floor(CAST(sp AS DOUBLE) / n + 0.5) AS BIGINT) AS conf_micro,
+         CAST(floor(CAST(sy AS DOUBLE) / n * 1e6 + 0.5) AS BIGINT)
+           AS acc_micro
+  FROM bins
+)
+SELECT bin, n, conf_micro, acc_micro,
+       abs(conf_micro - acc_micro) AS gap_micro,
+       CAST(floor(
+         CAST(SUM(n * abs(conf_micro - acc_micro)) OVER () AS DOUBLE)
+         / SUM(n) OVER () + 0.5
+       ) AS BIGINT) AS ece_micro
+FROM rel
+ORDER BY bin
+"""
+
+
+@register("quality_calibration_bins", oracle=_CAL_ORACLE)
+def quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-calibration report: bucket a classifier's predicted
+    probability into 10 reliability bins and compare each bin's mean
+    confidence against its observed accuracy, plus the overall
+    expected calibration error (ECE) — the audit a pipeline runs on
+    the quality classifier's scores before trusting its keep
+    thresholds (a miscalibrated 0.9 means the corpus mix silently
+    shifts). The score is a fixed micro-unit logistic model over
+    integer features (the text_quality_classifier shipped-model
+    stand-in idiom).
+
+    Exactness: the logit is exact BIGINT; the sigmoid is
+    micro-quantized off the exp; per-bin Σp and Σy are exact
+    DECIMAL(38,0); each reported mean is ONE double division floored
+    back to micro; the ECE folds the already-quantized per-bin gaps
+    (exact integer products) through one whole-frame window sum —
+    every value hash-stable cross-engine.
+
+    Scale: one map-side partial aggregate to ≤10 bins, then a window
+    over those 10 rows — corpus-scan-bound with zero meaningful
+    shuffle at any size (the 32 partials × 10 bins exchange is
+    constant).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    zq = F.coalesce(F.col("l_quantity"), F.lit(0)).cast("long")
+    zd = F.floor(
+        F.coalesce(F.col("l_discount"), F.lit(0)) * 100 + 0.5
+    ).cast("long")
+    z = (
+        F.lit(_CAL_ZW_D) * zd + F.lit(_CAL_ZW_Q) * zq + F.lit(_CAL_Z0)
+    )
+    p = F.floor(
+        F.lit(1e6) / (F.lit(1.0) + F.exp(-z.cast("double") / F.lit(1e6)))
+        + 0.5
+    ).cast("long")
+    y = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    scored = li.select(p.alias("p"), y.alias("y"))
+    bins = scored.groupBy(
+        F.least(F.floor(F.col("p") / 100000), F.lit(9))
+        .cast("long")
+        .alias("bin")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("p").cast("decimal(38,0)")).alias("sp"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+    )
+    rel = bins.select(
+        "bin",
+        "n",
+        F.floor(F.col("sp").cast("double") / F.col("n") + 0.5)
+        .cast("long")
+        .alias("conf_micro"),
+        F.floor(F.col("sy").cast("double") / F.col("n") * 1e6 + 0.5)
+        .cast("long")
+        .alias("acc_micro"),
+    )
+    gap = F.abs(F.col("conf_micro") - F.col("acc_micro"))
+    wf = Window.partitionBy()
+    return rel.select(
+        "bin",
+        "n",
+        "conf_micro",
+        "acc_micro",
+        gap.alias("gap_micro"),
+        F.floor(
+            F.sum(F.col("n") * gap).over(wf).cast("double")
+            / F.sum("n").over(wf)
+            + 0.5
+        )
+        .cast("long")
+        .alias("ece_micro"),
+    ).orderBy("bin")

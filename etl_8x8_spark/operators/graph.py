@@ -849,3 +849,116 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_common") >= _CN_MIN_COMMON)
         .orderBy("supp_a", "supp_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# multi-source BFS layers (bounded rounds) — r12
+# ---------------------------------------------------------------------------
+
+_BFS_ROUNDS = 3
+
+_BFS_STAGE_SQL = """
+d{r} AS (
+  SELECT node, MIN(d) AS d FROM (
+    SELECT node, d FROM d{p}
+    UNION ALL
+    SELECT e.v AS node, p.d + 1 AS d
+    FROM d{p} p JOIN edges e ON e.u = p.node
+  ) GROUP BY node
+)"""
+
+_BFS_ORACLE = (
+    f"""
+WITH sp_all AS (
+  SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+),
+sp AS (
+  SELECT s, p FROM (
+    SELECT s, p, row_number() OVER (PARTITION BY p ORDER BY s) AS rk
+    FROM sp_all
+  ) WHERE rk <= {_CN_DEG_CAP}
+),
+edges AS (
+  SELECT DISTINCT a.s AS u, b.s AS v
+  FROM sp a JOIN sp b ON a.p = b.p AND a.s <> b.s
+),
+d0 AS (
+  SELECT s_suppkey AS node, CAST(0 AS BIGINT) AS d
+  FROM supplier WHERE s_nationkey % 5 = 0
+),"""
+    + ",".join(
+        _BFS_STAGE_SQL.format(r=r, p=r - 1)
+        for r in range(1, _BFS_ROUNDS + 1)
+    )
+    + f"""
+SELECT node AS supplier, d AS dist
+FROM d{_BFS_ROUNDS}
+ORDER BY supplier
+"""
+)
+
+
+@register("graph_bfs_layers", oracle=_BFS_ORACLE)
+def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the co-supply graph, {_BFS_ROUNDS} fixed
+    rounds: every supplier's hop distance to the NEAREST seed
+    supplier (seeds: every 5th nation's suppliers — non-empty at every
+    fixture SF) (distance <= {_BFS_ROUNDS}, unreached suppliers absent) —
+    the bounded-radius reachability feature (blast-radius /
+    influence-distance) that complements graph_label_propagation's
+    community labels with an explicit layer number. Min-distance is
+    traversal-order-free, so the result is deterministic without any
+    tie rule.
+
+    Plan: the hub-capped co-supply edge set (graph_common_neighbors'
+    _CN_DEG_CAP rank-window derivation — the self-join shuffles on the
+    SAME p key the cap windows on) builds ONCE, persisted
+    PRE-PARTITIONED on the source key (the LPA/pagerank relation-reuse
+    idiom) so each round's frontier join reads it shuffle-free; a
+    round is then one join + one min-agg where only the (node-sized)
+    distance relation exchanges. Bounded rounds keep it SQL-oracle-able
+    (unrolled CTEs) and latency-stable at 100 TB — the relaxation
+    re-propagates settled nodes (simpler than frontier-delta tracking
+    and identical in result; the per-round volume is nodes + edges
+    either way, and k is small).
+    """
+    sp_all = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    w_cap = Window.partitionBy("p").orderBy("s")
+    sp = (
+        sp_all.withColumn("rk", F.row_number().over(w_cap))
+        .filter(F.col("rk") <= _CN_DEG_CAP)
+        .drop("rk")
+    )
+    a, b = sp.alias("a"), sp.alias("b")
+    edges = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") != F.col("b.s")))
+        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .distinct()
+        .repartition(F.col("u"))
+        .persist()
+    )
+    dist = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") % 5 == 0)
+        .select(
+            F.col("s_suppkey").alias("node"),
+            F.lit(0).cast("long").alias("d"),
+        )
+    )
+    for _ in range(_BFS_ROUNDS):
+        contrib = dist.join(edges, dist["node"] == edges["u"]).select(
+            F.col("v").alias("node"), (F.col("d") + 1).alias("d")
+        )
+        dist = (
+            dist.select("node", "d")
+            .unionByName(contrib)
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+        )
+    return dist.select(
+        F.col("node").alias("supplier"), F.col("d").alias("dist")
+    ).orderBy("supplier")

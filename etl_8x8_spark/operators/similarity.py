@@ -1846,3 +1846,118 @@ def sim_search_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "vec_id", "hdist", "rank")
         .orderBy("q_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss sign projection + isometry audit — r12
+# ---------------------------------------------------------------------------
+
+_JL_D = 64  # input dimensionality (the embeddings fixture)
+_JL_M = 16  # output dimensionality; sqrt(16) = 4 is exact in binary
+
+# The projection matrix: dense ±1 signs from the Knuth-multiplicative
+# bit of the flattened index — generated HERE once so both engines
+# inline the identical literal rows (the text_quality_classifier
+# shipped-model idiom; a production pipeline broadcasts its trained /
+# seeded matrix the same way).
+_JL_SIGNS = [
+    [
+        1.0 if ((((i * _JL_M + j + 1) * 2654435761) % 2**32) >> 16) & 1
+        else -1.0
+        for i in range(_JL_D)
+    ]
+    for j in range(_JL_M)
+]
+
+
+def _jl_proj_sql(col: str) -> str:
+    """The 16 projected coordinates as a DuckDB list expression —
+    each a left-fold dot with one literal sign row, scaled by 1/4."""
+    outs = []
+    for j in range(_JL_M):
+        row = "[" + ", ".join(str(s) for s in _JL_SIGNS[j]) + "]"
+        outs.append(
+            f"list_reduce(list_transform(generate_series(1, {_JL_D}),"
+            f" i -> CAST({col}[i] AS DOUBLE) * ({row})[i]),"
+            f" (acc, v) -> acc + v) / 4"
+        )
+    return "[" + ",\n   ".join(outs) + "]"
+
+
+_JL_ORACLE = f"""
+WITH p AS (
+  SELECT vec_id,
+         {_jl_proj_sql("embedding")} AS proj,
+         {oracle_norm("embedding")} AS nf
+  FROM embeddings
+)
+SELECT vec_id,
+       list_transform(proj, x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT))
+         AS proj_micro,
+       CAST(floor({oracle_norm("proj")} / NULLIF(nf, 0) * 1e6 + 0.5)
+            AS BIGINT) AS norm_ratio_micro
+FROM p
+ORDER BY vec_id
+"""
+
+
+@register("embed_jl_project", oracle=_JL_ORACLE)
+def embed_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection {_JL_D} -> {_JL_M} dims
+    (dense ±1 sign matrix, 1/sqrt(M) scaling) with the per-row isometry
+    audit — the cheap dimensionality-reduction step a pipeline runs
+    before LSH bucketing or coarse clustering when even MRL truncation
+    (embed_mrl_truncate) loses too much: JL preserves norms and
+    pairwise distances within (1±eps) with no training at all. Output:
+    the projected vector (micro-quantized) and the norm ratio
+    ||proj|| / ||x|| — the quantity JL bounds around 1.
+
+    Determinism: the sign matrix is a plan literal (identical rows in
+    both engines); each coordinate is a fixed-order left fold of
+    double products (the vectors.py contract) scaled by the EXACT
+    binary constant 1/4 = 1/sqrt({_JL_M}); norms fold the projected
+    coordinates in the same order; quantization to micro happens once
+    per reported value. NULLIF guards the zero-vector row.
+
+    Scale: pure map — zero shuffles, zero UDFs; {_JL_M} folds of
+    {_JL_D} codegen'd multiply-adds per row runs at scan speed, and
+    the same plan holds for any (D, M) by swapping the literal for a
+    broadcast matrix column.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    sign_cols = [
+        F.array(*[F.lit(s) for s in _JL_SIGNS[j]]) for j in range(_JL_M)
+    ]
+    proj = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    sign_cols[j],
+                    lambda x, s: x.cast("double") * s,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            / F.lit(4.0)
+            for j in range(_JL_M)
+        ]
+    )
+    p = emb.select(
+        "vec_id",
+        proj.alias("proj"),
+        norm(F.col("embedding")).alias("nf"),
+    )
+    return p.select(
+        "vec_id",
+        F.transform(
+            F.col("proj"),
+            lambda x: F.floor(x * 1e6 + 0.5).cast("long"),
+        ).alias("proj_micro"),
+        F.floor(
+            norm(F.col("proj")) / F.nullif(F.col("nf"), F.lit(0.0)) * 1e6
+            + 0.5
+        )
+        .cast("long")
+        .alias("norm_ratio_micro"),
+    ).orderBy("vec_id")

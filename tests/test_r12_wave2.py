@@ -1,0 +1,236 @@
+"""Round-12 wave-2 tests: the five new operators (logistic GD, PCA
+power iteration, calibration bins, BFS layers, JL projection).
+
+Oracle hash parity is the driver's job; these pin the SEMANTICS the
+hash alone can't localize — a hand-built BFS graph, numpy twins for
+the linear algebra, closed-form round-1 GD facts, and the plan shapes
+the scale story depends on.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from etl_8x8_spark.registry import all_queries
+
+SF_DIR = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+class TestLogisticGd:
+    def test_round1_closed_form(self, spark):
+        """Entering round 1 the weights are zero, so the sigmoid is
+        exactly 0.5 everywhere: round-1 accuracy must equal the
+        negative-class share (s = 500000 is NOT > 500000, so every
+        prediction is 0), and the round-1 weight step must equal the
+        closed-form mean gradient of the 0.5-residuals."""
+        rows = {
+            r["round"]: r
+            for r in all_queries()["ml_logistic_regression_gd"]
+            .builder(spark, SF_DIR)
+            .collect()
+        }
+        con = duckdb.connect()
+        q = f"""
+        SELECT SUM(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END) AS neg,
+               COUNT(*) AS n,
+               SUM((500000 - (CASE WHEN l_returnflag = 'R' THEN 1000000
+                              ELSE 0 END))
+                   * CAST(COALESCE(l_quantity, 0) AS BIGINT)) AS gq,
+               SUM((500000 - (CASE WHEN l_returnflag = 'R' THEN 1000000
+                              ELSE 0 END))
+                   * CAST(floor(COALESCE(l_discount, 0) * 100 + 0.5)
+                          AS BIGINT)) AS gd,
+               SUM(500000 - (CASE WHEN l_returnflag = 'R' THEN 1000000
+                             ELSE 0 END)) AS g0
+        FROM '{SF_DIR}/lineitem.parquet'
+        """
+        neg, n, gq, gd, g0 = con.execute(q).fetchone()
+        r1 = rows[1]
+        assert r1["acc_micro"] == math.floor(neg / n * 1e6 + 0.5)
+        assert r1["wq_micro"] == -math.floor(gq / n / 1000 + 0.5)
+        assert r1["wd_micro"] == -math.floor(gd / n / 1000 + 0.5)
+        assert r1["bias_micro"] == -math.floor(g0 / n / 1000 + 0.5)
+
+    def test_three_rounds_single_fact_scan(self, spark):
+        df = all_queries()["ml_logistic_regression_gd"].builder(
+            spark, SF_DIR
+        )
+        assert [r["round"] for r in df.collect()] == [1, 2, 3]
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the level table is persisted: every GD round reads the
+        # InMemoryRelation, never re-scans the fact
+        assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+
+
+class TestPcaPowerIteration:
+    def test_matches_numpy_eigendecomposition(self, spark):
+        """Five rounds on this covariance (top/second eigenvalue ratio
+        ≈ 2000) are fully converged: the reported component must match
+        numpy's exact eigendecomposition within quantization."""
+        row = (
+            all_queries()["ml_pca_power_iteration"]
+            .builder(spark, SF_DIR)
+            .collect()[0]
+        )
+        con = duckdb.connect()
+        x = con.execute(
+            f"""
+            SELECT CAST(COALESCE(l_quantity, 0) AS BIGINT),
+                   CAST(floor(COALESCE(l_discount, 0) * 100 + 0.5)
+                        AS BIGINT),
+                   CAST(floor(COALESCE(l_tax, 0) * 100 + 0.5) AS BIGINT)
+            FROM '{SF_DIR}/lineitem.parquet'
+            """
+        ).fetchnumpy()
+        m = np.stack([x[k].astype(np.float64) for k in x])
+        cov = np.cov(m, bias=True)
+        evals, evecs = np.linalg.eigh(cov)
+        lam, v = evals[-1], evecs[:, -1]
+        if v[0] < 0:
+            v = -v
+        got_v = np.array(
+            [row["v1_micro"], row["v2_micro"], row["v3_micro"]], float
+        ) / 1e6
+        assert np.allclose(got_v, v, atol=5e-5)
+        assert abs(row["lambda_micro"] / 1e6 - lam) < 1e-3 * max(lam, 1)
+        trace = float(np.trace(cov))
+        assert abs(row["evr_micro"] / 1e6 - lam / trace) < 1e-4
+
+    def test_unit_vector_and_bounds(self, spark):
+        row = (
+            all_queries()["ml_pca_power_iteration"]
+            .builder(spark, SF_DIR)
+            .collect()[0]
+        )
+        nrm2 = sum(
+            (row[c] / 1e6) ** 2
+            for c in ("v1_micro", "v2_micro", "v3_micro")
+        )
+        assert abs(nrm2 - 1.0) < 5e-6  # unit up to micro quantization
+        assert 0 < row["evr_micro"] <= 1_000_001
+        assert row["v1_micro"] >= 0  # sign gate pins orientation
+
+
+class TestCalibrationBins:
+    def test_bins_consistent_and_ece_recomputes(self, spark):
+        rows = (
+            all_queries()["quality_calibration_bins"]
+            .builder(spark, SF_DIR)
+            .collect()
+        )
+        assert all(0 <= r["bin"] <= 9 for r in rows)
+        total = sum(r["n"] for r in rows)
+        con = duckdb.connect()
+        n_src = con.execute(
+            f"SELECT COUNT(*) FROM '{SF_DIR}/lineitem.parquet'"
+        ).fetchone()[0]
+        assert total == n_src
+        for r in rows:
+            # mean confidence must lie inside its own bin's range
+            lo, hi = r["bin"] * 100000, (r["bin"] + 1) * 100000
+            hi = 1_000_000 if r["bin"] == 9 else hi
+            assert lo <= r["conf_micro"] <= hi
+            assert r["gap_micro"] == abs(r["conf_micro"] - r["acc_micro"])
+        ece = math.floor(
+            sum(r["n"] * r["gap_micro"] for r in rows) / total + 0.5
+        )
+        assert all(r["ece_micro"] == ece for r in rows)
+
+
+class TestBfsLayers:
+    @pytest.fixture(scope="class")
+    def chain_sf(self, spark, tmp_path_factory):
+        """A hand-built path graph: suppliers 10-20-30-40 chained via
+        shared parts, supplier 50 isolated on its own part; only
+        supplier 10 is a seed (nationkey 0)."""
+        d = str(tmp_path_factory.mktemp("bfs_chain"))
+        spark.createDataFrame(
+            [(10, 0), (20, 1), (30, 1), (40, 1), (50, 1)],
+            "s_suppkey long, s_nationkey long",
+        ).write.parquet(os.path.join(d, "supplier.parquet"))
+        edges = [(10, 1), (20, 1), (20, 2), (30, 2), (30, 3), (40, 3),
+                 (50, 4)]
+        spark.createDataFrame(
+            edges, "l_suppkey long, l_partkey long"
+        ).write.parquet(os.path.join(d, "lineitem.parquet"))
+        return d
+
+    def test_hand_built_chain_distances(self, spark, chain_sf):
+        got = {
+            r["supplier"]: r["dist"]
+            for r in all_queries()["graph_bfs_layers"]
+            .builder(spark, chain_sf)
+            .collect()
+        }
+        # 3 rounds reach exactly depth 3; supplier 50 is disconnected
+        assert got == {10: 0, 20: 1, 30: 2, 40: 3}
+
+    def test_real_data_invariants(self, spark):
+        rows = (
+            all_queries()["graph_bfs_layers"].builder(spark, SF_DIR).collect()
+        )
+        con = duckdb.connect()
+        seeds = con.execute(
+            f"SELECT COUNT(*) FROM '{SF_DIR}/supplier.parquet' "
+            "WHERE s_nationkey % 5 = 0"
+        ).fetchone()[0]
+        got = {r["supplier"]: r["dist"] for r in rows}
+        assert sum(1 for d in got.values() if d == 0) == seeds
+        assert all(0 <= d <= 3 for d in got.values())
+
+
+class TestJlProject:
+    def test_matches_python_left_fold(self, spark):
+        """One row, recomputed in Python with the same sign matrix and
+        the same left-to-right fold order — micro values must match
+        EXACTLY (the cross-engine determinism contract)."""
+        from etl_8x8_spark.operators.similarity import _JL_M, _JL_SIGNS
+
+        row = (
+            all_queries()["embed_jl_project"]
+            .builder(spark, SF_DIR)
+            .limit(1)
+            .collect()[0]
+        )
+        con = duckdb.connect()
+        emb = con.execute(
+            f"SELECT embedding FROM '{SF_DIR}/embeddings.parquet' "
+            f"WHERE vec_id = {row['vec_id']}"
+        ).fetchone()[0]
+        proj = []
+        for j in range(_JL_M):
+            acc = 0.0
+            for i, x in enumerate(emb):
+                acc = acc + float(np.float32(x)) * _JL_SIGNS[j][i]
+            proj.append(acc / 4.0)
+        want = [math.floor(p * 1e6 + 0.5) for p in proj]
+        assert list(row["proj_micro"]) == want
+        nf = 0.0
+        for x in emb:
+            nf += float(np.float32(x)) * float(np.float32(x))
+        np_ratio = math.sqrt(sum(p * p for p in proj)) / math.sqrt(nf)
+        # fold-order differences put python within 1 micro, not exact
+        assert abs(row["norm_ratio_micro"] - np_ratio * 1e6) < 2
+
+    def test_zero_shuffle_map_plan(self, spark):
+        df = all_queries()["embed_jl_project"].builder(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # only the output orderBy exchanges; the projection is map-side
+        assert plan.count("Exchange") == 1
+
+    def test_isometry_band(self, spark):
+        rows = (
+            all_queries()["embed_jl_project"].builder(spark, SF_DIR).collect()
+        )
+        ratios = [r["norm_ratio_micro"] / 1e6 for r in rows]
+        # JL with M=16 preserves norms IN DISTRIBUTION; the clustered
+        # synthetic embeddings give individual rows heavy tails, so pin
+        # the loose per-row band and the tight mean, not the extremes
+        assert all(0.05 < r < 4.0 for r in ratios)
+        assert abs(float(np.mean(ratios)) - 1.0) < 0.15
