@@ -3730,3 +3730,108 @@ def agg_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         "path",
         F.col("n").cast("long").alias("n_sessions"),
     ).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# Haar wavelet decomposition of the daily revenue series — r12
+# ---------------------------------------------------------------------------
+
+_HAAR_LEVELS = 3
+
+_HAAR_STAGE_SQL = """
+l{r} AS (
+  SELECT pos // 2 AS pos,
+         CAST(SUM(val) AS BIGINT) AS val,
+         CAST(SUM(CASE WHEN pos % 2 = 0 THEN val ELSE -val END)
+              AS BIGINT) AS detail
+  FROM l{p} GROUP BY 1
+)"""
+
+_HAAR_ORACLE = (
+    """
+WITH l0 AS (
+  SELECT CAST(floor(epoch_us(CAST(o_orderdate AS TIMESTAMP))
+                    / 86400000000) AS BIGINT) AS pos,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS val
+  FROM orders GROUP BY 1
+),"""
+    + ",".join(
+        _HAAR_STAGE_SQL.format(r=r, p=r - 1)
+        for r in range(1, _HAAR_LEVELS + 1)
+    )
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS level, pos AS block,"
+        f" val AS approx_cents, detail AS detail_cents FROM l{r}"
+        for r in range(1, _HAAR_LEVELS + 1)
+    )
+    + """
+ORDER BY level, block
+"""
+)
+
+
+@register("agg_haar_wavelet", oracle=_HAAR_ORACLE)
+def agg_haar_wavelet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unnormalized Haar wavelet decomposition of the daily revenue
+    series, three levels: each level halves the resolution, keeping
+    per block the total (approximation coefficient) and the
+    first-half-minus-second-half difference (detail coefficient) —
+    the multi-resolution summary behind time-series compression,
+    change localization, and wavelet-domain similarity search (a
+    detail coefficient near zero marks a block safe to store at the
+    coarser resolution).
+
+    Exactness: revenue is integer CENTS from the first aggregate on;
+    the unnormalized transform needs only adds/subtracts (no /sqrt(2)
+    — normalization is a reader-side constant per level), so every
+    coefficient is an exact BIGINT in both engines and the decomposed
+    series reconstructs exactly.
+
+    Scale: the fact aggregates ONCE to the day grain (map-side
+    partial, the only exchange that sees data volume); each further
+    level is a groupBy over a relation that HALVES per round —
+    day-count-sized, not fact-sized, the agg_partial_reaggregate
+    cascade. A depth-K decomposition shuffles K tiny relations
+    regardless of corpus size.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    epoch_us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    cur = (
+        orders.groupBy(
+            F.floor(epoch_us / F.lit(86400 * 1_000_000))
+            .cast("long")
+            .alias("pos")
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).alias("val")
+        )
+    )
+    outs = []
+    for r in range(1, _HAAR_LEVELS + 1):
+        # group key aliased 'blk', NOT 'pos': an alias named like the
+        # child column would shadow the parity expression inside agg
+        nxt = cur.groupBy(F.expr("pos div 2").alias("blk")).agg(
+            F.sum("val").alias("val"),
+            F.sum(
+                F.when(F.col("pos") % 2 == 0, F.col("val")).otherwise(
+                    -F.col("val")
+                )
+            ).alias("detail"),
+        )
+        outs.append(
+            nxt.select(
+                F.lit(r).cast("long").alias("level"),
+                F.col("blk").alias("block"),
+                F.col("val").alias("approx_cents"),
+                F.col("detail").alias("detail_cents"),
+            )
+        )
+        cur = nxt.select(F.col("blk").alias("pos"), "val")
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("level", "block")

@@ -781,3 +781,141 @@ def fn_net(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(".0/24"),
         ).alias("subnet24"),
     )
+
+
+# ---------------------------------------------------------------------------
+# geo scalar family: haversine + geohash — r12
+# ---------------------------------------------------------------------------
+
+_GEO_ALPHA = "0123456789bcdefghjkmnpqrstuvwxyz"  # standard geohash base32
+_GEO_BITS = 15  # per-coordinate quantization bits -> 30-bit cell, 6 chars
+
+
+def _interleave_sql(lon_q: str, lat_q: str) -> str:
+    """30-bit geohash cell id: lon bits take the even (high-first)
+    positions, lat bits the odd — the geohash bit order. Unrolled
+    shift-mask sum, identical text for both engines."""
+    terms = []
+    for k in range(_GEO_BITS):  # k = 0 is the MOST significant bit
+        src_shift = _GEO_BITS - 1 - k
+        terms.append(
+            f"((({lon_q} >> {src_shift}) & 1) << {2 * (_GEO_BITS - 1 - k) + 1})"
+        )
+        terms.append(
+            f"((({lat_q} >> {src_shift}) & 1) << {2 * (_GEO_BITS - 1 - k)})"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _geohash_chars_sql(cell: str) -> str:
+    """Six base32 chars off the 30-bit cell, most significant first."""
+    parts = [
+        f"substr('{_GEO_ALPHA}', CAST((({cell}) >> {25 - 5 * i}) & 31 "
+        f"AS INT) + 1, 1)"
+        for i in range(6)
+    ]
+    return " || ".join(parts)
+
+
+_GEO_LAT_SQL = "(CAST(user_id % 18000 AS DOUBLE) / 100 - 90)"
+_GEO_LON_SQL = "(CAST(event_id % 36000 AS DOUBLE) / 100 - 180)"
+_GEO_LATQ_SQL = (
+    f"CAST(floor(({_GEO_LAT_SQL} + 90) / 180 * 32768) AS BIGINT)"
+)
+_GEO_LONQ_SQL = (
+    f"CAST(floor(({_GEO_LON_SQL} + 180) / 360 * 32768) AS BIGINT)"
+)
+
+_GEO_ORACLE = f"""
+WITH g AS (
+  SELECT event_id,
+         {_GEO_LAT_SQL} AS lat,
+         {_GEO_LON_SQL} AS lon,
+         LEAST({_GEO_LATQ_SQL}, 32767) AS lat_q,
+         LEAST({_GEO_LONQ_SQL}, 32767) AS lon_q
+  FROM events
+)
+SELECT event_id,
+       CAST(floor(lat * 1e6 + 0.5) AS BIGINT) AS lat_micro,
+       CAST(floor(lon * 1e6 + 0.5) AS BIGINT) AS lon_micro,
+       CAST(floor(
+         2 * 6371.0 * asin(sqrt(
+           sin(radians(lat) / 2) * sin(radians(lat) / 2)
+           + cos(radians(lat))
+             * sin(radians(lon) / 2) * sin(radians(lon) / 2)
+         )) * 1000 + 0.5) AS BIGINT) AS dist_m,
+       {_geohash_chars_sql(_interleave_sql("lon_q", "lat_q"))} AS geohash6
+FROM g
+ORDER BY event_id
+"""
+
+
+@register("fn_geo", oracle=_GEO_ORACLE)
+def fn_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo scalar family: haversine great-circle distance (km, to the
+    null island origin) and 6-character geohash encoding — the two
+    primitives behind geo rollups and join_grid_proximity-style
+    spatial bucketing. Coordinates derive deterministically from
+    event/user ids (the fn_net idiom — production parses real lat/lon
+    columns; the arithmetic under test is identical).
+
+    Determinism: the quantized 15-bit-per-axis cell id and its base32
+    render are pure integer shift/mask arithmetic (identical unrolled
+    expression text in both engines); the haversine goes through
+    sin/cos/asin once in a FIXED operation order and is floor-
+    quantized to METERS — at the ~2e7 m output magnitude a last-ULP
+    libm difference is ~5e-8 m, five orders under the bucket width,
+    where micro-quantization would sit within flip distance (the
+    magnitude-aware refinement of the exp/ln precedent). LEAST caps
+    the +90/+180 boundary into the top cell.
+
+    Scale: pure map-side projection — zero shuffles, zero UDFs; the
+    geohash is 30 codegen'd integer ops per row, which is why
+    pipelines geohash-bucket at scan speed before any spatial join.
+    """
+    events = load_table(spark, sf_dir, "events")
+    lat = (F.col("user_id") % 18000).cast("double") / 100 - 90
+    lon = (F.col("event_id") % 36000).cast("double") / 100 - 180
+    lat_q = F.least(
+        F.floor((lat + 90) / 180 * 32768).cast("long"), F.lit(32767)
+    )
+    lon_q = F.least(
+        F.floor((lon + 180) / 360 * 32768).cast("long"), F.lit(32767)
+    )
+    cell = F.lit(0).cast("long")
+    for k in range(_GEO_BITS):
+        src_shift = _GEO_BITS - 1 - k
+        cell = cell + F.shiftleft(
+            F.shiftright(lon_q, src_shift) % 2, 2 * (_GEO_BITS - 1 - k) + 1
+        )
+        cell = cell + F.shiftleft(
+            F.shiftright(lat_q, src_shift) % 2, 2 * (_GEO_BITS - 1 - k)
+        )
+    gh = F.concat(
+        *[
+            F.substring(
+                F.lit(_GEO_ALPHA),
+                (F.shiftright(cell, 25 - 5 * i) % 32).cast("int") + 1,
+                1,
+            )
+            for i in range(6)
+        ]
+    )
+    rlat, rlon = F.radians(lat), F.radians(lon)
+    hav = (
+        F.lit(2.0)
+        * F.lit(6371.0)
+        * F.asin(
+            F.sqrt(
+                F.sin(rlat / 2) * F.sin(rlat / 2)
+                + F.cos(rlat) * F.sin(rlon / 2) * F.sin(rlon / 2)
+            )
+        )
+    )
+    return events.select(
+        "event_id",
+        F.floor(lat * 1e6 + 0.5).cast("long").alias("lat_micro"),
+        F.floor(lon * 1e6 + 0.5).cast("long").alias("lon_micro"),
+        F.floor(hav * 1000 + 0.5).cast("long").alias("dist_m"),
+        gh.alias("geohash6"),
+    ).orderBy("event_id")

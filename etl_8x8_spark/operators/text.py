@@ -2602,3 +2602,119 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# composed curation capstone: the quality-gate funnel (r12)
+# --------------------------------------------------------------------------
+
+# funnel thresholds — integer cross-multiplied so every gate is exact
+_QG_MIN_TOK = 16
+_QG_MAX_TOK = 94
+_QG_WL_LO = 427  # mean word length lower bound, in hundredths
+_QG_WL_HI = 475  # upper bound
+
+_QGATE_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, {_TOKENS_SQL} AS toks FROM documents
+),
+m AS (
+  SELECT doc_id, lang,
+         len(toks) AS n_tok,
+         list_reduce(list_prepend(0, list_transform(toks, x -> len(x))),
+                     (a, b) -> a + b) AS n_chars,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform({_token_hashes_sql("toks")}, t ->
+               CAST({_QC_W_SQL}[
+                 CAST((t * {_PH_B_MUL}) % {_PH_B_MOD} % {_QC_K} AS INT) + 1
+               ] AS BIGINT))),
+           (acc, v) -> acc + v) AS z
+  FROM t
+),
+v AS (
+  SELECT lang, n_tok,
+         CASE
+           WHEN n_tok < {_QG_MIN_TOK} THEN 'too_short'
+           WHEN n_tok > {_QG_MAX_TOK} THEN 'too_long'
+           WHEN 100 * n_chars < {_QG_WL_LO} * n_tok
+             OR 100 * n_chars > {_QG_WL_HI} * n_tok THEN 'word_length'
+           WHEN z <= 0 THEN 'classifier'
+           ELSE 'keep'
+         END AS verdict
+  FROM m
+)
+SELECT lang, verdict,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+FROM v
+GROUP BY lang, verdict
+ORDER BY lang, verdict
+"""
+
+
+@register("pipeline_quality_gate", oracle=_QGATE_ORACLE)
+def pipeline_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation capstone #2 — the QUALITY FUNNEL: every doc
+    falls at its FIRST failing gate (too_short → too_long →
+    word_length → classifier) or survives as 'keep', and the report
+    is per (lang, verdict) doc/token attrition — the table a corpus
+    owner reads to see WHERE the pipeline loses data before touching
+    any threshold. Composes the registered gates in their production
+    order: structural Gopher-style bounds first (cheap, integer),
+    the hashed-model classifier (text_quality_classifier's exact
+    integer logit) only on structurally sound docs.
+
+    Exactness: every gate is integer arithmetic — token/char counts,
+    cross-multiplied mean-word-length bounds (100·chars vs 427·tok:
+    no division anywhere), and the classifier's exact BIGINT weight
+    sum. The CASE ladder makes the funnel attribution deterministic.
+
+    Scale: ZERO joins — tokenize, measure, gate, and attribute fuse
+    into one codegen'd projection over the corpus scan; the only
+    exchange is the final (lang × verdict ≤ dozens of rows) report
+    aggregate. Adding a gate to the funnel adds a WHEN branch, not a
+    pass.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens()
+    th = token_hashes(toks)
+    w_arr = F.array(*[F.lit(w).cast("long") for w in _QC_W_MICRO])
+    z = F.aggregate(
+        th,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.element_at(
+            w_arr,
+            ((t * _PH_B_MUL) % _PH_B_MOD % _QC_K).cast("int") + 1,
+        ),
+    )
+    n_chars = F.aggregate(
+        toks, F.lit(0), lambda a, x: a + F.length(x)
+    )
+    m = docs.select(
+        "lang",
+        F.size(toks).alias("n_tok"),
+        n_chars.alias("n_chars"),
+        z.alias("z"),
+    )
+    verdict = (
+        F.when(F.col("n_tok") < _QG_MIN_TOK, "too_short")
+        .when(F.col("n_tok") > _QG_MAX_TOK, "too_long")
+        .when(
+            (100 * F.col("n_chars") < _QG_WL_LO * F.col("n_tok"))
+            | (100 * F.col("n_chars") > _QG_WL_HI * F.col("n_tok")),
+            "word_length",
+        )
+        .when(F.col("z") <= 0, "classifier")
+        .otherwise("keep")
+    )
+    return (
+        m.select("lang", "n_tok", verdict.alias("verdict"))
+        .groupBy("lang", "verdict")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+        .orderBy("lang", "verdict")
+    )

@@ -1,9 +1,11 @@
-"""Round-12 wave-2 tests: the five new operators (logistic GD, PCA
-power iteration, calibration bins, BFS layers, JL projection).
+"""Round-12 wave-2/3/4 tests: the eight new operators (logistic GD,
+PCA power iteration, calibration bins, BFS layers, JL projection,
+geo scalars, Haar wavelet, and the quality-gate funnel capstone).
 
 Oracle hash parity is the driver's job; these pin the SEMANTICS the
 hash alone can't localize — a hand-built BFS graph, numpy twins for
-the linear algebra, closed-form round-1 GD facts, and the plan shapes
+the linear algebra, closed-form GD round-1 facts, an independent
+geohash encoder, Haar reconstruction identities, and the plan shapes
 the scale story depends on.
 """
 
@@ -234,3 +236,172 @@ class TestJlProject:
         # the loose per-row band and the tight mean, not the extremes
         assert all(0.05 < r < 4.0 for r in ratios)
         assert abs(float(np.mean(ratios)) - 1.0) < 0.15
+
+
+class TestFnGeo:
+    def test_geohash_matches_reference_encoder(self, spark):
+        """Recompute the 6-char geohash for 25 rows with an
+        independent textbook encoder (successive interval halving —
+        not the operator's shift/mask formulation)."""
+        rows = (
+            all_queries()["fn_geo"].builder(spark, SF_DIR).limit(25).collect()
+        )
+        alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+        def encode(lat, lon, nchars=6):
+            lat_i, lon_i = [-90.0, 90.0], [-180.0, 180.0]
+            bits, even, out = 0, True, ""
+            ch = 0
+            while len(out) < nchars:
+                if even:
+                    mid = (lon_i[0] + lon_i[1]) / 2
+                    if lon >= mid:
+                        ch = ch * 2 + 1
+                        lon_i[0] = mid
+                    else:
+                        ch = ch * 2
+                        lon_i[1] = mid
+                else:
+                    mid = (lat_i[0] + lat_i[1]) / 2
+                    if lat >= mid:
+                        ch = ch * 2 + 1
+                        lat_i[0] = mid
+                    else:
+                        ch = ch * 2
+                        lat_i[1] = mid
+                even = not even
+                bits += 1
+                if bits == 5:
+                    out += alpha[ch]
+                    bits, ch = 0, 0
+            return out
+
+        for r in rows:
+            lat = r["lat_micro"] / 1e6
+            lon = r["lon_micro"] / 1e6
+            assert r["geohash6"] == encode(lat, lon), r
+
+    def test_haversine_matches_python(self, spark):
+        rows = (
+            all_queries()["fn_geo"].builder(spark, SF_DIR).limit(50).collect()
+        )
+        for r in rows:
+            lat = math.radians(r["lat_micro"] / 1e6)
+            lon = math.radians(r["lon_micro"] / 1e6)
+            d = (
+                2
+                * 6371.0
+                * math.asin(
+                    math.sqrt(
+                        math.sin(lat / 2) ** 2
+                        + math.cos(lat) * math.sin(lon / 2) ** 2
+                    )
+                )
+            )
+            # python/JVM libm may differ in the last ulp; meters
+            # quantization leaves 5 orders of margin
+            assert abs(r["dist_m"] - d * 1000) <= 1
+
+    def test_pure_map_plan(self, spark):
+        df = all_queries()["fn_geo"].builder(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1  # only the output orderBy
+
+
+class TestHaarWavelet:
+    def test_reconstruction_against_daily_sums(self, spark):
+        """Level-1 coefficients must reconstruct the even/odd day
+        totals exactly: even = (approx+detail)/2, odd = (approx-detail)/2."""
+        rows = (
+            all_queries()["agg_haar_wavelet"].builder(spark, SF_DIR).collect()
+        )
+        lvl1 = {r["block"]: r for r in rows if r["level"] == 1}
+        con = duckdb.connect()
+        daily = dict(
+            con.execute(
+                f"""
+                SELECT CAST(floor(epoch_us(CAST(o_orderdate AS TIMESTAMP))
+                                  / 86400000000) AS BIGINT) AS d,
+                       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5)
+                                     AS BIGINT)) AS BIGINT)
+                FROM '{SF_DIR}/orders.parquet' GROUP BY 1
+                """
+            ).fetchall()
+        )
+        checked = 0
+        for blk, r in list(lvl1.items())[:200]:
+            even = daily.get(2 * blk, 0)
+            odd = daily.get(2 * blk + 1, 0)
+            assert (r["approx_cents"] + r["detail_cents"]) == 2 * even
+            assert (r["approx_cents"] - r["detail_cents"]) == 2 * odd
+            checked += 1
+        assert checked > 0
+
+    def test_levels_halve_and_approx_conserved(self, spark):
+        rows = (
+            all_queries()["agg_haar_wavelet"].builder(spark, SF_DIR).collect()
+        )
+        by_level = {}
+        for r in rows:
+            by_level.setdefault(r["level"], []).append(r)
+        assert sorted(by_level) == [1, 2, 3]
+        totals = {
+            k: sum(r["approx_cents"] for r in v) for k, v in by_level.items()
+        }
+        # total mass is conserved through every level
+        assert totals[1] == totals[2] == totals[3]
+        # sparse day gaps mean block counts need not strictly halve,
+        # but they can never grow
+        assert len(by_level[2]) <= len(by_level[1])
+        assert len(by_level[3]) <= len(by_level[2])
+
+
+class TestQualityGateFunnel:
+    def test_funnel_partition_and_first_fail_order(self, spark):
+        """The funnel must PARTITION the corpus (verdict doc counts
+        sum to the table size) and attribute each doc to its FIRST
+        failing gate — cross-checked by recomputing the stage counts
+        independently (sequential filters, not a CASE ladder)."""
+        rows = (
+            all_queries()["pipeline_quality_gate"]
+            .builder(spark, SF_DIR)
+            .collect()
+        )
+        got = {}
+        for r in rows:
+            got[r["verdict"]] = got.get(r["verdict"], 0) + r["n_docs"]
+        con = duckdb.connect()
+        toks = "string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')"
+        base = f"""
+        WITH m AS (
+          SELECT len({toks}) AS n_tok,
+                 list_reduce(list_prepend(0,
+                   list_transform({toks}, x -> len(x))), (a,b) -> a+b)
+                   AS n_chars
+          FROM '{SF_DIR}/documents.parquet'
+        )
+        SELECT
+          SUM(CASE WHEN n_tok < 16 THEN 1 ELSE 0 END),
+          SUM(CASE WHEN n_tok >= 16 AND n_tok > 94 THEN 1 ELSE 0 END),
+          SUM(CASE WHEN n_tok BETWEEN 16 AND 94
+                   AND (100*n_chars < 427*n_tok OR 100*n_chars > 475*n_tok)
+              THEN 1 ELSE 0 END),
+          COUNT(*)
+        FROM m
+        """
+        short, long_, wl, n = con.execute(base).fetchone()
+        assert sum(got.values()) == n
+        assert got.get("too_short", 0) == short
+        assert got.get("too_long", 0) == long_
+        assert got.get("word_length", 0) == wl
+        # classifier + keep take everything structurally sound
+        assert got.get("classifier", 0) + got.get("keep", 0) == (
+            n - short - long_ - wl
+        )
+
+    def test_single_scan_zero_join_plan(self, spark):
+        df = all_queries()["pipeline_quality_gate"].builder(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan
+        # report agg + output sort are the only exchanges
+        assert plan.count("Exchange") <= 3
