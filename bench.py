@@ -303,6 +303,22 @@ HEADLINE = [
     # shape not otherwise represented (~1.6 s sf0.1)
     "text_quality_classifier",
     "text_bpe_token_count",
+    # r12 wave-2/3 keys meeting the promotion rule (warm sf0.1 from
+    # the 100x audit run): bounded-round GD over a persisted level
+    # table (2.3 s), BFS layers over the hub-capped co-supply graph
+    # (2.3 s, iterative), power-sums + scalar power iteration (1.4 s),
+    # JL dense-fold projection (1.3 s), geohash/haversine map family
+    # (1.5 s), the halving reagg cascade (1.0 s), and the reliability-
+    # bin window (0.5 s)
+    "ml_logistic_regression_gd",
+    "graph_bfs_layers",
+    "ml_pca_power_iteration",
+    "embed_jl_project",
+    "fn_geo",
+    "agg_haar_wavelet",
+    "quality_calibration_bins",
+    # the wave-4 composed capstone (1.6 s sf0.1, 2.8x at 100x)
+    "pipeline_quality_gate",
 ]
 # HEADLINE is FROZEN as of r10 (r9 verdict item 8): it no longer grows
 # mechanically with the registry. Promotion rule (documented in
@@ -324,6 +340,9 @@ HEADLINE = [
 # sub-second operators stays in the audit lane of the full record.
 SCALE_DIAGNOSTIC = [
     # iterative / multi-job
+    "graph_bfs_layers",
+    "ml_logistic_regression_gd",
+    "ml_pca_power_iteration",
     "graph_pagerank_converged",
     "graph_pagerank_iter",
     "graph_label_propagation",
@@ -336,7 +355,10 @@ SCALE_DIAGNOSTIC = [
     "graph_triangle_count",
     "graph_common_neighbors",
     "graph_degree_distribution",
+    # composed pipelines
+    "pipeline_quality_gate",
     # dedup / ANN / embeddings (blocked-join families)
+    "embed_jl_project",
     "dedup_exact",
     "dedup_minhash_near",
     "dedup_containment",
