@@ -319,6 +319,8 @@ HEADLINE = [
     "quality_calibration_bins",
     # the wave-4 composed capstone (1.6 s sf0.1, 2.8x at 100x)
     "pipeline_quality_gate",
+    # wave-5: the closed-form trainer (1.4 s sf0.1, 3.1x at 100x)
+    "ml_ridge_closed_form",
 ]
 # HEADLINE is FROZEN as of r10 (r9 verdict item 8): it no longer grows
 # mechanically with the registry. Promotion rule (documented in
@@ -343,6 +345,7 @@ SCALE_DIAGNOSTIC = [
     "graph_bfs_layers",
     "ml_logistic_regression_gd",
     "ml_pca_power_iteration",
+    "ml_ridge_closed_form",
     "graph_pagerank_converged",
     "graph_pagerank_iter",
     "graph_label_propagation",

