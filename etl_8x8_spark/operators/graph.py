@@ -934,6 +934,12 @@ def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rk")
     )
     a, b = sp.alias("a"), sp.alias("b")
+    # single-pass symmetric build. A half-set (a.s < b.s) + mirror
+    # union was A/B'd on a warmed JVM: statistically identical
+    # (~6 s cold both at sf0.1 — ReusedExchange serves the mirror
+    # branch), so the direct form wins on simplicity. First-session
+    # runs of either look 2x worse (JIT, Lesson 48's measure-stages
+    # caveat applies to cold timings too).
     edges = (
         a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") != F.col("b.s")))
         .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))

@@ -912,10 +912,14 @@ def fn_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # no output orderBy: the driver's compare is order-insensitive,
+    # and sorting 100k wide rows costs a range exchange + sort the
+    # pure-map contract shouldn't pay (the oracle keeps ORDER BY for
+    # readable diffs only)
     return events.select(
         "event_id",
         F.floor(lat * 1e6 + 0.5).cast("long").alias("lat_micro"),
         F.floor(lon * 1e6 + 0.5).cast("long").alias("lon_micro"),
         F.floor(hav * 1000 + 0.5).cast("long").alias("dist_m"),
         gh.alias("geohash6"),
-    ).orderBy("event_id")
+    )

@@ -305,7 +305,7 @@ class TestFnGeo:
     def test_pure_map_plan(self, spark):
         df = all_queries()["fn_geo"].builder(spark, SF_DIR)
         plan = df._jdf.queryExecution().executedPlan().toString()
-        assert plan.count("Exchange") == 1  # only the output orderBy
+        assert plan.count("Exchange") == 0  # pure map, nothing moves
 
 
 class TestHaarWavelet:
