@@ -321,6 +321,8 @@ HEADLINE = [
     "pipeline_quality_gate",
     # wave-5: the closed-form trainer (1.4 s sf0.1, 3.1x at 100x)
     "ml_ridge_closed_form",
+    # wave-5: binary-modality near-dup (2.3 s sf0.1, 2.3x at 100x)
+    "multimodal_phash_dedup",
 ]
 # HEADLINE is FROZEN as of r10 (r9 verdict item 8): it no longer grows
 # mechanically with the registry. Promotion rule (documented in
@@ -361,6 +363,7 @@ SCALE_DIAGNOSTIC = [
     # composed pipelines
     "pipeline_quality_gate",
     # dedup / ANN / embeddings (blocked-join families)
+    "multimodal_phash_dedup",
     "embed_jl_project",
     "dedup_exact",
     "dedup_minhash_near",

@@ -26,7 +26,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -386,4 +386,185 @@ def multimodal_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
         F.col("length").alias("n_bytes"),
         F.sha2(F.col("content"), 256).alias("content_sha256"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash near-dup detection over binary payloads — r12
+# ---------------------------------------------------------------------------
+
+_PHASH_PREFIX = 60  # payload bytes fingerprinted (one bit per byte);
+# 60 keeps the Horner fold inside BIGINT (2^60 < 2^63) while leaving
+# the birthday-collision rate negligible at fleet row counts — a
+# 32-bit signature saturates (~1.6e8 spurious hamming<=3 pairs at
+# 500k docs); payloads shorter than 60 bytes are cycled (text twice)
+# so every fingerprint has full width
+_PHASH_BANDS = 4  # 15-bit bands: hamming <= 3 guarantees a shared band
+_PHASH_BAND_MOD = 32768  # 2^15
+_PHASH_MAX_HAM = 3
+# band-bucket cap (the _CN_DEG_CAP discipline): a mega-clique of
+# near-identical assets otherwise yields C(clique, 2) candidate pairs
+# per band — the 100x replica's same-length copy tags manufacture
+# 360-doc cliques and 22M pairs. Capped, per-bucket work is bounded
+# at C(128, 2) and total candidates are linear in docs; a dedup
+# pipeline recovers full cliques from the retained spanning pairs via
+# connected components (dedup_cluster_cc).
+_PHASH_BUCKET_CAP = 128
+
+
+_PHASH_ORACLE = f"""
+WITH pay AS (
+  SELECT doc_id, substring(text || text, 1, {_PHASH_PREFIX}) AS s
+  FROM documents
+),
+codes AS (
+  SELECT doc_id,
+         list_transform(string_split(s, ''), c -> ord(c)) AS cs
+  FROM pay
+),
+fp AS (
+  SELECT doc_id,
+         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(cs, c -> CASE WHEN len(cs) * c >
+             list_reduce(list_prepend(CAST(0 AS BIGINT), cs),
+                         (a, b) -> a + b)
+             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+           (acc, b) -> acc * 2 + b) AS BIGINT) AS fp
+  FROM codes
+),
+bands_all AS (
+  -- divisor cast to BIGINT FIRST: DuckDB's // with a DOUBLE operand
+  -- is true division (the fractional raw then rounds on CAST) — only
+  -- BIGINT // BIGINT floors exactly
+  SELECT doc_id, fp, k,
+         fp // CAST(power(2, 15 * k) AS BIGINT) % {_PHASH_BAND_MOD}
+           AS band
+  FROM fp, (SELECT unnest(generate_series(0, {_PHASH_BANDS - 1})) AS k)
+),
+bands AS (
+  SELECT doc_id, fp, k, band FROM (
+    SELECT *, row_number() OVER (PARTITION BY k, band ORDER BY doc_id)
+           AS rk
+    FROM bands_all
+  ) WHERE rk <= {_PHASH_BUCKET_CAP}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.fp AS fp_a, b.fp AS fp_b
+  FROM bands a JOIN bands b
+    ON a.k = b.k AND a.band = b.band AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(fp_a, fp_b)) <= {_PHASH_MAX_HAM}
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("multimodal_phash_dedup", oracle=_PHASH_ORACLE)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection over OPAQUE BINARY
+    payloads — the multimodal twin of dedup_simhash: fingerprint every
+    asset with a {_PHASH_PREFIX}-bit mean-threshold signature (one bit
+    per payload byte: above/below the payload's mean byte value — the
+    aHash algorithm with the byte stream standing in for decoded
+    pixels), pigeonhole-band into {_PHASH_BANDS} 8-bit bands, and
+    verify only band-sharing candidates by exact Hamming distance
+    (≤ {_PHASH_MAX_HAM} ⟹ some band identical — never all pairs).
+    The payload is the same deterministic text-prefix byte stream the
+    other multimodal stubs use (multimodal.py header); a real pipeline
+    swaps the byte source for decoded 8×8 luma and NOTHING else in
+    the plan changes.
+
+    Exactness: byte codes are integers; the above-mean bit uses the
+    cross-multiplied compare n·c > Σc (no division); the fingerprint
+    is a left-fold Horner accumulation (acc·2 + bit — exact BIGINT);
+    band extraction is exact integer div/mod; Hamming is
+    bit_count(xor) on BIGINT in both engines (the HUGEINT trap from
+    dedup_simhash's oracle avoided by construction).
+
+    Scale: the fingerprint is one two-stage map pass (see the inline
+    barrier note); the self-join shuffles on (band_idx, band_value) —
+    {_PHASH_BANDS}·N rows — and the rank-window bucket cap bounds
+    per-bucket candidates at C({_PHASH_BUCKET_CAP}, 2): total work is
+    linear in assets even when the corpus contains mega-cliques of
+    near-identical payloads (the 100× replica manufactures 360-doc
+    cliques; uncapped they yield 22M pairs — the cap keeps spanning
+    pairs per clique and connected components recovers full clusters,
+    the dedup_minhash_near/simhash blocking discipline applied to the
+    binary modality).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    s = F.substring(
+        F.concat(F.col("text"), F.col("text")), 1, _PHASH_PREFIX
+    )
+    # UNROLLED, not higher-order functions: a transform lambda that
+    # references the outer total aggregate re-derives it PER ELEMENT
+    # (LESSONS #4 — measured 5.2 s warm for 5000 rows). The payload is
+    # always exactly _PHASH_PREFIX bytes after cycling, so the loop
+    # unrolls into plain substr/ascii/sum expressions — BUT in one
+    # projection each of the 60 whens embeds the whole 60-term total
+    # subtree by value (3600 nodes: codegen bails, interpreted eval).
+    # The persist barrier materializes (s, total) so stage 2's bit-sum
+    # references them as plain attributes: small tree, codegen'd, and
+    # the band self-join's two sides read the cache instead of
+    # recomputing the fingerprint pass (LESSONS #5).
+    codes = [
+        F.ascii(F.substring(s, i + 1, 1)).cast("long")
+        for i in range(_PHASH_PREFIX)
+    ]
+    total = codes[0]
+    for c in codes[1:]:
+        total = total + c
+    pre = docs.select(
+        "doc_id", s.alias("s"), total.alias("total")
+    ).persist()
+    fp = F.lit(0).cast("long")
+    for i in range(_PHASH_PREFIX):
+        c = F.ascii(F.substring(F.col("s"), i + 1, 1)).cast("long")
+        fp = fp + F.when(
+            F.lit(_PHASH_PREFIX) * c > F.col("total"),
+            F.lit(1 << (_PHASH_PREFIX - 1 - i)).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+    fps = pre.select("doc_id", fp.alias("fp"))
+    bands_all = fps.select(
+        "doc_id",
+        "fp",
+        F.explode(F.sequence(F.lit(0), F.lit(_PHASH_BANDS - 1))).alias("k"),
+    ).withColumn(
+        "band",
+        F.expr("fp div CAST(pow(2, 15 * k) AS BIGINT)") % _PHASH_BAND_MOD,
+    )
+    w_cap = Window.partitionBy("k", "band").orderBy("doc_id")
+    bands = (
+        bands_all.withColumn("rk", F.row_number().over(w_cap))
+        .filter(F.col("rk") <= _PHASH_BUCKET_CAP)
+        .drop("rk")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        cand.filter(ham <= _PHASH_MAX_HAM)
+        .select(
+            "doc_a",
+            "doc_b",
+            ham.cast("long").alias("hamming"),
+        )
+        .orderBy("doc_a", "doc_b")
     )

@@ -59,8 +59,8 @@ _QUERY_MODULES = [
 # 50 keys of ``all_queries()`` per round. Keys listed here lead the
 # returned dict (in this order); all other keys follow in registration
 # order. Round-12 priority (r11 verdict item 4 + the r12 changes),
-# filling exactly the 50-slot window as 9 + 3 + 9 + 6 + 23:
-#   0. the 9 r12-wave-2/3/4/5 keys (newest — no driver evidence yet);
+# filling exactly the 50-slot window as 10 + 3 + 9 + 6 + 22:
+#   0. the 10 r12-wave-2/3/4/5 keys (newest — no driver evidence yet);
 #   1. the 3 r12-wave-1 keys (no driver evidence yet);
 #   2. the 9 keys whose implementation changed in r12 (theil_sen
 #      histogram-prune rework, cdc_stream_apply txn-log rebase,
@@ -69,18 +69,20 @@ _QUERY_MODULES = [
 #      window_mann_kendall so its HEADLINE promotion lands with a
 #      fresh correctness row);
 #   3. the 6 r5-vintage leftovers (the oldest evidence anywhere);
-#   4. the first 23 (alphabetical) of the 47-key r6 cohort — the
-#      remaining 24 (graph_pagerank_converged has its own bench row
-#      every round; graph_triangle_count, join_asof_nearest,
+#   4. the first 22 (alphabetical) of the 47-key r6 cohort — the
+#      remaining 25 (graph_degree_distribution and
+#      graph_pagerank_converged have their own bench rows every
+#      round; graph_triangle_count, join_asof_nearest,
 #      join_existence_mark,
 #      join_grid_proximity, join_interval_overlap, join_lateral_topk,
 #      join_null_safe, ml_feature_scaling, then
 #      ml_kmeans_converged .. window_vwap) roll to r13.
 # Target: after the r12 driver run no key's evidence is older than r6,
-# and the r6 tail is 24 keys. bench.py's HEADLINE order is independent
+# and the r6 tail is 25 keys. bench.py's HEADLINE order is independent
 # and unaffected.
 _SAMPLE_PRIORITY = [
     # new in r12 waves 2-5 — no driver evidence yet
+    "multimodal_phash_dedup",
     "ml_ridge_closed_form",
     "pipeline_quality_gate",
     "fn_geo",
@@ -111,7 +113,7 @@ _SAMPLE_PRIORITY = [
     "window_rsi",
     "window_seasonal_decompose",
     "window_time_weighted_avg",
-    # r6-vintage cohort, first 23 of 47 alphabetically (window cap)
+    # r6-vintage cohort, first 22 of 47 alphabetically (window cap)
     "agg_ab_test_ttest",
     "agg_audience_overlap",
     "agg_cohort_ltv",
@@ -134,7 +136,6 @@ _SAMPLE_PRIORITY = [
     "fn_struct",
     "fn_udtf_installments",
     "fn_variant",
-    "graph_degree_distribution",
 ]
 
 

@@ -452,3 +452,72 @@ class TestRidgeClosedForm:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Join" not in plan
         assert plan.count("Exchange") == 1  # the 32-partial-row agg
+
+
+class TestPhashDedup:
+    def test_fingerprint_matches_python(self, spark):
+        """Recompute 20 fingerprints in Python with the aHash spec
+        (mean-threshold bit per byte of the cycled 60-char prefix,
+        Horner fold) — exact match required."""
+        from etl_8x8_spark.operators.multimodal import _PHASH_PREFIX
+        from etl_8x8_spark.sources.readers import load_table
+
+        docs = (
+            load_table(spark, SF_DIR, "documents")
+            .select("doc_id", "text")
+            .limit(20)
+            .collect()
+        )
+        def fp_of(text):
+            s = (text + text)[:_PHASH_PREFIX]
+            cs = [ord(c) for c in s]
+            tot, n = sum(cs), len(cs)
+            fp = 0
+            for c in cs:
+                fp = fp * 2 + (1 if n * c > tot else 0)
+            return fp
+
+        fps = {r["doc_id"]: fp_of(r["text"]) for r in docs}
+        # every reported pair's hamming must equal the python
+        # fingerprints' xor popcount (for pairs within the sample)
+        rows = (
+            all_queries()["multimodal_phash_dedup"]
+            .builder(spark, SF_DIR)
+            .collect()
+        )
+        checked = 0
+        for r in rows:
+            if r["doc_a"] in fps and r["doc_b"] in fps:
+                want = bin(fps[r["doc_a"]] ^ fps[r["doc_b"]]).count("1")
+                assert r["hamming"] == want
+                checked += 1
+        # the pair list itself must satisfy the threshold contract
+        assert all(0 <= r["hamming"] <= 3 for r in rows)
+        assert all(r["doc_a"] < r["doc_b"] for r in rows)
+
+    def test_near_dup_pairs_exist_and_band_recall(self, spark):
+        """The corpus has exact 60-prefix duplicates: they must appear
+        as hamming-0 pairs (band recall is exact for hamming <= 3 by
+        pigeonhole over 4 bands)."""
+        from etl_8x8_spark.operators.multimodal import _PHASH_PREFIX
+
+        rows = (
+            all_queries()["multimodal_phash_dedup"]
+            .builder(spark, SF_DIR)
+            .collect()
+        )
+        con = duckdb.connect()
+        dup_pairs = con.execute(
+            f"""
+            WITH p AS (
+              SELECT doc_id,
+                     substring(text || text, 1, {_PHASH_PREFIX}) AS pre
+              FROM '{SF_DIR}/documents.parquet'
+            )
+            SELECT COUNT(*) FROM p a JOIN p b
+            ON a.pre = b.pre AND a.doc_id < b.doc_id
+            """
+        ).fetchone()[0]
+        zero_ham = sum(1 for r in rows if r["hamming"] == 0)
+        # identical prefixes => identical fingerprints => hamming 0
+        assert zero_ham >= dup_pairs
