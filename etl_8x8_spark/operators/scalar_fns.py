@@ -641,12 +641,13 @@ def fn_udtf_installments(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView(
         "orders_for_udtf"
     )
+    # no terminal ORDER BY (LESSONS #51): the gate is order-insensitive
+    # and the sort paid a range exchange over the exploded relation.
     return spark.sql(
         """
         SELECT o.o_orderkey, t.seq, t.n_inst, t.amount_cents
         FROM orders_for_udtf o,
              LATERAL installments(o.o_orderkey, o.o_totalprice) t
-        ORDER BY o.o_orderkey, t.seq
         """
     )
 
@@ -696,6 +697,9 @@ def fn_installments_codegen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: explode is pipelined inside the scan stage — no shuffle,
     no Python workers, output rows never materialize outside codegen.
+    No terminal orderBy (LESSONS #51): the correctness gate is
+    order-insensitive, and the sort cost a range exchange + full sort
+    over the exploded (3x) relation for nothing.
     """
     orders = load_table(spark, sf_dir, "orders")
     cents = F.floor(F.col("o_totalprice") * 1e2 + 0.5).cast("long")
@@ -719,7 +723,7 @@ def fn_installments_codegen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("seq").cast("int").alias("seq"),
         F.col("n_inst").cast("int").alias("n_inst"),
         F.when(F.col("seq") == 1, per).otherwise(rest).alias("amount_cents"),
-    ).orderBy("o_orderkey", "seq")
+    )
 
 
 @register(

@@ -1892,8 +1892,9 @@ WITH p AS (
   FROM embeddings
 )
 SELECT vec_id,
-       list_transform(proj, x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT))
-         AS proj_micro,
+       array_to_string(
+         list_transform(proj, x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)),
+         ',') AS proj_micro,
        CAST(floor({oracle_norm("proj")} / NULLIF(nf, 0) * 1e6 + 0.5)
             AS BIGINT) AS norm_ratio_micro
 FROM p
@@ -1917,7 +1918,10 @@ def embed_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     double products (the vectors.py contract) scaled by the EXACT
     binary constant 1/4 = 1/sqrt({_JL_M}); norms fold the projected
     coordinates in the same order; quantization to micro happens once
-    per reported value. NULLIF guards the zero-vector row.
+    per reported value. NULLIF guards the zero-vector row. The
+    projected vector is emitted as a comma-joined STRING (not an
+    array) so every output column is a scalar the driver's pandas
+    canonicalizer can sort and hash.
 
     Scale: pure map — zero shuffles, zero UDFs; {_JL_M} folds of
     {_JL_D} codegen'd multiply-adds per row runs at scan speed, and
@@ -1950,9 +1954,12 @@ def embed_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return p.select(
         "vec_id",
-        F.transform(
-            F.col("proj"),
-            lambda x: F.floor(x * 1e6 + 0.5).cast("long"),
+        F.array_join(
+            F.transform(
+                F.col("proj"),
+                lambda x: F.floor(x * 1e6 + 0.5).cast("long"),
+            ),
+            ",",
         ).alias("proj_micro"),
         F.floor(
             norm(F.col("proj")) / F.nullif(F.col("nf"), F.lit(0.0)) * 1e6
@@ -1960,4 +1967,4 @@ def embed_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("norm_ratio_micro"),
-    ).orderBy("vec_id")
+    )

@@ -52,6 +52,23 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.iloc[key.argsort(kind="mergesort").values].reset_index(drop=True)
 
 
+def _driver_canon_lint(df: pd.DataFrame) -> str | None:
+    """Replica of the driver's canonicalizer constraint: the driver
+    pandas-``sort_values``/hashes RAW cells with no list-stringify
+    fallback, so any list/ndarray/dict cell kills the key with
+    ``TypeError: unhashable type`` (the embed_jl_project r12 failure).
+    Returns the offending column name, or None if all cells are
+    driver-safe scalars."""
+    for c in df.columns:
+        s = df[c]
+        if s.dtype != object:
+            continue
+        for v in s.head(200):
+            if isinstance(v, (list, np.ndarray, dict, tuple, set)):
+                return c
+    return None
+
+
 def _canon_cell(v):
     if isinstance(v, (list, np.ndarray)):
         return "[" + ",".join(str(_canon_cell(x)) for x in v) + "]"
@@ -144,6 +161,14 @@ def main() -> int:
             # release persist barriers (dedup/similarity) so cached
             # blocks don't accumulate across the 124-query session
             spark.catalog.clearCache()
+        bad_col = _driver_canon_lint(sdf)
+        if bad_col is not None:
+            print(
+                f"{name:32s} NON-SCALAR col={bad_col} — driver canonicalizer "
+                f"would die (unhashable cell); emit scalars only"
+            )
+            n_fail += 1
+            continue
         if name not in oracles:
             print(f"{name:32s} rows-only rows={len(sdf)} ({time.time()-t0:.1f}s)")
             n_rows_only += 1
