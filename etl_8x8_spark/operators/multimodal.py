@@ -412,9 +412,29 @@ _PHASH_MAX_HAM = 3
 _PHASH_BUCKET_CAP = 128
 
 
+def phash_payload(text: "F.Column") -> "F.Column":
+    """The fingerprint byte stream: the text cycled to EXACTLY
+    ``_PHASH_PREFIX`` chars (mirrors the oracle's ``pay`` CTE).
+    repeat-to-width, not text||text — doubling only reaches width when
+    len(text) >= width/2, so a short-text corpus would otherwise
+    fingerprint at a different width than the oracle. NULLIF guards
+    empty/NULL text (repeat('') is '' at any count)."""
+    base = F.coalesce(F.nullif(text, F.lit("")), F.lit(" "))
+    reps = F.ceil(F.lit(float(_PHASH_PREFIX)) / F.length(base)).cast("int")
+    return F.substring(F.repeat(base, reps), 1, _PHASH_PREFIX)
+
+
 _PHASH_ORACLE = f"""
 WITH pay AS (
-  SELECT doc_id, substring(text || text, 1, {_PHASH_PREFIX}) AS s
+  -- repeat-to-width, not text||text: doubling only reaches
+  -- {_PHASH_PREFIX} chars when len(text) >= {_PHASH_PREFIX}//2, so a
+  -- short-text corpus would fingerprint at a different width than the
+  -- engine. NULLIF guards empty text (repeat('') is '' at any count).
+  SELECT doc_id,
+         substring(repeat(COALESCE(NULLIF(text, ''), ' '),
+           CAST(ceil({_PHASH_PREFIX}.0 /
+                len(COALESCE(NULLIF(text, ''), ' '))) AS INT)),
+           1, {_PHASH_PREFIX}) AS s
   FROM documents
 ),
 codes AS (
@@ -469,9 +489,12 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     asset with a {_PHASH_PREFIX}-bit mean-threshold signature (one bit
     per payload byte: above/below the payload's mean byte value — the
     aHash algorithm with the byte stream standing in for decoded
-    pixels), pigeonhole-band into {_PHASH_BANDS} 8-bit bands, and
+    pixels), pigeonhole-band into {_PHASH_BANDS} 15-bit bands, and
     verify only band-sharing candidates by exact Hamming distance
-    (≤ {_PHASH_MAX_HAM} ⟹ some band identical — never all pairs).
+    (pre-cap, hamming ≤ {_PHASH_MAX_HAM} ⟹ some band identical —
+    never all pairs; the {_PHASH_BUCKET_CAP}-doc bucket cap truncates
+    that recall guarantee inside mega-cliques, where the retained
+    spanning pairs + connected components recover full clusters).
     The payload is the same deterministic text-prefix byte stream the
     other multimodal stubs use (multimodal.py header); a real pipeline
     swaps the byte source for decoded 8×8 luma and NOTHING else in
@@ -496,9 +519,7 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary modality).
     """
     docs = load_table(spark, sf_dir, "documents")
-    s = F.substring(
-        F.concat(F.col("text"), F.col("text")), 1, _PHASH_PREFIX
-    )
+    s = phash_payload(F.col("text"))
     # UNROLLED, not higher-order functions: a transform lambda that
     # references the outer total aggregate re-derives it PER ELEMENT
     # (LESSONS #4 — measured 5.2 s warm for 5000 rows). The payload is

@@ -53,6 +53,37 @@ class TestDriverCanonLint:
         )
 
 
+class TestPhashPayloadWidth:
+    def test_payload_is_exact_width_for_any_text_length(self, spark):
+        """The r12 advice item: text||text only reaches the 60-char
+        fingerprint width when len(text) >= 30. The repeat-to-width
+        payload must be exactly _PHASH_PREFIX chars for 1-char, short,
+        boundary, long, empty and NULL texts — and cycle the text (not
+        pad with a constant), so the fingerprint still reflects
+        payload content."""
+        from pyspark.sql import functions as F
+
+        from etl_8x8_spark.operators.multimodal import (
+            _PHASH_PREFIX,
+            phash_payload,
+        )
+
+        rows = [("a",), ("xyz",), ("m" * 29,), ("n" * 30,), ("q" * 200,),
+                ("",), (None,)]
+        df = spark.createDataFrame(rows, ["text"])
+        out = df.select(
+            "text", phash_payload(F.col("text")).alias("s")
+        ).collect()
+        for r in out:
+            assert len(r["s"]) == _PHASH_PREFIX, r
+        by_text = {r["text"]: r["s"] for r in out}
+        assert by_text["xyz"] == ("xyz" * 20)
+        assert by_text["a"] == "a" * _PHASH_PREFIX
+        assert by_text[""] == " " * _PHASH_PREFIX
+        assert by_text[None] == " " * _PHASH_PREFIX
+        assert by_text["q" * 200] == "q" * _PHASH_PREFIX
+
+
 class TestEmbedJlProjectScalar:
     def test_proj_micro_is_string_and_roundtrips(self, spark, sf_dir):
         """The r12 red cell: proj_micro must now be a comma-joined
