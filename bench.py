@@ -323,6 +323,13 @@ HEADLINE = [
     "ml_ridge_closed_form",
     # wave-5: binary-modality near-dup (2.3 s sf0.1, 2.3x at 100x)
     "multimodal_phash_dedup",
+    # r13: copy-on-write MERGE on the txn log (0.5 s sf0.1; new
+    # shape — stats-pruned file rewrite + atomic commit + schema-merge
+    # read)
+    "sink_txn_log_merge",
+    # r13: persisted-index substring-span probe (0.6 s sf0.1; new
+    # shape — asymmetric probe of a cross-run scratch index)
+    "dedup_incremental_substring",
 ]
 # HEADLINE is FROZEN as of r10 (r9 verdict item 8): it no longer grows
 # mechanically with the registry. Promotion rule (documented in
@@ -372,6 +379,7 @@ SCALE_DIAGNOSTIC = [
     "dedup_substring_span",
     "dedup_substring_scrub",
     "dedup_incremental_minhash",
+    "dedup_incremental_substring",
     "dedup_url_canonical",
     "pipeline_dedup_cascade",
     "sim_search_topk",

@@ -2171,3 +2171,221 @@ def sample_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental substring-span dedup: probe a persisted shingle index (r13)
+# ---------------------------------------------------------------------------
+
+_INC_SPAN_OFFSET = 5_000_000  # batch docs sharing a 20-token interior
+_INC_SPAN_NOVEL_OFFSET = 6_000_000  # batch docs sharing NO index shingle
+
+_INC_SPAN_BATCH_SQL = f"""
+  SELECT doc_id + {_INC_SPAN_OFFSET} AS doc_id,
+         'fresh intro one two three '
+         || array_to_string(({_TOKENS_SQL})[5:24], ' ')
+         || ' fresh outro seven eight' AS text
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + {_INC_SPAN_NOVEL_OFFSET} AS doc_id,
+         array_to_string(list_transform(string_split(text, ' '),
+                                        w -> w || '_nv'), ' ') AS text
+  FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+def _inc_span_batch(docs: DataFrame) -> DataFrame:
+    """Today's ingest against the standing corpus: docs that embed a
+    20-token interior copied from an index doc (unique filler around
+    it — the span family's planted shape), plus novel docs whose every
+    token is suffixed so no K-shingle can match the index."""
+    overlap = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + _INC_SPAN_OFFSET).alias("doc_id"),
+        F.concat(
+            F.lit("fresh intro one two three "),
+            F.array_join(F.slice(tokens(), 5, 20), " "),
+            F.lit(" fresh outro seven eight"),
+        ).alias("text"),
+    )
+    novel = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + _INC_SPAN_NOVEL_OFFSET).alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda w: F.concat(w, F.lit("_nv")),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    return overlap.unionByName(novel)
+
+
+@register(
+    "dedup_incremental_substring",
+    oracle=f"""
+WITH idx_toks AS (
+  SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents
+),
+idx_sh AS (
+  SELECT DISTINCT array_to_string(tk[pos:pos+{_SPAN_K - 1}], ' ') AS s
+  FROM (
+    SELECT tk, unnest(generate_series(1, len(tk) - {_SPAN_K - 1})) AS pos
+    FROM idx_toks WHERE len(tk) >= {_SPAN_K}
+  )
+),
+batch AS ({_INC_SPAN_BATCH_SQL}),
+btoks AS (
+  SELECT doc_id, {_TOKENS_SQL} AS tk FROM batch
+),
+bsh AS (
+  SELECT doc_id, pos, array_to_string(tk[pos:pos+{_SPAN_K - 1}], ' ') AS s
+  FROM (
+    SELECT doc_id, tk,
+           unnest(generate_series(1, len(tk) - {_SPAN_K - 1})) AS pos
+    FROM btoks WHERE len(tk) >= {_SPAN_K}
+  )
+),
+marks AS (
+  SELECT b.doc_id, b.pos FROM bsh b JOIN idx_sh i ON i.s = b.s
+),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev IS NULL OR pos - prev > {_SPAN_K}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM (
+    SELECT doc_id, pos,
+           LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+    FROM marks
+  )
+),
+spans AS (
+  SELECT doc_id, island,
+         MAX(pos) - MIN(pos) + {_SPAN_K} AS span_tokens
+  FROM isl GROUP BY doc_id, island
+),
+per_doc AS (
+  SELECT doc_id,
+         COUNT(*) AS n_spans,
+         SUM(span_tokens) AS dup_tokens,
+         MAX(span_tokens) AS max_span_tokens
+  FROM spans GROUP BY doc_id
+)
+SELECT b.doc_id AS batch_doc_id,
+       CASE WHEN p.n_spans IS NOT NULL THEN 'overlap' ELSE 'novel' END
+         AS verdict,
+       CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(COALESCE(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CAST(COALESCE(p.max_span_tokens, 0) AS BIGINT) AS max_span_tokens
+FROM batch b LEFT JOIN per_doc p ON p.doc_id = b.doc_id
+""",
+)
+def dedup_incremental_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL substring-span dedup — the cross-run sibling of
+    ``dedup_substring_span`` the way ``dedup_incremental_minhash`` is
+    the cross-run sibling of ``dedup_minhash_near``: the standing
+    corpus' positional K-token shingles are DISTINCT-ed once and
+    PERSISTED as a scratch parquet index (mtime-keyed, rebuilt only
+    when the source fixture changes); each day's batch probes that
+    index with an asymmetric join — batch shingles never self-join,
+    and the index is never recomputed. Per batch doc: an
+    'overlap'/'novel' verdict plus the span statistics
+    (count / duplicated tokens / longest span) a curation pipeline
+    uses to cut the copied interval or drop the doc before it enters
+    the corpus.
+
+    The planted batch: docs embedding a 20-token interior copied from
+    an index doc inside unique filler (found: interior span, ~13
+    marked positions merging into one island), and novel docs whose
+    every token is suffixed (no K-shingle can match — exercise the
+    'novel' path end-to-end).
+
+    Scale (100 TB): the index is the daily artifact that makes
+    substring dedup O(batch): ~1 row per corpus token ONCE, stored
+    sorted/bucketed on the shingle key so the probe is a co-located
+    join with no index-side shuffle; daily work is batch shingling +
+    one bucket join + a per-doc window bounded by document length. At
+    production scale the stored key becomes ``xxhash64(shingle)``
+    (8 bytes/row; collision odds 2^-64 per pair) — kept as the raw
+    string here so the DuckDB oracle is bit-exact.
+    """
+    import os
+
+    from etl_8x8_spark.sources.readers import scratch_dir
+    from etl_8x8_spark.sources.scans import _src_tag
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx_path = os.path.join(
+        scratch_dir(), f"substr_sh_index_{_src_tag(sf_dir, 'documents')}"
+    )
+    if not os.path.exists(os.path.join(idx_path, "_SUCCESS")):
+        tk = tokens()
+        (
+            docs.select("doc_id", tk.alias("tk"))
+            .filter(F.size("tk") >= _SPAN_K)
+            .select(
+                F.explode(
+                    positional_shingles(F.col("tk"), _SPAN_K)
+                ).alias("s")
+            )
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(idx_path)
+        )
+    index = spark.read.parquet(idx_path)
+
+    batch = _inc_span_batch(docs)
+    btk = batch.select("doc_id", tokens().alias("tk")).filter(
+        F.size("tk") >= _SPAN_K
+    )
+    bsh = btk.select(
+        "doc_id",
+        F.posexplode(positional_shingles(F.col("tk"), _SPAN_K)).alias(
+            "pos0", "s"
+        ),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "s")
+    # inner join, not left_semi: the index is DISTINCT by construction
+    # so no mark can duplicate, and the probe stays a plain hash join
+    marks = bsh.join(index, "s").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = marks.withColumn("prev", F.lag("pos").over(w)).withColumn(
+        "island",
+        F.sum(
+            F.when(
+                F.col("prev").isNull()
+                | (F.col("pos") - F.col("prev") > _SPAN_K),
+                1,
+            ).otherwise(0)
+        ).over(w),
+    )
+    spans = isl.groupBy("doc_id", "island").agg(
+        (F.max("pos") - F.min("pos") + _SPAN_K).alias("span_tokens")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum("span_tokens").alias("dup_tokens"),
+        F.max("span_tokens").alias("max_span_tokens"),
+    )
+    return (
+        batch.select(F.col("doc_id").alias("batch_doc_id"))
+        .join(
+            per_doc,
+            F.col("batch_doc_id") == F.col("doc_id"),
+            "left",
+        )
+        .select(
+            "batch_doc_id",
+            F.when(F.col("n_spans").isNotNull(), F.lit("overlap"))
+            .otherwise(F.lit("novel"))
+            .alias("verdict"),
+            F.coalesce(F.col("n_spans"), F.lit(0))
+            .cast("long")
+            .alias("n_spans"),
+            F.coalesce(F.col("dup_tokens"), F.lit(0))
+            .cast("long")
+            .alias("dup_tokens"),
+            F.coalesce(F.col("max_span_tokens"), F.lit(0))
+            .cast("long")
+            .alias("max_span_tokens"),
+        )
+    )

@@ -58,84 +58,77 @@ _QUERY_MODULES = [
 # ORDER MATTERS for driver sampling: the driver evaluates only the first
 # 50 keys of ``all_queries()`` per round. Keys listed here lead the
 # returned dict (in this order); all other keys follow in registration
-# order. Round-12 priority (r11 verdict item 4 + the r12 changes),
-# filling exactly the 50-slot window as 10 + 3 + 9 + 6 + 22:
-#   0. the 10 r12-wave-2/3/4/5 keys (newest — no driver evidence yet);
-#   1. the 3 r12-wave-1 keys (no driver evidence yet);
-#   2. the 9 keys whose implementation changed in r12 (theil_sen
-#      histogram-prune rework, cdc_stream_apply txn-log rebase,
-#      agg_mutual_information/fn_net parity fixes, graph_k_core
-#      cache fix, the 3 mtime-keyed scratch ops, and
-#      window_mann_kendall so its HEADLINE promotion lands with a
-#      fresh correctness row);
-#   3. the 6 r5-vintage leftovers (the oldest evidence anywhere);
-#   4. the first 22 (alphabetical) of the 47-key r6 cohort — the
-#      remaining 25 (graph_degree_distribution and
-#      graph_pagerank_converged have their own bench rows every
-#      round; graph_triangle_count, join_asof_nearest,
-#      join_existence_mark,
-#      join_grid_proximity, join_interval_overlap, join_lateral_topk,
-#      join_null_safe, ml_feature_scaling, then
-#      ml_kmeans_converged .. window_vwap) roll to r13.
-# Target: after the r12 driver run no key's evidence is older than r6,
-# and the r6 tail is 25 keys. bench.py's HEADLINE order is independent
-# and unaffected.
+# order. Round-13 priority (r12 verdict item 5 + the r13 changes),
+# filling exactly the 50-slot window as 2 + 5 + 24 + 19:
+#   0. the 2 r13-new keys (sink_txn_log_merge,
+#      dedup_incremental_substring — no driver evidence yet);
+#   1. the 5 keys whose implementation changed in r13
+#      (embed_jl_project scalar output, multimodal_phash_dedup
+#      repeat-to-width payload, fn_installments_codegen /
+#      fn_udtf_installments terminal-sort drops,
+#      graph_pagerank_converged degree fold);
+#   2. the full 25-key r6-vintage cohort (pagerank is r6-vintage too
+#      but rides slot 1) — after r13 the r6 tail is ZERO;
+#   3. the first 19 (alphabetical) of the 49-key r7 cohort
+#      (fn_installments_codegen is r7-vintage and rides slot 1; the
+#      remaining 29 r7 keys roll to r14).
+# Target: after the r13 driver run no key's evidence is older than r7.
+# bench.py's HEADLINE order is independent and unaffected.
 _SAMPLE_PRIORITY = [
-    # new in r12 waves 2-5 — no driver evidence yet
-    "multimodal_phash_dedup",
-    "ml_ridge_closed_form",
-    "pipeline_quality_gate",
-    "fn_geo",
-    "agg_haar_wavelet",
-    "ml_logistic_regression_gd",
-    "ml_pca_power_iteration",
-    "quality_calibration_bins",
-    "graph_bfs_layers",
+    # new in r13 — no driver evidence yet
+    "sink_txn_log_merge",
+    "dedup_incremental_substring",
+    # implementation changed in r13 — previous rows are stale evidence
     "embed_jl_project",
-    # new in r12 wave 1 — no driver evidence yet
-    "text_quality_classifier",
-    "text_bpe_token_count",
-    "scan_txn_log_time_travel",
-    # implementation changed in r12 — previous rows are stale evidence
-    "window_theil_sen",
-    "window_mann_kendall",
-    "cdc_stream_apply",
-    "agg_mutual_information",
-    "fn_net",
-    "graph_k_core",
-    "scan_csv_quarantine",
-    "sink_manifest_stats",
-    "sink_txn_log_commit",
-    # r5-vintage evidence (the last 6; after this round r5 tail = 0)
-    "window_pct_change",
-    "window_rank_change",
-    "window_rolling_corr",
-    "window_rsi",
-    "window_seasonal_decompose",
-    "window_time_weighted_avg",
-    # r6-vintage cohort, first 22 of 47 alphabetically (window cap)
-    "agg_ab_test_ttest",
-    "agg_audience_overlap",
-    "agg_cohort_ltv",
-    "agg_conversion_latency",
-    "agg_corr_matrix",
-    "agg_decay_sum",
-    "agg_entropy",
-    "agg_fulfillment_latency",
-    "agg_linear_regression",
-    "agg_markov_transitions",
-    "agg_mode",
-    "agg_new_vs_returning",
-    "agg_ohlc_bars",
-    "agg_robust_mad",
-    "agg_stickiness_dau_mau",
-    "agg_survival_curve",
-    "agg_weighted_median",
-    "cdc_apply_changes",
-    "dedup_containment",
-    "fn_struct",
+    "multimodal_phash_dedup",
+    "fn_installments_codegen",
     "fn_udtf_installments",
-    "fn_variant",
+    "graph_pagerank_converged",
+    # r6-vintage cohort, complete (24 + pagerank above)
+    "graph_degree_distribution",
+    "graph_triangle_count",
+    "join_asof_nearest",
+    "join_existence_mark",
+    "join_grid_proximity",
+    "join_interval_overlap",
+    "join_lateral_topk",
+    "join_null_safe",
+    "ml_feature_scaling",
+    "ml_kmeans_converged",
+    "quality_key_skew_report",
+    "sample_bootstrap_poisson",
+    "sample_shuffle_shards",
+    "sample_stratified_neyman",
+    "scan_incremental_watermark",
+    "scan_manifest_pruned",
+    "scan_metadata_stats_approx",
+    "sink_merge_upsert",
+    "sink_zorder_clustered",
+    "stream_topk_per_window",
+    "text_line_dedup",
+    "view_incremental_refresh",
+    "window_streak_detection",
+    "window_vwap",
+    # r7-vintage cohort, first 19 of 49 alphabetically (window cap)
+    "agg_abc_classification",
+    "agg_bitmap_distinct",
+    "agg_count_if",
+    "agg_cube",
+    "agg_distinct_count",
+    "agg_gini_coefficient",
+    "agg_grouping_sets",
+    "agg_hash_group",
+    "agg_hdr_histogram_pctl",
+    "agg_heavy_hitters",
+    "agg_histogram",
+    "agg_lorenz_curve",
+    "agg_map_collect",
+    "agg_min_max_by",
+    "agg_percentile_exact",
+    "agg_pivot",
+    "agg_retention_cohorts",
+    "agg_rfm_segments",
+    "agg_rolling_actives",
 ]
 
 

@@ -1631,3 +1631,191 @@ def scan_txn_log_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in snapshots[1:]:
         out = out.unionByName(s)
     return out.orderBy("version")
+
+
+# ---------------------------------------------------------------------------
+# log-committed MERGE: copy-on-write upsert on the transaction log (r13)
+# ---------------------------------------------------------------------------
+
+_TXN_MERGE_ORACLE = f"""
+WITH source AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice * 1.05 AS o_totalprice,
+         'update' AS action
+  FROM orders WHERE o_orderkey % 20 = 0
+  UNION ALL
+  SELECT -o_orderkey, o_orderstatus, o_totalprice,
+         'insert' AS action
+  FROM orders WHERE o_orderkey % 100 = 0
+),
+merged AS (
+  SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+         COALESCE(s.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+         COALESCE(s.o_totalprice, t.o_totalprice) AS o_totalprice,
+         COALESCE(s.action, 'keep') AS last_action
+  FROM (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders) t
+  FULL OUTER JOIN source s ON s.o_orderkey = t.o_orderkey
+)
+SELECT o_orderstatus, last_action,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {oracle_dsum("o_totalprice", "sum_price")}
+FROM merged
+GROUP BY o_orderstatus, last_action
+ORDER BY o_orderstatus, last_action
+"""
+
+
+@register("sink_txn_log_merge", oracle=_TXN_MERGE_ORACLE)
+def sink_txn_log_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO on the transaction-log table — `sink_merge_upsert`'s
+    row semantics composed with `sink_txn_log_commit`'s atomic commit
+    protocol into the real lakehouse MERGE: COPY-ON-WRITE. The target
+    lives as four immutable key-partitioned files (o_orderkey % 4,
+    each commit records the file's key-population stat the way an
+    Iceberg manifest records min/max); the change set is 5% price
+    corrections on every 20th order plus brand-new (negated-key)
+    orders. The merge (a) PRUNES by stats — update keys all satisfy
+    key % 20 = 0 ⊆ key % 4 = 0, so exactly ONE of the four files is
+    touched; (b) rewrites only that file (matched rows updated, rest
+    carried); (c) writes the inserts as a fresh file; (d) commits
+    adds+removes in ONE atomic log-entry rename, so a reader sees the
+    table entirely before or entirely after the MERGE. Files 1-3 are
+    never rewritten and never even read by the merge.
+
+    The reader folds the log, reads the live set with schema MERGE
+    (the rewritten/insert files carry a `last_action` column the
+    original base files lack — parquet schema evolution on the same
+    table), and audits per (status, action); the oracle recomputes the
+    merged state as one declarative full-outer join — value-hash
+    pinning that copy-on-write + pruning produced EXACTLY the
+    MERGE-INTO relation (a rewrite that dropped carried rows, touched
+    the wrong file, or double-applied an update hashes differently).
+
+    Scale: this is why lakehouse MERGE is feasible at 100 TB — cost is
+    |touched files| + |change set|, not |table|: stats pruning bounds
+    the rewrite to files whose key population intersects the source
+    (here 1 of 4; in production min/max-sorted layout gives
+    O(changed partitions)), the untouched 99% of the table is carried
+    by reference in the metadata layer, and commit visibility is one
+    rename regardless of data volume. The pruning decision itself is
+    metadata-sized (a distinct over the change-set's 4 possible cells,
+    collected to the driver like every manifest read).
+    """
+    import json
+    import shutil
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    if orders.limit(1).isEmpty():  # empty-input contract
+        return spark.createDataFrame(
+            [],
+            "o_orderstatus string, last_action string,"
+            " n_rows long, sum_price double",
+        )
+    base = os.path.join(
+        scratch_dir(), f"txnmerge_{_src_tag(sf_dir, 'orders')}"
+    )
+    log_dir = os.path.join(base, "_log")
+    done = os.path.join(base, "_ALL_COMMITTED")
+    if not os.path.exists(done):
+        if os.path.exists(base):
+            shutil.rmtree(base)
+        os.makedirs(log_dir)
+
+        def commit(version: int, adds: list, removes: list) -> None:
+            rec = {"adds": adds, "removes": removes}
+            tmp = os.path.join(log_dir, f"{version:05d}.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump(rec, f)
+            # atomic pointer flip: the commit exists iff the rename did
+            os.rename(tmp, os.path.join(log_dir, f"{version:05d}.json"))
+
+        # commits 0-3: the base table as four immutable mod-4 files,
+        # each commit carrying the file's key-population stat
+        for k in range(4):
+            d = f"data{k}"
+            orders.filter(F.col("o_orderkey") % 4 == k).write.parquet(
+                os.path.join(base, d)
+            )
+            commit(k, [{"path": d, "mod4": k}], [])
+
+        updates = (
+            orders.filter(F.col("o_orderkey") % 20 == 0)
+            .withColumn("o_totalprice", F.col("o_totalprice") * 1.05)
+            .withColumn("last_action", F.lit("update"))
+        )
+        inserts = (
+            orders.filter(F.col("o_orderkey") % 100 == 0)
+            # negated keys: a disjoint namespace at ANY scale factor
+            # (same rationale as sink_merge_upsert)
+            .withColumn("o_orderkey", -F.col("o_orderkey"))
+            .withColumn("last_action", F.lit("insert"))
+        )
+        # stats-based pruning: which mod-4 cells does the change set
+        # touch? (metadata-sized: at most 4 rows collected)
+        touched_mods = {
+            r["m"]
+            for r in updates.select(
+                (F.col("o_orderkey") % 4).alias("m")
+            )
+            .distinct()
+            .collect()
+        }
+        live_files: list[dict] = []
+        for name in sorted(os.listdir(log_dir)):
+            if name.endswith(".json"):
+                rec = json.load(open(os.path.join(log_dir, name)))
+                paths_to_remove = set(rec["removes"])
+                live_files = [
+                    f for f in live_files if f["path"] not in paths_to_remove
+                ]
+                live_files.extend(rec["adds"])
+        touched = [f for f in live_files if f["mod4"] in touched_mods]
+        adds, removes = [], []
+        u = updates.select(
+            F.col("o_orderkey").alias("u_key"),
+            F.col("o_totalprice").alias("u_price"),
+            F.col("last_action").alias("u_action"),
+        )
+        for f in touched:
+            tgt = spark.read.parquet(os.path.join(base, f["path"]))
+            rewritten = tgt.join(
+                F.broadcast(u),
+                tgt.o_orderkey == u.u_key,
+                "left",
+            ).select(
+                "o_orderkey",
+                "o_orderstatus",
+                F.coalesce("u_price", "o_totalprice").alias("o_totalprice"),
+                F.coalesce("u_action", F.lit("keep")).alias("last_action"),
+            )
+            new_path = f["path"] + "_m"
+            rewritten.write.parquet(os.path.join(base, new_path))
+            adds.append({"path": new_path, "mod4": f["mod4"]})
+            removes.append(f["path"])
+        inserts.write.parquet(os.path.join(base, "dataIns"))
+        adds.append({"path": "dataIns", "mod4": None})
+        commit(4, adds, removes)
+        open(done, "w").close()
+
+    live: list[str] = []
+    for name in sorted(os.listdir(log_dir)):
+        if name.endswith(".json"):
+            rec = json.load(open(os.path.join(log_dir, name)))
+            paths_to_remove = set(rec["removes"])
+            live = [p for p in live if p not in paths_to_remove]
+            live.extend(f["path"] for f in rec["adds"])
+    table = spark.read.option("mergeSchema", "true").parquet(
+        *(os.path.join(base, p) for p in live)
+    )
+    return (
+        table.groupBy(
+            "o_orderstatus",
+            F.coalesce("last_action", F.lit("keep")).alias("last_action"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            dsum("o_totalprice", "sum_price"),
+        )
+        .orderBy("o_orderstatus", "last_action")
+    )

@@ -105,3 +105,135 @@ class TestEmbedJlProjectScalar:
                 # JL with a ±1 sign matrix keeps ||proj||/||x|| near 1;
                 # wide tolerance — this guards plumbing, not the bound.
                 assert 0 < r["norm_ratio_micro"] < 3_000_000
+
+
+class TestTxnLogMerge:
+    def test_copy_on_write_touches_exactly_one_base_file(
+        self, spark, sf_dir
+    ):
+        """The stats-pruning contract: update keys are all ≡ 0 mod 4,
+        so the merge must rewrite data0 ONLY — data1..3 survive as the
+        original files (never rewritten), the insert file is separate,
+        and the final live set is exactly {data0_m, data1, data2,
+        data3, dataIns}. Also: no commit tmp files may survive (the
+        atomic-rename protocol leaves none on success)."""
+        import json
+        import os
+
+        from etl_8x8_spark.sources.readers import scratch_dir
+        from etl_8x8_spark.sources.scans import _src_tag
+
+        all_queries()["sink_txn_log_merge"].builder(spark, sf_dir).collect()
+        base = os.path.join(
+            scratch_dir(), f"txnmerge_{_src_tag(sf_dir, 'orders')}"
+        )
+        log_dir = os.path.join(base, "_log")
+        names = sorted(os.listdir(log_dir))
+        assert [n for n in names if n.endswith(".tmp")] == []
+        recs = [
+            json.load(open(os.path.join(log_dir, n)))
+            for n in names
+            if n.endswith(".json")
+        ]
+        assert len(recs) == 5  # 4 base commits + 1 merge commit
+        live: list[str] = []
+        for rec in recs:
+            removes = set(rec["removes"])
+            live = [p for p in live if p not in removes]
+            live.extend(f["path"] for f in rec["adds"])
+        assert sorted(live) == [
+            "data0_m",
+            "data1",
+            "data2",
+            "data3",
+            "dataIns",
+        ]
+        # merge commit removed only the touched file
+        assert recs[4]["removes"] == ["data0"]
+
+    def test_merged_state_matches_declarative_merge(self, spark, sf_dir):
+        """The copy-on-write result must equal the one-shot full-outer
+        MERGE relation computed in-memory from the same source — the
+        cross-check the oracle does in DuckDB, repeated here in Spark
+        so a failure localizes to the protocol (not engine parity)."""
+        from pyspark.sql import functions as F
+
+        from etl_8x8_spark.sources.readers import load_table
+
+        out = {
+            (r["o_orderstatus"], r["last_action"]): (r["n_rows"])
+            for r in all_queries()["sink_txn_log_merge"]
+            .builder(spark, sf_dir)
+            .collect()
+        }
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        n_orders = orders.count()
+        n_upd = orders.filter(F.col("o_orderkey") % 20 == 0).count()
+        n_ins = orders.filter(F.col("o_orderkey") % 100 == 0).count()
+        assert sum(n for (_, a), n in out.items() if a == "update") == n_upd
+        assert sum(n for (_, a), n in out.items() if a == "insert") == n_ins
+        assert (
+            sum(n for (_, a), n in out.items() if a == "keep")
+            == n_orders - n_upd
+        )
+
+
+class TestIncrementalSubstring:
+    def test_planted_verdicts(self, spark, sf_dir):
+        """Every overlap batch doc (interior copied from the index)
+        must report 'overlap' with its longest span covering at least
+        the 20 planted tokens; every '_nv'-suffixed doc must report
+        'novel' with zeroed span stats."""
+        from etl_8x8_spark.operators.dedup import (
+            _INC_SPAN_NOVEL_OFFSET,
+            _INC_SPAN_OFFSET,
+        )
+
+        from etl_8x8_spark.operators.dedup import _SPAN_K
+
+        rows = (
+            all_queries()["dedup_incremental_substring"]
+            .builder(spark, sf_dir)
+            .collect()
+        )
+        assert rows
+        overlaps = []
+        for r in rows:
+            if r["batch_doc_id"] >= _INC_SPAN_NOVEL_OFFSET:
+                assert r["verdict"] == "novel", r
+                assert r["n_spans"] == 0 and r["dup_tokens"] == 0, r
+            else:
+                assert r["batch_doc_id"] >= _INC_SPAN_OFFSET
+                overlaps.append(r)
+                if r["verdict"] == "overlap":
+                    # any match implies at least one full K-shingle span
+                    assert r["max_span_tokens"] >= _SPAN_K, r
+        # the plant works: nearly every +OFFSET doc carries a copied
+        # interior (a source doc shorter than ~12 tokens yields an
+        # interior under K tokens and legitimately reads 'novel'), and
+        # full-length plants reach the full 20-token span
+        found = [r for r in overlaps if r["verdict"] == "overlap"]
+        assert len(found) >= 0.9 * len(overlaps)
+        assert max(r["max_span_tokens"] for r in found) >= 20
+
+    def test_index_is_reused_across_runs(self, spark, sf_dir):
+        """The cross-run contract: a second invocation must PROBE the
+        persisted shingle index, not rebuild it — the index parquet's
+        mtime is unchanged by run 2."""
+        import os
+
+        from etl_8x8_spark.sources.readers import scratch_dir
+        from etl_8x8_spark.sources.scans import _src_tag
+
+        q = all_queries()["dedup_incremental_substring"].builder
+        q(spark, sf_dir).collect()
+        idx = os.path.join(
+            scratch_dir(),
+            f"substr_sh_index_{_src_tag(sf_dir, 'documents')}",
+        )
+        mt1 = os.stat(os.path.join(idx, "_SUCCESS")).st_mtime_ns
+        q(spark, sf_dir).collect()
+        mt2 = os.stat(os.path.join(idx, "_SUCCESS")).st_mtime_ns
+        assert mt1 == mt2
