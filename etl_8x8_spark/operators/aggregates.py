@@ -1334,18 +1334,17 @@ _CORR_PAIRS = [
 
 
 def _corr_matrix_oracle() -> str:
+    # quantized-integer power sums (see the operator docstring): each
+    # column floors to exact hundredths ONCE, products are BIGINT
+    # multiplies, and only the accumulate is wide (DuckDB's BIGINT SUM
+    # promotes to HUGEINT — the exact mirror of Spark's decimal(38,0))
+    quant = {c: f"CAST(floor({c} * 100 + 0.5) AS BIGINT)" for c in _CORR_COLS}
     sums = ["COUNT(*) AS n"]
     for c in _CORR_COLS:
-        sums.append(f"SUM(CAST({c} AS DECIMAL(30,6))) AS s_{c}")
-        sums.append(
-            f"SUM(CAST({c} AS DECIMAL(30,6)) * CAST({c} AS DECIMAL(30,6)))"
-            f" AS ss_{c}"
-        )
+        sums.append(f"SUM({quant[c]}) AS s_{c}")
+        sums.append(f"SUM({quant[c]} * {quant[c]}) AS ss_{c}")
     for a, b in _CORR_PAIRS:
-        sums.append(
-            f"SUM(CAST({a} AS DECIMAL(30,6)) * CAST({b} AS DECIMAL(30,6)))"
-            f" AS sp_{a}_{b}"
-        )
+        sums.append(f"SUM({quant[a]} * {quant[b]}) AS sp_{a}_{b}")
     branches = []
     for a, b in _CORR_PAIRS:
         cov = (
@@ -1373,29 +1372,44 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns (the feature-engineering/EDA primitive), as (col_x, col_y,
     corr) rows for the 6 unordered pairs of 4 columns.
 
-    Like agg_stats_moments, every co-moment is an EXACT decimal power
-    sum (Sx, Sxx, Sxy); floats appear only at finalization, so the
-    result is bit-stable across engines and run orders — F.corr's
-    streaming co-moment merge is partition-order-dependent and can
-    hash differently run to run. One scan, one 1-row shuffle: all
-    4 + 4 + 6 sums fold in a single map-side partial aggregate, and
-    the matrix unpivots from the single aggregate row with stack()
-    (NOT a 6-branch union, which would re-scan the fact per pair).
-    At 100 TB the plan is scan-bound with a constant-size shuffle.
+    Every co-moment is an EXACT power sum; floats appear only at
+    finalization, so the result is bit-stable across engines and run
+    orders — F.corr's streaming co-moment merge is partition-order-
+    dependent and can hash differently run to run. Pearson correlation
+    is invariant under positive scaling, so the sums run on each
+    column QUANTIZED ONCE to integer hundredths (exact for these
+    2-dp/integral columns): per-row products are cheap long×long
+    multiplies and only the ACCUMULATE is wide — Spark decimal(38,0)
+    vs DuckDB's HUGEINT-promoted BIGINT SUM, the same integers in both
+    engines (r13: 2.2 → 1.0 s at sf0.1 vs decimal×decimal products).
+    Overflow headroom: the largest product (price_cents², ~1e14) sums
+    to ~1e26 at 10^12 rows — inside both 38-digit accumulators.
+
+    One scan, one 1-row shuffle: all 4 + 4 + 6 sums fold in a single
+    map-side partial aggregate, and the matrix unpivots from the
+    single aggregate row with stack() (NOT a 6-branch union, which
+    would re-scan the fact per pair). At 100 TB the plan is scan-bound
+    with a constant-size shuffle.
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
+    quant = {
+        c: F.floor(F.col(c) * 100 + 0.5).cast("long") for c in _CORR_COLS
+    }
+    base = lineitem.select(
+        *[quant[c].alias(f"q_{c}") for c in _CORR_COLS]
+    )
     aggs = [F.count("*").alias("n")]
     for c in _CORR_COLS:
-        x = F.col(c).cast(DEC)
-        aggs.append(F.sum(x).alias(f"s_{c}"))
-        aggs.append(F.sum(x * x).alias(f"ss_{c}"))
+        x = F.col(f"q_{c}")
+        aggs.append(F.sum(x.cast("decimal(38,0)")).alias(f"s_{c}"))
+        aggs.append(F.sum((x * x).cast("decimal(38,0)")).alias(f"ss_{c}"))
     for a, b in _CORR_PAIRS:
         aggs.append(
-            F.sum(F.col(a).cast(DEC) * F.col(b).cast(DEC)).alias(
-                f"sp_{a}_{b}"
-            )
+            F.sum(
+                (F.col(f"q_{a}") * F.col(f"q_{b}")).cast("decimal(38,0)")
+            ).alias(f"sp_{a}_{b}")
         )
-    s = lineitem.agg(*aggs)
+    s = base.agg(*aggs)
     n = F.col("n")
     corr_cols = []
     for a, b in _CORR_PAIRS:
@@ -1426,14 +1440,14 @@ _LINREG_ORACLE = """
 WITH s AS (
   SELECT l_returnflag,
          COUNT(*) AS n,
-         SUM(CAST(l_quantity AS DECIMAL(30,6))) AS sx,
-         SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS sy,
-         SUM(CAST(l_quantity AS DECIMAL(30,6))
-             * CAST(l_quantity AS DECIMAL(30,6))) AS sxx,
-         SUM(CAST(l_quantity AS DECIMAL(30,6))
-             * CAST(l_extendedprice AS DECIMAL(30,6))) AS sxy,
-         SUM(CAST(l_extendedprice AS DECIMAL(30,6))
-             * CAST(l_extendedprice AS DECIMAL(30,6))) AS syy
+         SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS sx,
+         SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sy,
+         SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)
+             * CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS sxx,
+         SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)
+             * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sxy,
+         SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+             * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS syy
   FROM lineitem
   GROUP BY l_returnflag
 )
@@ -1441,10 +1455,10 @@ SELECT l_returnflag,
        CAST(n AS BIGINT) AS n,
        CAST(floor(((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
              / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * 1e6 + 0.5) AS BIGINT) / 1e6 AS slope,
-       CAST(floor(((CAST(sy AS DOUBLE)
+       CAST(floor(((CAST(sy AS DOUBLE) / 100
               - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                * CAST(sx AS DOUBLE)) / n) * 1e6 + 0.5) AS BIGINT) / 1e6 AS intercept,
+                * (CAST(sx AS DOUBLE) / 100)) / n) * 1e6 + 0.5) AS BIGINT) / 1e6 AS intercept,
        CAST(floor((((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
               * (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
              / ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
@@ -1463,22 +1477,31 @@ def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-order-dependent doubles and can hash differently between
     engines and runs.
 
-    Like agg_corr_matrix: the five power sums (Sx, Sy, Sxx, Sxy, Syy)
-    accumulate in EXACT decimal inside one map-side partial aggregate;
-    doubles appear only in the closed-form finalization, which is pure
-    IEEE arithmetic on bit-identical inputs. One scan, one
-    |groups|-row shuffle — scan-bound at 100 TB.
+    Like agg_corr_matrix (r13 form): the five power sums (Sx, Sy,
+    Sxx, Sxy, Syy) run on x and y QUANTIZED ONCE to exact integer
+    hundredths — slope and R² are invariant under the common scaling,
+    the intercept divides the scale back out in finalization — so the
+    per-row products are cheap long×long multiplies and only the
+    accumulate is wide (decimal(38,0) / DuckDB HUGEINT: identical
+    integers both engines). Doubles appear only in the closed-form
+    finalization, pure IEEE arithmetic on bit-identical inputs. One
+    scan, one |groups|-row shuffle — scan-bound at 100 TB; headroom:
+    max product price_cents² ~1e14 sums to ~1e26 at 10^12 rows.
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
-    x = F.col("l_quantity").cast(DEC)
-    y = F.col("l_extendedprice").cast(DEC)
-    s = lineitem.groupBy("l_returnflag").agg(
+    x = F.floor(F.col("l_quantity") * 100 + 0.5).cast("long")
+    y = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    base = lineitem.select(
+        "l_returnflag", x.alias("qx"), y.alias("qy")
+    )
+    qx, qy = F.col("qx"), F.col("qy")
+    s = base.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
-        F.sum(x).alias("sx"),
-        F.sum(y).alias("sy"),
-        F.sum(x * x).alias("sxx"),
-        F.sum(x * y).alias("sxy"),
-        F.sum(y * y).alias("syy"),
+        F.sum(qx.cast("decimal(38,0)")).alias("sx"),
+        F.sum(qy.cast("decimal(38,0)")).alias("sy"),
+        F.sum((qx * qx).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((qx * qy).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((qy * qy).cast("decimal(38,0)")).alias("syy"),
     )
     n = F.col("n")
     sx = F.col("sx").cast("double")
@@ -1494,7 +1517,11 @@ def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         n.cast("long").alias("n"),
         (F.floor((slope) * 1e6 + 0.5).cast("long") / F.lit(1e6)).alias("slope"),
-        (F.floor(((sy - slope * sx) / n) * 1e6 + 0.5).cast("long") / F.lit(1e6)).alias("intercept"),
+        (
+            F.floor(((sy / 100 - slope * (sx / 100)) / n) * 1e6 + 0.5)
+            .cast("long")
+            / F.lit(1e6)
+        ).alias("intercept"),
         (F.floor((cov * cov / (var_x * var_y)) * 1e6 + 0.5).cast("long") / F.lit(1e6)).alias("r2"),
     ).orderBy("l_returnflag")
 
