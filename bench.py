@@ -330,6 +330,9 @@ HEADLINE = [
     # r13: persisted-index substring-span probe (0.6 s sf0.1; new
     # shape — asymmetric probe of a cross-run scratch index)
     "dedup_incremental_substring",
+    # r13: checkpointed-log reader (0.7 s sf0.1; new shape — latest
+    # checkpoint + commit-suffix replay)
+    "scan_txn_log_checkpoint",
 ]
 # HEADLINE is FROZEN as of r10 (r9 verdict item 8): it no longer grows
 # mechanically with the registry. Promotion rule (documented in

@@ -1819,3 +1819,126 @@ def sink_txn_log_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus", "last_action")
     )
+
+
+# ---------------------------------------------------------------------------
+# log checkpoint compaction: O(suffix) reader planning on a long log (r13)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scan_txn_log_checkpoint",
+    oracle=f"""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {oracle_dsum("o_totalprice", "sum_price")}
+FROM orders
+WHERE o_orderkey % 7 <> 0
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def scan_txn_log_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECKPOINT COMPACTION of the transaction log — the third leg of
+    the table-format protocol after `sink_txn_log_commit` (atomic
+    commits) and `scan_txn_log_time_travel` (prefix-fold snapshots):
+    past ~10^4 commits the log fold itself becomes the reader's
+    planning cost, so the writer periodically materializes the FOLDED
+    live set as a checkpoint record, and a reader loads the LATEST
+    checkpoint + replays only the commit SUFFIX after it — planning
+    cost O(commits since checkpoint), not O(log length). Exactly
+    Delta's `_last_checkpoint` / Iceberg's snapshot manifest-list
+    mechanism, on the same plain-file + atomic-rename substrate.
+
+    The replayed history: six mod-6 slices of orders committed one per
+    version (v0-v5), a checkpoint written after v4, then two partial
+    compactions (v6 rewrites slices 0-2 minus the keys ≡ 0 mod 7;
+    v7 rewrites slices 3-5 the same way). The reader folds checkpoint
+    v4 + suffix {{v5, v6, v7}} — it never parses v0-v4's records — and
+    aggregates the live set; the oracle recomputes the final state
+    (orders with o_orderkey % 7 <> 0) from the source relation, so a
+    checkpoint that froze the wrong live set, or a suffix replay that
+    missed a remove, hashes differently.
+
+    Scale: checkpoints are metadata-sized (file names), written with
+    the same tmp+rename atomicity as commits; a production format
+    stores them as parquet with per-file stats (sink_manifest_stats)
+    — same fold, same suffix contract.
+    """
+    import json
+    import shutil
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    if orders.limit(1).isEmpty():  # empty-input contract
+        return spark.createDataFrame(
+            [], "o_orderpriority string, n long, sum_price double"
+        )
+    base = os.path.join(
+        scratch_dir(), f"txnckpt_{_src_tag(sf_dir, 'orders')}"
+    )
+    log_dir = os.path.join(base, "_log")
+    done = os.path.join(base, "_ALL_COMMITTED")
+    if not os.path.exists(done):
+        if os.path.exists(base):
+            shutil.rmtree(base)
+        os.makedirs(log_dir)
+
+        def _atomic_write(name: str, payload: dict) -> None:
+            tmp = os.path.join(log_dir, name + ".tmp")
+            with open(tmp, "w") as f:
+                json.dump(payload, f)
+            os.rename(tmp, os.path.join(log_dir, name))
+
+        def commit(version: int, adds: list, removes: list) -> None:
+            _atomic_write(
+                f"{version:05d}.json", {"adds": adds, "removes": removes}
+            )
+
+        live: list[str] = []
+        for k in range(6):
+            d = f"slice{k}"
+            orders.filter(F.col("o_orderkey") % 6 == k).write.parquet(
+                os.path.join(base, d)
+            )
+            commit(k, [d], [])
+            live.append(d)
+            if k == 4:
+                # checkpoint: the FOLDED live set as of v4, so readers
+                # never re-parse v0-v4 (atomic like any commit)
+                _atomic_write(
+                    "00004.checkpoint.json",
+                    {"version": 4, "live": list(live)},
+                )
+        keep = F.col("o_orderkey") % 7 != 0
+        spark.read.parquet(
+            *(os.path.join(base, f"slice{k}") for k in range(3))
+        ).filter(keep).write.parquet(os.path.join(base, "compactA"))
+        commit(6, ["compactA"], ["slice0", "slice1", "slice2"])
+        spark.read.parquet(
+            *(os.path.join(base, f"slice{k}") for k in range(3, 6))
+        ).filter(keep).write.parquet(os.path.join(base, "compactB"))
+        commit(7, ["compactB"], ["slice3", "slice4", "slice5"])
+        open(done, "w").close()
+
+    # reader: latest checkpoint + commit SUFFIX only
+    names = sorted(os.listdir(log_dir))
+    ckpts = [n for n in names if n.endswith(".checkpoint.json")]
+    latest_ckpt = json.load(open(os.path.join(log_dir, ckpts[-1])))
+    live = list(latest_ckpt["live"])
+    for name in names:
+        if not name.endswith(".json") or name.endswith(".checkpoint.json"):
+            continue
+        if int(name.split(".")[0]) <= latest_ckpt["version"]:
+            continue  # folded into the checkpoint — never parsed
+        rec = json.load(open(os.path.join(log_dir, name)))
+        for r in rec["removes"]:
+            live.remove(r)
+        live.extend(rec["adds"])
+    table = spark.read.parquet(*(os.path.join(base, p) for p in live))
+    return (
+        table.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), dsum("o_totalprice", "sum_price"))
+        .orderBy("o_orderpriority")
+    )

@@ -237,3 +237,53 @@ class TestIncrementalSubstring:
         q(spark, sf_dir).collect()
         mt2 = os.stat(os.path.join(idx, "_SUCCESS")).st_mtime_ns
         assert mt1 == mt2
+
+
+class TestTxnLogCheckpoint:
+    def test_checkpoint_plus_suffix_equals_full_replay(
+        self, spark, sf_dir
+    ):
+        """The O(suffix) reader contract: the persisted checkpoint's
+        live set must equal the fold of commits v0..v4, and checkpoint
+        + suffix replay must land on exactly the same live set as a
+        full-log fold — so skipping v0..v4 loses nothing."""
+        import json
+        import os
+
+        from etl_8x8_spark.sources.readers import scratch_dir
+        from etl_8x8_spark.sources.scans import _src_tag
+
+        all_queries()["scan_txn_log_checkpoint"].builder(
+            spark, sf_dir
+        ).collect()
+        log_dir = os.path.join(
+            scratch_dir(),
+            f"txnckpt_{_src_tag(sf_dir, 'orders')}",
+            "_log",
+        )
+        names = sorted(os.listdir(log_dir))
+        assert "00004.checkpoint.json" in names
+        assert not [n for n in names if n.endswith(".tmp")]
+
+        def fold(upto=None, start_live=None, after=None):
+            live = list(start_live or [])
+            for n in names:
+                if not n.endswith(".json") or n.endswith(".checkpoint.json"):
+                    continue
+                v = int(n.split(".")[0])
+                if after is not None and v <= after:
+                    continue
+                if upto is not None and v > upto:
+                    continue
+                rec = json.load(open(os.path.join(log_dir, n)))
+                for r in rec["removes"]:
+                    live.remove(r)
+                live.extend(rec["adds"])
+            return sorted(live)
+
+        ckpt = json.load(
+            open(os.path.join(log_dir, "00004.checkpoint.json"))
+        )
+        assert sorted(ckpt["live"]) == fold(upto=4)
+        assert fold() == fold(start_live=ckpt["live"], after=4)
+        assert fold() == ["compactA", "compactB"]
