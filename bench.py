@@ -333,6 +333,9 @@ HEADLINE = [
     # r13: checkpointed-log reader (0.7 s sf0.1; new shape — latest
     # checkpoint + commit-suffix replay)
     "scan_txn_log_checkpoint",
+    # r13: retention vacuum (metadata-only planning; reader of the
+    # vacuumed table — state must hash identically to pre-vacuum)
+    "sink_txn_log_vacuum",
 ]
 # HEADLINE is FROZEN as of r10 (r9 verdict item 8): it no longer grows
 # mechanically with the registry. Promotion rule (documented in

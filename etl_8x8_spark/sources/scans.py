@@ -1942,3 +1942,131 @@ def scan_txn_log_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), dsum("o_totalprice", "sum_price"))
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# VACUUM: retention-bounded physical deletion of unreferenced files (r13)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sink_txn_log_vacuum",
+    oracle=f"""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {oracle_dsum("o_totalprice", "sum_price")}
+FROM orders
+WHERE o_orderkey % 5 <> 0
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def sink_txn_log_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM on the transaction-log table — the fourth leg of the
+    protocol (commits → time travel → checkpoints → retention):
+    because removes are LOGICAL (files stay on disk so old snapshots
+    remain readable), storage grows with history until something
+    physically deletes files no retained snapshot references. VACUUM
+    folds the log, takes the union of live sets across the RETAINED
+    snapshot window (here: latest only — the aggressive setting),
+    deletes everything else, and writes an AUDIT record of what it
+    removed (not a commit — vacuum never changes logical table state,
+    which is why the oracle is simply the final state and hashes
+    identically before/after).
+
+    History replayed: two half-table slices committed, then a
+    compaction (keys ≡ 0 mod 5 dropped) that logically removes both
+    slices. Post-compaction the slices are garbage under latest-only
+    retention; VACUUM deletes their directories. The documented
+    tradeoff — time travel to v0/v1 now FAILS (their files are gone) —
+    is exactly Delta's `VACUUM ... RETAIN 0 HOURS` behavior, pinned by
+    the r13 tests.
+
+    Scale: vacuum planning is metadata-only (log fold + a set
+    difference over file names); the deletes are embarrassingly
+    parallel object-store calls. Retention windows trade storage
+    against time-travel depth; checkpoint records (see
+    scan_txn_log_checkpoint) are never vacuumed because they ARE the
+    log.
+    """
+    import json
+    import shutil
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    if orders.limit(1).isEmpty():  # empty-input contract
+        return spark.createDataFrame(
+            [], "o_orderpriority string, n long, sum_price double"
+        )
+    base = os.path.join(
+        scratch_dir(), f"txnvac_{_src_tag(sf_dir, 'orders')}"
+    )
+    log_dir = os.path.join(base, "_log")
+    done = os.path.join(base, "_ALL_COMMITTED")
+    if not os.path.exists(done):
+        if os.path.exists(base):
+            shutil.rmtree(base)
+        os.makedirs(log_dir)
+
+        def _atomic_write(name: str, payload: dict) -> None:
+            tmp = os.path.join(log_dir, name + ".tmp")
+            with open(tmp, "w") as f:
+                json.dump(payload, f)
+            os.rename(tmp, os.path.join(log_dir, name))
+
+        def commit(version: int, adds: list, removes: list) -> None:
+            _atomic_write(
+                f"{version:05d}.json", {"adds": adds, "removes": removes}
+            )
+
+        orders.filter(F.col("o_orderkey") % 2 == 0).write.parquet(
+            os.path.join(base, "sliceA")
+        )
+        commit(0, ["sliceA"], [])
+        orders.filter(F.col("o_orderkey") % 2 != 0).write.parquet(
+            os.path.join(base, "sliceB")
+        )
+        commit(1, ["sliceB"], [])
+        spark.read.parquet(
+            os.path.join(base, "sliceA"), os.path.join(base, "sliceB")
+        ).filter(F.col("o_orderkey") % 5 != 0).write.parquet(
+            os.path.join(base, "dataC")
+        )
+        commit(2, ["dataC"], ["sliceA", "sliceB"])
+
+        # VACUUM (retention = latest snapshot only): referenced = the
+        # latest live set; everything else ever added is garbage
+        ever_added: list[str] = []
+        live: list[str] = []
+        for name in sorted(os.listdir(log_dir)):
+            if not name.endswith(".json"):
+                continue
+            rec = json.load(open(os.path.join(log_dir, name)))
+            for r in rec["removes"]:
+                live.remove(r)
+            live.extend(rec["adds"])
+            ever_added.extend(rec["adds"])
+        garbage = sorted(set(ever_added) - set(live))
+        for g in garbage:
+            shutil.rmtree(os.path.join(base, g))
+        # audit record, NOT a commit: logical state is unchanged
+        _atomic_write(
+            "00002.vacuum.json", {"retained_version": 2, "deleted": garbage}
+        )
+        open(done, "w").close()
+
+    live = []
+    for name in sorted(os.listdir(log_dir)):
+        if not name.endswith(".json") or name.endswith(".vacuum.json"):
+            continue
+        rec = json.load(open(os.path.join(log_dir, name)))
+        for r in rec["removes"]:
+            live.remove(r)
+        live.extend(rec["adds"])
+    table = spark.read.parquet(*(os.path.join(base, p) for p in live))
+    return (
+        table.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), dsum("o_totalprice", "sum_price"))
+        .orderBy("o_orderpriority")
+    )

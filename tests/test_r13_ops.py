@@ -287,3 +287,48 @@ class TestTxnLogCheckpoint:
         assert sorted(ckpt["live"]) == fold(upto=4)
         assert fold() == fold(start_live=ckpt["live"], after=4)
         assert fold() == ["compactA", "compactB"]
+
+
+class TestTxnLogVacuum:
+    def test_garbage_deleted_live_intact_state_unchanged(
+        self, spark, sf_dir
+    ):
+        """The retention contract: after VACUUM the logically-removed
+        slice directories are physically GONE (time travel to v0/v1
+        would fail — the documented retention tradeoff), the live
+        compacted file survives, the audit record lists exactly what
+        was deleted, and the logical table state still matches the
+        in-memory recompute (vacuum never changes state)."""
+        import json
+        import os
+
+        from pyspark.sql import functions as F
+
+        from etl_8x8_spark.sources.readers import load_table, scratch_dir
+        from etl_8x8_spark.sources.scans import _src_tag
+
+        out = (
+            all_queries()["sink_txn_log_vacuum"]
+            .builder(spark, sf_dir)
+            .collect()
+        )
+        base = os.path.join(
+            scratch_dir(), f"txnvac_{_src_tag(sf_dir, 'orders')}"
+        )
+        assert not os.path.exists(os.path.join(base, "sliceA"))
+        assert not os.path.exists(os.path.join(base, "sliceB"))
+        assert os.path.exists(os.path.join(base, "dataC"))
+        audit = json.load(
+            open(os.path.join(base, "_log", "00002.vacuum.json"))
+        )
+        assert sorted(audit["deleted"]) == ["sliceA", "sliceB"]
+        # logical state unchanged by vacuum: matches direct recompute
+        expect = {
+            (r["o_orderpriority"], r["n"])
+            for r in load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % 5 != 0)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert {(r["o_orderpriority"], r["n"]) for r in out} == expect
