@@ -212,7 +212,8 @@ class TestJlProject:
                 acc = acc + float(np.float32(x)) * _JL_SIGNS[j][i]
             proj.append(acc / 4.0)
         want = [math.floor(p * 1e6 + 0.5) for p in proj]
-        assert list(row["proj_micro"]) == want
+        # r13: proj_micro is a comma-joined STRING (driver-canon safe)
+        assert [int(c) for c in row["proj_micro"].split(",")] == want
         nf = 0.0
         for x in emb:
             nf += float(np.float32(x)) * float(np.float32(x))
@@ -223,8 +224,9 @@ class TestJlProject:
     def test_zero_shuffle_map_plan(self, spark):
         df = all_queries()["embed_jl_project"].builder(spark, SF_DIR)
         plan = df._jdf.queryExecution().executedPlan().toString()
-        # only the output orderBy exchanges; the projection is map-side
-        assert plan.count("Exchange") == 1
+        # r13: the cosmetic output orderBy is gone (LESSONS #51) —
+        # the whole projection is map-side with ZERO exchanges
+        assert plan.count("Exchange") == 0
 
     def test_isometry_band(self, spark):
         rows = (
