@@ -1779,9 +1779,15 @@ def sink_txn_log_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for f in touched:
             tgt = spark.read.parquet(os.path.join(base, f["path"]))
+            # prune the change set BY THE SAME STAT before the join:
+            # each rewrite joins a file-sized target with only the
+            # file-relevant updates (at 100 TB the full change set can
+            # be arbitrarily large — a forced broadcast of it would be
+            # the scale bug; AQE picks broadcast vs SMJ per actual size)
+            u_f = u.filter(F.col("u_key") % 4 == f["mod4"])
             rewritten = tgt.join(
-                F.broadcast(u),
-                tgt.o_orderkey == u.u_key,
+                u_f,
+                tgt.o_orderkey == u_f.u_key,
                 "left",
             ).select(
                 "o_orderkey",
