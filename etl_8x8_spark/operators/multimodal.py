@@ -8,9 +8,9 @@ Registered queries:
 - ``multimodal_decode``   — binary payload -> typed metadata
 - ``multimodal_frames``   — frame sampling (1 row in, N frames out)
 - ``multimodal_features`` — fixed-dim feature vector per payload
-
-plus the library-only ``resize_media_batch`` (binary in/binary out —
-not hash-comparable across engines, pytest contract only).
+- ``multimodal_resize``   — binary in/binary out resize to a byte
+  budget, audited into scalar columns in the same Python stage
+  (binary cells don't hash-compare across engines — LESSONS #54)
 
 The actual media codecs aren't in this container, so every decode/
 sample/extract/resize is the REAL Spark-side plumbing (binary columns,
@@ -301,19 +301,97 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RESIZE_BYTES = 16
+
+
 def resize_media_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """STUB resize: truncate/pad the payload to a fixed byte budget
     (a real implementation re-encodes pixels; the plumbing — binary in,
-    binary out, same row count — is what matters). Library-only helper
-    with a pytest contract; not a registered query (binary outputs
-    don't hash-compare across engines)."""
+    binary out, same row count — is what matters)."""
     for pdf in batches:
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
-                "payload": [bytes(p[:16]).ljust(16, b"\0") for p in pdf["payload"]],
+                "payload": [
+                    bytes((p or b"")[:_RESIZE_BYTES]).ljust(
+                        _RESIZE_BYTES, b"\0"
+                    )
+                    for p in pdf["payload"]
+                ],
             }
         )
+
+
+def _resize_audit_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Composes the REAL binary-out resize worker, then audits its
+    output into scalar columns — the registered query exercises the
+    binary→binary path end-to-end while emitting only driver-canon-
+    safe scalars (LESSONS #54)."""
+    for pdf in resize_media_batch(batches):
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "resized_bytes": [len(p) for p in pdf["payload"]],
+                "resized_checksum": [
+                    sum(p) % 1_000_000_007 for p in pdf["payload"]
+                ],
+            }
+        )
+
+
+@register(
+    "multimodal_resize",
+    oracle=f"""
+WITH p AS (
+  SELECT doc_id, substr(text, 1, 32) AS prefix FROM documents
+)
+SELECT doc_id,
+       CAST({_RESIZE_BYTES} AS INT) AS resized_bytes,
+       -- pad bytes are NUL (code 0): they change the length, never
+       -- the checksum — so the sum runs over the surviving prefix
+       CAST(COALESCE(list_sum(list_transform(
+            generate_series(1, least(length(prefix), {_RESIZE_BYTES})),
+            i -> ascii(substr(prefix, i, 1)))), 0) % 1000000007
+         AS BIGINT) AS resized_checksum
+FROM p
+""",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize over an opaque binary column — the last of the brief's
+    four media passes (decode / frames / features / RESIZE) as a
+    registered, oracle-checked query: every payload truncates/pads to
+    a fixed {_RESIZE_BYTES}-byte budget through the binary-in/
+    binary-out ``mapInPandas`` worker (the shape a real pixel
+    re-encode uses — same row count, partition-parallel, no shuffle),
+    then the same Python stage audits the resized bytes into scalar
+    columns (constant budget length + byte checksum) so the output is
+    hash-comparable across engines (binary cells are not; LESSONS
+    #54's discipline applied to the binary modality).
+
+    Scale: identical posture to multimodal_decode — per-partition
+    Python cost, Arrow batch transfer, widen_for_python sizes the
+    Python stage's parallelism; at 100 TB the resized payloads stream
+    to the sink from the worker that produced them.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = widen_for_python(
+        docs.select(
+            "doc_id",
+            F.encode(F.substring("text", 1, 32), "utf-8").alias("payload"),
+        )
+    )
+    return payloads.mapInPandas(
+        _resize_audit_batch,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("resized_bytes", T.IntegerType()),
+                T.StructField("resized_checksum", T.LongType()),
+            ]
+        ),
+    )
 
 
 @register(

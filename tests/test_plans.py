@@ -152,6 +152,7 @@ class TestNoSlowPaths:
             "multimodal_decode",
             "multimodal_frames",
             "multimodal_features",
+            "multimodal_resize",
             # a Python DataSource is Python by definition — the point
             # of the operator is the custom-connector path itself
             "scan_custom_source",
