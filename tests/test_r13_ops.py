@@ -332,3 +332,58 @@ class TestTxnLogVacuum:
             .collect()
         }
         assert {(r["o_orderpriority"], r["n"]) for r in out} == expect
+
+
+class TestQuantizedStatsNumpyTwin:
+    """The DuckDB oracles prove cross-engine PARITY of the quantized
+    power sums; these twins prove the MATH — the quantization must not
+    move Pearson r or the OLS fit beyond micro-rounding of the
+    float64 reference computed by numpy on the raw columns."""
+
+    def test_corr_matrix_matches_numpy(self, spark, sf_dir):
+        import duckdb
+        import numpy as np
+
+        rows = (
+            all_queries()["agg_corr_matrix"].builder(spark, sf_dir).collect()
+        )
+        con = duckdb.connect()
+        cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+        data = con.sql(
+            f"SELECT {', '.join(cols)} FROM '{sf_dir}/lineitem.parquet'"
+        ).fetchnumpy()
+        for r in rows:
+            a = np.asarray(data[r["col_x"]], dtype=np.float64)
+            b = np.asarray(data[r["col_y"]], dtype=np.float64)
+            want = float(np.corrcoef(a, b)[0, 1])
+            # operator reports floor(r*1e6+0.5)/1e6 of the QUANTIZED
+            # columns; hundredth-quantization of 2-dp/integral data is
+            # exact, so only micro-rounding separates the two paths
+            assert abs(r["corr"] - want) < 2e-6, (r, want)
+
+    def test_linear_regression_matches_numpy(self, spark, sf_dir):
+        import duckdb
+        import numpy as np
+
+        rows = (
+            all_queries()["agg_linear_regression"]
+            .builder(spark, sf_dir)
+            .collect()
+        )
+        con = duckdb.connect()
+        for r in rows:
+            d = con.sql(
+                f"SELECT l_quantity AS x, l_extendedprice AS y "
+                f"FROM '{sf_dir}/lineitem.parquet' "
+                f"WHERE l_returnflag = '{r['l_returnflag']}'"
+            ).fetchnumpy()
+            x = np.asarray(d["x"], dtype=np.float64)
+            y = np.asarray(d["y"], dtype=np.float64)
+            slope, intercept = np.polyfit(x, y, 1)
+            cc = float(np.corrcoef(x, y)[0, 1])
+            assert abs(r["slope"] - slope) < 1e-4 * max(1, abs(slope))
+            assert abs(r["intercept"] - intercept) < 1e-4 * max(
+                1, abs(intercept)
+            )
+            assert abs(r["r2"] - cc * cc) < 2e-6
+            assert r["n"] == len(x)
