@@ -59,11 +59,11 @@ _QUERY_MODULES = [
 # 50 keys of ``all_queries()`` per round. Keys listed here lead the
 # returned dict (in this order); all other keys follow in registration
 # order. Round-13 priority (r12 verdict item 5 + the r13 changes),
-# filling exactly the 50-slot window as 5 + 7 + 24 + 14:
-#   0. the 5 r13-new keys (sink_txn_log_merge,
+# filling exactly the 50-slot window as 6 + 7 + 24 + 13:
+#   0. the 6 r13-new keys (sink_txn_log_merge,
 #      dedup_incremental_substring, scan_txn_log_checkpoint,
-#      sink_txn_log_vacuum, multimodal_resize — no driver evidence
-#      yet);
+#      sink_txn_log_vacuum, multimodal_resize, scan_xml — no driver
+#      evidence yet);
 #   1. the 7 keys whose implementation changed in r13
 #      (embed_jl_project scalar output, multimodal_phash_dedup
 #      repeat-to-width payload, fn_installments_codegen /
@@ -72,9 +72,9 @@ _QUERY_MODULES = [
 #      agg_linear_regression quantized-integer power sums);
 #   2. the full 25-key r6-vintage cohort (pagerank is r6-vintage too
 #      but rides slot 1) — after r13 the r6 tail is ZERO;
-#   3. the first 14 (alphabetical) of the 49-key r7 cohort
+#   3. the first 13 (alphabetical) of the 49-key r7 cohort
 #      (fn_installments_codegen is r7-vintage and rides slot 1; the
-#      remaining 34 r7 keys roll to r14).
+#      remaining 35 r7 keys roll to r14).
 # Target: after the r13 driver run no key's evidence is older than r7.
 # bench.py's HEADLINE order is independent and unaffected.
 _SAMPLE_PRIORITY = [
@@ -84,6 +84,7 @@ _SAMPLE_PRIORITY = [
     "scan_txn_log_checkpoint",
     "sink_txn_log_vacuum",
     "multimodal_resize",
+    "scan_xml",
     # implementation changed in r13 — previous rows are stale evidence
     "embed_jl_project",
     "multimodal_phash_dedup",
@@ -117,7 +118,7 @@ _SAMPLE_PRIORITY = [
     "view_incremental_refresh",
     "window_streak_detection",
     "window_vwap",
-    # r7-vintage cohort, first 14 of 49 alphabetically (window cap)
+    # r7-vintage cohort, first 13 of 49 alphabetically (window cap)
     "agg_abc_classification",
     "agg_bitmap_distinct",
     "agg_count_if",
@@ -131,7 +132,6 @@ _SAMPLE_PRIORITY = [
     "agg_histogram",
     "agg_lorenz_curve",
     "agg_map_collect",
-    "agg_min_max_by",
 ]
 
 

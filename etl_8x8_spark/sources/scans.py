@@ -2076,3 +2076,102 @@ def sink_txn_log_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), dsum("o_totalprice", "sum_price"))
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# XML source: Spark 4's native XML reader with corrupt-field routing (r13)
+# ---------------------------------------------------------------------------
+
+_XML_SCHEMA = T.StructType(
+    [
+        T.StructField("s_suppkey", T.LongType()),
+        T.StructField("s_name", T.StringType()),
+        T.StructField("s_acctbal", T.DoubleType()),
+        T.StructField("s_nationkey", T.LongType()),
+        T.StructField("_corrupt_record", T.StringType()),
+    ]
+)
+
+
+@register(
+    "scan_xml",
+    oracle="""
+SELECT s_suppkey,
+       s_name,
+       CASE WHEN s_suppkey % 41 = 0 THEN NULL ELSE s_acctbal END
+         AS s_acctbal,
+       CASE WHEN s_suppkey % 41 = 0 THEN NULL ELSE s_nationkey END
+         AS s_nationkey,
+       s_suppkey % 41 = 0 AS is_corrupt
+FROM supplier
+""",
+)
+def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingest via Spark 4's NATIVE xml data source (rowTag record
+    splitting, explicit schema — inference is an extra full pass at
+    100 TB) with corrupt-field routing: every 41st supplier carries an
+    unparseable numeric; PERMISSIVE keeps the row and flags it via
+    ``_corrupt_record``. XML's corrupt semantics differ from CSV's
+    (scan_csv) in a way the oracle pins exactly: the StAX parser stops
+    at the FIRST bad field, so fields BEFORE it survive and the bad
+    field AND EVERYTHING AFTER null out (CSV nulls only the bad
+    field) — a reader migrating formats must know this.
+
+    The fixture is derived deterministically from supplier and written
+    to scratch with a single document root (the rowTag splitter
+    requires well-formed XML — root-less per-line elements die with
+    "illegal to have multiple roots", found empirically).
+
+    Scale: same posture as scan_csv/scan_json_lines — schema-on-read
+    at the boundary, quarantine flag carried inline so one scan serves
+    both the clean pipeline and the dead-letter audit; record
+    splitting is distributed (the file splits on rowTag boundaries).
+    """
+    supplier = load_table(spark, sf_dir, "supplier")
+    bal = F.when(
+        F.col("s_suppkey") % 41 == 0, F.lit("not-a-number")
+    ).otherwise(F.col("s_acctbal").cast("string"))
+    line = F.concat(
+        F.lit("<row><s_suppkey>"),
+        F.col("s_suppkey").cast("string"),
+        F.lit("</s_suppkey><s_name>"),
+        F.col("s_name"),
+        F.lit("</s_name><s_acctbal>"),
+        bal,
+        F.lit("</s_acctbal><s_nationkey>"),
+        F.col("s_nationkey").cast("string"),
+        F.lit("</s_nationkey></row>"),
+    )
+    body = supplier.select(
+        F.lit(1).alias("k"),
+        F.col("s_suppkey").alias("ord"),
+        line.alias("value"),
+    )
+    hdr = spark.createDataFrame(
+        [(0, -1, "<rows>"), (2, 0, "</rows>")],
+        "k int, ord long, value string",
+    )
+    path = os.path.join(scratch_dir(), f"xml_{_sf_tag(sf_dir)}")
+    (
+        body.unionByName(hdr)
+        .repartition(1)
+        .sortWithinPartitions("k", "ord")
+        .select("value")
+        .write.mode("overwrite")
+        .text(path)
+    )
+    parsed = (
+        spark.read.format("xml")
+        .option("rowTag", "row")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(_XML_SCHEMA)
+        .load(path)
+    )
+    return parsed.select(
+        "s_suppkey",
+        "s_name",
+        "s_acctbal",
+        "s_nationkey",
+        F.col("_corrupt_record").isNotNull().alias("is_corrupt"),
+    )
