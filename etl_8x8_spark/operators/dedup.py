@@ -2177,17 +2177,21 @@ def sample_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # incremental substring-span dedup: probe a persisted shingle index (r13)
 # ---------------------------------------------------------------------------
 
-_INC_SPAN_OFFSET = 5_000_000  # batch docs sharing a 20-token interior
-_INC_SPAN_NOVEL_OFFSET = 6_000_000  # batch docs sharing NO index shingle
+# Batch ids live in the NEGATIVE namespace (sink_merge_upsert's
+# negated-key idiom, adopted per r13 ADVICE): corpus doc_ids are
+# non-negative, so -(2·id+1) (overlap family, odd) and -(2·id+2)
+# (novel family, even) are disjoint from the corpus AND from each
+# other at ANY corpus size — the old fixed +5M/+6M offsets collided
+# once the corpus passed 1M docs.
 
 _INC_SPAN_BATCH_SQL = f"""
-  SELECT doc_id + {_INC_SPAN_OFFSET} AS doc_id,
+  SELECT -(2 * doc_id + 1) AS doc_id,
          'fresh intro one two three '
          || array_to_string(({_TOKENS_SQL})[5:24], ' ')
          || ' fresh outro seven eight' AS text
   FROM documents WHERE doc_id % 5 = 0
   UNION ALL
-  SELECT doc_id + {_INC_SPAN_NOVEL_OFFSET} AS doc_id,
+  SELECT -(2 * doc_id + 2) AS doc_id,
          array_to_string(list_transform(string_split(text, ' '),
                                         w -> w || '_nv'), ' ') AS text
   FROM documents WHERE doc_id % 7 = 0
@@ -2200,7 +2204,7 @@ def _inc_span_batch(docs: DataFrame) -> DataFrame:
     it — the span family's planted shape), plus novel docs whose every
     token is suffixed so no K-shingle can match the index."""
     overlap = docs.filter(F.col("doc_id") % 5 == 0).select(
-        (F.col("doc_id") + _INC_SPAN_OFFSET).alias("doc_id"),
+        (-(F.col("doc_id") * 2 + 1)).alias("doc_id"),
         F.concat(
             F.lit("fresh intro one two three "),
             F.array_join(F.slice(tokens(), 5, 20), " "),
@@ -2208,7 +2212,7 @@ def _inc_span_batch(docs: DataFrame) -> DataFrame:
         ).alias("text"),
     )
     novel = docs.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + _INC_SPAN_NOVEL_OFFSET).alias("doc_id"),
+        (-(F.col("doc_id") * 2 + 2)).alias("doc_id"),
         F.array_join(
             F.transform(
                 F.split(F.col("text"), " "),

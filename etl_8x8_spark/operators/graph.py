@@ -415,6 +415,11 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 8, so extra rounds buy suite seconds, not information
 _PR_ROUNDS = 5
 _PR_PART_OFFSET = 10_000_000  # part node ids live above supplier ids
+# Broadcast the node-sized per-round contribution relation only below
+# this node count (~16 B/row → ~160 MB at the cap); above it the hint
+# is omitted so the join degrades to a co-partitioned SMJ instead of
+# forcing an executor-OOM broadcast past AQE's size check (r13 ADVICE).
+_PR_BROADCAST_NODES = 10_000_000
 
 
 def _pr_round_sql(prev: str, rnd: int) -> str:
@@ -489,8 +494,15 @@ def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     node-sized (src, rank_u div deg) relation broadcasts into the
     cached edges, and only the contribution agg exchanges. At 100 TB
     each round is a fixed small-side-broadcast job and total cost is
-    rounds × that (for node sets too big to broadcast the same plan
-    degrades to a co-partitioned SMJ against the cached edges);
+    rounds × that. The broadcast is gated, not blind (r13 ADVICE: an
+    unconditional ``F.broadcast`` hint overrides AQE's size check and
+    OOMs instead of degrading): one driver-side count of the persisted
+    node-sized ``deg`` relation picks the strategy once — under
+    ``_PR_BROADCAST_NODES`` nodes the per-round contribution join
+    broadcasts, above it the hint is omitted and the join degrades to
+    a co-partitioned SMJ against the cached src-partitioned edges
+    (only the node-sized side shuffles; the edge fan-out reuses its
+    cached partitioning);
     lineage truncation keeps the plan from growing with rounds (the
     failure mode of naive loops). Teleport/damping use exact
     rationals (0.15·1e12 and ·85//100).
@@ -509,6 +521,11 @@ def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     # longs per edge instead of three
     edges = edges_dir.repartition(F.col("src")).persist()
     deg = edges.groupBy("src").agg(F.count("*").alias("deg")).persist()
+    # one bounded driver-side count of the node-sized relation (also
+    # materializes the two persists before the loop): it gates the
+    # broadcast hint so huge node sets degrade to SMJ instead of OOM
+    n_nodes = deg.count()
+    hint = F.broadcast if n_nodes <= _PR_BROADCAST_NODES else (lambda df: df)
     nodes = edges.select(F.col("src").alias("node")).distinct()
     ranks = nodes.select("node", F.lit(10**12).cast("long").alias("rank_u"))
     ranks = ranks.localCheckpoint(eager=True)
@@ -520,7 +537,7 @@ def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
             "src", F.expr("rank_u div deg").alias("c")
         )
         contrib = (
-            edges.join(F.broadcast(per_src), "src")
+            edges.join(hint(per_src), "src")
             .groupBy("dst")
             .agg(F.sum("c").alias("c"))
         )

@@ -345,15 +345,23 @@ def _resize_audit_batch(
     "multimodal_resize",
     oracle=f"""
 WITH p AS (
-  SELECT doc_id, substr(text, 1, 32) AS prefix FROM documents
+  -- hex of the UTF-8 BYTES of the 32-char prefix: the contract is
+  -- byte-based (the engine truncates the encoded byte stream), so the
+  -- oracle must count octets, not code points — a multi-byte
+  -- character contributes each of its bytes and can be split by the
+  -- {_RESIZE_BYTES}-byte budget (r13 ADVICE: the old ascii()-per-char
+  -- form only agreed on pure-ASCII fixtures)
+  SELECT doc_id, hex(encode(substr(text, 1, 32))) AS hx FROM documents
 )
 SELECT doc_id,
        CAST({_RESIZE_BYTES} AS INT) AS resized_bytes,
        -- pad bytes are NUL (code 0): they change the length, never
        -- the checksum — so the sum runs over the surviving prefix
        CAST(COALESCE(list_sum(list_transform(
-            generate_series(1, least(length(prefix), {_RESIZE_BYTES})),
-            i -> ascii(substr(prefix, i, 1)))), 0) % 1000000007
+            generate_series(1, least(length(hx) // 2, {_RESIZE_BYTES})),
+            i -> (strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1) * 16
+               + (strpos('0123456789ABCDEF', substr(hx, 2*i,   1)) - 1))),
+          0) % 1000000007
          AS BIGINT) AS resized_checksum
 FROM p
 """,

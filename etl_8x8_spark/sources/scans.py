@@ -2131,11 +2131,24 @@ def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     bal = F.when(
         F.col("s_suppkey") % 41 == 0, F.lit("not-a-number")
     ).otherwise(F.col("s_acctbal").cast("string"))
+    # XML-escape the one interpolated text field (& first, then < >):
+    # TPC-H names are XML-safe today, but an unescaped '&' would
+    # silently route the row to _corrupt_record and diverge from the
+    # oracle's %41 rule (r13 ADVICE) — escape, don't assume
+    name_xml = F.replace(
+        F.replace(
+            F.replace(F.col("s_name"), F.lit("&"), F.lit("&amp;")),
+            F.lit("<"),
+            F.lit("&lt;"),
+        ),
+        F.lit(">"),
+        F.lit("&gt;"),
+    )
     line = F.concat(
         F.lit("<row><s_suppkey>"),
         F.col("s_suppkey").cast("string"),
         F.lit("</s_suppkey><s_name>"),
-        F.col("s_name"),
+        name_xml,
         F.lit("</s_name><s_acctbal>"),
         bal,
         F.lit("</s_acctbal><s_nationkey>"),

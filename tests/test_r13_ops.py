@@ -186,11 +186,6 @@ class TestIncrementalSubstring:
         must report 'overlap' with its longest span covering at least
         the 20 planted tokens; every '_nv'-suffixed doc must report
         'novel' with zeroed span stats."""
-        from etl_8x8_spark.operators.dedup import (
-            _INC_SPAN_NOVEL_OFFSET,
-            _INC_SPAN_OFFSET,
-        )
-
         from etl_8x8_spark.operators.dedup import _SPAN_K
 
         rows = (
@@ -201,16 +196,18 @@ class TestIncrementalSubstring:
         assert rows
         overlaps = []
         for r in rows:
-            if r["batch_doc_id"] >= _INC_SPAN_NOVEL_OFFSET:
+            # batch ids are negated (corpus-size-proof namespace):
+            # odd negatives = overlap family, even negatives = novel
+            assert r["batch_doc_id"] < 0, r
+            if r["batch_doc_id"] % 2 == 0:
                 assert r["verdict"] == "novel", r
                 assert r["n_spans"] == 0 and r["dup_tokens"] == 0, r
             else:
-                assert r["batch_doc_id"] >= _INC_SPAN_OFFSET
                 overlaps.append(r)
                 if r["verdict"] == "overlap":
                     # any match implies at least one full K-shingle span
                     assert r["max_span_tokens"] >= _SPAN_K, r
-        # the plant works: nearly every +OFFSET doc carries a copied
+        # the plant works: nearly every overlap-family doc carries a copied
         # interior (a source doc shorter than ~12 tokens yields an
         # interior under K tokens and legitimately reads 'novel'), and
         # full-length plants reach the full 20-token span
