@@ -58,81 +58,78 @@ _QUERY_MODULES = [
 # ORDER MATTERS for driver sampling: the driver evaluates only the first
 # 50 keys of ``all_queries()`` per round. Keys listed here lead the
 # returned dict (in this order); all other keys follow in registration
-# order. Round-13 priority (r12 verdict item 5 + the r13 changes),
-# filling exactly the 50-slot window as 6 + 7 + 24 + 13:
-#   0. the 6 r13-new keys (sink_txn_log_merge,
-#      dedup_incremental_substring, scan_txn_log_checkpoint,
-#      sink_txn_log_vacuum, multimodal_resize, scan_xml — no driver
+# order. Round-14 priority (r13 verdict item 2 + the r14 changes),
+# filling exactly the 50-slot window as 3 + 4 + 35 + 8:
+#   0. the 3 r14-new keys (sink_txn_log_conflict,
+#      sink_txn_log_schema_evolution, stream_txn_log_tail — no driver
 #      evidence yet);
-#   1. the 7 keys whose implementation changed in r13
-#      (embed_jl_project scalar output, multimodal_phash_dedup
-#      repeat-to-width payload, fn_installments_codegen /
-#      fn_udtf_installments terminal-sort drops,
-#      graph_pagerank_converged degree fold, agg_corr_matrix +
-#      agg_linear_regression quantized-integer power sums);
-#   2. the full 25-key r6-vintage cohort (pagerank is r6-vintage too
-#      but rides slot 1) — after r13 the r6 tail is ZERO;
-#   3. the first 13 (alphabetical) of the 49-key r7 cohort
-#      (fn_installments_codegen is r7-vintage and rides slot 1; the
-#      remaining 35 r7 keys roll to r14).
-# Target: after the r13 driver run no key's evidence is older than r7.
+#   1. the 4 keys whose implementation/oracle changed in r14
+#      (multimodal_resize byte-based oracle, scan_xml fixture
+#      escaping, dedup_incremental_substring negated batch namespace,
+#      graph_pagerank_converged gated broadcast) — their r13 rows are
+#      stale evidence;
+#   2. the full 35-key r7-vintage cohort (the oldest evidence after
+#      the r13 rotation retired r6);
+#   3. the first 8 (alphabetical) of the 50-key r8 cohort.
+# Target: after the r14 driver run no key's evidence is older than r8.
 # bench.py's HEADLINE order is independent and unaffected.
 _SAMPLE_PRIORITY = [
-    # new in r13 — no driver evidence yet
-    "sink_txn_log_merge",
-    "dedup_incremental_substring",
-    "scan_txn_log_checkpoint",
-    "sink_txn_log_vacuum",
+    # new in r14 — no driver evidence yet
+    "sink_txn_log_conflict",
+    "sink_txn_log_schema_evolution",
+    "stream_txn_log_tail",
+    # implementation/oracle changed in r14 — previous rows are stale
     "multimodal_resize",
     "scan_xml",
-    # implementation changed in r13 — previous rows are stale evidence
-    "embed_jl_project",
-    "multimodal_phash_dedup",
-    "fn_installments_codegen",
-    "fn_udtf_installments",
+    "dedup_incremental_substring",
     "graph_pagerank_converged",
-    "agg_corr_matrix",
-    "agg_linear_regression",
-    # r6-vintage cohort, complete (24 + pagerank above)
-    "graph_degree_distribution",
-    "graph_triangle_count",
-    "join_asof_nearest",
-    "join_existence_mark",
-    "join_grid_proximity",
-    "join_interval_overlap",
-    "join_lateral_topk",
-    "join_null_safe",
-    "ml_feature_scaling",
-    "ml_kmeans_converged",
-    "quality_key_skew_report",
-    "sample_bootstrap_poisson",
-    "sample_shuffle_shards",
-    "sample_stratified_neyman",
-    "scan_incremental_watermark",
-    "scan_manifest_pruned",
-    "scan_metadata_stats_approx",
-    "sink_merge_upsert",
-    "sink_zorder_clustered",
-    "stream_topk_per_window",
-    "text_line_dedup",
-    "view_incremental_refresh",
-    "window_streak_detection",
-    "window_vwap",
-    # r7-vintage cohort, first 13 of 49 alphabetically (window cap)
-    "agg_abc_classification",
-    "agg_bitmap_distinct",
-    "agg_count_if",
-    "agg_cube",
-    "agg_distinct_count",
-    "agg_gini_coefficient",
-    "agg_grouping_sets",
-    "agg_hash_group",
-    "agg_hdr_histogram_pctl",
-    "agg_heavy_hitters",
-    "agg_histogram",
-    "agg_lorenz_curve",
-    "agg_map_collect",
+    # r7-vintage cohort, complete (35)
+    "agg_min_max_by",
+    "agg_percentile_exact",
+    "agg_pivot",
+    "agg_retention_cohorts",
+    "agg_rfm_segments",
+    "agg_rolling_actives",
+    "agg_rollup",
+    "agg_stats_moments",
+    "agg_stickiness_dau_mau_approx",
+    "agg_string_agg",
+    "agg_unpivot",
+    "agg_window_funnel",
+    "arn_parse",
+    "bearer_extract",
+    "error_route",
+    "filter_required",
+    "greeting_transform",
+    "join_anti",
+    "join_asof_event",
+    "join_broadcast_lookup",
+    "join_hash_equi",
+    "join_left_outer",
+    "join_range_theta",
+    "join_salted_skew",
+    "join_semi",
+    "json_body_parse",
+    "json_serialize",
+    "jwt_verify",
+    "observe_metrics",
+    "policy_build",
+    "qs_extract",
+    "quality_expectations",
+    "sql_recursive_hierarchy",
+    "validate_numeric_reject",
+    "window_ntile_percentile",
+    # r8-vintage cohort, first 8 of 50 alphabetically (window cap)
+    "agg_audience_overlap_approx",
+    "agg_dp_count_laplace",
+    "agg_ks_test_two_sample",
+    "agg_roc_auc_rank",
+    "dedup_exact",
+    "dedup_semdedup",
+    "embed_mrl_truncate",
+    "embed_pq_encode",
 ]
+
 
 
 

@@ -2188,3 +2188,401 @@ def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_nationkey",
         F.col("_corrupt_record").isNotNull().alias("is_corrupt"),
     )
+
+
+# ---------------------------------------------------------------------------
+# optimistic-concurrency commit conflict: the CAS leg of the protocol (r14)
+# ---------------------------------------------------------------------------
+
+_TXN_CONFLICT_ORACLE = f"""
+WITH t AS (
+  -- final table state after all three writers resolve: writer A's
+  -- price bump (keys %10, all even) landed at v2; writer C's delete
+  -- of even %7 keys (≡ 0 mod 14) recomputed against A's file and
+  -- landed at v4; writer B's disjoint append retried into v3
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 1.05
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders
+  WHERE o_orderkey % 14 <> 0
+  UNION ALL
+  SELECT -o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 100 = 0
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {oracle_dsum("o_totalprice", "sum_price")}
+FROM t
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register("sink_txn_log_conflict", oracle=_TXN_CONFLICT_ORACLE)
+def sink_txn_log_conflict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMISTIC-CONCURRENCY commit conflict — the missing leg of the
+    table-format protocol (commit → time travel → checkpoint → MERGE →
+    VACUUM → now multi-writer): three writers race commits against the
+    same log, and the version slot is a compare-and-swap. The CAS
+    primitive is ``os.link`` (create-if-absent hard link of the staged
+    record into ``NNNNN.json``) — unlike ``os.rename``, which POSIX
+    defines to silently REPLACE an existing target, link fails with
+    EEXIST when the slot is taken, which is exactly Delta's
+    rename-without-overwrite commit check.
+
+    The race, orchestrated deterministically (all three writers read
+    the v1 snapshot, then commit in A → B → C order):
+
+    - **A** rewrites the even file (5% bump on keys ≡ 0 mod 10) and
+      wins version 2.
+    - **B** appends a fresh insert file (negated keys — the
+      scale-proof disjoint namespace). Its v2 CAS loses; conflict
+      check: the winner removed ``dataE``, but B removes nothing and
+      reads nothing the winner touched — DISJOINT, so B RETRIES the
+      same staged file at v3 and wins.
+    - **C** rewrites the even file too (drop keys ≡ 0 mod 7). Its v2
+      CAS loses; conflict check: winner's removes ∩ C's read/remove
+      set = {{dataE}} — OVERLAP, so C must ABORT: discard the staged
+      rewrite, re-read the CURRENT snapshot (which by then holds A's
+      ``dataE_a`` AND B's v3 append), recompute the delete against
+      it, and land cleanly at v4 — the re-read is what makes a second
+      race against B impossible.
+
+    The final state value-hash pins the whole dance: a lost update
+    (C clobbering A's bump), a double-applied insert, or a
+    rename-overwrite CAS would each hash differently. The writers'
+    journeys land in a ``_AUDIT.json`` sidecar the r14 test reads to
+    pin the retry and abort branches explicitly.
+
+    Scale: conflict probability is per-COMMIT, not per-row — commits
+    are metadata-sized whatever the data volume, the loser's retry
+    cost is one log re-read plus (only on true overlap) the recompute
+    of its own change, and the CAS itself is one object-store
+    conditional-put regardless of table size.
+    """
+    import json
+    import shutil
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    if orders.limit(1).isEmpty():  # empty-input contract
+        return spark.createDataFrame(
+            [], "o_orderstatus string, n_rows long, sum_price double"
+        )
+    base = os.path.join(
+        scratch_dir(), f"txnconflict_{_src_tag(sf_dir, 'orders')}"
+    )
+    log_dir = os.path.join(base, "_log")
+    done = os.path.join(base, "_ALL_COMMITTED")
+    if not os.path.exists(done):
+        if os.path.exists(base):
+            shutil.rmtree(base)
+        os.makedirs(log_dir)
+        audit: dict[str, dict] = {}
+
+        def cas_commit(writer: str, version: int, rec: dict) -> bool:
+            """True iff this writer won the version slot."""
+            tmp = os.path.join(
+                log_dir, f"{version:05d}.json.tmp.{writer}"
+            )
+            with open(tmp, "w") as f:
+                json.dump(rec, f)
+            try:
+                # atomic create-if-absent: the CAS. rename() would
+                # silently replace the winner's record — the lost-
+                # update bug this operator exists to rule out.
+                os.link(tmp, os.path.join(log_dir, f"{version:05d}.json"))
+                won = True
+            except FileExistsError:
+                won = False
+            os.unlink(tmp)
+            return won
+
+        def fold_log() -> tuple[list[str], int]:
+            live: list[str] = []
+            version = -1
+            for name in sorted(os.listdir(log_dir)):
+                if not name.endswith(".json"):
+                    continue
+                rec = json.load(open(os.path.join(log_dir, name)))
+                for r in rec["removes"]:
+                    live.remove(r)
+                live.extend(rec["adds"])
+                version = int(name.split(".")[0])
+            return live, version
+
+        def winner_removes(version: int) -> set[str]:
+            rec = json.load(
+                open(os.path.join(log_dir, f"{version:05d}.json"))
+            )
+            return set(rec["removes"])
+
+        # base table: two immutable files, v0/v1
+        even = orders.filter(F.col("o_orderkey") % 2 == 0)
+        odd = orders.filter(F.col("o_orderkey") % 2 != 0)
+        even.write.parquet(os.path.join(base, "dataE"))
+        assert cas_commit("base", 0, {"adds": ["dataE"], "removes": []})
+        odd.write.parquet(os.path.join(base, "dataO"))
+        assert cas_commit("base", 1, {"adds": ["dataO"], "removes": []})
+
+        # all three writers snapshot the table at version 1
+        snap_live, snap_v = fold_log()
+
+        # -- writer A: rewrite dataE with the %10 price bump ----------
+        bumped = spark.read.parquet(os.path.join(base, "dataE")).select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.when(
+                F.col("o_orderkey") % 10 == 0, F.col("o_totalprice") * 1.05
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+        bumped.write.parquet(os.path.join(base, "dataE_a"))
+        a_rec = {"adds": ["dataE_a"], "removes": ["dataE"]}
+
+        # -- writer B: stage the append (reads nothing it removes) ----
+        orders.filter(F.col("o_orderkey") % 100 == 0).select(
+            (-F.col("o_orderkey")).alias("o_orderkey"),
+            "o_orderstatus",
+            "o_totalprice",
+        ).write.parquet(os.path.join(base, "dataN"))
+        b_rec = {"adds": ["dataN"], "removes": []}
+
+        # -- writer C: stage a rewrite of the SAME file A rewrites ----
+        spark.read.parquet(os.path.join(base, "dataE")).filter(
+            F.col("o_orderkey") % 7 != 0
+        ).write.parquet(os.path.join(base, "dataE_c"))
+        c_rec = {"adds": ["dataE_c"], "removes": ["dataE"]}
+        c_read_set = {"dataE"}
+
+        # A commits first and wins v2 cleanly
+        assert cas_commit("A", snap_v + 1, a_rec)
+        audit["A"] = {"cas_failures": 0, "resolution": "win", "version": 2}
+
+        # B attempts v2 (it still believes the table is at v1), loses,
+        # finds the winner's removes disjoint from its own read/remove
+        # set, and retries the SAME staged file at the next slot
+        b_failures = 0
+        b_version = snap_v + 1
+        while not cas_commit("B", b_version, b_rec):
+            b_failures += 1
+            overlap = winner_removes(b_version) & set(b_rec["removes"])
+            assert not overlap  # append conflicts with nothing
+            b_version += 1
+        audit["B"] = {
+            "cas_failures": b_failures,
+            "resolution": "retry",
+            "version": b_version,
+        }
+
+        # C attempts v2, loses, and this time the winner REMOVED a
+        # file in C's read set → the staged rewrite is based on a
+        # stale snapshot and must be thrown away, not retried
+        c_failures = 0
+        c_version = snap_v + 1
+        c_aborted = False
+        while not cas_commit("C", c_version, c_rec):
+            c_failures += 1
+            overlap = winner_removes(c_version) & (
+                set(c_rec["removes"]) | c_read_set
+            )
+            if overlap:
+                # ABORT: discard the stale rewrite, recompute against
+                # the current snapshot, then re-enter the CAS loop
+                c_aborted = True
+                shutil.rmtree(os.path.join(base, c_rec["adds"][0]))
+                live_now, v_now = fold_log()
+                src = [p for p in live_now if p.startswith("dataE")]
+                spark.read.parquet(
+                    *(os.path.join(base, p) for p in src)
+                ).filter(F.col("o_orderkey") % 7 != 0).write.parquet(
+                    os.path.join(base, "dataE_ac")
+                )
+                c_rec = {"adds": ["dataE_ac"], "removes": src}
+                c_read_set = set(src)
+                c_version = v_now + 1
+            else:
+                c_version += 1
+        audit["C"] = {
+            "cas_failures": c_failures,
+            "resolution": "abort_recompute",
+            "aborted": c_aborted,
+            "version": c_version,
+        }
+
+        with open(os.path.join(base, "_AUDIT.json"), "w") as f:
+            json.dump(audit, f)
+        open(done, "w").close()
+
+    live: list[str] = []
+    import json as _json
+
+    for name in sorted(os.listdir(log_dir)):
+        if not name.endswith(".json"):
+            continue
+        rec = _json.load(open(os.path.join(log_dir, name)))
+        for r in rec["removes"]:
+            live.remove(r)
+        live.extend(rec["adds"])
+    table = spark.read.parquet(*(os.path.join(base, p) for p in live))
+    return (
+        table.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            dsum("o_totalprice", "sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# schema evolution committed IN the log: readers resolve versioned schemas
+# ---------------------------------------------------------------------------
+
+_TXN_SCHEMA_EVO_ORACLE = f"""
+WITH t AS (
+  -- files carry the schema that was CURRENT when they were written;
+  -- the reader projects every file to the latest log schema with
+  -- NULL for columns added later (Delta/Iceberg ADD COLUMN semantics)
+  SELECT o_orderkey, o_totalprice,
+         NULL AS o_orderpriority, NULL AS channel
+  FROM orders WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT o_orderkey, o_totalprice, o_orderpriority, NULL
+  FROM orders WHERE o_orderkey % 3 = 1
+  UNION ALL
+  SELECT o_orderkey, o_totalprice, o_orderpriority, o_orderstatus
+  FROM orders WHERE o_orderkey % 3 = 2
+)
+SELECT COALESCE(o_orderpriority, '<pre-alter>') AS priority,
+       COALESCE(channel, '<pre-alter>') AS channel,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {oracle_dsum("o_totalprice", "sum_price")}
+FROM t
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("sink_txn_log_schema_evolution", oracle=_TXN_SCHEMA_EVO_ORACLE)
+def sink_txn_log_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION committed in the transaction log — ALTER TABLE
+    ADD COLUMN as a metadata action: the log, not the data files, owns
+    the table schema. Two ``metaData`` records land between data
+    commits (v1 adds ``o_orderpriority``, v3 adds ``channel``), so the
+    live files span three schema generations. The reader folds the log
+    for BOTH the live set and the latest schema, then projects every
+    file to that schema — columns younger than the file read as NULL
+    (exactly Delta/Iceberg ADD COLUMN semantics: old files are never
+    rewritten, which is the entire point at 100 TB). This is the
+    log-owned upgrade of ``sink_txn_log_merge``'s ad-hoc
+    ``mergeSchema`` read: resolution is deterministic from the log —
+    no schema inference pass over data files, and a column DROPPED
+    from the latest schema disappears even though bytes remain.
+
+    Scale: the ALTER is O(1) — one metadata record, zero data I/O,
+    however many petabytes the table holds; per-file projection is a
+    reader-side column mapping with no shuffle; planning stays
+    |log| + |live files| like every other leg of the protocol.
+    """
+    import json
+    import shutil
+
+    orders = load_table(spark, sf_dir, "orders")
+    if orders.limit(1).isEmpty():  # empty-input contract
+        return spark.createDataFrame(
+            [],
+            "priority string, channel string,"
+            " n_rows long, sum_price double",
+        )
+    base = os.path.join(
+        scratch_dir(), f"txnschema_{_src_tag(sf_dir, 'orders')}"
+    )
+    log_dir = os.path.join(base, "_log")
+    done = os.path.join(base, "_ALL_COMMITTED")
+    # latest schema as (name, spark-sql type) pairs, in commit order
+    if not os.path.exists(done):
+        if os.path.exists(base):
+            shutil.rmtree(base)
+        os.makedirs(log_dir)
+
+        def commit(version: int, rec: dict) -> None:
+            tmp = os.path.join(log_dir, f"{version:05d}.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump(rec, f)
+            os.rename(tmp, os.path.join(log_dir, f"{version:05d}.json"))
+
+        s1 = [["o_orderkey", "bigint"], ["o_totalprice", "double"]]
+        s2 = s1 + [["o_orderpriority", "string"]]
+        s3 = s2 + [["channel", "string"]]
+
+        # v0: create table at schema S1 + first file
+        orders.filter(F.col("o_orderkey") % 3 == 0).select(
+            "o_orderkey", "o_totalprice"
+        ).write.parquet(os.path.join(base, "gen1"))
+        commit(0, {"schema": s1, "adds": ["gen1"], "removes": []})
+        # v1: ALTER TABLE ADD COLUMN o_orderpriority — metadata only
+        commit(1, {"schema": s2, "adds": [], "removes": []})
+        # v2: a file written under S2
+        orders.filter(F.col("o_orderkey") % 3 == 1).select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        ).write.parquet(os.path.join(base, "gen2"))
+        commit(2, {"adds": ["gen2"], "removes": []})
+        # v3: ALTER ADD channel, and v4: a file written under S3
+        commit(3, {"schema": s3, "adds": [], "removes": []})
+        orders.filter(F.col("o_orderkey") % 3 == 2).select(
+            "o_orderkey",
+            "o_totalprice",
+            "o_orderpriority",
+            F.col("o_orderstatus").alias("channel"),
+        ).write.parquet(os.path.join(base, "gen3"))
+        commit(4, {"adds": ["gen3"], "removes": []})
+        open(done, "w").close()
+
+    live: list[str] = []
+    schema: list[list[str]] = []
+    import json as _json
+
+    for name in sorted(os.listdir(log_dir)):
+        if not name.endswith(".json"):
+            continue
+        rec = _json.load(open(os.path.join(log_dir, name)))
+        for r in rec["removes"]:
+            live.remove(r)
+        live.extend(rec["adds"])
+        if "schema" in rec:  # last metaData record wins
+            schema = rec["schema"]
+
+    # project every live file to the LOG's latest schema: present
+    # columns pass through, younger columns read as typed NULLs
+    parts = []
+    for p in live:
+        df = spark.read.parquet(os.path.join(base, p))
+        have = set(df.columns)
+        parts.append(
+            df.select(
+                *[
+                    F.col(col) if col in have
+                    else F.lit(None).cast(typ).alias(col)
+                    for col, typ in schema
+                ]
+            )
+        )
+    table = parts[0]
+    for part in parts[1:]:
+        table = table.unionByName(part)
+    return (
+        table.groupBy(
+            F.coalesce("o_orderpriority", F.lit("<pre-alter>")).alias(
+                "priority"
+            ),
+            F.coalesce("channel", F.lit("<pre-alter>")).alias("channel"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            dsum("o_totalprice", "sum_price"),
+        )
+        .orderBy("priority", "channel")
+    )

@@ -1567,3 +1567,104 @@ def stream_tws_ttl_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
         # after provider restore, so the twin runs on the default store
         return stream_state_ttl_cache(spark, sf_dir)
     return spark.read.parquet(out_dir).filter(F.col("user_id") >= 0)
+
+
+@register(
+    "stream_txn_log_tail",
+    oracle=f"""
+SELECT CAST(o_orderkey % 4 AS BIGINT) AS version,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {oracle_dsum("o_totalprice", "sum_price")}
+FROM orders
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def stream_txn_log_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM the transaction-log table — the Delta streaming-source
+    shape closing the protocol loop (commit → ... → VACUUM → now
+    ``readStream``): a custom ``DataSourceStreamReader``
+    (``sources/txn_log_stream.py``) whose offset IS the log version.
+    Four append commits land first (orders split by key mod 4, one
+    file per commit); the stream then tails the log with ONE commit
+    per micro-batch — ``latestOffset`` advances a single version per
+    poll, so each batch's input is exactly one commit's added files
+    and recovery replays from a version boundary (the
+    ``maxFilesPerTrigger`` discipline). ``partitions()`` emits one
+    input partition per added file and ``read()`` runs executor-side,
+    yielding the file's Arrow record batches — file-parallel like a
+    parquet scan, no driver hop (the Simple reader variant would
+    funnel rows through the driver; see stream_custom_source for when
+    that is acceptable).
+
+    The streaming aggregation (rows per version, price mass per
+    version) runs in ``complete`` mode over the drained backlog; the
+    oracle recomputes it from the mod-4 split — value-hash parity
+    pins that every commit was served exactly once, none twice
+    (an offset bug double-serving a commit doubles n_rows and hashes
+    red).
+
+    Scale: the driver touches only metadata (log listing + commit
+    records); data I/O is executor-side Arrow streaming per file;
+    state is bounded by one commit per batch however deep the backlog;
+    and a production deployment swaps the memory sink for foreachBatch
+    into a real table — the source is sink-agnostic.
+    """
+    import json
+    import shutil
+
+    from etl_8x8_spark.sources.txn_log_stream import (
+        register_txn_log_tail_source,
+    )
+
+    from etl_8x8_spark.sources.scans import _src_tag
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    if orders.limit(1).isEmpty():  # empty-input contract
+        return spark.createDataFrame(
+            [], "version long, n_rows long, sum_price double"
+        )
+    base = os.path.join(
+        scratch_dir(), f"txntail_{_src_tag(sf_dir, 'orders')}"
+    )
+    log_dir = os.path.join(base, "_log")
+    done = os.path.join(base, "_ALL_COMMITTED")
+    if not os.path.exists(done):
+        if os.path.exists(base):
+            shutil.rmtree(base)
+        os.makedirs(log_dir)
+        for k in range(4):
+            d = f"tail{k}"
+            orders.filter(F.col("o_orderkey") % 4 == k).write.parquet(
+                os.path.join(base, d)
+            )
+            rec = {"adds": [d], "removes": []}
+            tmp = os.path.join(log_dir, f"{k:05d}.json.tmp")
+            with open(tmp, "w") as fh:
+                json.dump(rec, fh)
+            os.rename(tmp, os.path.join(log_dir, f"{k:05d}.json"))
+        open(done, "w").close()
+
+    register_txn_log_tail_source(spark)
+    s = (
+        spark.readStream.format("txn_log_tail")
+        .option("path", base)
+        .load()
+    )
+    agg = s.groupBy("version").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        dsum("o_totalprice", "sum_price"),
+    )
+    name = f"stream_txntail_{next(_counter)}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    return spark.table(name).orderBy("version")

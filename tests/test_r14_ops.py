@@ -100,3 +100,235 @@ class TestScanXmlEscaping:
         assert rows[2]["s_name"] == "plain name"
         assert not rows[2]["is_corrupt"]
         assert rows[41]["is_corrupt"]  # the planted rule, not escaping
+
+
+class TestTxnLogConflict:
+    def _base(self, sf_dir):
+        from etl_8x8_spark.sources.readers import scratch_dir
+        from etl_8x8_spark.sources.scans import _src_tag
+
+        return os.path.join(
+            scratch_dir(), f"txnconflict_{_src_tag(sf_dir, 'orders')}"
+        )
+
+    def test_retry_and_abort_branches(self, spark, sf_dir):
+        """The audit sidecar pins the protocol paths: B lost exactly
+        one CAS and resolved by RETRY (disjoint append) into v3; C
+        lost once, ABORTED (overlap with A's rewrite), and its
+        post-abort re-read already included B's v3 commit — so the
+        recompute targeted v4 directly and won without racing B."""
+        import json
+
+        all_queries()["sink_txn_log_conflict"].builder(
+            spark, sf_dir
+        ).collect()
+        base = self._base(sf_dir)
+        audit = json.load(open(os.path.join(base, "_AUDIT.json")))
+        assert audit["A"] == {
+            "cas_failures": 0,
+            "resolution": "win",
+            "version": 2,
+        }
+        assert audit["B"]["cas_failures"] == 1
+        assert audit["B"]["resolution"] == "retry"
+        assert audit["B"]["version"] == 3
+        assert audit["C"]["aborted"] is True
+        assert audit["C"]["cas_failures"] == 1  # lost to A only
+        assert audit["C"]["version"] == 4
+
+    def test_log_and_live_set(self, spark, sf_dir):
+        """Versions 0-4 each committed exactly once, no tmp orphans
+        survive, C's aborted staged file is gone, and the folded live
+        set is exactly {dataE_ac, dataO, dataN}."""
+        import json
+
+        all_queries()["sink_txn_log_conflict"].builder(
+            spark, sf_dir
+        ).collect()
+        base = self._base(sf_dir)
+        log_dir = os.path.join(base, "_log")
+        names = sorted(os.listdir(log_dir))
+        assert [n for n in names if ".tmp" in n] == []
+        assert [n for n in names if n.endswith(".json")] == [
+            f"{v:05d}.json" for v in range(5)
+        ]
+        # the aborted rewrite's directory was discarded
+        assert not os.path.exists(os.path.join(base, "dataE_c"))
+        live = []
+        for n in names:
+            rec = json.load(open(os.path.join(log_dir, n)))
+            for r in rec["removes"]:
+                live.remove(r)
+            live.extend(rec["adds"])
+        assert sorted(live) == ["dataE_ac", "dataN", "dataO"]
+
+    def test_cas_primitive_second_writer_loses(self, tmp_path):
+        """The link-based CAS itself: two records staged for the same
+        version — the second link must fail and leave the winner's
+        bytes untouched (rename would silently clobber them)."""
+        import json
+
+        log = tmp_path / "log"
+        log.mkdir()
+        final = log / "00007.json"
+
+        def cas(writer, payload):
+            tmp = log / f"00007.json.tmp.{writer}"
+            tmp.write_text(json.dumps(payload))
+            try:
+                os.link(tmp, final)
+                won = True
+            except FileExistsError:
+                won = False
+            tmp.unlink()
+            return won
+
+        assert cas("X", {"who": "X"}) is True
+        assert cas("Y", {"who": "Y"}) is False
+        assert json.loads(final.read_text()) == {"who": "X"}
+
+
+class TestTxnLogSchemaEvolution:
+    def test_old_files_never_rewritten(self, spark, sf_dir):
+        """ADD COLUMN is O(1): the gen1 parquet on disk still carries
+        the ORIGINAL 2-column schema after two ALTERs, yet the reader
+        surfaces it at the latest 4-column schema with NULLs."""
+        from etl_8x8_spark.sources.readers import scratch_dir
+        from etl_8x8_spark.sources.scans import _src_tag
+
+        out = (
+            all_queries()["sink_txn_log_schema_evolution"]
+            .builder(spark, sf_dir)
+            .collect()
+        )
+        base = os.path.join(
+            scratch_dir(), f"txnschema_{_src_tag(sf_dir, 'orders')}"
+        )
+        gen1 = spark.read.parquet(os.path.join(base, "gen1"))
+        assert gen1.columns == ["o_orderkey", "o_totalprice"]
+        gen3 = spark.read.parquet(os.path.join(base, "gen3"))
+        assert "channel" in gen3.columns
+        # pre-alter rows surface under the sentinel for BOTH young cols
+        pre = [
+            r
+            for r in out
+            if r["priority"] == "<pre-alter>"
+        ]
+        assert pre and all(r["channel"] == "<pre-alter>" for r in pre)
+        # gen2 rows: real priority, NULL channel
+        mid = [
+            r
+            for r in out
+            if r["priority"] != "<pre-alter>"
+            and r["channel"] == "<pre-alter>"
+        ]
+        assert mid
+        # gen3 rows: both populated
+        assert any(
+            r["priority"] != "<pre-alter>" and r["channel"] != "<pre-alter>"
+            for r in out
+        )
+
+    def test_dropped_column_disappears_on_read(self, spark, sf_dir):
+        """The log owns the schema in BOTH directions: a DROP COLUMN
+        metadata record makes the column vanish from the resolved read
+        even though every byte of it remains in the live files."""
+        import json
+
+        from etl_8x8_spark.sources.readers import scratch_dir
+        from etl_8x8_spark.sources.scans import _src_tag
+
+        all_queries()["sink_txn_log_schema_evolution"].builder(
+            spark, sf_dir
+        ).collect()
+        base = os.path.join(
+            scratch_dir(), f"txnschema_{_src_tag(sf_dir, 'orders')}"
+        )
+        log_dir = os.path.join(base, "_log")
+        # replay the reader's fold with one extra DROP-COLUMN record
+        live, schema = [], []
+        for name in sorted(os.listdir(log_dir)):
+            if name.endswith(".json"):
+                rec = json.load(open(os.path.join(log_dir, name)))
+                for r in rec["removes"]:
+                    live.remove(r)
+                live.extend(rec["adds"])
+                if "schema" in rec:
+                    schema = rec["schema"]
+        schema = [c for c in schema if c[0] != "o_totalprice"]  # DROP
+        from pyspark.sql import functions as F
+
+        parts = []
+        for p in live:
+            df = spark.read.parquet(os.path.join(base, p))
+            have = set(df.columns)
+            parts.append(
+                df.select(
+                    *[
+                        F.col(c) if c in have
+                        else F.lit(None).cast(t).alias(c)
+                        for c, t in schema
+                    ]
+                )
+            )
+        resolved = parts[0]
+        for part in parts[1:]:
+            resolved = resolved.unionByName(part)
+        assert resolved.columns == [
+            "o_orderkey",
+            "o_orderpriority",
+            "channel",
+        ]
+
+
+class TestTxnLogTailReader:
+    def test_offsets_partitions_and_single_serving(self, spark, sf_dir):
+        """Reader unit contract: latestOffset advances exactly one
+        version per poll (state bounded by commits-per-batch), and
+        partitions(start, end) yields one input partition per added
+        file of exactly the commits in [start, end)."""
+        from etl_8x8_spark.sources.readers import scratch_dir
+        from etl_8x8_spark.sources.scans import _src_tag
+        from etl_8x8_spark.sources.txn_log_stream import TxnLogTailReader
+
+        # the query builder materializes the 4-commit fixture
+        all_queries()["stream_txn_log_tail"].builder(
+            spark, sf_dir
+        ).collect()
+        base = os.path.join(
+            scratch_dir(), f"txntail_{_src_tag(sf_dir, 'orders')}"
+        )
+        r = TxnLogTailReader({"path": base})
+        assert r.initialOffset() == {"version": 0}
+        polls = [r.latestOffset()["version"] for _ in range(6)]
+        assert polls == [1, 2, 3, 4, 4, 4]  # one commit per poll, then idle
+        parts = r.partitions({"version": 1}, {"version": 3})
+        assert [p.version for p in parts] == [1, 2]
+        assert [os.path.basename(p.path) for p in parts] == [
+            "tail1",
+            "tail2",
+        ]
+        assert r.partitions({"version": 2}, {"version": 2}) == []
+
+    def test_stream_result_matches_batch_fold(self, spark, sf_dir):
+        """End-to-end: the drained stream's per-version aggregate
+        equals the batch groupBy over the same orders split — every
+        commit served exactly once."""
+        from pyspark.sql import functions as F
+
+        from etl_8x8_spark.sources.readers import load_table
+
+        got = {
+            r["version"]: r["n_rows"]
+            for r in all_queries()["stream_txn_log_tail"]
+            .builder(spark, sf_dir)
+            .collect()
+        }
+        want = {
+            r["v"]: r["n"]
+            for r in load_table(spark, sf_dir, "orders")
+            .groupBy((F.col("o_orderkey") % 4).alias("v"))
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert got == want
