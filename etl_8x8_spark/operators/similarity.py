@@ -675,16 +675,27 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def assign(points, cents):
+        # min_by hash-agg argmin, not a row_number window: the window
+        # shuffles+sorts all N×K scored rows on vec_id, while min_by
+        # partial-aggregates map-side (the scored rows for one vec_id
+        # are co-located after the broadcast cross join), so the
+        # exchange carries N rows whatever K is. r14 A/B at sf0.1:
+        # 0.376 vs 0.623 s warm at K=8, never slower through K=256.
+        # The (d2, cid) key struct is unique per vec_id, so min_by has
+        # no duplicate-minimum nondeterminism and ties break exactly
+        # like the oracle's ORDER BY d2, cid.
         d2 = _dist2(F.col("embedding"), F.col("ce"))
-        w = Window.partitionBy("vec_id").orderBy(
-            d2.asc(), F.col("cid").asc()
-        )
         return (
             points.crossJoin(F.broadcast(cents))
             .withColumn("d2", d2)
-            .withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select("vec_id", "embedding", "cid", "d2")
+            .groupBy("vec_id")
+            .agg(
+                F.min_by(
+                    F.struct("cid", "embedding", "d2"),
+                    F.struct("d2", "cid"),
+                ).alias("best")
+            )
+            .select("vec_id", "best.embedding", "best.cid", "best.d2")
         )
 
     a1 = assign(e, c0)
@@ -874,14 +885,24 @@ def ml_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = cents.localCheckpoint(eager=True)
 
     d2 = _dist2(F.col("embedding"), F.col("ce"))
-    w = Window.partitionBy("vec_id").orderBy(d2.asc(), F.col("cid").asc())
 
     def assign(points, cs):
+        # min_by argmin (see ml_kmeans_lloyd): map-side combine keeps
+        # the per-round exchange at N rows instead of N×K — adopted in
+        # r14 after the larger-K probe (wash at K=64, min_by faster at
+        # K=8 and K=256, never slower); the unique (d2, cid) key makes
+        # tie-breaks deterministic and oracle-identical
         return (
             points.crossJoin(F.broadcast(cs))
             .withColumn("d2", d2)
-            .withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
+            .groupBy("vec_id")
+            .agg(
+                F.min_by(
+                    F.struct("cid", "embedding", "d2"),
+                    F.struct("d2", "cid"),
+                ).alias("best")
+            )
+            .select("vec_id", "best.embedding", "best.cid", "best.d2")
         )
 
     for _ in range(_KMC_ROUNDS):
