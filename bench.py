@@ -336,6 +336,25 @@ HEADLINE = [
     # r13: retention vacuum (metadata-only planning; reader of the
     # vacuumed table — state must hash identically to pre-vacuum)
     "sink_txn_log_vacuum",
+    # r14: binary-in/binary-out mapInPandas resize + same-stage scalar
+    # audit (0.8 s warm sf0.1; the Python binary-modality stage shape)
+    "multimodal_resize",
+    # r14: native XML rowTag scan with corrupt-field routing (1.1 s
+    # warm sf0.1; record-splitting text-format shape, r13-new)
+    "scan_xml",
+    # r14: multi-writer CAS conflict — log fold + 3-file read-back
+    # after the race resolves (0.7 s warm sf0.1; new protocol shape)
+    "sink_txn_log_conflict",
+    # r14: log-owned schema evolution — per-generation NULL projection
+    # union over 3 schema generations (0.9 s warm sf0.1; new shape)
+    "sink_txn_log_schema_evolution",
+    # r14: change data feed between versions — per-commit pre/post
+    # pivot diff (1.5 s warm sf0.1; new shape: tag-union single-
+    # exchange diff, O(changed files))
+    "scan_txn_log_cdf",
+    # (stream_txn_log_tail is EXEMPT from HEADLINE per the streaming-
+    # harness clause: its 6.0 s warm is stream start + one-commit-per-
+    # batch offset choreography, not plan execution — BASELINE.md r14)
 ]
 # HEADLINE is FROZEN as of r10 (r9 verdict item 8): it no longer grows
 # mechanically with the registry. Promotion rule (documented in

@@ -59,10 +59,10 @@ _QUERY_MODULES = [
 # 50 keys of ``all_queries()`` per round. Keys listed here lead the
 # returned dict (in this order); all other keys follow in registration
 # order. Round-14 priority (r13 verdict item 2 + the r14 changes),
-# filling exactly the 50-slot window as 3 + 4 + 35 + 8:
-#   0. the 3 r14-new keys (sink_txn_log_conflict,
-#      sink_txn_log_schema_evolution, stream_txn_log_tail — no driver
-#      evidence yet);
+# filling exactly the 50-slot window as 4 + 4 + 35 + 7:
+#   0. the 4 r14-new keys (sink_txn_log_conflict,
+#      sink_txn_log_schema_evolution, stream_txn_log_tail,
+#      scan_txn_log_cdf — no driver evidence yet);
 #   1. the 4 keys whose implementation/oracle changed in r14
 #      (multimodal_resize byte-based oracle, scan_xml fixture
 #      escaping, dedup_incremental_substring negated batch namespace,
@@ -70,7 +70,7 @@ _QUERY_MODULES = [
 #      stale evidence;
 #   2. the full 35-key r7-vintage cohort (the oldest evidence after
 #      the r13 rotation retired r6);
-#   3. the first 8 (alphabetical) of the 50-key r8 cohort.
+#   3. the first 7 (alphabetical) of the 50-key r8 cohort.
 # Target: after the r14 driver run no key's evidence is older than r8.
 # bench.py's HEADLINE order is independent and unaffected.
 _SAMPLE_PRIORITY = [
@@ -78,6 +78,7 @@ _SAMPLE_PRIORITY = [
     "sink_txn_log_conflict",
     "sink_txn_log_schema_evolution",
     "stream_txn_log_tail",
+    "scan_txn_log_cdf",
     # implementation/oracle changed in r14 — previous rows are stale
     "multimodal_resize",
     "scan_xml",
@@ -127,7 +128,6 @@ _SAMPLE_PRIORITY = [
     "dedup_exact",
     "dedup_semdedup",
     "embed_mrl_truncate",
-    "embed_pq_encode",
 ]
 
 

@@ -2586,3 +2586,225 @@ def sink_txn_log_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("priority", "channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# change data feed: row-level changes between versions from the log (r14)
+# ---------------------------------------------------------------------------
+
+_TXN_CDF_ORACLE = """
+WITH cdf AS (
+  SELECT o_orderkey, 'update_preimage' AS _change_type,
+         1 AS _commit_version, o_totalprice
+  FROM orders WHERE o_orderkey % 20 = 0
+  UNION ALL
+  SELECT o_orderkey, 'update_postimage', 1, o_totalprice * 1.10
+  FROM orders WHERE o_orderkey % 20 = 0
+  UNION ALL
+  SELECT -o_orderkey, 'insert', 2, o_totalprice
+  FROM orders WHERE o_orderkey % 100 = 0
+  UNION ALL
+  SELECT o_orderkey, 'delete', 3,
+         CASE WHEN o_orderkey % 60 = 0 THEN o_totalprice * 1.10
+              ELSE o_totalprice END
+  FROM orders WHERE o_orderkey % 30 = 0
+)
+SELECT o_orderkey, _change_type,
+       CAST(_commit_version AS BIGINT) AS _commit_version,
+       o_totalprice
+FROM cdf
+ORDER BY _commit_version, o_orderkey, _change_type
+"""
+
+
+@register("scan_txn_log_cdf", oracle=_TXN_CDF_ORACLE)
+def scan_txn_log_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED over the transaction-log table — Delta's
+    ``table_changes(v_start, v_end)``: row-level changes between two
+    versions, each tagged ``_change_type`` ∈ {insert, delete,
+    update_preimage, update_postimage} + ``_commit_version``. The feed
+    is DERIVED from the log generically, not stored: for each commit
+    in the requested range, the pre-image is the commit's REMOVED
+    files and the post-image its ADDED files, full-outer-joined on the
+    key — key only in post → insert; only in pre → delete; in both
+    with a changed payload → the pre/post pair; in both unchanged →
+    carried silently (a rewrite that copies 95% of a file forward
+    produces NO feed rows for the carried 95%, which is the entire
+    compression the CDF offers downstream consumers).
+
+    History replayed: v1 rewrites the base file with a 10% bump on
+    keys ≡ 0 mod 20; v2 appends negated-key inserts; v3 rewrites
+    dropping keys ≡ 0 mod 30 (whose pre-image price reflects the v1
+    bump when 60 | key — the oracle pins that version ordering).
+
+    Scale: the per-commit diff touches ONLY the commit's removed+added
+    files — cost is O(changed files), never O(table); the rewrite diff
+    runs as ONE hash exchange (tag-union + groupBy pivot of the two
+    uniquely-keyed sides — a full-outer join would be an SMJ with two
+    shuffles and two sorts, since BHJ cannot serve full outer). This is
+    why CDC consumers tail the feed instead of diffing snapshots: a
+    snapshot diff at 100 TB reads 200 TB, the feed reads the delta.
+    Production formats write the feed inline during the commit (the
+    writer already holds both images in memory); deriving it from the
+    file diff is read-side-only and needs no writer cooperation.
+    """
+    import json
+    import shutil
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    if orders.limit(1).isEmpty():  # empty-input contract
+        return spark.createDataFrame(
+            [],
+            "o_orderkey long, _change_type string,"
+            " _commit_version long, o_totalprice double",
+        )
+    base = os.path.join(
+        scratch_dir(), f"txncdf_{_src_tag(sf_dir, 'orders')}"
+    )
+    log_dir = os.path.join(base, "_log")
+    done = os.path.join(base, "_ALL_COMMITTED")
+    if not os.path.exists(done):
+        if os.path.exists(base):
+            shutil.rmtree(base)
+        os.makedirs(log_dir)
+
+        def commit(version: int, adds: list, removes: list) -> None:
+            rec = {"adds": adds, "removes": removes}
+            tmp = os.path.join(log_dir, f"{version:05d}.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump(rec, f)
+            os.rename(tmp, os.path.join(log_dir, f"{version:05d}.json"))
+
+        orders.write.parquet(os.path.join(base, "fileA"))
+        commit(0, ["fileA"], [])
+        # v1: UPDATE rewrite — 10% bump on keys ≡ 0 mod 20
+        spark.read.parquet(os.path.join(base, "fileA")).select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 20 == 0, F.col("o_totalprice") * 1.10
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        ).write.parquet(os.path.join(base, "fileB"))
+        commit(1, ["fileB"], ["fileA"])
+        # v2: APPEND — negated-key inserts (scale-proof namespace)
+        orders.filter(F.col("o_orderkey") % 100 == 0).select(
+            (-F.col("o_orderkey")).alias("o_orderkey"), "o_totalprice"
+        ).write.parquet(os.path.join(base, "fileC"))
+        commit(2, ["fileC"], [])
+        # v3: DELETE rewrite — drop keys ≡ 0 mod 30
+        spark.read.parquet(os.path.join(base, "fileB")).filter(
+            F.col("o_orderkey") % 30 != 0
+        ).write.parquet(os.path.join(base, "fileD"))
+        commit(3, ["fileD"], ["fileB"])
+        open(done, "w").close()
+
+    import json as _json
+
+    commits: list[tuple[int, dict]] = []
+    for name in sorted(os.listdir(log_dir)):
+        if name.endswith(".json"):
+            commits.append(
+                (
+                    int(name.split(".")[0]),
+                    _json.load(open(os.path.join(log_dir, name))),
+                )
+            )
+
+    # the generic feed derivation: per commit in (v_start, v_end],
+    # diff removed files (pre) against added files (post) on the key
+    v_start, v_end = 0, commits[-1][0]
+    feeds = []
+    for version, rec in commits:
+        if not (v_start < version <= v_end):
+            continue
+        post = (
+            spark.read.parquet(
+                *(os.path.join(base, p) for p in rec["adds"])
+            )
+            if rec["adds"]
+            else None
+        )
+        pre = (
+            spark.read.parquet(
+                *(os.path.join(base, p) for p in rec["removes"])
+            )
+            if rec["removes"]
+            else None
+        )
+        if pre is None:
+            changes = post.select(
+                "o_orderkey",
+                F.lit("insert").alias("_change_type"),
+                F.lit(version).cast("long").alias("_commit_version"),
+                "o_totalprice",
+            )
+        elif post is None:
+            changes = pre.select(
+                "o_orderkey",
+                F.lit("delete").alias("_change_type"),
+                F.lit(version).cast("long").alias("_commit_version"),
+                "o_totalprice",
+            )
+        else:
+            # the diff as ONE exchange: a full-outer join of two
+            # uniquely-keyed file-sized sides would be an SMJ (BHJ
+            # cannot serve full outer) — two shuffles + two sorts.
+            # Tag-union + groupBy pivots the same relation with a
+            # single hash exchange and no sort.
+            tagged = pre.select(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_totalprice").alias("pre_price"),
+                F.lit(None).cast("double").alias("post_price"),
+            ).unionByName(
+                post.select(
+                    F.col("o_orderkey").alias("k"),
+                    F.lit(None).cast("double").alias("pre_price"),
+                    F.col("o_totalprice").alias("post_price"),
+                )
+            )
+            j = tagged.groupBy("k").agg(
+                F.max("pre_price").alias("pre_price"),
+                F.max("post_price").alias("post_price"),
+            )
+            ins = j.filter(F.col("pre_price").isNull()).select(
+                F.col("k").alias("o_orderkey"),
+                F.lit("insert").alias("_change_type"),
+                F.lit(version).cast("long").alias("_commit_version"),
+                F.col("post_price").alias("o_totalprice"),
+            )
+            dele = j.filter(F.col("post_price").isNull()).select(
+                F.col("k").alias("o_orderkey"),
+                F.lit("delete").alias("_change_type"),
+                F.lit(version).cast("long").alias("_commit_version"),
+                F.col("pre_price").alias("o_totalprice"),
+            )
+            changed = j.filter(
+                F.col("pre_price").isNotNull()
+                & F.col("post_price").isNotNull()
+                & (F.col("pre_price") != F.col("post_price"))
+            )
+            upd_pre = changed.select(
+                F.col("k").alias("o_orderkey"),
+                F.lit("update_preimage").alias("_change_type"),
+                F.lit(version).cast("long").alias("_commit_version"),
+                F.col("pre_price").alias("o_totalprice"),
+            )
+            upd_post = changed.select(
+                F.col("k").alias("o_orderkey"),
+                F.lit("update_postimage").alias("_change_type"),
+                F.lit(version).cast("long").alias("_commit_version"),
+                F.col("post_price").alias("o_totalprice"),
+            )
+            changes = ins.unionByName(dele).unionByName(
+                upd_pre
+            ).unionByName(upd_post)
+        feeds.append(changes)
+    out = feeds[0]
+    for f_ in feeds[1:]:
+        out = out.unionByName(f_)
+    # no terminal sort: the driver/oracle compare is order-insensitive
+    # and a global sort of the feed is pure exchange cost (LESSONS #51)
+    return out

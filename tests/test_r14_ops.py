@@ -332,3 +332,56 @@ class TestTxnLogTailReader:
             .collect()
         }
         assert got == want
+
+
+class TestTxnLogCdf:
+    def test_carried_rows_emit_nothing(self, spark, sf_dir):
+        """The feed's compression contract: a rewrite that carries a
+        row forward unchanged produces NO feed row for it — v1 touches
+        only the %20 keys, so feed volume is the change volume, not
+        the file volume. Also pins per-commit change-type purity and
+        the pre/post pairing of updates."""
+        from collections import Counter
+
+        rows = (
+            all_queries()["scan_txn_log_cdf"].builder(spark, sf_dir).collect()
+        )
+        by_ver = Counter((r["_commit_version"], r["_change_type"]) for r in rows)
+        kinds_per_ver = {}
+        for (v, t), _n in by_ver.items():
+            kinds_per_ver.setdefault(v, set()).add(t)
+        assert kinds_per_ver[1] == {"update_preimage", "update_postimage"}
+        assert kinds_per_ver[2] == {"insert"}
+        assert kinds_per_ver[3] == {"delete"}
+        # updates come in exact pre/post pairs
+        assert by_ver[(1, "update_preimage")] == by_ver[(1, "update_postimage")]
+        # compression: v1's feed is only the changed keys, far below
+        # the rewritten file's row count
+        from etl_8x8_spark.sources.readers import load_table
+
+        n_orders = load_table(spark, sf_dir, "orders").count()
+        n_changed = by_ver[(1, "update_preimage")]
+        assert 0 < n_changed < n_orders / 10
+
+    def test_version_ordering_of_preimages(self, spark, sf_dir):
+        """A key hit by the v1 bump and the v3 delete (60 | key) must
+        carry the BUMPED price in its v3 delete pre-image — the feed
+        reflects each commit's actual pre-state, not the original
+        table."""
+        rows = (
+            all_queries()["scan_txn_log_cdf"].builder(spark, sf_dir).collect()
+        )
+        post = {
+            r["o_orderkey"]: r["o_totalprice"]
+            for r in rows
+            if r["_change_type"] == "update_postimage"
+        }
+        deletes = {
+            r["o_orderkey"]: r["o_totalprice"]
+            for r in rows
+            if r["_change_type"] == "delete"
+        }
+        both = [k for k in deletes if k % 60 == 0]
+        assert both, "fixture has keys divisible by 60"
+        for k in both:
+            assert deletes[k] == post[k]  # deleted at the bumped price
