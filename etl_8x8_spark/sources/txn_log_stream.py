@@ -13,11 +13,28 @@ to a parquet scan, which is what makes the source viable when a single
 commit adds terabytes. The driver only ever touches metadata: the log
 listing (``latestOffset``) and the commit records (``partitions``).
 
-Offsets are throttled to ONE commit per micro-batch (``latestOffset``
-advances a single version per poll) so state and recovery granularity
-are bounded by commits-per-batch, and a checkpoint restart replays
-from a version boundary — the ``maxFilesPerTrigger`` discipline of
-real lakehouse streaming sources.
+Offset discipline — learned the hard way from Spark 4's actual call
+order (traced, r14): the engine may call ``latestOffset`` BEFORE
+``initialOffset``, pipelines the next poll while the previous batch is
+still running (so a ``commit``-anchored throttle sees stale state),
+and treats WHATEVER the poll returns as the next batch end — a
+non-monotone answer makes it plan a BACKWARD batch, commit the
+regressed offset, and replay commits (row duplication; the r14 debug
+fixture read versions 1/2 two and three times). Therefore:
+
+- ``latestOffset`` is SELF-MONOTONE via a high-water mark the reader
+  owns; engine signals (``partitions``/``commit`` offsets) only ever
+  lift it.
+- The FIRST poll of a run returns the TRUE latest — the reader cannot
+  know the checkpointed position (restarts never call
+  ``initialOffset``), and any answer behind it triggers the backward-
+  batch replay above. Consequence: a pre-existing backlog (initial
+  load or post-restart catch-up) lands in ONE batch, kept parallel by
+  per-file partitions.
+- Steady state advances ONE commit per poll — new commits land as
+  commit-aligned micro-batches, the granularity real lakehouse
+  sources get from ``maxFilesPerTrigger`` (the Python DataSource API
+  has no ReadLimit hook, so the source throttles itself).
 """
 
 from __future__ import annotations
@@ -52,30 +69,31 @@ class TxnLogTailReader(DataSourceStreamReader):
     def __init__(self, options) -> None:
         self.base = options["path"]
         self.log_dir = os.path.join(self.base, "_log")
+        self._hwm: int | None = None  # high-water mark of SERVED offsets
 
     # -- offsets: {"version": N} == "commits < N consumed" ------------
     def initialOffset(self) -> dict:
         return {"version": 0}
 
     def latestOffset(self) -> dict:
-        # throttle: advance ONE commit per micro-batch so a batch's
-        # state is bounded by a single commit's adds however long the
-        # backlog is (processAllAvailable still drains everything)
         versions = _committed_versions(self.log_dir)
-        if not versions:
-            return {"version": 0}
-        top = versions[-1] + 1
-        # current high-water mark is tracked by Spark; we expose one
-        # more version per poll by reading our own progress file-free
-        # contract: latestOffset may overshoot safely, but one-at-a-
-        # time keeps batches commit-aligned, so remember the last
-        # answer on the reader instance (fresh per query start)
-        prev = getattr(self, "_served", 0)
-        nxt = min(prev + 1, top)
-        self._served = nxt
+        top = versions[-1] + 1 if versions else 0
+        if self._hwm is None:
+            # first poll of this run: the checkpointed position is
+            # unknowable here, so the only replay-safe answer is the
+            # true latest (backlog catch-up = one file-parallel batch)
+            nxt = top
+        else:
+            # steady state: one commit per poll, never backward
+            nxt = max(min(self._hwm + 1, top), self._hwm)
+        self._hwm = nxt
         return {"version": nxt}
 
     def partitions(self, start: dict, end: dict):
+        # engine-known offsets can only LIFT the high-water mark
+        seen = max(start["version"], end["version"])
+        if self._hwm is None or seen > self._hwm:
+            self._hwm = seen
         parts: list[_CommitFile] = []
         for v in range(start["version"], end["version"]):
             rec = json.load(
@@ -115,9 +133,11 @@ class TxnLogTailReader(DataSourceStreamReader):
                 )
 
     def commit(self, end: dict) -> None:
-        # offsets are durable in Spark's checkpoint; the source itself
-        # is stateless (the log IS the state)
-        pass
+        # offsets are durable in Spark's checkpoint; the reader only
+        # lifts its high-water mark (a completed batch can never move
+        # the safe frontier backward)
+        if self._hwm is None or end["version"] > self._hwm:
+            self._hwm = end["version"]
 
 
 class TxnLogTailSource(DataSource):

@@ -1586,16 +1586,21 @@ def stream_txn_log_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``readStream``): a custom ``DataSourceStreamReader``
     (``sources/txn_log_stream.py``) whose offset IS the log version.
     Four append commits land first (orders split by key mod 4, one
-    file per commit); the stream then tails the log with ONE commit
-    per micro-batch — ``latestOffset`` advances a single version per
-    poll, so each batch's input is exactly one commit's added files
-    and recovery replays from a version boundary (the
-    ``maxFilesPerTrigger`` discipline). ``partitions()`` emits one
-    input partition per added file and ``read()`` runs executor-side,
-    yielding the file's Arrow record batches — file-parallel like a
-    parquet scan, no driver hop (the Simple reader variant would
-    funnel rows through the driver; see stream_custom_source for when
-    that is acceptable).
+    file per commit); the stream then tails the log with version-
+    offset batches: a PRE-EXISTING backlog (initial load or restart
+    catch-up) drains in one file-parallel batch — the engine may poll
+    ``latestOffset`` before ``initialOffset`` and pipelines polls
+    ahead of ``commit``, so the first answer must be the true latest
+    and every answer monotone, or Spark plans a BACKWARD batch and
+    REPLAYS commits (found by tracing; the restart test pins it) —
+    while steady-state commits serve ONE per batch, commit-aligned
+    recovery boundaries (the ``maxFilesPerTrigger`` discipline,
+    self-throttled since the Python API has no ReadLimit hook).
+    ``partitions()`` emits one input partition per added file and
+    ``read()`` runs executor-side, yielding the file's Arrow record
+    batches — file-parallel like a parquet scan, no driver hop (the
+    Simple reader variant would funnel rows through the driver; see
+    stream_custom_source for when that is acceptable).
 
     The streaming aggregation (rows per version, price mass per
     version) runs in ``complete`` mode over the drained backlog; the
@@ -1606,7 +1611,9 @@ def stream_txn_log_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the driver touches only metadata (log listing + commit
     records); data I/O is executor-side Arrow streaming per file;
-    state is bounded by one commit per batch however deep the backlog;
+    steady-state batch input is bounded by one commit however deep
+    the backlog grows later (catch-up is one batch but file-parallel
+    and scan-shaped — no state, it is a pure append);
     and a production deployment swaps the memory sink for foreachBatch
     into a real table — the source is sink-agnostic.
     """

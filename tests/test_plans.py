@@ -666,3 +666,59 @@ class TestR11Plans:
         # per-feed agg is partial+final; global max joins broadcast
         assert "partial_" in plan
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+class TestR14Plans:
+    """Plan pins for the round-14 operators — the shapes their
+    docstrings promise are the shapes Spark runs."""
+
+    def test_cdf_diff_is_pivot_not_smj(self, spark, sf_dir, queries):
+        """The rewrite diff must run as the tag-union + groupBy pivot
+        (one hash exchange per diff), never the full-outer SMJ the
+        naive form produces — and no global sort survives."""
+        plan = plan_of(spark, sf_dir, queries, "scan_txn_log_cdf")
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "min_by" not in plan  # pivot is max-over-null, no argmin
+        assert "HashAggregate" in plan
+        # terminal sort dropped (LESSONS #51): the only Sorts allowed
+        # are none — the feed is unordered by contract
+        body = plan.split("AdaptiveSparkPlan")[-1]
+        assert "Sort [" not in body
+
+    def test_conflict_reader_single_scan_single_exchange(
+        self, spark, sf_dir, queries
+    ):
+        """The post-race reader folds the log driver-side and reads
+        the 3 live files in ONE FileScan feeding one partial+final
+        aggregate — no join, no second exchange."""
+        plan = plan_of(spark, sf_dir, queries, "sink_txn_log_conflict")
+        body = plan.split("AdaptiveSparkPlan")[-1]
+        assert body.count("Scan parquet") == 1
+        assert "Join" not in body
+        assert body.count("Exchange hashpartitioning") == 1
+
+    def test_schema_evolution_projection_is_scan_side(
+        self, spark, sf_dir, queries
+    ):
+        """Three schema generations read as three scans, each
+        projected to the log schema with typed NULLs — unioned
+        map-side, ONE exchange for the audit aggregate and no join,
+        no schema-inference pass."""
+        plan = plan_of(spark, sf_dir, queries, "sink_txn_log_schema_evolution")
+        body = plan.split("AdaptiveSparkPlan")[-1]
+        assert body.count("Scan parquet") == 3
+        assert "Join" not in body
+        assert body.count("Exchange hashpartitioning") == 1
+
+    def test_kmeans_assignment_is_minby_not_window(
+        self, spark, sf_dir, queries
+    ):
+        """The r14 adoption: argmin via min_by hash agg (map-side
+        combine, N-row exchange) — the row_number window over the N×K
+        cross join (N×K-row exchange + sort) must be gone."""
+        plan = plan_of(spark, sf_dir, queries, "ml_kmeans_lloyd")
+        assert "row_number" not in plan
+        assert "min_by" in plan
+        # centroids still broadcast into the scored cross join
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

@@ -283,10 +283,15 @@ class TestTxnLogSchemaEvolution:
 
 class TestTxnLogTailReader:
     def test_offsets_partitions_and_single_serving(self, spark, sf_dir):
-        """Reader unit contract: latestOffset advances exactly one
-        version per poll (state bounded by commits-per-batch), and
+        """Reader unit contract (pipelining-safe, traced from Spark
+        4's real call order): the FIRST poll of a run returns the TRUE
+        latest (the checkpointed position is unknowable, so anything
+        less risks a backward batch + replay); steady state advances
+        one commit per poll; answers are monotone; and
         partitions(start, end) yields one input partition per added
         file of exactly the commits in [start, end)."""
+        import json
+
         from etl_8x8_spark.sources.readers import scratch_dir
         from etl_8x8_spark.sources.scans import _src_tag
         from etl_8x8_spark.sources.txn_log_stream import TxnLogTailReader
@@ -300,8 +305,10 @@ class TestTxnLogTailReader:
         )
         r = TxnLogTailReader({"path": base})
         assert r.initialOffset() == {"version": 0}
-        polls = [r.latestOffset()["version"] for _ in range(6)]
-        assert polls == [1, 2, 3, 4, 4, 4]  # one commit per poll, then idle
+        # first poll: TRUE latest — the whole backlog in one batch
+        assert r.latestOffset() == {"version": 4}
+        # drained: stays put, never regresses
+        assert r.latestOffset() == {"version": 4}
         parts = r.partitions({"version": 1}, {"version": 3})
         assert [p.version for p in parts] == [1, 2]
         assert [os.path.basename(p.path) for p in parts] == [
@@ -309,6 +316,40 @@ class TestTxnLogTailReader:
             "tail2",
         ]
         assert r.partitions({"version": 2}, {"version": 2}) == []
+
+    def test_steady_state_one_commit_per_poll(self, spark, tmp_path):
+        """With the backlog drained, commits landing one at a time are
+        served one per poll (commit-aligned micro-batches); a BURST of
+        late commits drains one per poll too — monotone throughout."""
+        import json
+
+        from pyspark.sql import functions as F
+
+        from etl_8x8_spark.sources.txn_log_stream import TxnLogTailReader
+
+        base = str(tmp_path / "t")
+        log_dir = os.path.join(base, "_log")
+        os.makedirs(log_dir)
+
+        def land(v):
+            d = f"tail{v}"
+            spark.range(5).select(
+                F.col("id").alias("o_orderkey"),
+                (F.col("id") * 1.0).alias("o_totalprice"),
+            ).write.parquet(os.path.join(base, d))
+            with open(os.path.join(log_dir, f"{v:05d}.json"), "w") as fh:
+                json.dump({"adds": [d], "removes": []}, fh)
+
+        land(0)
+        r = TxnLogTailReader({"path": base})
+        assert r.latestOffset() == {"version": 1}  # first poll: top
+        land(1)
+        assert r.latestOffset() == {"version": 2}  # one per poll
+        land(2)
+        land(3)  # burst
+        assert r.latestOffset() == {"version": 3}
+        assert r.latestOffset() == {"version": 4}
+        assert r.latestOffset() == {"version": 4}  # idle: monotone hold
 
     def test_stream_result_matches_batch_fold(self, spark, sf_dir):
         """End-to-end: the drained stream's per-version aggregate
@@ -385,3 +426,77 @@ class TestTxnLogCdf:
         assert both, "fixture has keys divisible by 60"
         for k in both:
             assert deletes[k] == post[k]  # deleted at the bumped price
+
+
+class TestTxnLogTailRestart:
+    def test_checkpoint_restart_no_duplicates(self, spark, tmp_path):
+        """The recovery contract end-to-end: drain a 3-commit log with
+        a checkpointed stream into a FILE sink (the memory sink does
+        not support recovery), stop, land 2 MORE commits, restart from
+        the same checkpoint. Pins BOTH halves: the restarted run's
+        input (recentProgress numInputRows) is exactly the new
+        commits' rows — nothing re-served; and the sink holds every
+        version exactly once — nothing skipped."""
+        import json
+
+        from pyspark.sql import functions as F
+
+        from etl_8x8_spark.sources.txn_log_stream import (
+            register_txn_log_tail_source,
+        )
+
+        base = str(tmp_path / "tailtable")
+        log_dir = os.path.join(base, "_log")
+        os.makedirs(log_dir)
+
+        def land_commit(version: int, n_rows: int) -> None:
+            d = f"tail{version}"
+            spark.range(n_rows).select(
+                (F.col("id") + version * 1000).alias("o_orderkey"),
+                (F.col("id") * 1.5).alias("o_totalprice"),
+            ).write.parquet(os.path.join(base, d))
+            tmp = os.path.join(log_dir, f"{version:05d}.json.tmp")
+            with open(tmp, "w") as fh:
+                json.dump({"adds": [d], "removes": []}, fh)
+            os.rename(tmp, os.path.join(log_dir, f"{version:05d}.json"))
+
+        for v, n in ((0, 10), (1, 20), (2, 30)):
+            land_commit(v, n)
+
+        register_txn_log_tail_source(spark)
+        ckpt = str(tmp_path / "ckpt")
+        out = str(tmp_path / "out")
+
+        def run_phase() -> int:
+            q = (
+                spark.readStream.format("txn_log_tail")
+                .option("path", base)
+                .load()
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .start()
+            )
+            q.processAllAvailable()
+            n_in = sum(p["numInputRows"] for p in q.recentProgress)
+            q.stop()
+            q.awaitTermination()
+            return n_in
+
+        n1 = run_phase()
+        assert n1 == 60  # versions 0-2, once each
+
+        land_commit(3, 40)
+        land_commit(4, 50)
+
+        n2 = run_phase()
+        assert n2 == 90  # ONLY versions 3-4 — offsets resumed
+
+        rows = spark.read.parquet(out).collect()
+        by_v = {}
+        for r in rows:
+            by_v[r["version"]] = by_v.get(r["version"], 0) + 1
+        # every commit exactly once across both runs: no replay, no gap
+        assert by_v == {0: 10, 1: 20, 2: 30, 3: 40, 4: 50}
+

@@ -17,8 +17,9 @@ Per key, two signals:
   - cdf: feed rows scale EXACTLY linearly with the change set (the
     %20/%100/%30 fractions are scale-invariant) while carried rows
     emit nothing — feed_rows/table_rows constant;
-  - tail: micro-batch count == commit count (4) at any scale — state
-    is bounded by commits-per-batch, not data.
+  - tail: commit count (4) constant at any scale — steady-state
+    batches are commit-aligned; a pre-built backlog drains in one
+    file-parallel batch (per-file partitions carry the parallelism).
 
 Usage: python tools/r14_scale_audit.py [--copies 10]
 Prints one JSON line per audit.
