@@ -352,6 +352,12 @@ HEADLINE = [
     # pivot diff (1.5 s warm sf0.1; new shape: tag-union single-
     # exchange diff, O(changed files))
     "scan_txn_log_cdf",
+    # r14 wave 2: RESTORE TO VERSION — metadata-only undo commit +
+    # restored-state read-back (0.6 s warm sf0.1)
+    "sink_txn_log_restore",
+    # r14 wave 2: AS OF TIMESTAMP travel — 7-probe resolver matrix
+    # over 3 snapshots (1.5 s warm sf0.1; multi-snapshot union shape)
+    "scan_txn_log_as_of_ts",
     # (stream_txn_log_tail is EXEMPT from HEADLINE per the streaming-
     # harness clause: its 6.0 s warm is stream start + one-commit-per-
     # batch offset choreography, not plan execution — BASELINE.md r14)

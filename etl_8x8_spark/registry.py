@@ -59,10 +59,11 @@ _QUERY_MODULES = [
 # 50 keys of ``all_queries()`` per round. Keys listed here lead the
 # returned dict (in this order); all other keys follow in registration
 # order. Round-14 priority (r13 verdict item 2 + the r14 changes),
-# filling exactly the 50-slot window as 4 + 4 + 35 + 7:
-#   0. the 4 r14-new keys (sink_txn_log_conflict,
+# filling exactly the 50-slot window as 6 + 4 + 35 + 5:
+#   0. the 6 r14-new keys (sink_txn_log_conflict,
 #      sink_txn_log_schema_evolution, stream_txn_log_tail,
-#      scan_txn_log_cdf — no driver evidence yet);
+#      scan_txn_log_cdf, sink_txn_log_restore, scan_txn_log_as_of_ts
+#      — no driver evidence yet);
 #   1. the 4 keys whose implementation/oracle changed in r14
 #      (multimodal_resize byte-based oracle, scan_xml fixture
 #      escaping, dedup_incremental_substring negated batch namespace,
@@ -70,7 +71,7 @@ _QUERY_MODULES = [
 #      stale evidence;
 #   2. the full 35-key r7-vintage cohort (the oldest evidence after
 #      the r13 rotation retired r6);
-#   3. the first 7 (alphabetical) of the 50-key r8 cohort.
+#   3. the first 5 (alphabetical) of the 50-key r8 cohort.
 # Target: after the r14 driver run no key's evidence is older than r8.
 # bench.py's HEADLINE order is independent and unaffected.
 _SAMPLE_PRIORITY = [
@@ -79,6 +80,8 @@ _SAMPLE_PRIORITY = [
     "sink_txn_log_schema_evolution",
     "stream_txn_log_tail",
     "scan_txn_log_cdf",
+    "sink_txn_log_restore",
+    "scan_txn_log_as_of_ts",
     # implementation/oracle changed in r14 — previous rows are stale
     "multimodal_resize",
     "scan_xml",
@@ -126,8 +129,6 @@ _SAMPLE_PRIORITY = [
     "agg_ks_test_two_sample",
     "agg_roc_auc_rank",
     "dedup_exact",
-    "dedup_semdedup",
-    "embed_mrl_truncate",
 ]
 
 

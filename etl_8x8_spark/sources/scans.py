@@ -2808,3 +2808,293 @@ def scan_txn_log_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no terminal sort: the driver/oracle compare is order-insensitive
     # and a global sort of the feed is pure exchange cost (LESSONS #51)
     return out
+
+
+# ---------------------------------------------------------------------------
+# RESTORE to an earlier version: metadata-only undo as a new commit (r14)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sink_txn_log_restore",
+    oracle=f"""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {oracle_dsum("o_totalprice", "sum_price")}
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def sink_txn_log_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TABLE ... TO VERSION — Delta's RESTORE as a protocol
+    leg: undo is a NEW COMMIT whose adds/removes are the SET
+    DIFFERENCE between the target snapshot's live set and the current
+    one — no data is copied, moved, or rewritten, and history is
+    preserved (the bad versions stay queryable; RESTORE is not a
+    rollback-by-erasure). History replayed: v0 full table (fileA),
+    v1 a bad compaction that dropped every 10th key (fileB replaces
+    fileA), v2 an append (fileC); RESTORE TO v0 lands as v3 with
+    adds={{fileA}}, removes={{fileB, fileC}} — fileA's BYTES were
+    never touched between v0 and the restore, which the r14 test pins
+    by mtime. The reader folds the full log and must see exactly the
+    v0 relation; the oracle is the untouched source table.
+
+    Scale: RESTORE cost is |live-set symmetric difference| metadata
+    rows, whatever the table holds — undoing a petabyte-scale bad
+    write is one commit record. The restored-to files must still
+    exist (VACUUM's retention is the tradeoff — sink_txn_log_vacuum
+    documents the interaction).
+    """
+    import json
+    import shutil
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    if orders.limit(1).isEmpty():  # empty-input contract
+        return spark.createDataFrame(
+            [], "o_orderpriority string, n long, sum_price double"
+        )
+    base = os.path.join(
+        scratch_dir(), f"txnrestore_{_src_tag(sf_dir, 'orders')}"
+    )
+    log_dir = os.path.join(base, "_log")
+    done = os.path.join(base, "_ALL_COMMITTED")
+    if not os.path.exists(done):
+        if os.path.exists(base):
+            shutil.rmtree(base)
+        os.makedirs(log_dir)
+
+        def commit(version: int, adds: list, removes: list) -> None:
+            rec = {"adds": adds, "removes": removes}
+            tmp = os.path.join(log_dir, f"{version:05d}.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump(rec, f)
+            os.rename(tmp, os.path.join(log_dir, f"{version:05d}.json"))
+
+        orders.write.parquet(os.path.join(base, "fileA"))
+        commit(0, ["fileA"], [])
+        # v1: the BAD compaction — silently drops every 10th key
+        spark.read.parquet(os.path.join(base, "fileA")).filter(
+            F.col("o_orderkey") % 10 != 0
+        ).write.parquet(os.path.join(base, "fileB"))
+        commit(1, ["fileB"], ["fileA"])
+        orders.filter(F.col("o_orderkey") % 100 == 0).select(
+            (-F.col("o_orderkey")).alias("o_orderkey"),
+            "o_orderpriority",
+            "o_totalprice",
+        ).write.parquet(os.path.join(base, "fileC"))
+        commit(2, ["fileC"], [])
+
+        # RESTORE TO VERSION 0: fold the log to both snapshots, then
+        # commit the set difference — pure metadata, no data I/O
+        def snapshot(upto: int) -> list[str]:
+            live: list[str] = []
+            for name in sorted(os.listdir(log_dir)):
+                if not name.endswith(".json"):
+                    continue
+                v = int(name.split(".")[0])
+                if v > upto:
+                    break
+                rec = json.load(open(os.path.join(log_dir, name)))
+                for r in rec["removes"]:
+                    live.remove(r)
+                live.extend(rec["adds"])
+            return live
+
+        target, current = set(snapshot(0)), set(snapshot(2))
+        commit(3, sorted(target - current), sorted(current - target))
+        open(done, "w").close()
+
+    live: list[str] = []
+    import json as _json
+
+    for name in sorted(os.listdir(log_dir)):
+        if not name.endswith(".json"):
+            continue
+        rec = _json.load(open(os.path.join(log_dir, name)))
+        for r in rec["removes"]:
+            live.remove(r)
+        live.extend(rec["adds"])
+    table = spark.read.parquet(*(os.path.join(base, p) for p in live))
+    return (
+        table.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), dsum("o_totalprice", "sum_price"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# AS OF TIMESTAMP time travel: commit timestamps resolve the version (r14)
+# ---------------------------------------------------------------------------
+
+# deterministic commit clock (epoch micros would work identically; the
+# integer clock keeps the oracle trivially portable)
+_TT_TS = {0: 1000, 1: 2000, 2: 3000}
+_TT_QUERIES = [999, 1000, 1500, 2000, 2999, 3000, 9999]
+
+
+@register(
+    "scan_txn_log_as_of_ts",
+    oracle=f"""
+WITH q AS (
+  SELECT unnest(ARRAY{_TT_QUERIES}) AS query_ts
+),
+resolved AS (
+  -- Delta AS OF TIMESTAMP: the greatest commit ts <= query ts; a ts
+  -- before the first commit resolves to no version (error upstream,
+  -- surfaced here as version -1 with empty stats)
+  SELECT query_ts,
+         CASE WHEN query_ts >= 3000 THEN 2
+              WHEN query_ts >= 2000 THEN 1
+              WHEN query_ts >= 1000 THEN 0
+              ELSE -1 END AS version
+  FROM q
+),
+snaps AS (
+  SELECT CAST(0 AS BIGINT) AS version, COUNT(*) AS n,
+         {oracle_dsum("o_totalprice", "sum_price")}
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT 1, COUNT(*), {oracle_dsum("o_totalprice", "sum_price")}
+  FROM orders
+  UNION ALL
+  SELECT 2, COUNT(*), {oracle_dsum("o_totalprice", "sum_price")}
+  FROM orders WHERE o_orderkey % 10 <> 0
+)
+SELECT r.query_ts,
+       CAST(r.version AS BIGINT) AS version,
+       CAST(COALESCE(s.n, 0) AS BIGINT) AS n,
+       COALESCE(s.sum_price, 0.0) AS sum_price
+FROM resolved r LEFT JOIN snaps s ON s.version = r.version
+ORDER BY r.query_ts
+""",
+)
+def scan_txn_log_as_of_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel AS OF TIMESTAMP — the second resolution axis of
+    `scan_txn_log_time_travel` (which travels by VERSION): each commit
+    record carries its commit timestamp, and a query timestamp
+    resolves to the GREATEST commit ts ≤ it (Delta's rule — a reader
+    at 2999 sees version 1, not "almost version 2"; a ts before the
+    first commit resolves to nothing, surfaced as version -1 with
+    empty stats rather than an exception so the whole probe matrix is
+    one relation). Seven probe timestamps cover: before-first, exact
+    boundaries, between-commits, and far-future.
+
+    History: v0 = even keys only, v1 = full table, v2 = compaction
+    dropping every 10th key — three distinguishable snapshots, so a
+    wrong resolution hashes red.
+
+    Scale: resolution is a binary search over the commit-ts index
+    (metadata; Delta reads the same from its log checkpoints);
+    snapshot materialization after resolution is identical to
+    by-version travel. Commit timestamps here are a deterministic
+    integer clock — wall-clock micros change nothing structural (but
+    ARE non-monotonic under clock skew, which is why Delta documents
+    timestamp travel as approximate near commit boundaries while
+    version travel is exact).
+    """
+    import json
+    import shutil
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    if orders.limit(1).isEmpty():  # empty-input contract
+        return spark.createDataFrame(
+            [],
+            "query_ts long, version long, n long, sum_price double",
+        )
+    base = os.path.join(
+        scratch_dir(), f"txnasof_{_src_tag(sf_dir, 'orders')}"
+    )
+    log_dir = os.path.join(base, "_log")
+    done = os.path.join(base, "_ALL_COMMITTED")
+    if not os.path.exists(done):
+        if os.path.exists(base):
+            shutil.rmtree(base)
+        os.makedirs(log_dir)
+
+        def commit(version: int, adds: list, removes: list) -> None:
+            rec = {
+                "ts": _TT_TS[version],
+                "adds": adds,
+                "removes": removes,
+            }
+            tmp = os.path.join(log_dir, f"{version:05d}.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump(rec, f)
+            os.rename(tmp, os.path.join(log_dir, f"{version:05d}.json"))
+
+        orders.filter(F.col("o_orderkey") % 2 == 0).write.parquet(
+            os.path.join(base, "tA")
+        )
+        commit(0, ["tA"], [])
+        orders.filter(F.col("o_orderkey") % 2 != 0).write.parquet(
+            os.path.join(base, "tB")
+        )
+        commit(1, ["tB"], [])
+        spark.read.parquet(
+            os.path.join(base, "tA"), os.path.join(base, "tB")
+        ).filter(F.col("o_orderkey") % 10 != 0).write.parquet(
+            os.path.join(base, "tC")
+        )
+        commit(2, ["tC"], ["tA", "tB"])
+        open(done, "w").close()
+
+    import json as _json
+
+    commits = []
+    for name in sorted(os.listdir(log_dir)):
+        if name.endswith(".json"):
+            rec = _json.load(open(os.path.join(log_dir, name)))
+            commits.append((int(name.split(".")[0]), rec))
+
+    def resolve(query_ts: int) -> int:
+        """Greatest commit ts <= query_ts (—1 = before history)."""
+        v = -1
+        for version, rec in commits:
+            if rec["ts"] <= query_ts:
+                v = version
+        return v
+
+    def snapshot_live(upto: int) -> list[str]:
+        live: list[str] = []
+        for version, rec in commits:
+            if version > upto:
+                break
+            for r in rec["removes"]:
+                live.remove(r)
+            live.extend(rec["adds"])
+        return live
+
+    # one aggregate per DISTINCT resolved version; probe rows join it
+    out = []
+    snap_cache: dict[int, DataFrame] = {}
+    for qts in _TT_QUERIES:
+        v = resolve(qts)
+        if v not in snap_cache:
+            if v < 0:
+                snap_cache[v] = spark.createDataFrame(
+                    [(0, 0.0)], "n long, sum_price double"
+                )
+            else:
+                snap_cache[v] = spark.read.parquet(
+                    *(os.path.join(base, p) for p in snapshot_live(v))
+                ).agg(
+                    F.count("*").cast("long").alias("n"),
+                    dsum("o_totalprice", "sum_price"),
+                )
+        out.append(
+            snap_cache[v].select(
+                F.lit(qts).cast("long").alias("query_ts"),
+                F.lit(v).cast("long").alias("version"),
+                "n",
+                "sum_price",
+            )
+        )
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("query_ts")

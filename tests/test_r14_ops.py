@@ -500,3 +500,74 @@ class TestTxnLogTailRestart:
         # every commit exactly once across both runs: no replay, no gap
         assert by_v == {0: 10, 1: 20, 2: 30, 3: 40, 4: 50}
 
+
+
+class TestTxnLogRestore:
+    def test_restore_is_metadata_only_and_preserves_history(
+        self, spark, sf_dir
+    ):
+        """RESTORE must not touch data bytes (fileA's mtime is older
+        than the restore commit's), the restore commit is exactly the
+        live-set symmetric difference, and the 'bad' intermediate
+        versions remain queryable afterward (history preserved, not
+        erased)."""
+        import json
+
+        from pyspark.sql import functions as F
+
+        from etl_8x8_spark.sources.readers import scratch_dir
+        from etl_8x8_spark.sources.scans import _src_tag
+
+        all_queries()["sink_txn_log_restore"].builder(
+            spark, sf_dir
+        ).collect()
+        base = os.path.join(
+            scratch_dir(), f"txnrestore_{_src_tag(sf_dir, 'orders')}"
+        )
+        log_dir = os.path.join(base, "_log")
+        rec3 = json.load(open(os.path.join(log_dir, "00003.json")))
+        assert rec3 == {"adds": ["fileA"], "removes": ["fileB", "fileC"]}
+        # metadata-only: fileA predates the restore commit record
+        a_mtime = os.stat(
+            os.path.join(base, "fileA", "_SUCCESS")
+        ).st_mtime_ns
+        restore_mtime = os.stat(
+            os.path.join(log_dir, "00003.json")
+        ).st_mtime_ns
+        assert a_mtime < restore_mtime
+        # history preserved: v1's snapshot (the bad compaction) still
+        # reads — its file was logically removed, never deleted
+        bad = spark.read.parquet(os.path.join(base, "fileB"))
+        assert bad.filter(F.col("o_orderkey") % 10 == 0).count() == 0
+        # and the restored live state equals v0's relation
+        from etl_8x8_spark.sources.readers import load_table
+
+        n_orders = load_table(spark, sf_dir, "orders").count()
+        assert (
+            spark.read.parquet(os.path.join(base, "fileA")).count()
+            == n_orders
+        )
+
+
+class TestTxnLogAsOfTs:
+    def test_resolver_boundaries(self, spark, sf_dir):
+        """The Delta rule at the edges: an exact commit ts resolves TO
+        that version, one tick earlier resolves to the previous one,
+        and before-history resolves to -1 with zeroed stats."""
+        rows = {
+            r["query_ts"]: r
+            for r in all_queries()["scan_txn_log_as_of_ts"]
+            .builder(spark, sf_dir)
+            .collect()
+        }
+        assert rows[999]["version"] == -1
+        assert rows[999]["n"] == 0
+        assert rows[1000]["version"] == 0   # exact boundary: inclusive
+        assert rows[1500]["version"] == 0   # between commits: floor
+        assert rows[2000]["version"] == 1
+        assert rows[2999]["version"] == 1   # one tick before v2
+        assert rows[3000]["version"] == 2
+        assert rows[9999]["version"] == 2   # far future: latest
+        # the three snapshots are genuinely distinguishable
+        assert rows[1000]["n"] < rows[2000]["n"]
+        assert rows[3000]["n"] < rows[2000]["n"]
