@@ -43,6 +43,9 @@ KEYS = [
     "scan_txn_log_cdf",
     "stream_txn_log_tail",
     "ml_kmeans_converged",
+    # wave 2
+    "sink_txn_log_restore",
+    "scan_txn_log_as_of_ts",
 ]
 
 
