@@ -473,6 +473,65 @@ SCALE_DIAGNOSTIC = [
 ]
 
 
+def gradient_check(
+    timings: dict[str, float],
+    prev: dict[str, float],
+    order: list[str],
+    chunk: int | None = None,
+) -> tuple[str, list[dict[str, float]]]:
+    """Per-chunk median-drift diagnostic for sustained-load throttling.
+
+    This host (LESSONS #42/#60) CPU-throttles after multi-hour heavy
+    use with a distinctive signature: drift vs the committed record is
+    a GRADIENT across session chunks — chunk 0 near 1.0x, later chunks
+    1.2-1.55x — because the throttle deepens as the suite sustains
+    load. A flat 1.3x run is a real regression (or a loaded host, which
+    ambient_load catches); a RISING ramp is the throttle. Round 14
+    caught three degraded record attempts (182-202 s vs the clean
+    153 s) by running this check by hand; this function makes the
+    rejection automatic so a degraded record can never be adopted.
+
+    Returns (status, per_chunk) where status is:
+      - "degraded_host": >=2 comparable chunks, first-chunk median
+        drift <= 1.10, last-chunk >= 1.25, ramp monotone-ish (each
+        chunk >= previous - 0.05) and total rise >= 0.20;
+      - "insufficient": fewer than 2 chunks with >= 5 shared queries
+        (nothing to adjudicate against);
+      - "ok": otherwise.
+    per_chunk carries {"chunk", "n", "median_drift"} for the record.
+    """
+    import statistics
+
+    chunk = chunk or _CHUNK
+    per_chunk: list[dict[str, float]] = []
+    for start in range(0, len(order), chunk):
+        ratios = [
+            timings[n] / prev[n]
+            for n in order[start : start + chunk]
+            if n in timings and prev.get(n, 0) > 0
+        ]
+        if ratios:
+            per_chunk.append(
+                {
+                    "chunk": start // chunk,
+                    "n": len(ratios),
+                    "median_drift": round(statistics.median(ratios), 3),
+                }
+            )
+    usable = [c for c in per_chunk if c["n"] >= 5]
+    if len(usable) < 2:
+        return "insufficient", per_chunk
+    meds = [c["median_drift"] for c in usable]
+    monotoneish = all(b >= a - 0.05 for a, b in zip(meds, meds[1:]))
+    degraded = (
+        meds[0] <= 1.10
+        and meds[-1] >= 1.25
+        and monotoneish
+        and meds[-1] - meds[0] >= 0.20
+    )
+    return ("degraded_host" if degraded else "ok"), per_chunk
+
+
 def _sf_from_dir(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -627,6 +686,18 @@ def main() -> None:
             }
     for name, r in sorted(regressions.items(), key=lambda kv: -kv[1]["ratio"]):
         print(json.dumps({"regression": name, **r}), flush=True)
+    # LESSONS #60 throttle gate: a rising per-chunk drift ramp vs the
+    # committed record means the host was throttling DURING this run —
+    # the numbers are environment, not engine. Self-reject: never let
+    # a degraded run overwrite the committed baseline.
+    gradient_status, chunk_drift = gradient_check(timings, prev, names)
+    if gradient_status == "degraded_host":
+        print(
+            json.dumps(
+                {"gradient": "degraded_host", "chunks": chunk_drift}
+            ),
+            flush=True,
+        )
     diag = {n: s for n, s in timings.items() if n in set(SCALE_DIAGNOSTIC)}
     full = {
         "metric": "headline_suite_seconds",
@@ -645,6 +716,8 @@ def main() -> None:
         "chunk_loads": chunk_loads,
         "loads": loads,
         "warm_spreads": spreads,
+        "gradient_status": gradient_status,
+        "chunk_drift": chunk_drift,
     }
     if errors:
         full["errors"] = errors
@@ -664,6 +737,11 @@ def main() -> None:
     record_name = "BENCH_LOCAL.json"
     if full["sf"] != 0.1:
         record_name = "BENCH_SMOKE.json"
+        sidecar = os.path.join(os.path.dirname(sidecar), record_name)
+    if gradient_status == "degraded_host":
+        # quarantine the degraded record: keep every number for the
+        # adjudication note, but the committed baseline stays intact
+        record_name = "BENCH_DEGRADED.json"
         sidecar = os.path.join(os.path.dirname(sidecar), record_name)
     with open(sidecar, "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
@@ -687,10 +765,15 @@ def main() -> None:
         "diag_n": full["diag_n"],
         "full_record": record_name,
     }
+    if gradient_status == "degraded_host":
+        out["status"] = "degraded_host"
     # The summary is the LAST stdout line, after the per-query stream,
     # so any tail window that holds >=1 line always holds the total —
     # and at <700 chars it now PARSES from a 2000-char tail too.
     print(json.dumps(out), flush=True)
+    if gradient_status == "degraded_host":
+        # nonzero exit: no downstream automation can adopt this record
+        sys.exit(3)
 
 
 if __name__ == "__main__":

@@ -123,7 +123,7 @@ _SAMPLE_PRIORITY = [
     "sql_recursive_hierarchy",
     "validate_numeric_reject",
     "window_ntile_percentile",
-    # r8-vintage cohort, first 8 of 50 alphabetically (window cap)
+    # r8-vintage cohort, first 5 of 50 alphabetically (window cap)
     "agg_audience_overlap_approx",
     "agg_dp_count_laplace",
     "agg_ks_test_two_sample",

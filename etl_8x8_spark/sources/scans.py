@@ -2322,9 +2322,11 @@ def sink_txn_log_conflict(spark: SparkSession, sf_dir: str) -> DataFrame:
         even = orders.filter(F.col("o_orderkey") % 2 == 0)
         odd = orders.filter(F.col("o_orderkey") % 2 != 0)
         even.write.parquet(os.path.join(base, "dataE"))
-        assert cas_commit("base", 0, {"adds": ["dataE"], "removes": []})
+        if not cas_commit("base", 0, {"adds": ["dataE"], "removes": []}):
+            raise RuntimeError("base commit v0 lost CAS on a fresh log")
         odd.write.parquet(os.path.join(base, "dataO"))
-        assert cas_commit("base", 1, {"adds": ["dataO"], "removes": []})
+        if not cas_commit("base", 1, {"adds": ["dataO"], "removes": []}):
+            raise RuntimeError("base commit v1 lost CAS on a fresh log")
 
         # all three writers snapshot the table at version 1
         snap_live, snap_v = fold_log()
@@ -2358,7 +2360,8 @@ def sink_txn_log_conflict(spark: SparkSession, sf_dir: str) -> DataFrame:
         c_read_set = {"dataE"}
 
         # A commits first and wins v2 cleanly
-        assert cas_commit("A", snap_v + 1, a_rec)
+        if not cas_commit("A", snap_v + 1, a_rec):
+            raise RuntimeError("writer A lost CAS at v2 with no contender")
         audit["A"] = {"cas_failures": 0, "resolution": "win", "version": 2}
 
         # B attempts v2 (it still believes the table is at v1), loses,

@@ -123,10 +123,16 @@ class TxnLogTailReader(DataSourceStreamReader):
                 columns=["o_orderkey", "o_totalprice"]
             ):
                 n = batch.num_rows
+                # look columns up by NAME: iter_batches yields them in
+                # file-schema order, not requested order, so a commit
+                # written with swapped column order must still map right
+                idx = batch.schema.get_field_index
                 yield pa.RecordBatch.from_arrays(
                     [
-                        batch.column(0).cast(pa.int64()),
-                        batch.column(1).cast(pa.float64()),
+                        batch.column(idx("o_orderkey")).cast(pa.int64()),
+                        batch.column(idx("o_totalprice")).cast(
+                            pa.float64()
+                        ),
                         pa.array([partition.version] * n, pa.int64()),
                     ],
                     names=["o_orderkey", "o_totalprice", "version"],

@@ -1,0 +1,74 @@
+"""bench.py throttle-gradient self-rejection (LESSONS #42/#60).
+
+Round 14 caught three throttle-degraded bench records by hand-running a
+per-chunk median-drift diagnostic; ``bench.gradient_check`` automates
+it. These tests feed synthetic run/record pairs — no Spark involved —
+and pin the three statuses: a rising ramp is rejected, flat drift (even
+uniformly slow) is not, and sparse overlap refuses to adjudicate.
+"""
+
+from __future__ import annotations
+
+import bench
+
+
+def _names(n: int) -> list[str]:
+    return [f"q{i:03d}" for i in range(n)]
+
+
+def _prev(names: list[str]) -> dict[str, float]:
+    return {n: 1.0 for n in names}
+
+
+def test_gradient_ramp_rejected():
+    # the r14 signature: chunk 0 ~1.03x, then 1.2 / 1.4 / 1.55 —
+    # exactly the degraded attempts the hand check discarded
+    names = _names(180)
+    ramp = [1.03, 1.22, 1.40, 1.55]
+    timings = {
+        n: ramp[i // 45] for i, n in enumerate(names)
+    }
+    status, chunks = bench.gradient_check(timings, _prev(names), names)
+    assert status == "degraded_host"
+    assert [c["median_drift"] for c in chunks] == ramp
+
+
+def test_flat_slow_run_is_not_a_gradient():
+    # a uniformly 1.3x run is a regression (or a loaded host), not the
+    # throttle — the regression gate owns that case, not this one
+    names = _names(180)
+    timings = {n: 1.3 for n in names}
+    status, _ = bench.gradient_check(timings, _prev(names), names)
+    assert status == "ok"
+
+
+def test_healthy_run_ok():
+    names = _names(180)
+    timings = {n: 1.0 + 0.01 * ((i * 7) % 5) for i, n in enumerate(names)}
+    status, _ = bench.gradient_check(timings, _prev(names), names)
+    assert status == "ok"
+
+
+def test_non_monotone_spike_not_rejected():
+    # a mid-suite noise burst that recovers is not the throttle shape
+    names = _names(180)
+    ramp = [1.02, 1.60, 1.05, 1.30]
+    timings = {n: ramp[i // 45] for i, n in enumerate(names)}
+    status, _ = bench.gradient_check(timings, _prev(names), names)
+    assert status == "ok"
+
+
+def test_sparse_overlap_refuses_to_adjudicate():
+    # fewer than two chunks with >=5 shared queries: nothing to say
+    names = _names(180)
+    timings = {n: 2.0 for n in names[:4]}
+    status, _ = bench.gradient_check(timings, _prev(names), names)
+    assert status == "insufficient"
+
+
+def test_no_committed_record_is_insufficient():
+    names = _names(90)
+    timings = {n: 1.5 for n in names}
+    status, chunks = bench.gradient_check(timings, {}, names)
+    assert status == "insufficient"
+    assert chunks == []
