@@ -358,6 +358,16 @@ HEADLINE = [
     # r14 wave 2: AS OF TIMESTAMP travel — 7-probe resolver matrix
     # over 3 snapshots (1.5 s warm sf0.1; multi-snapshot union shape)
     "scan_txn_log_as_of_ts",
+    # r15: deletion vectors — merge-on-read DELETE; 4 versioned
+    # snapshot reads, DV'd files apply a broadcast anti-join on
+    # parquet _metadata positions (new protocol shape)
+    "sink_txn_log_delete_vectors",
+    # r15: column mapping — RENAME/DROP as log metadata; generation-
+    # grouped physical→logical projection read (new shape)
+    "sink_txn_log_column_mapping",
+    # r15: avro interchange scan — Python DataSource decode of the
+    # object-container format, Arrow batch per avro block (new shape)
+    "scan_avro",
     # (stream_txn_log_tail is EXEMPT from HEADLINE per the streaming-
     # harness clause: its 6.0 s warm is stream start + one-commit-per-
     # batch offset choreography, not plan execution — BASELINE.md r14)

@@ -58,77 +58,75 @@ _QUERY_MODULES = [
 # ORDER MATTERS for driver sampling: the driver evaluates only the first
 # 50 keys of ``all_queries()`` per round. Keys listed here lead the
 # returned dict (in this order); all other keys follow in registration
-# order. Round-14 priority (r13 verdict item 2 + the r14 changes),
-# filling exactly the 50-slot window as 6 + 4 + 35 + 5:
-#   0. the 6 r14-new keys (sink_txn_log_conflict,
-#      sink_txn_log_schema_evolution, stream_txn_log_tail,
-#      scan_txn_log_cdf, sink_txn_log_restore, scan_txn_log_as_of_ts
-#      — no driver evidence yet);
-#   1. the 4 keys whose implementation/oracle changed in r14
-#      (multimodal_resize byte-based oracle, scan_xml fixture
-#      escaping, dedup_incremental_substring negated batch namespace,
-#      graph_pagerank_converged gated broadcast) — their r13 rows are
-#      stale evidence;
-#   2. the full 35-key r7-vintage cohort (the oldest evidence after
-#      the r13 rotation retired r6);
-#   3. the first 5 (alphabetical) of the 50-key r8 cohort.
-# Target: after the r14 driver run no key's evidence is older than r8.
+# order. Round-15 priority (r14 verdict item 4 + the r15 changes),
+# filling exactly the 50-slot window as 3 + 2 + 45:
+#   0. the 3 r15-new keys (deletion vectors, avro scan, column
+#      mapping — no driver evidence yet);
+#   1. the 2 keys whose implementation materially changed in r15
+#      (sink_txn_log_schema_evolution: generation-grouped reader +
+#      split-gen1 fixture; stream_txn_log_tail: name-based Arrow
+#      column lookup) — their r14 rows are stale evidence.
+#      sink_txn_log_conflict's r15 change (assert → raise) is
+#      behavior-neutral under normal execution and its r14 row is one
+#      round old, so it yields its slot to the aging cohort;
+#   2. the full 45-key r8-vintage cohort (the oldest evidence after
+#      the r14 rotation retired r7).
+# Target: after the r15 driver run no key's evidence is older than r9.
 # bench.py's HEADLINE order is independent and unaffected.
 _SAMPLE_PRIORITY = [
-    # new in r14 — no driver evidence yet
-    "sink_txn_log_conflict",
+    # new in r15 — no driver evidence yet
+    "sink_txn_log_delete_vectors",
+    "scan_avro",
+    "sink_txn_log_column_mapping",
+    # implementation changed in r15 — previous rows are stale
     "sink_txn_log_schema_evolution",
     "stream_txn_log_tail",
-    "scan_txn_log_cdf",
-    "sink_txn_log_restore",
-    "scan_txn_log_as_of_ts",
-    # implementation/oracle changed in r14 — previous rows are stale
-    "multimodal_resize",
-    "scan_xml",
-    "dedup_incremental_substring",
-    "graph_pagerank_converged",
-    # r7-vintage cohort, complete (35)
-    "agg_min_max_by",
-    "agg_percentile_exact",
-    "agg_pivot",
-    "agg_retention_cohorts",
-    "agg_rfm_segments",
-    "agg_rolling_actives",
-    "agg_rollup",
-    "agg_stats_moments",
-    "agg_stickiness_dau_mau_approx",
-    "agg_string_agg",
-    "agg_unpivot",
-    "agg_window_funnel",
-    "arn_parse",
-    "bearer_extract",
-    "error_route",
-    "filter_required",
-    "greeting_transform",
-    "join_anti",
-    "join_asof_event",
-    "join_broadcast_lookup",
-    "join_hash_equi",
-    "join_left_outer",
-    "join_range_theta",
-    "join_salted_skew",
-    "join_semi",
-    "json_body_parse",
-    "json_serialize",
-    "jwt_verify",
-    "observe_metrics",
-    "policy_build",
-    "qs_extract",
-    "quality_expectations",
-    "sql_recursive_hierarchy",
-    "validate_numeric_reject",
-    "window_ntile_percentile",
-    # r8-vintage cohort, first 5 of 50 alphabetically (window cap)
-    "agg_audience_overlap_approx",
-    "agg_dp_count_laplace",
-    "agg_ks_test_two_sample",
-    "agg_roc_auc_rank",
-    "dedup_exact",
+    # r8-vintage cohort, complete (45)
+    "dedup_semdedup",
+    "embed_mrl_truncate",
+    "embed_pq_encode",
+    "env_derive",
+    "fn_array",
+    "fn_bitwise",
+    "fn_conditional",
+    "fn_date",
+    "fn_encode_decode",
+    "fn_format",
+    "fn_json",
+    "fn_map",
+    "fn_math",
+    "fn_string",
+    "fn_url",
+    "join_asof_forward",
+    "join_bucketed_colocated",
+    "join_dim_scd2",
+    "join_full_outer",
+    "join_fuzzy_match",
+    "join_range_bucketed",
+    "pipeline_dedup_cascade",
+    "quality_report",
+    "sample_bottom_k_sketch",
+    "sample_group_cap",
+    "sample_mixture_rebalance",
+    "sample_systematic",
+    "sample_temperature_mixture",
+    "sample_train_test_split",
+    "scan_csv",
+    "scan_custom_source",
+    "scan_json_lines",
+    "scan_orc",
+    "scan_parquet",
+    "scan_schema_evolution",
+    "scan_text",
+    "set_except",
+    "set_intersect",
+    "set_union_dedup",
+    "sink_csv_roundtrip",
+    "sink_json_roundtrip",
+    "sink_parquet_partitioned",
+    "sink_partition_overwrite",
+    "stream_static_enrich",
+    "text_quality_gopher",
 ]
 
 

@@ -1,0 +1,316 @@
+"""Avro object-container-file source (Spark 4 Python DataSource).
+
+This container image ships Spark WITHOUT the external
+``spark-avro`` connector jar (``spark.read.format("avro")`` raises
+"Failed to find data source"), so the interchange family's Avro leg is
+implemented the same way the engine wraps every other non-jar format:
+a Python DataSource whose ``partitions()`` split the work per file and
+whose ``read()`` decodes on executors and yields ARROW record batches
+(no per-row Python/JVM crossings). On a cluster with the connector
+installed the jar-backed reader is strictly preferable; this module
+keeps the schema semantics, parallelism shape, and corrupt-record
+posture identical so queries are portable between the two.
+
+Format notes (Avro 1.x object container file, public spec):
+- header: magic ``Obj\\x01`` + metadata map (``avro.schema`` JSON,
+  ``avro.codec``) + 16-byte sync marker;
+- then blocks: zigzag-varint record count, zigzag-varint byte size,
+  payload, sync marker repeated;
+- binary encoding: long = zigzag varint, string = long length + UTF-8,
+  double = 8-byte little-endian IEEE754.
+
+Corrupt-record posture (consistent with scan_csv / scan_xml): the sync
+marker delimits recoverable units, so a torn/truncated block loses
+ONLY itself — the reader keeps every block that decodes AND
+sync-verifies, then stops at the first damaged one (valid-prefix
+recovery, what production Avro readers do on a torn tail). Recovered
+row counts are pinned by the oracle via the key namespace.
+
+Supported field types: long, string, double — the subset the engine's
+tables need; anything else raises at schema-bind time rather than
+decoding garbage.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+)
+
+MAGIC = b"Obj\x01"
+# deterministic sync marker: fixtures and tests can predict file bytes
+SYNC = b"etl8x8_sync_mark"
+
+
+# ---------------------------------------------------------------------------
+# binary codec (spec-level primitives)
+# ---------------------------------------------------------------------------
+
+
+def _zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def _unzigzag(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def _write_varint(buf: io.BytesIO, n: int) -> None:
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            buf.write(bytes([b | 0x80]))
+        else:
+            buf.write(bytes([b]))
+            return
+
+
+def _write_long(buf: io.BytesIO, v: int) -> None:
+    _write_varint(buf, _zigzag(v))
+
+
+def _write_string(buf: io.BytesIO, v: str) -> None:
+    raw = v.encode("utf-8")
+    _write_long(buf, len(raw))
+    buf.write(raw)
+
+
+def _write_double(buf: io.BytesIO, v: float) -> None:
+    buf.write(struct.pack("<d", v))
+
+
+def _read_varint(data: bytes, pos: int) -> tuple[int, int]:
+    shift = 0
+    out = 0
+    while True:
+        if pos >= len(data):
+            raise EOFError("varint past end of buffer")
+        b = data[pos]
+        pos += 1
+        out |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return out, pos
+        shift += 7
+
+
+def _read_long(data: bytes, pos: int) -> tuple[int, int]:
+    n, pos = _read_varint(data, pos)
+    return _unzigzag(n), pos
+
+
+def _read_string(data: bytes, pos: int) -> tuple[str, int]:
+    n, pos = _read_long(data, pos)
+    if pos + n > len(data):
+        raise EOFError("string past end of buffer")
+    return data[pos : pos + n].decode("utf-8"), pos + n
+
+
+def _read_double(data: bytes, pos: int) -> tuple[float, int]:
+    if pos + 8 > len(data):
+        raise EOFError("double past end of buffer")
+    return struct.unpack_from("<d", data, pos)[0], pos + 8
+
+
+_WRITERS = {"long": _write_long, "string": _write_string, "double": _write_double}
+_READERS = {"long": _read_long, "string": _read_string, "double": _read_double}
+
+
+# ---------------------------------------------------------------------------
+# container writer (fixture generation + generic sink primitive)
+# ---------------------------------------------------------------------------
+
+
+def avro_schema_json(fields: list[tuple[str, str]], name: str = "Record") -> str:
+    return json.dumps(
+        {
+            "type": "record",
+            "name": name,
+            "fields": [{"name": n, "type": t} for n, t in fields],
+        }
+    )
+
+
+def write_container(
+    path: str,
+    fields: list[tuple[str, str]],
+    records,
+    records_per_block: int = 4096,
+) -> None:
+    """Write one Avro object container file (null codec). ``fields``
+    is [(name, type)] with type in {long,string,double}; ``records``
+    an iterable of equal-arity tuples."""
+    writers = [_WRITERS[t] for _, t in fields]
+    with open(path, "wb") as out:
+        out.write(MAGIC)
+        header = io.BytesIO()
+        _write_long(header, 2)  # metadata map: one bucket of 2 entries
+        _write_string(header, "avro.schema")
+        raw = avro_schema_json(fields).encode("utf-8")
+        _write_long(header, len(raw))
+        header.write(raw)
+        _write_string(header, "avro.codec")
+        _write_long(header, 4)
+        header.write(b"null")
+        _write_long(header, 0)  # map terminator
+        out.write(header.getvalue())
+        out.write(SYNC)
+
+        block: list[tuple] = []
+
+        def flush() -> None:
+            if not block:
+                return
+            payload = io.BytesIO()
+            for rec in block:
+                for w, v in zip(writers, rec):
+                    w(payload, v)
+            raw_block = payload.getvalue()
+            head = io.BytesIO()
+            _write_long(head, len(block))
+            _write_long(head, len(raw_block))
+            out.write(head.getvalue())
+            out.write(raw_block)
+            out.write(SYNC)
+            block.clear()
+
+        for rec in records:
+            block.append(rec)
+            if len(block) >= records_per_block:
+                flush()
+        flush()
+
+
+# ---------------------------------------------------------------------------
+# container reader + DataSource
+# ---------------------------------------------------------------------------
+
+
+def read_container(path: str, fields: list[tuple[str, str]]):
+    """Decode one container file; yields (records, ok) per block where
+    ok=False marks the damaged tail block (valid-prefix recovery —
+    iteration stops there). Raises on a damaged HEADER: a file whose
+    metadata cannot be trusted has no recoverable prefix."""
+    readers = [_READERS[t] for _, t in fields]
+    with open(path, "rb") as fh:
+        data = fh.read()
+    if data[: len(MAGIC)] != MAGIC:
+        raise ValueError(f"not an avro container: {path}")
+    pos = len(MAGIC)
+    # metadata map: buckets of (count, entries...) until a 0 count
+    while True:
+        n, pos = _read_long(data, pos)
+        if n == 0:
+            break
+        for _ in range(abs(n)):
+            _, pos = _read_string(data, pos)  # key
+            vlen, pos = _read_long(data, pos)
+            pos += vlen
+    sync = data[pos : pos + 16]
+    pos += 16
+    while pos < len(data):
+        try:
+            count, p = _read_long(data, pos)
+            size, p = _read_long(data, p)
+            if p + size + 16 > len(data):
+                raise EOFError("truncated block")
+            payload = data[p : p + size]
+            if data[p + size : p + size + 16] != sync:
+                raise EOFError("sync marker mismatch")
+            recs = []
+            rp = 0
+            for _ in range(count):
+                rec = []
+                for r in readers:
+                    v, rp = r(payload, rp)
+                    rec.append(v)
+                recs.append(tuple(rec))
+        except (EOFError, UnicodeDecodeError, struct.error):
+            yield [], False  # damaged block: drop it and stop
+            return
+        yield recs, True
+        pos = p + size + 16
+
+
+class _AvroFile(InputPartition):
+    def __init__(self, path: str) -> None:
+        self.path = path
+
+
+class AvroReader(DataSourceReader):
+    """One partition per container file (a production splitter would
+    additionally split big files on sync markers — same unit of
+    recovery); each task decodes its file and yields ARROW batches,
+    one per avro block, so rows cross into the JVM columnar."""
+
+    def __init__(self, options, fields: list[tuple[str, str]]) -> None:
+        self.dir = options.get("path")
+        if not self.dir:
+            raise ValueError("avro source requires option 'path'")
+        self.fields = fields
+
+    def partitions(self):
+        return [
+            _AvroFile(os.path.join(self.dir, f))
+            for f in sorted(os.listdir(self.dir))
+            if f.endswith(".avro")
+        ]
+
+    def read(self, partition: _AvroFile):
+        import pyarrow as pa
+
+        types = {
+            "long": pa.int64(),
+            "string": pa.string(),
+            "double": pa.float64(),
+        }
+        arrow_fields = [(n, types[t]) for n, t in self.fields]
+        for recs, ok in read_container(partition.path, self.fields):
+            if not ok or not recs:
+                continue
+            cols = list(zip(*recs))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(c, type=ty)
+                    for c, (_, ty) in zip(cols, arrow_fields)
+                ],
+                names=[n for n, _ in arrow_fields],
+            )
+
+
+class AvroContainerSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "avro_container"
+
+    def schema(self) -> str:
+        # default: the engine's orders interchange trio; callers pass
+        # .schema(...) for anything else (long/string/double subset)
+        return "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+
+    def reader(self, schema) -> AvroReader:
+        type_map = {"bigint": "long", "string": "string", "double": "double"}
+        fields = []
+        for f in schema.fields:
+            t = f.dataType.simpleString()
+            if t not in type_map:
+                raise ValueError(
+                    f"avro_container supports long/string/double; got {t}"
+                )
+            fields.append((f.name, type_map[t]))
+        return AvroReader(self.options, fields)
+
+
+def register_avro_source(spark) -> None:
+    """Idempotent per-session registration."""
+    key = "_avro_container_registered"
+    if not getattr(spark, key, False):
+        spark.dataSource.register(AvroContainerSource)
+        setattr(spark, key, True)

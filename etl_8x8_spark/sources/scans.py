@@ -2487,8 +2487,15 @@ def sink_txn_log_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
 
     Scale: the ALTER is O(1) — one metadata record, zero data I/O,
     however many petabytes the table holds; per-file projection is a
-    reader-side column mapping with no shuffle; planning stays
-    |log| + |live files| like every other leg of the protocol.
+    reader-side column mapping with no shuffle. The reader GROUPS the
+    live files by the schema generation they were written under (the
+    log knows each add's generation) and scans each generation as ONE
+    multi-path read — so plan width is bounded by #ALTERs, not
+    #live-files: a million-file table with three ALTERs plans three
+    scans + two unions, and within each scan Spark's normal file
+    packing/listing parallelism applies. The r15 fixture writes gen1
+    as TWO files precisely so the plan pin (union arity == #gens, not
+    #files) can tell the two strategies apart (test_plans.py).
     """
     import json
     import shutil
@@ -2500,8 +2507,10 @@ def sink_txn_log_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
             "priority string, channel string,"
             " n_rows long, sum_price double",
         )
+    # _g2 suffix: the r15 generation-grouped layout splits gen1 into
+    # two files; a stale pre-r15 scratch dir must not be reused
     base = os.path.join(
-        scratch_dir(), f"txnschema_{_src_tag(sf_dir, 'orders')}"
+        scratch_dir(), f"txnschema_g2_{_src_tag(sf_dir, 'orders')}"
     )
     log_dir = os.path.join(base, "_log")
     done = os.path.join(base, "_ALL_COMMITTED")
@@ -2521,11 +2530,17 @@ def sink_txn_log_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
         s2 = s1 + [["o_orderpriority", "string"]]
         s3 = s2 + [["channel", "string"]]
 
-        # v0: create table at schema S1 + first file
-        orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        # v0: create table at schema S1 + TWO files (same generation —
+        # the reader must coalesce them into one scan)
+        orders.filter(F.col("o_orderkey") % 6 == 0).select(
             "o_orderkey", "o_totalprice"
-        ).write.parquet(os.path.join(base, "gen1"))
-        commit(0, {"schema": s1, "adds": ["gen1"], "removes": []})
+        ).write.parquet(os.path.join(base, "gen1a"))
+        orders.filter(F.col("o_orderkey") % 6 == 3).select(
+            "o_orderkey", "o_totalprice"
+        ).write.parquet(os.path.join(base, "gen1b"))
+        commit(
+            0, {"schema": s1, "adds": ["gen1a", "gen1b"], "removes": []}
+        )
         # v1: ALTER TABLE ADD COLUMN o_orderpriority — metadata only
         commit(1, {"schema": s2, "adds": [], "removes": []})
         # v2: a file written under S2
@@ -2546,6 +2561,8 @@ def sink_txn_log_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
 
     live: list[str] = []
     schema: list[list[str]] = []
+    gen_of: dict[str, int] = {}  # file -> schema generation at add time
+    gen = -1
     import json as _json
 
     for name in sorted(os.listdir(log_dir)):
@@ -2554,15 +2571,26 @@ def sink_txn_log_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
         rec = _json.load(open(os.path.join(log_dir, name)))
         for r in rec["removes"]:
             live.remove(r)
-        live.extend(rec["adds"])
+            gen_of.pop(r, None)
         if "schema" in rec:  # last metaData record wins
             schema = rec["schema"]
+            gen += 1
+        for a in rec["adds"]:
+            live.append(a)
+            gen_of[a] = gen
 
-    # project every live file to the LOG's latest schema: present
-    # columns pass through, younger columns read as typed NULLs
-    parts = []
+    # project each GENERATION (not each file) to the LOG's latest
+    # schema: files written under the same schema share one multi-path
+    # scan, so plan width is bounded by #ALTERs, not #live-files;
+    # present columns pass through, younger ones read as typed NULLs
+    by_gen: dict[int, list[str]] = {}
     for p in live:
-        df = spark.read.parquet(os.path.join(base, p))
+        by_gen.setdefault(gen_of[p], []).append(p)
+    parts = []
+    for g in sorted(by_gen):
+        df = spark.read.parquet(
+            *(os.path.join(base, p) for p in by_gen[g])
+        )
         have = set(df.columns)
         parts.append(
             df.select(
@@ -3101,3 +3129,583 @@ def scan_txn_log_as_of_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in out[1:]:
         res = res.unionByName(o)
     return res.orderBy("query_ts")
+
+
+# ---------------------------------------------------------------------------
+# deletion vectors: merge-on-read DELETE without rewriting files (r15)
+# ---------------------------------------------------------------------------
+
+
+def _dv_fold(
+    log_dir: str, upto: int | None = None
+) -> tuple[list[str], dict[str, str]]:
+    """Fold a DV-aware log: live files + the CURRENT deletion vector
+    per file. A commit's ``dv`` map REPLACES the named file's vector
+    (Delta semantics — DVs are never stacked; the writer merges the
+    old vector into the new one before committing); removing a file
+    drops its vector with it."""
+    import json
+
+    live: list[str] = []
+    dv: dict[str, str] = {}
+    for name in sorted(os.listdir(log_dir)):
+        if not name.endswith(".json"):
+            continue
+        v = int(name.split(".")[0])
+        if upto is not None and v > upto:
+            break
+        rec = json.load(open(os.path.join(log_dir, name)))
+        for r in rec["removes"]:
+            live.remove(r)
+            dv.pop(r, None)
+        live.extend(rec["adds"])
+        dv.update(rec.get("dv", {}))
+    return live, dv
+
+
+def _dv_read(
+    spark: SparkSession,
+    base: str,
+    live: list[str],
+    dv: dict[str, str],
+    cols: list[str],
+) -> DataFrame:
+    """Merge-on-read: plain files scan directly; DV'd files scan with
+    the hidden parquet ``_metadata`` (file_path, row_index) columns and
+    drop deleted positions via a BROADCAST anti-join — the vector is
+    O(deleted rows), tiny next to the file, so the join never shuffles
+    the data side and the scan stays one codegen'd stage per file."""
+    parts: list[DataFrame] = []
+    plain = [f for f in live if f not in dv]
+    if plain:
+        parts.append(
+            spark.read.parquet(
+                *(os.path.join(base, p) for p in plain)
+            ).select(*cols)
+        )
+    for f in live:
+        if f not in dv:
+            continue
+        data = spark.read.parquet(os.path.join(base, f)).select(
+            *cols,
+            F.col("_metadata.file_path").alias("_fp"),
+            F.col("_metadata.row_index").alias("_ri"),
+        )
+        vec = spark.read.parquet(os.path.join(base, dv[f]))
+        parts.append(
+            data.join(F.broadcast(vec), ["_fp", "_ri"], "left_anti").drop(
+                "_fp", "_ri"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _dv_cdf_deletes(
+    spark: SparkSession, base: str, log_dir: str, version: int
+) -> DataFrame:
+    """CDF interaction: a DV commit rewrites nothing, so the file-diff
+    feed derivation (scan_txn_log_cdf) would see no adds/removes and
+    emit nothing — wrong. The DV feed is the rows AT the newly-deleted
+    positions: (new vector MINUS the file's previous vector), inner-
+    joined back to the data file. Emits ``delete`` rows tagged with the
+    commit version; cost is O(newly deleted), never O(file)."""
+    import json
+
+    rec = json.load(
+        open(os.path.join(log_dir, f"{version:05d}.json"))
+    )
+    _, dv_before = _dv_fold(log_dir, upto=version - 1)
+    feeds: list[DataFrame] = []
+    for f, vec_path in rec.get("dv", {}).items():
+        new_vec = spark.read.parquet(os.path.join(base, vec_path))
+        if f in dv_before:
+            old_vec = spark.read.parquet(
+                os.path.join(base, dv_before[f])
+            )
+            new_vec = new_vec.join(
+                F.broadcast(old_vec), ["_fp", "_ri"], "left_anti"
+            )
+        data = spark.read.parquet(os.path.join(base, f)).select(
+            "o_orderkey",
+            "o_totalprice",
+            F.col("_metadata.file_path").alias("_fp"),
+            F.col("_metadata.row_index").alias("_ri"),
+        )
+        feeds.append(
+            data.join(F.broadcast(new_vec), ["_fp", "_ri"], "inner")
+            .select(
+                "o_orderkey",
+                F.lit("delete").alias("_change_type"),
+                F.lit(version).cast("long").alias("_commit_version"),
+                "o_totalprice",
+            )
+        )
+    out = feeds[0]
+    for f_ in feeds[1:]:
+        out = out.unionByName(f_)
+    return out
+
+
+@register(
+    "sink_txn_log_delete_vectors",
+    oracle=f"""
+WITH v1 AS (SELECT o_orderkey, o_totalprice FROM orders),
+     v2 AS (SELECT * FROM v1 WHERE o_orderkey % 7 <> 0),
+     v3 AS (SELECT * FROM v2 WHERE o_orderkey % 11 <> 0)
+SELECT CAST(1 AS BIGINT) AS version, CAST(COUNT(*) AS BIGINT) AS n,
+       {oracle_dsum("o_totalprice", "sum_price")} FROM v1
+UNION ALL
+SELECT CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+       {oracle_dsum("o_totalprice", "sum_price")} FROM v2
+UNION ALL
+SELECT CAST(3 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+       {oracle_dsum("o_totalprice", "sum_price")} FROM v3
+UNION ALL
+SELECT CAST(4 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+       {oracle_dsum("o_totalprice", "sum_price")} FROM v3
+ORDER BY version
+""",
+)
+def sink_txn_log_delete_vectors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DELETION VECTORS — merge-on-read DELETE, the Delta DV /
+    Iceberg positional-delete shape: a DELETE commits a row-position
+    bitmap ATTACHED to the live file instead of rewriting it. The data
+    file's bytes are never touched (the r15 test pins that the raw
+    file still holds the deleted keys); readers apply the vector at
+    scan time as a broadcast anti-join on (file_path, row_index) from
+    the parquet ``_metadata`` hidden columns. A later DELETE REPLACES
+    the file's vector with the union (vectors never stack), and
+    compaction folds a vector back into a rewritten data file —
+    after which the file scans plain again.
+
+    History replayed: v0 fileA (even keys), v1 fileB (odd keys);
+    v2 DV-DELETE of keys ≡ 0 mod 7 (one vector per touched file);
+    v3 DV-DELETE of keys ≡ 0 mod 11 (replacement vectors = old ∪
+    new); v4 compacts fileA only — the final snapshot reads one
+    plain compacted file UNION one live file + vector, exercising
+    both paths at once. Result: (n, sum_price) at each version 1-4;
+    v4 must equal v3 (compaction is semantics-preserving).
+
+    Scale: DELETE cost is O(affected file) to find positions +
+    O(deleted rows) vector bytes — a 100 TB table deleting 0.1%
+    writes ~GBs of vectors, not 100 TB of rewrite; that is the whole
+    point of merge-on-read. The read-side anti-join broadcasts the
+    vector (never the data), so the scan adds no exchange. The CDF
+    interaction (`_dv_cdf_deletes`) emits the DV commit's delete rows
+    from the vector DIFF joined back to the file — O(newly deleted).
+    VACUUM interaction: a replaced vector becomes unreferenced like
+    any rewritten file and ages out under the same retention.
+    """
+    import json
+    import shutil
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    if orders.limit(1).isEmpty():  # empty-input contract
+        return spark.createDataFrame(
+            [], "version long, n long, sum_price double"
+        )
+    base = os.path.join(
+        scratch_dir(), f"txndv_{_src_tag(sf_dir, 'orders')}"
+    )
+    log_dir = os.path.join(base, "_log")
+    done = os.path.join(base, "_ALL_COMMITTED")
+    if not os.path.exists(done):
+        if os.path.exists(base):
+            shutil.rmtree(base)
+        os.makedirs(log_dir)
+
+        def commit(version: int, rec: dict) -> None:
+            tmp = os.path.join(log_dir, f"{version:05d}.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump(rec, f)
+            os.rename(tmp, os.path.join(log_dir, f"{version:05d}.json"))
+
+        orders.filter(F.col("o_orderkey") % 2 == 0).write.parquet(
+            os.path.join(base, "fileA")
+        )
+        commit(0, {"adds": ["fileA"], "removes": []})
+        orders.filter(F.col("o_orderkey") % 2 != 0).write.parquet(
+            os.path.join(base, "fileB")
+        )
+        commit(1, {"adds": ["fileB"], "removes": []})
+
+        def dv_delete(version: int, pred) -> None:
+            """DELETE WHERE pred as a DV commit: per live file, find
+            still-live positions matching pred (distributed scan of
+            THAT file only), merge with the file's existing vector,
+            write the replacement vector, commit the dv map."""
+            live, dv = _dv_fold(log_dir)
+            dv_map: dict[str, str] = {}
+            for f in live:
+                data = spark.read.parquet(
+                    os.path.join(base, f)
+                ).select(
+                    "o_orderkey",
+                    F.col("_metadata.file_path").alias("_fp"),
+                    F.col("_metadata.row_index").alias("_ri"),
+                )
+                if f in dv:
+                    old = spark.read.parquet(os.path.join(base, dv[f]))
+                    hits = data.join(
+                        F.broadcast(old), ["_fp", "_ri"], "left_anti"
+                    )
+                else:
+                    old = None
+                    hits = data
+                new_pos = hits.filter(pred).select("_fp", "_ri")
+                if old is not None:
+                    new_pos = new_pos.unionByName(
+                        old.select("_fp", "_ri")
+                    )
+                vec_path = os.path.join(
+                    "dv", f"v{version:05d}_{f}"
+                )
+                new_pos.write.parquet(os.path.join(base, vec_path))
+                dv_map[f] = vec_path
+            commit(
+                version, {"adds": [], "removes": [], "dv": dv_map}
+            )
+
+        dv_delete(2, F.col("o_orderkey") % 7 == 0)
+        dv_delete(3, F.col("o_orderkey") % 11 == 0)
+
+        # v4: compaction folds fileA's vector into a rewritten file;
+        # fileB keeps its vector so the final read uses both paths
+        live, dv = _dv_fold(log_dir)
+        _dv_read(
+            spark, base, ["fileA"], {"fileA": dv["fileA"]},
+            ["o_orderkey", "o_totalprice"],
+        ).write.parquet(os.path.join(base, "fileA_c"))
+        commit(
+            4, {"adds": ["fileA_c"], "removes": ["fileA"], "dv": {}}
+        )
+        open(done, "w").close()
+
+    cols = ["o_orderkey", "o_totalprice"]
+    out: list[DataFrame] = []
+    for v in (1, 2, 3, 4):
+        live, dv = _dv_fold(log_dir, upto=v)
+        out.append(
+            _dv_read(spark, base, live, dv, cols).agg(
+                F.count("*").cast("long").alias("n"),
+                dsum("o_totalprice", "sum_price"),
+            ).select(
+                F.lit(v).cast("long").alias("version"), "n", "sum_price"
+            )
+        )
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("version")
+
+
+# ---------------------------------------------------------------------------
+# column mapping: RENAME/DROP COLUMN as log metadata (r15)
+# ---------------------------------------------------------------------------
+
+_TXN_COLMAP_ORACLE = f"""
+WITH t AS (
+  SELECT o_orderkey, o_totalprice AS price FROM orders
+  UNION ALL
+  SELECT -o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 25 = 0
+)
+SELECT CAST(o_orderkey % 5 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {oracle_dsum("price", "sum_price")}
+FROM t
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("sink_txn_log_column_mapping", oracle=_TXN_COLMAP_ORACLE)
+def sink_txn_log_column_mapping(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COLUMN MAPPING — RENAME/DROP COLUMN as pure log metadata, the
+    second half of Delta's ALTER surface (mode=id): data files store
+    stable PHYSICAL names (``col_1``, ``col_2``, ...); the log schema
+    maps physical → logical. RENAME rewrites one mapping entry — no
+    file knows or cares; DROP deletes the entry — the column's bytes
+    survive in every file ever written but disappear from reads (the
+    r15 test pins both directions: raw file still has the data, the
+    table read doesn't). New files simply stop writing the dropped
+    physical column.
+
+    History replayed: v0 create [(col_1→o_orderkey),(col_2→
+    o_totalprice),(col_3→o_orderstatus)] + file f1; v1 RENAME
+    o_totalprice→price (metadata only — f1 is never touched);
+    v2 file f2 written under the SAME physical names (rename is
+    invisible to writers of physical data); v3 DROP o_orderstatus;
+    v4 file f3 written without col_3. The reader folds the log for
+    the latest mapping and projects every file: physical present →
+    alias to logical; physical absent (file younger than the column
+    or column added later) → typed NULL.
+
+    Scale: RENAME and DROP are O(1) metadata commits on a table of
+    any size — the entire reason production formats do mapping
+    instead of rewrite (a 100 TB rename-by-rewrite is a 100 TB job
+    and a consistency window; a mapping commit is neither). Reads
+    group files by generation exactly like
+    ``sink_txn_log_schema_evolution``; projection is scan-side.
+    """
+    import json
+    import shutil
+
+    orders = load_table(spark, sf_dir, "orders")
+    if orders.limit(1).isEmpty():  # empty-input contract
+        return spark.createDataFrame(
+            [], "bucket long, n long, sum_price double"
+        )
+    base = os.path.join(
+        scratch_dir(), f"txncolmap_{_src_tag(sf_dir, 'orders')}"
+    )
+    log_dir = os.path.join(base, "_log")
+    done = os.path.join(base, "_ALL_COMMITTED")
+    if not os.path.exists(done):
+        if os.path.exists(base):
+            shutil.rmtree(base)
+        os.makedirs(log_dir)
+
+        def commit(version: int, rec: dict) -> None:
+            tmp = os.path.join(log_dir, f"{version:05d}.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump(rec, f)
+            os.rename(tmp, os.path.join(log_dir, f"{version:05d}.json"))
+
+        # schema entries: [physical, logical, type]
+        s0 = [
+            ["col_1", "o_orderkey", "bigint"],
+            ["col_2", "o_totalprice", "double"],
+            ["col_3", "o_orderstatus", "string"],
+        ]
+        s1 = [
+            ["col_1", "o_orderkey", "bigint"],
+            ["col_2", "price", "double"],  # RENAME: same physical
+            ["col_3", "o_orderstatus", "string"],
+        ]
+        s2 = [
+            ["col_1", "o_orderkey", "bigint"],
+            ["col_2", "price", "double"],  # DROP col_3
+        ]
+
+        orders.filter(F.col("o_orderkey") % 2 == 0).select(
+            F.col("o_orderkey").alias("col_1"),
+            F.col("o_totalprice").alias("col_2"),
+            F.col("o_orderstatus").alias("col_3"),
+        ).write.parquet(os.path.join(base, "f1"))
+        commit(0, {"schema": s0, "adds": ["f1"], "removes": []})
+        # v1: RENAME o_totalprice -> price — one mapping entry changes
+        commit(1, {"schema": s1, "adds": [], "removes": []})
+        # v2: writers keep using stable physical names post-rename
+        orders.filter(F.col("o_orderkey") % 2 != 0).select(
+            F.col("o_orderkey").alias("col_1"),
+            F.col("o_totalprice").alias("col_2"),
+            F.col("o_orderstatus").alias("col_3"),
+        ).write.parquet(os.path.join(base, "f2"))
+        commit(2, {"adds": ["f2"], "removes": []})
+        # v3: DROP o_orderstatus — bytes survive in f1/f2 forever
+        commit(3, {"schema": s2, "adds": [], "removes": []})
+        orders.filter(F.col("o_orderkey") % 25 == 0).select(
+            (-F.col("o_orderkey")).alias("col_1"),
+            F.col("o_totalprice").alias("col_2"),
+        ).write.parquet(os.path.join(base, "f3"))
+        commit(4, {"adds": ["f3"], "removes": []})
+        open(done, "w").close()
+
+    import json as _json
+
+    live: list[str] = []
+    schema: list[list[str]] = []
+    gen_of: dict[str, int] = {}
+    gen = -1
+    for name in sorted(os.listdir(log_dir)):
+        if not name.endswith(".json"):
+            continue
+        rec = _json.load(open(os.path.join(log_dir, name)))
+        for r in rec["removes"]:
+            live.remove(r)
+            gen_of.pop(r, None)
+        if "schema" in rec:
+            schema = rec["schema"]
+            gen += 1
+        for a in rec["adds"]:
+            live.append(a)
+            gen_of[a] = gen
+
+    by_gen: dict[int, list[str]] = {}
+    for p in live:
+        by_gen.setdefault(gen_of[p], []).append(p)
+    parts = []
+    for g in sorted(by_gen):
+        df = spark.read.parquet(
+            *(os.path.join(base, p) for p in by_gen[g])
+        )
+        have = set(df.columns)
+        parts.append(
+            df.select(
+                *[
+                    F.col(phys).alias(logical) if phys in have
+                    else F.lit(None).cast(typ).alias(logical)
+                    for phys, logical, typ in schema
+                ]
+            )
+        )
+    table = parts[0]
+    for part in parts[1:]:
+        table = table.unionByName(part)
+    return (
+        table.groupBy(
+            (F.col("o_orderkey") % 5).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            dsum("price", "sum_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# avro interchange scan via the Python DataSource (r15)
+# ---------------------------------------------------------------------------
+
+_AVRO_ORACLE = f"""
+WITH t AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+  UNION ALL
+  -- the recovered GOOD block of the torn file (negated-key namespace);
+  -- the torn tail block (keys shifted by -1e9) must NOT appear
+  SELECT -o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 50 = 0
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN o_orderkey < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_recovered,
+       {oracle_dsum("o_totalprice", "sum_price")}
+FROM t
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register("scan_avro", oracle=_AVRO_ORACLE)
+def scan_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVRO ingest — the eighth interchange format (parquet / ORC /
+    CSV / JSON-lines / text / XML / custom-API / avro), explicit
+    schema, corrupt-record posture consistent with scan_csv/scan_xml.
+    This image ships no ``spark-avro`` jar, so the scan runs through
+    the engine's Python DataSource (``sources/avro_source.py``): one
+    partition per container file, executor-side decode of the public
+    Avro object-container format, rows crossing into the JVM as ARROW
+    batches (one per avro block) — the same wrap-any-format discipline
+    as ``scan_custom_source``. On a jar-equipped cluster the queries
+    port unchanged to ``format("avro")``.
+
+    Corrupt posture, pinned by the oracle's ``n_recovered`` column:
+    Avro's sync markers make the BLOCK the unit of recovery (CSV: the
+    line; XML: the element). The fixture's fifth file carries one good
+    block and one torn (truncated) tail block; the reader must keep
+    the good block's rows and drop exactly the torn block —
+    valid-prefix recovery, no exception, no whole-file loss.
+
+    Scale: per-file (production: per-sync-split) parallel decode with
+    no driver involvement beyond listing; Python decode is the
+    documented cost of jar-less operation, Arrow-batched to stay off
+    the per-row path. The fixture writer streams ``toLocalIterator``
+    once (fixture GENERATION only — the read path under test is fully
+    distributed).
+    """
+    from etl_8x8_spark.sources.avro_source import (
+        register_avro_source,
+        write_container,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    if orders.limit(1).isEmpty():  # empty-input contract
+        return spark.createDataFrame(
+            [],
+            "o_orderstatus string, n long, n_recovered long,"
+            " sum_price double",
+        )
+    fields = [
+        ("o_orderkey", "long"),
+        ("o_orderstatus", "string"),
+        ("o_totalprice", "double"),
+    ]
+    base = os.path.join(
+        scratch_dir(), f"avro_{_src_tag(sf_dir, 'orders')}"
+    )
+    done = os.path.join(base, "_ALL_WRITTEN")
+    if not os.path.exists(done):
+        import shutil
+
+        if os.path.exists(base):
+            shutil.rmtree(base)
+        os.makedirs(base)
+        import io as _io
+        import contextlib
+
+        # 4 clean bucket files, one streaming pass over the table
+        with contextlib.ExitStack() as stack:
+            sinks = []
+            for i in range(4):
+                p = os.path.join(base, f"part-{i}.avro")
+                tmp: list[tuple] = []
+                sinks.append(tmp)
+            for row in orders.toLocalIterator():
+                sinks[row.o_orderkey % 4].append(
+                    (row.o_orderkey, row.o_orderstatus, row.o_totalprice)
+                )
+            for i, recs in enumerate(sinks):
+                write_container(
+                    os.path.join(base, f"part-{i}.avro"), fields, recs
+                )
+        # the torn file: good block (negated %50 keys), then a tail
+        # block (keys further shifted by -1e9) TRUNCATED mid-payload
+        good = [
+            (-r.o_orderkey, r.o_orderstatus, r.o_totalprice)
+            for r in orders.filter(
+                F.col("o_orderkey") % 50 == 0
+            ).collect()
+        ]
+        bad = [
+            (k - 1_000_000_000, s, p) for k, s, p in good
+        ]
+        torn = os.path.join(base, "part-torn.avro")
+        write_container(
+            torn, fields, good + bad, records_per_block=len(good)
+        )
+        with open(torn, "rb+") as fh:
+            fh.seek(0, os.SEEK_END)
+            fh.truncate(fh.tell() - 8)  # tear the tail block's sync
+        open(done, "w").close()
+
+    register_avro_source(spark)
+    df = (
+        spark.read.format("avro_container")
+        .schema("o_orderkey bigint, o_orderstatus string, o_totalprice double")
+        .option("path", base)
+        .load()
+    )
+    return (
+        df.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum((F.col("o_orderkey") < 0).cast("long"))
+            .cast("long")
+            .alias("n_recovered"),
+            dsum("o_totalprice", "sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

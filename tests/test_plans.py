@@ -722,3 +722,66 @@ class TestR14Plans:
         assert "min_by" in plan
         # centroids still broadcast into the scored cross join
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+class TestR15Plans:
+    """Plan pins for the round-15 operators."""
+
+    def test_dv_read_broadcasts_vectors_never_smj(
+        self, spark, sf_dir, queries
+    ):
+        """Merge-on-read applies each file's deletion vector as a
+        BROADCAST left-anti hash join on the _metadata positions — the
+        data side must never shuffle or sort for the vector (an SMJ
+        would move the file to apply a KB-sized bitmap)."""
+        plan = plan_of(
+            spark, sf_dir, queries, "sink_txn_log_delete_vectors"
+        )
+        assert "SortMergeJoin" not in plan
+        assert "BroadcastHashJoin" in plan
+        assert "LeftAnti" in plan
+
+    def test_schema_evolution_groups_generations_not_files(
+        self, spark, sf_dir, queries
+    ):
+        """The r15 fixture holds FOUR live files across THREE schema
+        generations; the reader must plan one scan per generation —
+        a per-file reader would show four."""
+        import json
+        import os
+
+        from etl_8x8_spark.sources.readers import scratch_dir
+        from etl_8x8_spark.sources.scans import _src_tag
+
+        plan = plan_of(
+            spark, sf_dir, queries, "sink_txn_log_schema_evolution"
+        )
+        body = plan.split("AdaptiveSparkPlan")[-1]
+        assert body.count("Scan parquet") == 3
+        log_dir = os.path.join(
+            scratch_dir(),
+            f"txnschema_g2_{_src_tag(sf_dir, 'orders')}",
+            "_log",
+        )
+        live: list[str] = []
+        for name in sorted(os.listdir(log_dir)):
+            if name.endswith(".json"):
+                rec = json.load(open(os.path.join(log_dir, name)))
+                for r in rec["removes"]:
+                    live.remove(r)
+                live.extend(rec["adds"])
+        assert len(live) == 4  # the discriminator: 4 files, 3 scans
+
+    def test_column_mapping_projection_is_scan_side(
+        self, spark, sf_dir, queries
+    ):
+        """Physical→logical mapping is a scan-side projection: one
+        scan per generation, no join, one exchange for the bucket
+        aggregate."""
+        plan = plan_of(
+            spark, sf_dir, queries, "sink_txn_log_column_mapping"
+        )
+        body = plan.split("AdaptiveSparkPlan")[-1]
+        assert body.count("Scan parquet") == 3
+        assert "Join" not in body
+        assert body.count("Exchange hashpartitioning") == 1
