@@ -368,6 +368,15 @@ HEADLINE = [
     # r15: avro interchange scan — Python DataSource decode of the
     # object-container format, Arrow batch per avro block (new shape)
     "scan_avro",
+    # r15 wave 2: OPTIMIZE ZORDER — stats-pruned scan over the
+    # clustered rewrite (new protocol shape)
+    "sink_txn_log_optimize_zorder",
+    # r15 wave 2: partitioned txn table — partition-pruned scan +
+    # metadata-only DELETE (new protocol shape)
+    "sink_txn_log_partitioned",
+    # (stream_txn_log_sink is EXEMPT from HEADLINE per the streaming-
+    # harness clause, like stream_txn_log_tail: its cost is stream
+    # start + four foreachBatch epochs, not plan execution)
     # (stream_txn_log_tail is EXEMPT from HEADLINE per the streaming-
     # harness clause: its 6.0 s warm is stream start + one-commit-per-
     # batch offset choreography, not plan execution — BASELINE.md r14)

@@ -3709,3 +3709,392 @@ def scan_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# OPTIMIZE + Z-ORDER clustering with stats-pruned reads (r15)
+# ---------------------------------------------------------------------------
+
+_TXN_ZORDER_ORACLE = f"""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {oracle_dsum("o_totalprice", "sum_price")}
+FROM orders
+WHERE o_custkey <= (SELECT MIN(o_custkey)
+                         + CAST(FLOOR((MAX(o_custkey) - MIN(o_custkey)) / 4.0)
+                                AS BIGINT) FROM orders)
+  AND o_orderkey <= (SELECT MIN(o_orderkey)
+                          + CAST(FLOOR((MAX(o_orderkey) - MIN(o_orderkey)) / 4.0)
+                                 AS BIGINT) FROM orders)
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def _zvalue(c: "F.Column", k: "F.Column", bits: int = 10) -> "F.Column":
+    """Morton/Z-order interleave of two pre-scaled non-negative ints
+    (each < 2**bits) — pure JVM bitwise expressions, no UDF."""
+    z = F.lit(0).cast("long")
+    one = F.lit(1).cast("long")
+    for b in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(c, b).bitwiseAND(one), 2 * b + 1)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(k, b).bitwiseAND(one), 2 * b)
+        )
+    return z
+
+
+@register("sink_txn_log_optimize_zorder", oracle=_TXN_ZORDER_ORACLE)
+def sink_txn_log_optimize_zorder(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """OPTIMIZE ... ZORDER BY (o_custkey, o_orderkey) over the txn-log
+    table, plus DATA SKIPPING from per-add min/max stats — the Delta
+    OPTIMIZE ZORDER / Iceberg sort-order rewrite that makes multi-
+    column file pruning effective. Two legs, both in the log:
+
+    - **stats in the commit record**: every add carries
+      ``{{path, rows, min/max per z-column}}`` gathered at write time
+      (the production data-skipping layer — Delta ``stats`` JSON,
+      Iceberg manifest column bounds). The reader folds the log and
+      drops adds whose bounding box misses the predicate BEFORE any
+      parquet footer is opened — planning is O(live adds), I/O is
+      O(matching files).
+    - **OPTIMIZE as a commit**: the v1 rewrite reads the live set,
+      computes a 20-bit Morton z-value from the two columns' scaled
+      ranks (`_zvalue` — shift/or built-ins, whole-stage codegen),
+      clusters into 8 z-contiguous units via ``partitionBy`` on the
+      z-bucket, and commits adds(8 clustered)+removes(8 original) —
+      data rewritten exactly once, protocol unchanged.
+
+    Why Z instead of a single-column sort: the v0 layout (key mod 8
+    slices) gives every file the FULL min/max range of both columns —
+    stats prune nothing (the r15 test counts 8/8 scanned). Post-
+    OPTIMIZE, a quarter-range box on BOTH columns lands in the z-curve
+    prefix, so its box intersects few z-buckets (the test pins <= 3 of
+    8 — 1-2 typical). A lexicographic sort on o_custkey alone would
+    prune the custkey half of the box but scan every file for the
+    orderkey half; bit interleaving shares the pruning power across
+    both dimensions — why every lakehouse ships it.
+
+    The returned query is the quarter-box aggregate read through the
+    pruned scan; the oracle computes the same box straight from the
+    source relation, value-hash-pinning that pruning never drops a
+    matching row (the failure mode of a wrong bounding box).
+
+    Scale: stats collection is one metadata-sized agg per OPTIMIZE
+    unit; the z-expression is pure codegen; pruning cost is a driver
+    fold over live-add metadata (the same collect-bounded manifest
+    discipline as ``manifest_pruned_dirs``, `scans.py:915`); and the
+    rewrite itself is the one full-data pass OPTIMIZE always costs —
+    amortized by every subsequent pruned scan.
+    """
+    import json
+    import shutil
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    if orders.limit(1).isEmpty():  # empty-input contract
+        return spark.createDataFrame(
+            [], "o_orderstatus string, n long, sum_price double"
+        )
+    base = os.path.join(
+        scratch_dir(), f"txnzorder_{_src_tag(sf_dir, 'orders')}"
+    )
+    log_dir = os.path.join(base, "_log")
+    done = os.path.join(base, "_ALL_COMMITTED")
+
+    def stats_of(df: DataFrame, path: str) -> dict:
+        r = df.agg(
+            F.count("*").alias("rows"),
+            F.min("o_custkey").alias("cmin"),
+            F.max("o_custkey").alias("cmax"),
+            F.min("o_orderkey").alias("kmin"),
+            F.max("o_orderkey").alias("kmax"),
+        ).collect()[0]
+        return {
+            "path": path,
+            "rows": r["rows"],
+            "cmin": r["cmin"],
+            "cmax": r["cmax"],
+            "kmin": r["kmin"],
+            "kmax": r["kmax"],
+        }
+
+    if not os.path.exists(done):
+        if os.path.exists(base):
+            shutil.rmtree(base)
+        os.makedirs(log_dir)
+
+        def commit(version: int, rec: dict) -> None:
+            tmp = os.path.join(log_dir, f"{version:05d}.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump(rec, f)
+            os.rename(tmp, os.path.join(log_dir, f"{version:05d}.json"))
+
+        # v0: 8 interleaved slices — every file spans the full range
+        # of BOTH z-columns (stats prune nothing; the audit's "before")
+        adds0 = []
+        for i in range(8):
+            p = f"slice{i}"
+            sl = orders.filter(F.col("o_orderkey") % 8 == i)
+            sl.write.parquet(os.path.join(base, p))
+            adds0.append(stats_of(sl, p))
+        commit(0, {"adds": adds0, "removes": []})
+
+        # v1: OPTIMIZE ZORDER — one full-data pass, 8 clustered units
+        b = orders.agg(
+            F.min("o_custkey"), F.max("o_custkey"),
+            F.min("o_orderkey"), F.max("o_orderkey"),
+        ).collect()[0]
+        cmin, cmax, kmin, kmax = b[0], b[1], b[2], b[3]
+        cs = F.floor(
+            (F.col("o_custkey") - F.lit(cmin)) * 1024
+            / F.lit(cmax - cmin + 1)
+        ).cast("long")
+        ks = F.floor(
+            (F.col("o_orderkey") - F.lit(kmin)) * 1024
+            / F.lit(kmax - kmin + 1)
+        ).cast("long")
+        z = _zvalue(cs, ks)
+        # z-bucket = top 3 bits of the 20-bit z-value: 8 z-contiguous
+        # units, one output dir each (partitionBy = single pass)
+        clustered = orders.withColumn(
+            "zbucket", F.shiftright(z, 17).cast("int")
+        )
+        zdir = os.path.join(base, "zopt")
+        clustered.write.partitionBy("zbucket").parquet(zdir)
+        adds1 = []
+        for r in (
+            clustered.groupBy("zbucket")
+            .agg(
+                F.count("*").alias("rows"),
+                F.min("o_custkey").alias("cmin"),
+                F.max("o_custkey").alias("cmax"),
+                F.min("o_orderkey").alias("kmin"),
+                F.max("o_orderkey").alias("kmax"),
+            )
+            .collect()
+        ):
+            adds1.append(
+                {
+                    "path": f"zopt/zbucket={r['zbucket']}",
+                    "rows": r["rows"],
+                    "cmin": r["cmin"],
+                    "cmax": r["cmax"],
+                    "kmin": r["kmin"],
+                    "kmax": r["kmax"],
+                }
+            )
+        commit(
+            1,
+            {"adds": adds1, "removes": [a["path"] for a in adds0]},
+        )
+        open(done, "w").close()
+
+    # reader: fold log, stats-prune against the quarter box, scan
+    live = txn_zorder_live_adds(log_dir)
+    b = orders.agg(
+        F.min("o_custkey"), F.max("o_custkey"),
+        F.min("o_orderkey"), F.max("o_orderkey"),
+    ).collect()[0]
+    chi = b[0] + (b[1] - b[0]) // 4
+    khi = b[2] + (b[3] - b[2]) // 4
+    kept = [
+        a for a in live
+        if a["cmin"] <= chi and a["kmin"] <= khi
+    ]
+    df = spark.read.parquet(
+        *(os.path.join(base, a["path"]) for a in kept)
+    )
+    return (
+        df.filter(
+            (F.col("o_custkey") <= chi) & (F.col("o_orderkey") <= khi)
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            dsum("o_totalprice", "sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def txn_zorder_live_adds(log_dir: str) -> list[dict]:
+    """Fold the zorder log into the live add records (with stats) —
+    shared with the r15 pruning test."""
+    import json as _json
+
+    live: dict[str, dict] = {}
+    for name in sorted(os.listdir(log_dir)):
+        if not name.endswith(".json"):
+            continue
+        rec = _json.load(open(os.path.join(log_dir, name)))
+        for r in rec["removes"]:
+            live.pop(r)
+        for a in rec["adds"]:
+            live[a["path"]] = a
+    return list(live.values())
+
+
+# ---------------------------------------------------------------------------
+# partitioned txn-log table: partition pruning + metadata-only DELETE (r15)
+# ---------------------------------------------------------------------------
+
+_TXN_PARTITIONED_ORACLE = f"""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {oracle_dsum("o_totalprice", "sum_price")}
+FROM orders
+WHERE o_orderpriority IN ('2-HIGH', '3-MEDIUM')
+  AND o_orderpriority <> '3-MEDIUM'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("sink_txn_log_partitioned", oracle=_TXN_PARTITIONED_ORACLE)
+def sink_txn_log_partitioned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PARTITIONED txn-log table — Hive-style partitioning lifted into
+    the log the way Delta does it: every add carries its partition
+    VALUES as commit metadata, and the partition column is NOT stored
+    in the data files (the reader reattaches it as a literal). Three
+    things fall out, each pinned:
+
+    - **partition pruning**: a predicate on the partition column
+      selects adds by exact metadata match — zero footers opened for
+      skipped partitions, planning O(live adds) (the r15 test counts
+      2 dirs scanned of 8 live);
+    - **metadata-only DELETE**: ``DELETE WHERE o_orderpriority =
+      '3-MEDIUM'`` commits removes of that partition's adds and
+      touches no data file — the O(1)-delete fast path every engine
+      special-cases when the predicate aligns with partitioning
+      (the oracle's ``<> '3-MEDIUM'`` leg pins the rows are GONE
+      from reads; the test pins the bytes still exist);
+    - **partition-column reconstruction**: files written without the
+      column read back with it, from metadata alone — schema parity
+      with an unpartitioned table.
+
+    History: v0 adds 5 partition units (first half by key), v1 adds 5
+    more (second half — a partition now spans multiple files, as at
+    scale), v2 metadata-DELETEs the 3-MEDIUM partition (2 removes).
+    The query reads IN ('2-HIGH','3-MEDIUM') through the pruned scan:
+    2-HIGH serves from its 2 live adds, 3-MEDIUM no longer exists —
+    a reader that misses the remove, or prunes wrongly, hashes red.
+
+    Scale: partition metadata lives in commit records (names+values,
+    not data); pruning is a driver fold like every lakehouse's; the
+    DELETE is O(#removed adds) metadata however many terabytes the
+    partition held; VACUUM later reclaims the bytes under the standing
+    retention rules (`sink_txn_log_vacuum`).
+    """
+    import json
+    import shutil
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    if orders.limit(1).isEmpty():  # empty-input contract
+        return spark.createDataFrame(
+            [], "o_orderpriority string, n long, sum_price double"
+        )
+    base = os.path.join(
+        scratch_dir(), f"txnpart_{_src_tag(sf_dir, 'orders')}"
+    )
+    log_dir = os.path.join(base, "_log")
+    done = os.path.join(base, "_ALL_COMMITTED")
+    prios = [
+        "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+    ]
+    if not os.path.exists(done):
+        if os.path.exists(base):
+            shutil.rmtree(base)
+        os.makedirs(log_dir)
+
+        def commit(version: int, rec: dict) -> None:
+            tmp = os.path.join(log_dir, f"{version:05d}.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump(rec, f)
+            os.rename(tmp, os.path.join(log_dir, f"{version:05d}.json"))
+
+        median = orders.approxQuantile("o_orderkey", [0.5], 0.0)[0]
+        for v, pred in (
+            (0, F.col("o_orderkey") <= median),
+            (1, F.col("o_orderkey") > median),
+        ):
+            adds = []
+            for i, p in enumerate(prios):
+                path = f"v{v}_p{i}"
+                # partition column dropped from the file — metadata owns it
+                (
+                    orders.filter(
+                        pred & (F.col("o_orderpriority") == p)
+                    )
+                    .drop("o_orderpriority")
+                    .write.parquet(os.path.join(base, path))
+                )
+                adds.append(
+                    {"path": path, "partition": {"o_orderpriority": p}}
+                )
+            commit(v, {"adds": adds, "removes": []})
+        # v2: DELETE WHERE o_orderpriority='3-MEDIUM' — metadata only
+        commit(
+            2,
+            {
+                "adds": [],
+                "removes": ["v0_p2", "v1_p2"],
+            },
+        )
+        open(done, "w").close()
+
+    live = txn_partitioned_live_adds(log_dir)
+    want = {"2-HIGH", "3-MEDIUM"}
+    kept = [
+        a for a in live
+        if a["partition"]["o_orderpriority"] in want
+    ]
+    parts = []
+    for a in kept:
+        parts.append(
+            spark.read.parquet(os.path.join(base, a["path"]))
+            .withColumn(
+                "o_orderpriority",
+                F.lit(a["partition"]["o_orderpriority"]),
+            )
+        )
+    if not parts:
+        return spark.createDataFrame(
+            [], "o_orderpriority string, n long, sum_price double"
+        )
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return (
+        df.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            dsum("o_totalprice", "sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def txn_partitioned_live_adds(log_dir: str) -> list[dict]:
+    """Fold the partitioned log into live add records (with partition
+    values) — shared with the r15 pruning test."""
+    import json as _json
+
+    live: dict[str, dict] = {}
+    for name in sorted(os.listdir(log_dir)):
+        if not name.endswith(".json"):
+            continue
+        rec = _json.load(open(os.path.join(log_dir, name)))
+        for r in rec["removes"]:
+            live.pop(r)
+        for a in rec["adds"]:
+            live[a["path"]] = a
+    return list(live.values())

@@ -1675,3 +1675,159 @@ def stream_txn_log_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.stop()
     q.awaitTermination()
     return spark.table(name).orderBy("version")
+
+
+_TXN_STREAM_SINK_ORACLE = f"""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {oracle_dsum("o_totalprice", "sum_price")}
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register("stream_txn_log_sink", oracle=_TXN_STREAM_SINK_ORACLE)
+def stream_txn_log_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-ONCE streaming sink into the txn-log table — the write
+    half of the protocol's streaming story (``stream_txn_log_tail`` is
+    the read half): ``foreachBatch`` + an EPOCH-IDEMPOTENT commit, the
+    mechanism behind Delta's streaming writes and Spark's own
+    ``txnVersion/txnAppId`` dedup.
+
+    Spark's contract for ``foreachBatch`` is AT-LEAST-ONCE: after a
+    crash the restarted query re-delivers the last unacknowledged
+    micro-batch with the SAME ``batch_id``. Exactly-once therefore
+    lives in the sink: every commit record carries its epoch; the
+    writer folds the log first and NO-OPS if that epoch already
+    committed (data for the replayed epoch is re-written to the same
+    fresh attempt-unique dir BEFORE the commit probe — Delta's
+    unique-data-file discipline — so a crash between data-write and
+    commit leaves only an unreferenced orphan for VACUUM, and a
+    replayed delivery can never double-commit OR clobber the data a
+    committed epoch already references).
+
+    The harness streams orders (key-mod-4 file splits, one micro-batch
+    each via ``maxFilesPerTrigger=1``), then SIMULATES the crash-replay
+    by invoking the same sink function again with the final batch's
+    data and id. The returned aggregate reads the folded table; the
+    oracle is the plain batch aggregate over orders — a sink that
+    commits the replayed epoch twice double-counts a quarter of the
+    table and hashes red.
+
+    Scale: the dedup probe is a driver-side fold over commit METADATA
+    (O(commits), checkpoint-compacted in production via
+    ``scan_txn_log_checkpoint``'s mechanism); data writes are
+    executor-parallel parquet; one commit per epoch regardless of
+    batch width. State in the streaming query itself: none (pure
+    routing), so the pattern holds for arbitrarily wide epochs.
+    """
+    import json
+    import shutil
+
+    from etl_8x8_spark.sources.scans import _src_tag
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    if orders.limit(1).isEmpty():  # empty-input contract
+        return spark.createDataFrame(
+            [], "o_orderstatus string, n_rows long, sum_price double"
+        )
+    base = os.path.join(
+        scratch_dir(), f"txnsink_{_src_tag(sf_dir, 'orders')}"
+    )
+    in_dir = os.path.join(base, "_incoming")
+    log_dir = os.path.join(base, "_log")
+    done = os.path.join(base, "_ALL_COMMITTED")
+
+    def committed_epochs() -> set:
+        eps = set()
+        if os.path.isdir(log_dir):
+            for name in sorted(os.listdir(log_dir)):
+                if name.endswith(".json"):
+                    rec = json.load(open(os.path.join(log_dir, name)))
+                    if "epoch" in rec:
+                        eps.add(rec["epoch"])
+        return eps
+
+    def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # data first (attempt-unique dir, never overwritten), commit
+        # last — the epoch probe makes the pair idempotent under
+        # at-least-once redelivery
+        attempt = len(
+            [
+                d
+                for d in os.listdir(base)
+                if d.startswith(f"epoch{batch_id:05d}_")
+            ]
+        )
+        path = f"epoch{batch_id:05d}_a{attempt}"
+        batch_df.write.parquet(os.path.join(base, path))
+        if batch_id in committed_epochs():
+            return  # replayed epoch: orphan data dir, commit skipped
+        version = len(
+            [n for n in os.listdir(log_dir) if n.endswith(".json")]
+        )
+        rec = {"adds": [path], "removes": [], "epoch": batch_id}
+        tmp = os.path.join(log_dir, f"{version:05d}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(rec, f)
+        os.rename(tmp, os.path.join(log_dir, f"{version:05d}.json"))
+
+    if not os.path.exists(done):
+        if os.path.exists(base):
+            shutil.rmtree(base)
+        os.makedirs(log_dir)
+        # four incoming files -> four micro-batches
+        for k in range(4):
+            # one physical file per split: exactly four micro-batches
+            orders.filter(F.col("o_orderkey") % 4 == k).coalesce(
+                1
+            ).write.parquet(os.path.join(in_dir, f"in{k}"))
+        s = spark.readStream.schema(
+            "o_orderkey long, o_orderstatus string, o_totalprice double"
+        ).option("maxFilesPerTrigger", 1).parquet(in_dir + "/*")
+        q = (
+            s.writeStream.foreachBatch(sink_batch)
+            .option(
+                "checkpointLocation", os.path.join(base, "_chk")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # crash-replay simulation: redeliver the FINAL epoch with the
+        # same batch_id — the sink must no-op its commit
+        eps = committed_epochs()
+        last = max(eps)
+        last_dirs = [
+            d
+            for d in os.listdir(base)
+            if d.startswith(f"epoch{last:05d}_")
+        ]
+        replay = spark.read.parquet(
+            *(os.path.join(base, d) for d in last_dirs)
+        )
+        sink_batch(replay, last)
+        open(done, "w").close()
+
+    live: list[str] = []
+    for name in sorted(os.listdir(log_dir)):
+        if not name.endswith(".json"):
+            continue
+        rec = json.load(open(os.path.join(log_dir, name)))
+        for r in rec["removes"]:
+            live.remove(r)
+        live.extend(rec["adds"])
+    table = spark.read.parquet(
+        *(os.path.join(base, p) for p in live)
+    )
+    return (
+        table.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            dsum("o_totalprice", "sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -237,3 +237,217 @@ def test_scan_avro_recovers_good_block_only(spark, sf_dir):
         (F.col("o_orderkey") % 50 == 0) & (F.col("o_orderkey") > 0)
     ).count()
     assert sum(r.n_recovered for r in rows) == n_marked
+
+
+# ---------------------------------------------------------------------------
+# OPTIMIZE ZORDER: stats pruning before vs after the clustering rewrite
+# ---------------------------------------------------------------------------
+
+
+def _zorder_base(sf_dir: str) -> str:
+    from etl_8x8_spark.sources.scans import _src_tag
+
+    return os.path.join(
+        scratch_dir(), f"txnzorder_{_src_tag(sf_dir, 'orders')}"
+    )
+
+
+@pytest.fixture(scope="module")
+def zorder_table(spark, sf_dir):
+    q = all_queries()["sink_txn_log_optimize_zorder"]
+    rows = q.builder(spark, sf_dir).collect()
+    return rows, _zorder_base(sf_dir)
+
+
+def test_zorder_result_matches_direct(spark, sf_dir, zorder_table):
+    rows, _ = zorder_table
+    orders = load_table(spark, sf_dir, "orders")
+    b = orders.agg(
+        F.min("o_custkey"), F.max("o_custkey"),
+        F.min("o_orderkey"), F.max("o_orderkey"),
+    ).collect()[0]
+    chi = b[0] + (b[1] - b[0]) // 4
+    khi = b[2] + (b[3] - b[2]) // 4
+    want = {
+        r.o_orderstatus: r.n
+        for r in orders.filter(
+            (F.col("o_custkey") <= chi) & (F.col("o_orderkey") <= khi)
+        )
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert {r.o_orderstatus: r.n for r in rows} == want
+
+
+def test_zorder_pruning_effective(spark, sf_dir, zorder_table):
+    """The heart of the key: the quarter-box predicate intersects ALL
+    8 pre-OPTIMIZE slices (mod-8 layout => every file spans the full
+    range of both columns) but <= 3 of the 8 z-clustered units."""
+    import json
+
+    from etl_8x8_spark.sources.scans import txn_zorder_live_adds
+
+    _, base = zorder_table
+    log_dir = os.path.join(base, "_log")
+    orders = load_table(spark, sf_dir, "orders")
+    b = orders.agg(
+        F.min("o_custkey"), F.max("o_custkey"),
+        F.min("o_orderkey"), F.max("o_orderkey"),
+    ).collect()[0]
+    chi = b[0] + (b[1] - b[0]) // 4
+    khi = b[2] + (b[3] - b[2]) // 4
+
+    def kept(adds):
+        return [
+            a for a in adds if a["cmin"] <= chi and a["kmin"] <= khi
+        ]
+
+    rec0 = json.load(
+        open(os.path.join(log_dir, "00000.json"))
+    )
+    pre = rec0["adds"]
+    assert len(pre) == 8 and len(kept(pre)) == 8  # no pruning possible
+    post = txn_zorder_live_adds(log_dir)
+    assert len(post) == 8
+    assert len(kept(post)) <= 3  # z-clustering makes the box local
+
+
+def test_zorder_optimize_preserves_state(spark, sf_dir, zorder_table):
+    """OPTIMIZE rewrites layout, never content: the live set's full
+    row count equals the source table's."""
+    from etl_8x8_spark.sources.scans import txn_zorder_live_adds
+
+    _, base = zorder_table
+    live = txn_zorder_live_adds(os.path.join(base, "_log"))
+    total = sum(a["rows"] for a in live)
+    assert total == load_table(spark, sf_dir, "orders").count()
+
+
+def test_zvalue_interleave_bits():
+    """Morton spot-checks computed through the Spark expression."""
+    from etl_8x8_spark.sources.scans import _zvalue
+
+    from etl_8x8_spark.session import get_spark
+
+    spark = get_spark("zvalue_test", cpus=2, shuffle_partitions=2)
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 5), (1023, 1023)], "c long, k long"
+    )
+    got = [
+        r.z
+        for r in df.select(
+            _zvalue(F.col("c"), F.col("k")).alias("z")
+        ).collect()
+    ]
+
+    def morton(c, k):
+        z = 0
+        for b in range(10):
+            z |= ((c >> b) & 1) << (2 * b + 1)
+            z |= ((k >> b) & 1) << (2 * b)
+        return z
+
+    assert got == [
+        morton(c, k)
+        for c, k in [(0, 0), (1, 0), (0, 1), (3, 5), (1023, 1023)]
+    ]
+
+
+# ---------------------------------------------------------------------------
+# partitioned txn table: pruning + metadata-only DELETE
+# ---------------------------------------------------------------------------
+
+
+def _part_base(sf_dir: str) -> str:
+    from etl_8x8_spark.sources.scans import _src_tag
+
+    return os.path.join(
+        scratch_dir(), f"txnpart_{_src_tag(sf_dir, 'orders')}"
+    )
+
+
+@pytest.fixture(scope="module")
+def part_table(spark, sf_dir):
+    q = all_queries()["sink_txn_log_partitioned"]
+    rows = q.builder(spark, sf_dir).collect()
+    return rows, _part_base(sf_dir)
+
+
+def test_partitioned_delete_and_prune(spark, sf_dir, part_table):
+    """The metadata DELETE removed 3-MEDIUM from reads; the IN
+    predicate then serves entirely from 2-HIGH's two live adds."""
+    from etl_8x8_spark.sources.scans import txn_partitioned_live_adds
+
+    rows, base = part_table
+    orders = load_table(spark, sf_dir, "orders")
+    # result: only 2-HIGH survives the predicate ∩ delete
+    assert [r.o_orderpriority for r in rows] == ["2-HIGH"]
+    assert rows[0].n == orders.filter(
+        F.col("o_orderpriority") == "2-HIGH"
+    ).count()
+    live = txn_partitioned_live_adds(os.path.join(base, "_log"))
+    assert len(live) == 8  # 10 written, 2 metadata-deleted
+    want = {"2-HIGH", "3-MEDIUM"}
+    kept = [
+        a for a in live if a["partition"]["o_orderpriority"] in want
+    ]
+    assert len(kept) == 2  # partition pruning: 2 dirs of 8 scanned
+    assert all(
+        a["partition"]["o_orderpriority"] == "2-HIGH" for a in kept
+    )
+
+
+def test_partitioned_bytes_survive_delete(spark, sf_dir, part_table):
+    """The deleted partition's files still exist physically (VACUUM,
+    not DELETE, reclaims bytes) and still hold its rows."""
+    _, base = part_table
+    for p in ("v0_p2", "v1_p2"):
+        raw = spark.read.parquet(os.path.join(base, p))
+        assert raw.count() > 0
+        # partition column is NOT in the file — metadata owns it
+        assert "o_orderpriority" not in raw.columns
+
+
+# ---------------------------------------------------------------------------
+# exactly-once streaming sink
+# ---------------------------------------------------------------------------
+
+
+def _sink_base(sf_dir: str) -> str:
+    from etl_8x8_spark.sources.scans import _src_tag
+
+    return os.path.join(
+        scratch_dir(), f"txnsink_{_src_tag(sf_dir, 'orders')}"
+    )
+
+
+def test_stream_sink_exactly_once(spark, sf_dir):
+    """The harness replays the final epoch with the same batch_id
+    (inside the builder); the log must hold each epoch EXACTLY once
+    and the folded table must equal the batch source."""
+    import json
+
+    df = all_queries()["stream_txn_log_sink"].builder(spark, sf_dir)
+    total = df.agg(F.sum("n_rows")).collect()[0][0]
+    orders = load_table(spark, sf_dir, "orders")
+    assert total == orders.count()
+
+    base = _sink_base(sf_dir)
+    log_dir = os.path.join(base, "_log")
+    epochs = []
+    for name in sorted(os.listdir(log_dir)):
+        if name.endswith(".json"):
+            rec = json.load(open(os.path.join(log_dir, name)))
+            epochs.append(rec["epoch"])
+    assert len(epochs) == 4  # four micro-batches, one commit each
+    assert len(set(epochs)) == 4  # the replayed epoch did NOT recommit
+    # the replay's data write left an orphan attempt dir (VACUUM
+    # fodder) — proof the redelivery actually happened and was caught
+    last = max(epochs)
+    attempts = [
+        d
+        for d in os.listdir(base)
+        if d.startswith(f"epoch{last:05d}_")
+    ]
+    assert len(attempts) == 2
