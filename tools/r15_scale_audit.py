@@ -41,6 +41,10 @@ KEYS = [
     "sink_txn_log_delete_vectors",
     "sink_txn_log_column_mapping",
     "scan_avro",
+    # wave 2
+    "sink_txn_log_optimize_zorder",
+    "sink_txn_log_partitioned",
+    "stream_txn_log_sink",
 ]
 
 
@@ -198,6 +202,64 @@ def main() -> None:
         inv["scan_avro"][f"recovered_fraction_{label}"] = round(
             rec / max(tot, 1), 5
         )
+
+    # wave 2: pruning counts and epoch idempotence are scale-invariant
+    from etl_8x8_spark.sources.scans import (
+        txn_partitioned_live_adds,
+        txn_zorder_live_adds,
+    )
+
+    wave2: dict[str, dict] = {
+        "sink_txn_log_optimize_zorder": {},
+        "sink_txn_log_partitioned": {},
+        "stream_txn_log_sink": {},
+    }
+    for label, sf in (("base", BASE_SF), (f"{args.copies}x", replica)):
+        zlog = os.path.join(_scratch_base("txnzorder", sf), "_log")
+        live = txn_zorder_live_adds(zlog)
+        rec0 = json.load(open(os.path.join(zlog, "00000.json")))
+        # recompute the quarter-box from the log's own stats (global
+        # bounds = min/max over the v0 slices — no Spark scan needed)
+        cmin = min(a["cmin"] for a in rec0["adds"])
+        cmax = max(a["cmax"] for a in rec0["adds"])
+        kmin = min(a["kmin"] for a in rec0["adds"])
+        kmax = max(a["kmax"] for a in rec0["adds"])
+        chi = cmin + (cmax - cmin) // 4
+        khi = kmin + (kmax - kmin) // 4
+        wave2["sink_txn_log_optimize_zorder"][label] = {
+            "live_units": len(live),
+            "pre_kept": sum(
+                1
+                for a in rec0["adds"]
+                if a["cmin"] <= chi and a["kmin"] <= khi
+            ),
+            "post_kept": sum(
+                1 for a in live if a["cmin"] <= chi and a["kmin"] <= khi
+            ),
+        }
+        plog = os.path.join(_scratch_base("txnpart", sf), "_log")
+        plive = txn_partitioned_live_adds(plog)
+        want = {"2-HIGH", "3-MEDIUM"}
+        wave2["sink_txn_log_partitioned"][label] = {
+            "live_adds": len(plive),
+            "kept": sum(
+                1
+                for a in plive
+                if a["partition"]["o_orderpriority"] in want
+            ),
+        }
+        slog = os.path.join(_scratch_base("txnsink", sf), "_log")
+        eps = []
+        for name in sorted(os.listdir(slog)):
+            if name.endswith(".json"):
+                eps.append(
+                    json.load(open(os.path.join(slog, name)))["epoch"]
+                )
+        wave2["stream_txn_log_sink"][label] = {
+            "n_commits": len(eps),
+            "distinct_epochs": len(set(eps)),
+        }
+    inv.update(wave2)
     print(json.dumps({"invariants": inv}), flush=True)
     spark.stop()
 
