@@ -377,6 +377,15 @@ HEADLINE = [
     # (stream_txn_log_sink is EXEMPT from HEADLINE per the streaming-
     # harness clause, like stream_txn_log_tail: its cost is stream
     # start + four foreachBatch epochs, not plan execution)
+    # r15 wave 3: CHECK constraints — batch-validated commit with a
+    # rejected dirty submission (new protocol shape)
+    "sink_txn_log_constraints",
+    # r15 wave 3: shallow clone — zero-copy fork + divergent reads
+    # across two logs (new protocol shape)
+    "sink_txn_log_shallow_clone",
+    # r15 wave 3: identity columns — hwm block allocation, two-pass
+    # contiguous assignment (new protocol shape)
+    "sink_txn_log_identity",
     # (stream_txn_log_tail is EXEMPT from HEADLINE per the streaming-
     # harness clause: its 6.0 s warm is stream start + one-commit-per-
     # batch offset choreography, not plan execution — BASELINE.md r14)

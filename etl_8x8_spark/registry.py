@@ -59,10 +59,11 @@ _QUERY_MODULES = [
 # 50 keys of ``all_queries()`` per round. Keys listed here lead the
 # returned dict (in this order); all other keys follow in registration
 # order. Round-15 priority (r14 verdict item 4 + the r15 changes),
-# filling exactly the 50-slot window as 6 + 2 + 42:
-#   0. the 6 r15-new keys (deletion vectors, avro scan, column
+# filling exactly the 50-slot window as 9 + 2 + 39:
+#   0. the 9 r15-new keys (deletion vectors, avro scan, column
 #      mapping, zorder OPTIMIZE, partitioned table, exactly-once
-#      stream sink — no driver evidence yet);
+#      stream sink, CHECK constraints, shallow clone, identity
+#      columns — no driver evidence yet);
 #   1. the 2 keys whose implementation materially changed in r15
 #      (sink_txn_log_schema_evolution: generation-grouped reader +
 #      split-gen1 fixture; stream_txn_log_tail: name-based Arrow
@@ -70,11 +71,12 @@ _QUERY_MODULES = [
 #      sink_txn_log_conflict's r15 change (assert → raise) is
 #      behavior-neutral under normal execution and its r14 row is one
 #      round old, so it yields its slot to the aging cohort;
-#   2. 42 of the 45-key r8-vintage cohort (the oldest evidence after
-#      the r14 rotation retired r7); the remaining 3
-#      (sink_parquet_partitioned, stream_static_enrich,
-#      text_quality_gopher) roll to r16.
-# Target: after the r15 driver run at most 3 keys older than r9.
+#   2. 39 of the 45-key r8-vintage cohort (the oldest evidence after
+#      the r14 rotation retired r7); the remaining 6
+#      (sink_json_roundtrip, sink_parquet_partitioned,
+#      sink_partition_overwrite, stream_static_enrich,
+#      text_quality_gopher, sink_csv_roundtrip) roll to r16.
+# Target: after the r15 driver run at most 6 keys older than r9.
 # bench.py's HEADLINE order is independent and unaffected.
 _SAMPLE_PRIORITY = [
     # new in r15 — no driver evidence yet
@@ -84,10 +86,13 @@ _SAMPLE_PRIORITY = [
     "sink_txn_log_optimize_zorder",
     "sink_txn_log_partitioned",
     "stream_txn_log_sink",
+    "sink_txn_log_constraints",
+    "sink_txn_log_shallow_clone",
+    "sink_txn_log_identity",
     # implementation changed in r15 — previous rows are stale
     "sink_txn_log_schema_evolution",
     "stream_txn_log_tail",
-    # r8-vintage cohort, 42 of 45
+    # r8-vintage cohort, 39 of 45
     "dedup_semdedup",
     "embed_mrl_truncate",
     "embed_pq_encode",
@@ -127,9 +132,6 @@ _SAMPLE_PRIORITY = [
     "set_except",
     "set_intersect",
     "set_union_dedup",
-    "sink_csv_roundtrip",
-    "sink_json_roundtrip",
-    "sink_partition_overwrite",
 ]
 
 

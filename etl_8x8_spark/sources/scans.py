@@ -4098,3 +4098,515 @@ def txn_partitioned_live_adds(log_dir: str) -> list[dict]:
         for a in rec["adds"]:
             live[a["path"]] = a
     return list(live.values())
+
+
+# ---------------------------------------------------------------------------
+# CHECK constraints as log metadata (r15 wave 3)
+# ---------------------------------------------------------------------------
+
+_TXN_CONSTRAINTS_ORACLE = f"""
+WITH t AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT -o_orderkey, o_totalprice FROM orders
+  WHERE o_orderkey % 2 <> 0 AND o_orderkey % 3 = 0
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+       {oracle_dsum("o_totalprice", "sum_price")}
+FROM t
+"""
+
+
+@register("sink_txn_log_constraints", oracle=_TXN_CONSTRAINTS_ORACLE)
+def sink_txn_log_constraints(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CHECK CONSTRAINTS as log metadata — Delta's ``ALTER TABLE ADD
+    CONSTRAINT`` surface: the constraint lives in the log, every
+    subsequent COMMIT validates its batch against the active set
+    before becoming visible, and a violating transaction is REJECTED
+    WHOLE (Delta aborts the txn — no partial write, no silent
+    row-drop; quarantine routing is the SCAN-side posture for
+    untrusted input, ``scan_csv_quarantine``, not the sink-side one
+    for a writer violating declared invariants).
+
+    History: v0 file f1 (even keys — all clean); v1 ``ADD CONSTRAINT
+    price_positive CHECK (o_totalprice > 0)`` — the ADD itself must
+    VALIDATE EXISTING DATA first (one scan, like Delta) and commits
+    only because f1 passes; v2a a writer submits a batch with
+    injected violations (the batch's prices sign-flipped) → the
+    pre-commit validation counts violators, ABORTS the commit, and
+    records the attempt in ``_AUDIT.json`` (nothing added to the
+    log — a reader never sees the batch); v2 the writer resubmits the
+    cleaned batch (violators filtered at source) → validates, commits.
+
+    The result reads the final table; the oracle recomputes f1 ∪
+    clean-batch from the source relation. A sink that half-commits
+    the rejected batch, or lets a violator through, changes n /
+    min_price and hashes red; min_price additionally pins that NO
+    negative price exists in the final state.
+
+    Scale: validation is one ``filter(NOT check).count()`` over the
+    INCOMING batch only (never the table) — map-side, no shuffle, the
+    marginal cost Delta pays on every constrained write; the
+    constraint-add scan is one full pass, paid once per ALTER. Both
+    are expression-level (codegen), arbitrary SQL predicates allowed.
+    """
+    import json
+    import shutil
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    if orders.limit(1).isEmpty():  # empty-input contract
+        return spark.createDataFrame(
+            [], "n long, min_price double, sum_price double"
+        )
+    base = os.path.join(
+        scratch_dir(), f"txnconstraint_{_src_tag(sf_dir, 'orders')}"
+    )
+    log_dir = os.path.join(base, "_log")
+    done = os.path.join(base, "_ALL_COMMITTED")
+    if not os.path.exists(done):
+        if os.path.exists(base):
+            shutil.rmtree(base)
+        os.makedirs(log_dir)
+
+        def commit(version: int, rec: dict) -> None:
+            tmp = os.path.join(log_dir, f"{version:05d}.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump(rec, f)
+            os.rename(tmp, os.path.join(log_dir, f"{version:05d}.json"))
+
+        def active_constraints() -> list[str]:
+            cons: list[str] = []
+            for name in sorted(os.listdir(log_dir)):
+                if name.endswith(".json"):
+                    rec = json.load(open(os.path.join(log_dir, name)))
+                    cons.extend(rec.get("add_constraints", []))
+            return cons
+
+        def validated_append(
+            version: int, batch: DataFrame, path: str
+        ) -> bool:
+            """The constrained-write path: count violators of every
+            active constraint over the BATCH; abort on any."""
+            bad = 0
+            for expr in active_constraints():
+                bad += batch.filter(f"NOT ({expr})").count()
+            if bad:
+                audit = {"rejected_version": version, "violations": bad}
+                with open(os.path.join(base, "_AUDIT.json"), "w") as f:
+                    json.dump(audit, f)
+                return False
+            batch.write.parquet(os.path.join(base, path))
+            commit(version, {"adds": [path], "removes": []})
+            return True
+
+        # v0: clean file
+        f1 = orders.filter(F.col("o_orderkey") % 2 == 0)
+        f1.write.parquet(os.path.join(base, "f1"))
+        commit(0, {"adds": ["f1"], "removes": []})
+        # v1: ADD CONSTRAINT — validates EXISTING data first
+        check = "o_totalprice > 0"
+        existing_bad = (
+            spark.read.parquet(os.path.join(base, "f1"))
+            .filter(f"NOT ({check})")
+            .count()
+        )
+        if existing_bad:
+            raise RuntimeError(
+                f"ADD CONSTRAINT rejected: {existing_bad} existing rows"
+                f" violate {check}"
+            )
+        commit(1, {"adds": [], "removes": [], "add_constraints": [check]})
+        # v2a: dirty batch (odd %3 keys with prices sign-flipped;
+        # key-negated namespace so the oracle can name the batch)
+        dirty = orders.filter(
+            (F.col("o_orderkey") % 2 != 0) & (F.col("o_orderkey") % 3 == 0)
+        ).select(
+            (-F.col("o_orderkey")).alias("o_orderkey"),
+            (-F.col("o_totalprice")).alias("o_totalprice"),
+        )
+        committed = validated_append(2, dirty, "f2")
+        if committed:
+            raise RuntimeError(
+                "constraint sink accepted a violating batch"
+            )
+        # v2: the writer fixes the batch at source and resubmits
+        clean = orders.filter(
+            (F.col("o_orderkey") % 2 != 0) & (F.col("o_orderkey") % 3 == 0)
+        ).select(
+            (-F.col("o_orderkey")).alias("o_orderkey"), "o_totalprice"
+        )
+        if not validated_append(2, clean, "f2"):
+            raise RuntimeError("clean batch rejected")
+        open(done, "w").close()
+
+    import json as _json
+
+    live: list[str] = []
+    for name in sorted(os.listdir(log_dir)):
+        if not name.endswith(".json"):
+            continue
+        rec = _json.load(open(os.path.join(log_dir, name)))
+        for r in rec["removes"]:
+            live.remove(r)
+        live.extend(rec["adds"])
+    table = spark.read.parquet(*(os.path.join(base, p) for p in live))
+    return table.agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("o_totalprice").cast("double").alias("min_price"),
+        dsum("o_totalprice", "sum_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SHALLOW CLONE: zero-copy table fork (r15 wave 3)
+# ---------------------------------------------------------------------------
+
+_TXN_CLONE_ORACLE = f"""
+WITH srcfinal AS (
+  SELECT o_orderkey, o_totalprice FROM orders
+  UNION ALL
+  SELECT o_orderkey + 1000000000, o_totalprice
+  FROM orders WHERE o_orderkey % 20 = 0
+), clonefinal AS (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_orderkey % 7 <> 0
+  UNION ALL
+  SELECT -o_orderkey, o_totalprice
+  FROM orders WHERE o_orderkey % 30 = 0
+)
+SELECT 'clone' AS which,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {oracle_dsum("o_totalprice", "sum_price")}
+FROM clonefinal
+UNION ALL
+SELECT 'src',
+       CAST(COUNT(*) AS BIGINT),
+       {oracle_dsum("o_totalprice", "sum_price")}
+FROM (SELECT o_orderkey, o_totalprice FROM srcfinal) t
+ORDER BY which
+"""
+
+
+@register("sink_txn_log_shallow_clone", oracle=_TXN_CLONE_ORACLE)
+def sink_txn_log_shallow_clone(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SHALLOW CLONE — the zero-copy table fork (Delta ``CREATE TABLE
+    ... SHALLOW CLONE src``): the clone is a NEW log whose v0 adds
+    reference the SOURCE table's live data files by path — no byte of
+    data moves, however large the table. From that instant the two
+    logs diverge independently: the clone deletes and appends without
+    touching the source; the source appends without the clone seeing
+    it. The r15 test pins the zero-copy claim (the clone dir holds
+    ONLY log + its own post-fork files) and divergence isolation.
+
+    History: source v0+v1 (two halves by key parity); CLONE at that
+    snapshot (clone log v0 references both source files); clone v1
+    DELETEs keys ≡ 0 mod 7 (copy-on-write rewrite INTO THE CLONE's
+    dir — a clone must never write inside the source); clone v2
+    appends a negated %30 slice; source v2 appends a +1e9-shifted %20
+    slice the clone must not see. Result: (which, n, sum_price) for
+    both finals — cross-contamination in either direction hashes red.
+
+    Scale: CLONE is O(live adds) metadata at any data size — the
+    enabling primitive for dev/test forks and blue-green migrations of
+    100 TB tables. The copy-on-write DELETE pays one rewrite of the
+    affected files, written to the clone's own storage (standard CoW
+    accounting: shared bytes age out as either side rewrites). Reads
+    resolve add paths relative to EACH add's recorded root, so a
+    snapshot can span storage roots — exactly how production clones
+    mix source-owned and clone-owned files.
+    """
+    import json
+    import shutil
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    if orders.limit(1).isEmpty():  # empty-input contract
+        return spark.createDataFrame(
+            [], "which string, n long, sum_price double"
+        )
+    src_base = os.path.join(
+        scratch_dir(), f"txnclonesrc_{_src_tag(sf_dir, 'orders')}"
+    )
+    clone_base = os.path.join(
+        scratch_dir(), f"txnclone_{_src_tag(sf_dir, 'orders')}"
+    )
+    done = os.path.join(clone_base, "_ALL_COMMITTED")
+
+    def commit(log_dir: str, version: int, rec: dict) -> None:
+        tmp = os.path.join(log_dir, f"{version:05d}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(rec, f)
+        os.rename(tmp, os.path.join(log_dir, f"{version:05d}.json"))
+
+    def fold(log_dir: str) -> list[dict]:
+        live: dict[str, dict] = {}
+        for name in sorted(os.listdir(log_dir)):
+            if not name.endswith(".json"):
+                continue
+            rec = json.load(open(os.path.join(log_dir, name)))
+            for r in rec["removes"]:
+                live.pop(r)
+            for a in rec["adds"]:
+                live[a["path"]] = a
+        return list(live.values())
+
+    def read_live(live: list[dict]) -> DataFrame:
+        return spark.read.parquet(
+            *(os.path.join(a["root"], a["path"]) for a in live)
+        )
+
+    if not os.path.exists(done):
+        for b in (src_base, clone_base):
+            if os.path.exists(b):
+                shutil.rmtree(b)
+            os.makedirs(os.path.join(b, "_log"))
+        src_log = os.path.join(src_base, "_log")
+        clone_log = os.path.join(clone_base, "_log")
+
+        # source v0+v1: two halves
+        for v, pred in (
+            (0, F.col("o_orderkey") % 2 == 0),
+            (1, F.col("o_orderkey") % 2 != 0),
+        ):
+            p = f"half{v}"
+            orders.filter(pred).write.parquet(os.path.join(src_base, p))
+            commit(
+                src_log, v,
+                {"adds": [{"path": p, "root": src_base}], "removes": []},
+            )
+
+        # SHALLOW CLONE: metadata-only — reference the source's files
+        commit(
+            clone_log, 0,
+            {"adds": fold(src_log), "removes": [],
+             "clone_of": src_base},
+        )
+
+        # clone v1: CoW DELETE keys%7==0 — rewrite into the CLONE dir
+        live = fold(clone_log)
+        kept = read_live(live).filter(F.col("o_orderkey") % 7 != 0)
+        kept.write.parquet(os.path.join(clone_base, "cow0"))
+        commit(
+            clone_log, 1,
+            {"adds": [{"path": "cow0", "root": clone_base}],
+             "removes": [a["path"] for a in live]},
+        )
+        # clone v2: its own append (negated %30)
+        orders.filter(F.col("o_orderkey") % 30 == 0).select(
+            (-F.col("o_orderkey")).alias("o_orderkey"), "o_totalprice"
+        ).write.parquet(os.path.join(clone_base, "app0"))
+        commit(
+            clone_log, 2,
+            {"adds": [{"path": "app0", "root": clone_base}],
+             "removes": []},
+        )
+        # source v2: diverges on its own (+1e9 %20 slice)
+        orders.filter(F.col("o_orderkey") % 20 == 0).select(
+            (F.col("o_orderkey") + 1_000_000_000).alias("o_orderkey"),
+            "o_totalprice",
+        ).write.parquet(os.path.join(src_base, "post"))
+        commit(
+            src_log, 2,
+            {"adds": [{"path": "post", "root": src_base}],
+             "removes": []},
+        )
+        open(done, "w").close()
+
+    outs = []
+    for which, b in (("clone", clone_base), ("src", src_base)):
+        df = read_live(fold(os.path.join(b, "_log")))
+        outs.append(
+            df.agg(
+                F.count("*").cast("long").alias("n"),
+                dsum("o_totalprice", "sum_price"),
+            ).select(F.lit(which).alias("which"), "n", "sum_price")
+        )
+    return outs[0].unionByName(outs[1]).orderBy("which")
+
+
+# ---------------------------------------------------------------------------
+# IDENTITY columns: log-owned high-water mark (r15 wave 3)
+# ---------------------------------------------------------------------------
+
+_TXN_IDENTITY_ORACLE = """
+WITH c AS (
+  SELECT CAST(o_orderkey % 3 AS BIGINT) AS commit_version,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1
+), o AS (
+  SELECT commit_version, n,
+         CAST(COALESCE(SUM(n) OVER (ORDER BY commit_version
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS off
+  FROM c
+)
+SELECT commit_version, n,
+       off AS min_id,
+       off + n - 1 AS max_id,
+       CAST(((off * 2 + n - 1) * n) / 2 AS BIGINT) AS sum_id
+FROM o
+ORDER BY commit_version
+"""
+
+
+@register("sink_txn_log_identity", oracle=_TXN_IDENTITY_ORACLE)
+def sink_txn_log_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTITY COLUMNS — log-owned monotonic IDs (Delta ``GENERATED
+    ALWAYS AS IDENTITY``): the table's identity HIGH-WATER MARK lives
+    in the log; each committing writer reserves the contiguous block
+    ``[hwm, hwm + n)`` for its batch and advances the mark in the same
+    commit record — IDs are globally unique and gap-free across
+    commits without any coordination beyond the commit itself (the
+    same CAS slot that orders versions orders the ID blocks;
+    `sink_txn_log_conflict` is the race's resolution).
+
+    In-batch assignment uses the SCALABLE two-pass pattern, not a
+    global window: ``repartitionByRange`` on the sort key, per-
+    partition row counts collected as METADATA (one row per
+    partition), then ``row_number`` partitioned BY SPARK PARTITION
+    (never a single-partition window — the WindowExec-moves-
+    everything trap) plus the partition's precomputed offset via a
+    literal map lookup. Cost: one extra count pass over the batch;
+    parallelism: full.
+
+    Three commits land the %3 buckets of orders in order. The result
+    is per-commit (n, min_id, max_id, sum_id); the oracle recomputes
+    the running offsets with a window over the bucket counts —
+    min/max pin the block boundaries, sum_id pins that the block is
+    EXACTLY the arithmetic range (a duplicate or hole changes the
+    sum even when min/max survive).
+
+    Scale: the hwm is one integer in the commit record; assignment
+    adds one metadata-sized collect (partition counts) per batch;
+    no global sort, no single-partition exchange — the pattern holds
+    for a billion-row batch on a thousand executors.
+    """
+    import json
+    import shutil
+
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    if orders.limit(1).isEmpty():  # empty-input contract
+        return spark.createDataFrame(
+            [],
+            "commit_version long, n long, min_id long, max_id long,"
+            " sum_id long",
+        )
+    base = os.path.join(
+        scratch_dir(), f"txnidentity_{_src_tag(sf_dir, 'orders')}"
+    )
+    log_dir = os.path.join(base, "_log")
+    done = os.path.join(base, "_ALL_COMMITTED")
+    if not os.path.exists(done):
+        if os.path.exists(base):
+            shutil.rmtree(base)
+        os.makedirs(log_dir)
+
+        def hwm() -> int:
+            m = 0
+            for name in sorted(os.listdir(log_dir)):
+                if name.endswith(".json"):
+                    rec = json.load(open(os.path.join(log_dir, name)))
+                    m = max(m, rec.get("identity_hwm", 0))
+            return m
+
+        def identity_append(version: int, batch: DataFrame) -> None:
+            start = hwm()
+            # two-pass contiguous assignment, no global window:
+            parts = max(
+                2, batch.rdd.getNumPartitions() // 2
+            )
+            # persist pins the range boundaries: repartitionByRange
+            # SAMPLES per job, so without it the counts job and the
+            # write job can disagree on partition membership and the
+            # offset map silently mis-assigns (caught at sf0.01)
+            ranged = (
+                batch.repartitionByRange(parts, "o_orderkey")
+                .withColumn("_pid", F.spark_partition_id())
+                .persist()
+            )
+            counts = sorted(
+                (r["_pid"], r["cnt"])
+                for r in ranged.groupBy("_pid")
+                .agg(F.count("*").alias("cnt"))
+                .collect()
+            )
+            offsets: dict[int, int] = {}
+            acc = start
+            for pid, cnt in counts:
+                offsets[pid] = acc
+                acc += cnt
+            off_map = F.create_map(
+                *[
+                    F.lit(x)
+                    for kv in offsets.items()
+                    for x in kv
+                ]
+            )
+            w = Window.partitionBy("_pid").orderBy("o_orderkey")
+            with_id = ranged.withColumn(
+                "id",
+                (
+                    F.element_at(off_map, F.col("_pid") + F.lit(0))
+                    + F.row_number().over(w)
+                    - F.lit(1)
+                ).cast("long"),
+            ).drop("_pid")
+            path = f"ids{version}"
+            with_id.write.parquet(os.path.join(base, path))
+            ranged.unpersist()
+            rec = {
+                "adds": [path],
+                "removes": [],
+                "identity_hwm": acc,
+            }
+            tmp = os.path.join(log_dir, f"{version:05d}.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump(rec, f)
+            os.rename(
+                tmp, os.path.join(log_dir, f"{version:05d}.json")
+            )
+
+        for k in range(3):
+            identity_append(
+                k, orders.filter(F.col("o_orderkey") % 3 == k)
+            )
+        open(done, "w").close()
+
+    import json as _json
+
+    outs = []
+    for name in sorted(os.listdir(log_dir)):
+        if not name.endswith(".json"):
+            continue
+        v = int(name.split(".")[0])
+        rec = _json.load(open(os.path.join(log_dir, name)))
+        df = spark.read.parquet(
+            *(os.path.join(base, p) for p in rec["adds"])
+        )
+        outs.append(
+            df.agg(
+                F.count("*").cast("long").alias("n"),
+                F.min("id").cast("long").alias("min_id"),
+                F.max("id").cast("long").alias("max_id"),
+                F.sum("id").cast("long").alias("sum_id"),
+            ).select(
+                F.lit(v).cast("long").alias("commit_version"),
+                "n", "min_id", "max_id", "sum_id",
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("commit_version")

@@ -451,3 +451,128 @@ def test_stream_sink_exactly_once(spark, sf_dir):
         if d.startswith(f"epoch{last:05d}_")
     ]
     assert len(attempts) == 2
+
+
+# ---------------------------------------------------------------------------
+# CHECK constraints: whole-batch reject + audit
+# ---------------------------------------------------------------------------
+
+
+def _constraint_base(sf_dir: str) -> str:
+    from etl_8x8_spark.sources.scans import _src_tag
+
+    return os.path.join(
+        scratch_dir(), f"txnconstraint_{_src_tag(sf_dir, 'orders')}"
+    )
+
+
+def test_constraints_reject_then_accept(spark, sf_dir):
+    """The dirty submission must leave an audit record and NO commit;
+    the final log holds exactly v0 (create), v1 (ADD CONSTRAINT) and
+    v2 (the clean resubmit) — and no negative price is readable."""
+    import json
+
+    df = all_queries()["sink_txn_log_constraints"].builder(spark, sf_dir)
+    row = df.collect()[0]
+    assert row.min_price > 0
+    orders = load_table(spark, sf_dir, "orders")
+    n_even = orders.filter(F.col("o_orderkey") % 2 == 0).count()
+    n_clean = orders.filter(
+        (F.col("o_orderkey") % 2 != 0) & (F.col("o_orderkey") % 3 == 0)
+    ).count()
+    assert row.n == n_even + n_clean
+
+    base = _constraint_base(sf_dir)
+    log_dir = os.path.join(base, "_log")
+    commits = sorted(
+        n for n in os.listdir(log_dir) if n.endswith(".json")
+    )
+    assert commits == ["00000.json", "00001.json", "00002.json"]
+    rec1 = json.load(open(os.path.join(log_dir, "00001.json")))
+    assert rec1["add_constraints"] == ["o_totalprice > 0"]
+    audit = json.load(open(os.path.join(base, "_AUDIT.json")))
+    assert audit["rejected_version"] == 2
+    assert audit["violations"] == n_clean  # whole batch was dirty
+
+
+# ---------------------------------------------------------------------------
+# shallow clone: zero-copy + divergence isolation
+# ---------------------------------------------------------------------------
+
+
+def _clone_bases(sf_dir: str) -> tuple[str, str]:
+    from etl_8x8_spark.sources.scans import _src_tag
+
+    t = _src_tag(sf_dir, "orders")
+    return (
+        os.path.join(scratch_dir(), f"txnclonesrc_{t}"),
+        os.path.join(scratch_dir(), f"txnclone_{t}"),
+    )
+
+
+def test_shallow_clone_zero_copy_and_divergence(spark, sf_dir):
+    df = all_queries()["sink_txn_log_shallow_clone"].builder(
+        spark, sf_dir
+    )
+    rows = {r.which: r.n for r in df.collect()}
+    orders = load_table(spark, sf_dir, "orders")
+    n = orders.count()
+    n20 = orders.filter(F.col("o_orderkey") % 20 == 0).count()
+    n7 = orders.filter(F.col("o_orderkey") % 7 == 0).count()
+    n30 = orders.filter(F.col("o_orderkey") % 30 == 0).count()
+    # source final: all + the %20 append; clone: all - %7 + %30
+    assert rows["src"] == n + n20
+    assert rows["clone"] == n - n7 + n30
+
+    src_base, clone_base = _clone_bases(sf_dir)
+    # zero-copy pin: at clone time NOTHING was copied — the clone dir
+    # contains only the log and the clone's own post-fork outputs
+    entries = set(os.listdir(clone_base))
+    assert entries == {"_log", "cow0", "app0", "_ALL_COMMITTED"}
+    # the source still physically owns its originals
+    assert os.path.isdir(os.path.join(src_base, "half0"))
+    assert os.path.isdir(os.path.join(src_base, "half1"))
+    # clone v0 referenced the source's files across roots
+    import json
+
+    rec0 = json.load(
+        open(os.path.join(clone_base, "_log", "00000.json"))
+    )
+    assert rec0["clone_of"] == src_base
+    assert {a["root"] for a in rec0["adds"]} == {src_base}
+
+
+# ---------------------------------------------------------------------------
+# identity columns: global uniqueness + gap-free blocks
+# ---------------------------------------------------------------------------
+
+
+def _identity_base(sf_dir: str) -> str:
+    from etl_8x8_spark.sources.scans import _src_tag
+
+    return os.path.join(
+        scratch_dir(), f"txnidentity_{_src_tag(sf_dir, 'orders')}"
+    )
+
+
+def test_identity_blocks_contiguous_and_unique(spark, sf_dir):
+    df = all_queries()["sink_txn_log_identity"].builder(spark, sf_dir)
+    rows = sorted(df.collect(), key=lambda r: r.commit_version)
+    total = load_table(spark, sf_dir, "orders").count()
+    assert sum(r.n for r in rows) == total
+    # blocks are adjacent: each commit starts where the last ended
+    expect_start = 0
+    for r in rows:
+        assert r.min_id == expect_start
+        assert r.max_id == expect_start + r.n - 1
+        # sum pins the exact arithmetic range (no dup/hole)
+        assert r.sum_id == (r.min_id + r.max_id) * r.n // 2
+        expect_start = r.max_id + 1
+    # and the ids are globally unique across the whole table
+    base = _identity_base(sf_dir)
+    import glob as _glob
+
+    all_ids = spark.read.parquet(
+        *sorted(_glob.glob(os.path.join(base, "ids*")))
+    )
+    assert all_ids.select("id").distinct().count() == total
