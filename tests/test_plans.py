@@ -785,3 +785,82 @@ class TestR15Plans:
         assert body.count("Scan parquet") == 3
         assert "Join" not in body
         assert body.count("Exchange hashpartitioning") == 1
+
+    def test_zorder_read_is_pruned_scan_no_join(
+        self, spark, sf_dir, queries
+    ):
+        """The stats-pruned quarter-box read: at most 3 of the 8
+        z-clustered units reach the plan (pruning happens BEFORE
+        planning, from commit-record stats), no join anywhere, one
+        exchange for the status aggregate."""
+        plan = plan_of(
+            spark, sf_dir, queries, "sink_txn_log_optimize_zorder"
+        )
+        body = plan.split("AdaptiveSparkPlan")[-1]
+        assert 1 <= body.count("Scan parquet") <= 3
+        assert "Join" not in body
+        assert body.count("Exchange hashpartitioning") == 1
+
+    def test_partitioned_read_prunes_to_two_dirs(
+        self, spark, sf_dir, queries
+    ):
+        """Partition pruning by metadata equality: exactly the two
+        2-HIGH adds are scanned (the metadata-deleted 3-MEDIUM and the
+        6 non-matching partitions never reach the plan); the partition
+        column is reattached as a literal — no join, one exchange."""
+        plan = plan_of(
+            spark, sf_dir, queries, "sink_txn_log_partitioned"
+        )
+        body = plan.split("AdaptiveSparkPlan")[-1]
+        assert body.count("Scan parquet") == 2
+        assert "Join" not in body
+        assert body.count("Exchange hashpartitioning") == 1
+
+    def test_constraints_read_single_scan(self, spark, sf_dir, queries):
+        """The constrained table's reader folds the log and reads the
+        two live files in ONE multi-path FileScan feeding the global
+        aggregate — validation cost lives on the write path, reads pay
+        nothing."""
+        plan = plan_of(
+            spark, sf_dir, queries, "sink_txn_log_constraints"
+        )
+        body = plan.split("AdaptiveSparkPlan")[-1]
+        assert body.count("Scan parquet") == 1
+        assert "Join" not in body
+
+    def test_clone_reads_two_tables_no_join(
+        self, spark, sf_dir, queries
+    ):
+        """Source and clone finals are two independent multi-path
+        scans (the clone's spanning BOTH storage roots) unioned after
+        aggregation — no join, no data copy in the plan."""
+        plan = plan_of(
+            spark, sf_dir, queries, "sink_txn_log_shallow_clone"
+        )
+        body = plan.split("AdaptiveSparkPlan")[-1]
+        assert body.count("Scan parquet") == 2
+        assert "Join" not in body
+
+    def test_identity_read_one_scan_per_commit(
+        self, spark, sf_dir, queries
+    ):
+        """Per-commit block audit: three scans (one per ID block's
+        file), no join, no window in the READ plan — the two-pass
+        assignment cost lives at write time."""
+        plan = plan_of(
+            spark, sf_dir, queries, "sink_txn_log_identity"
+        )
+        body = plan.split("AdaptiveSparkPlan")[-1]
+        assert body.count("Scan parquet") == 3
+        assert "Join" not in body
+        assert "Window" not in body
+
+    def test_stream_sink_fold_single_scan(self, spark, sf_dir, queries):
+        """The folded stream-sink table reads its four committed
+        epoch files in ONE multi-path FileScan + one aggregate
+        exchange — replay orphans never reach the plan."""
+        plan = plan_of(spark, sf_dir, queries, "stream_txn_log_sink")
+        body = plan.split("AdaptiveSparkPlan")[-1]
+        assert body.count("Scan parquet") == 1
+        assert "Join" not in body
+        assert body.count("Exchange hashpartitioning") == 1

@@ -45,6 +45,10 @@ KEYS = [
     "sink_txn_log_optimize_zorder",
     "sink_txn_log_partitioned",
     "stream_txn_log_sink",
+    # wave 3
+    "sink_txn_log_constraints",
+    "sink_txn_log_shallow_clone",
+    "sink_txn_log_identity",
 ]
 
 
@@ -260,6 +264,43 @@ def main() -> None:
             "distinct_epochs": len(set(eps)),
         }
     inv.update(wave2)
+
+    # wave 3: audit/commit structure is scale-invariant; the identity
+    # hwm tracks row count exactly
+    wave3: dict[str, dict] = {
+        "sink_txn_log_constraints": {},
+        "sink_txn_log_shallow_clone": {},
+        "sink_txn_log_identity": {},
+    }
+    for label, sf in (("base", BASE_SF), (f"{args.copies}x", replica)):
+        cbase = _scratch_base("txnconstraint", sf)
+        audit = json.load(open(os.path.join(cbase, "_AUDIT.json")))
+        n_commits = len(
+            [
+                n
+                for n in os.listdir(os.path.join(cbase, "_log"))
+                if n.endswith(".json")
+            ]
+        )
+        wave3["sink_txn_log_constraints"][label] = {
+            "n_commits": n_commits,
+            "rejected_version": audit["rejected_version"],
+            "violations": audit["violations"],
+        }
+        clone_base = _scratch_base("txnclone", sf)
+        wave3["sink_txn_log_shallow_clone"][label] = {
+            "clone_dir_entries": sorted(os.listdir(clone_base)),
+        }
+        ibase = _scratch_base("txnidentity", sf)
+        hwm = 0
+        for name in sorted(os.listdir(os.path.join(ibase, "_log"))):
+            if name.endswith(".json"):
+                rec = json.load(
+                    open(os.path.join(ibase, "_log", name))
+                )
+                hwm = max(hwm, rec.get("identity_hwm", 0))
+        wave3["sink_txn_log_identity"][label] = {"identity_hwm": hwm}
+    inv.update(wave3)
     print(json.dumps({"invariants": inv}), flush=True)
     spark.stop()
 
