@@ -17,7 +17,11 @@ Format notes (Avro 1.x object container file, public spec):
 - then blocks: zigzag-varint record count, zigzag-varint byte size,
   payload, sync marker repeated;
 - binary encoding: long = zigzag varint, string = long length + UTF-8,
-  double = 8-byte little-endian IEEE754.
+  double = 8-byte little-endian IEEE754;
+- every field is the nullable union ``["null", T]`` (the idiomatic
+  Avro nullability shape): a zigzag-varint branch index (0 = null,
+  1 = value) precedes each value — so null-heavy tables (the
+  empty/null contract suite) round-trip losslessly.
 
 Corrupt-record posture (consistent with scan_csv / scan_xml): the sync
 marker delimits recoverable units, so a torn/truncated block loses
@@ -133,7 +137,9 @@ def avro_schema_json(fields: list[tuple[str, str]], name: str = "Record") -> str
         {
             "type": "record",
             "name": name,
-            "fields": [{"name": n, "type": t} for n, t in fields],
+            "fields": [
+                {"name": n, "type": ["null", t]} for n, t in fields
+            ],
         }
     )
 
@@ -171,7 +177,12 @@ def write_container(
             payload = io.BytesIO()
             for rec in block:
                 for w, v in zip(writers, rec):
-                    w(payload, v)
+                    # union branch: 0 = null, 1 = the typed value
+                    if v is None:
+                        _write_long(payload, 0)
+                    else:
+                        _write_long(payload, 1)
+                        w(payload, v)
             raw_block = payload.getvalue()
             head = io.BytesIO()
             _write_long(head, len(block))
@@ -229,8 +240,16 @@ def read_container(path: str, fields: list[tuple[str, str]]):
             for _ in range(count):
                 rec = []
                 for r in readers:
-                    v, rp = r(payload, rp)
-                    rec.append(v)
+                    branch, rp = _read_long(payload, rp)
+                    if branch == 0:
+                        rec.append(None)
+                    elif branch == 1:
+                        v, rp = r(payload, rp)
+                        rec.append(v)
+                    else:
+                        raise EOFError(
+                            f"invalid union branch {branch}"
+                        )
                 recs.append(tuple(rec))
         except (EOFError, UnicodeDecodeError, struct.error):
             yield [], False  # damaged block: drop it and stop

@@ -3664,8 +3664,11 @@ def scan_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
                 tmp: list[tuple] = []
                 sinks.append(tmp)
             for row in orders.toLocalIterator():
-                sinks[row.o_orderkey % 4].append(
-                    (row.o_orderkey, row.o_orderstatus, row.o_totalprice)
+                # null keys bucket to 0 (nullable-union codec carries
+                # them; the null-heavy contract table exercises this)
+                k = row.o_orderkey
+                sinks[(k if k is not None else 0) % 4].append(
+                    (k, row.o_orderstatus, row.o_totalprice)
                 )
             for i, recs in enumerate(sinks):
                 write_container(
