@@ -576,3 +576,24 @@ def test_identity_blocks_contiguous_and_unique(spark, sf_dir):
         *sorted(_glob.glob(os.path.join(base, "ids*")))
     )
     assert all_ids.select("id").distinct().count() == total
+
+
+def test_avro_null_union_roundtrip(tmp_path):
+    """Nullable-union codec: None survives in every field type, mixed
+    with values, across block boundaries."""
+    from etl_8x8_spark.sources.avro_source import (
+        read_container,
+        write_container,
+    )
+
+    fields = [("k", "long"), ("s", "string"), ("x", "double")]
+    recs = [
+        (None, None, None),
+        (1, "a", 1.5),
+        (None, "b", None),
+        (2, None, 2.5),
+    ] * 30  # 120 rows -> 3 blocks of 50
+    p = str(tmp_path / "nulls.avro")
+    write_container(p, fields, recs, records_per_block=50)
+    got = [r for block, ok in read_container(p, fields) for r in block]
+    assert got == recs
