@@ -4561,7 +4561,7 @@ def sink_txn_log_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
             with_id = ranged.withColumn(
                 "id",
                 (
-                    F.element_at(off_map, F.col("_pid") + F.lit(0))
+                    F.element_at(off_map, F.col("_pid"))
                     + F.row_number().over(w)
                     - F.lit(1)
                 ).cast("long"),
