@@ -202,10 +202,13 @@ class TestTxnLogSchemaEvolution:
             .collect()
         )
         base = os.path.join(
-            scratch_dir(), f"txnschema_{_src_tag(sf_dir, 'orders')}"
+            scratch_dir(), f"txnschema_g2_{_src_tag(sf_dir, 'orders')}"
         )
-        gen1 = spark.read.parquet(os.path.join(base, "gen1"))
-        assert gen1.columns == ["o_orderkey", "o_totalprice"]
+        # the r15 generation-grouped fixture writes gen1 as TWO files
+        # of the same schema generation (gen1a/gen1b)
+        for g in ("gen1a", "gen1b"):
+            gen1 = spark.read.parquet(os.path.join(base, g))
+            assert gen1.columns == ["o_orderkey", "o_totalprice"]
         gen3 = spark.read.parquet(os.path.join(base, "gen3"))
         assert "channel" in gen3.columns
         # pre-alter rows surface under the sentinel for BOTH young cols
@@ -242,7 +245,7 @@ class TestTxnLogSchemaEvolution:
             spark, sf_dir
         ).collect()
         base = os.path.join(
-            scratch_dir(), f"txnschema_{_src_tag(sf_dir, 'orders')}"
+            scratch_dir(), f"txnschema_g2_{_src_tag(sf_dir, 'orders')}"
         )
         log_dir = os.path.join(base, "_log")
         # replay the reader's fold with one extra DROP-COLUMN record
