@@ -600,6 +600,100 @@ def _dist2(a, b):
     return F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v)
 
 
+# K-means plumbing (r15 optimization round): centroids are BOUNDED
+# metadata (K×dim doubles), so each Lloyd round collects them to the
+# driver and embeds them as array literals in the next round's plan —
+# MLlib's own KMeans shape. Assignment then needs no crossJoin, no
+# broadcast build, and (crucially) no min_by aggregate: min_by over a
+# struct plans as SortAggregate (sort + sort-agg on BOTH sides of an
+# exchange — the buffer type is immutable, so hash aggregation is
+# off the table). A row-level least() over (d2, cid) structs is a pure
+# projection: the argmin costs zero shuffles and the only per-round
+# exchange left is the K×dim partial-sum aggregate of the mean
+# recompute (guide §2.3/§2.4). Tie-break is unchanged — struct
+# comparison orders by d2 then cid, exactly the oracle's
+# ORDER BY d2, cid.
+
+
+def _km_sql_vec(vals) -> str:
+    """Array-of-doubles SQL literal. ``repr(float)`` is the shortest
+    round-trip decimal, and Spark's SQL parser converts it back to the
+    nearest double — the collected value survives bit-exactly."""
+    return "array({})".format(
+        ",".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in vals)
+    )
+
+
+def _km_assign_lit(points, cents):
+    """Assign each point to the nearest of the driver-held centroids.
+
+    ``cents``: list of (cid, vector). Pure projection: one
+    ``array_min(transform(<literal centroid structs>, ...))`` whose d2
+    fold is the same ``aggregate(zip_with(...))`` expression as the
+    crossJoin formulation, with the centroid an array literal — every
+    double is bit-identical (and identical to the DuckDB oracle), and
+    struct ordering (d2, cid) reproduces the oracle's
+    ``ORDER BY d2, cid`` tie-break. Assembled as ONE SQL expression
+    string: per-literal Column construction (K×dim ``F.lit`` calls)
+    costs a py4j round trip each, and K copies of the fold subtree
+    (the ``least(...)`` draft) bloated optimizer+codegen time — the
+    single-fold HOF form keeps the tree K-independent.
+    """
+    carr = "array({})".format(
+        ",".join(
+            "named_struct('cid', CAST(%d AS BIGINT), 'ce', %s)"
+            % (int(cid), _km_sql_vec(ce))
+            for cid, ce in cents
+        )
+    )
+    best = (
+        "array_min(transform(" + carr + ", c -> named_struct('d2', "
+        "aggregate(zip_with(embedding, c.ce, "
+        "(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) *"
+        " (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v), 'cid', c.cid)))"
+    )
+    return points.withColumn("best", F.expr(best)).select(
+        "vec_id",
+        "embedding",
+        F.col("best.cid").alias("cid"),
+        F.col("best.d2").alias("d2"),
+    )
+
+
+def _km_means_collect(assigned) -> list:
+    """One exact-centroid-mean round, collected to the driver.
+
+    Same dataflow as before the r15 rewrite (posexplode →
+    hash-aggregate on (cid, i) of floor-quantized nano-unit decimal
+    sums) but the K×dim mean rows come back as BOUNDED METADATA
+    instead of being re-assembled into arrays in-engine (the old
+    second groupBy + collect_list + array_sort exchange) — the next
+    round consumes them as literals. Returns [(cid, mean_vector)]
+    sorted by cid; element order from the 0-based posexplode index.
+    """
+    comp = assigned.select(
+        "cid", F.posexplode("embedding").alias("i", "x")
+    ).select(
+        "cid",
+        "i",
+        F.floor(F.col("x").cast("double") * 1e9 + 0.5)
+        .cast("decimal(38,0)")
+        .alias("x"),
+    )
+    rows = (
+        comp.groupBy("cid", "i")
+        .agg((F.sum("x").cast("double") / F.count("*") / F.lit(1e9)).alias("v"))
+        .collect()
+    )
+    by_cid: dict = {}
+    for r in rows:
+        by_cid.setdefault(r["cid"], {})[r["i"]] = r["v"]
+    return sorted(
+        (cid, [vals[i] for i in sorted(vals)]) for cid, vals in by_cid.items()
+    )
+
+
 _KM_ORACLE = f"""
 WITH e AS (SELECT vec_id, embedding FROM embeddings),
 c0 AS (SELECT vec_id AS cid, embedding AS ce FROM e WHERE vec_id < {_KM_K}),
@@ -660,63 +754,33 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     #22) finalized to double once; inertia terms floor-quantized to
     pico-units before the final decimal sum.
 
-    Scale (the production shape this miniature preserves): assignment
-    is a broadcast of K×dim centroids + one map-side argmin per row —
-    no shuffle of the corpus; the mean recompute shuffles (cid, dim)
-    partial sums (map-side combined), K×dim rows total, however big
-    the corpus. Driver-loop the round for more iterations exactly as
-    ``dedup_cluster_cc`` loops label propagation; MLlib's KMeans is
-    the tuned library answer, this is the engine-native dataflow.
+    Scale (the production shape this miniature preserves): centroids
+    are K×dim BOUNDED METADATA, collected per round and embedded as
+    literals in the next round's plan (MLlib's KMeans does exactly
+    this); assignment is then a pure map-side projection — no corpus
+    shuffle, no broadcast build, and no SortAggregate (the r15 plan
+    audit found min_by(struct, struct) plans as sort + sort-agg on
+    both sides of an exchange — an immutable aggregation buffer). The
+    mean recompute is ONE hash aggregate carrying dim decimal partial
+    sums per cluster (map-side combined, K×dim sums cross the wire
+    however big the corpus). Per round: one job, one exchange.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", "embedding")
-    c0 = e.filter(F.col("vec_id") < _KM_K).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    cents = sorted(
+        (r["cid"], r["ce"])
+        for r in e.filter(F.col("vec_id") < _KM_K)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+        .collect()
     )
-
-    def assign(points, cents):
-        # min_by hash-agg argmin, not a row_number window: the window
-        # shuffles+sorts all N×K scored rows on vec_id, while min_by
-        # partial-aggregates map-side (the scored rows for one vec_id
-        # are co-located after the broadcast cross join), so the
-        # exchange carries N rows whatever K is. r14 A/B at sf0.1:
-        # 0.376 vs 0.623 s warm at K=8, never slower through K=256.
-        # The (d2, cid) key struct is unique per vec_id, so min_by has
-        # no duplicate-minimum nondeterminism and ties break exactly
-        # like the oracle's ORDER BY d2, cid.
-        d2 = _dist2(F.col("embedding"), F.col("ce"))
-        return (
-            points.crossJoin(F.broadcast(cents))
-            .withColumn("d2", d2)
-            .groupBy("vec_id")
-            .agg(
-                F.min_by(
-                    F.struct("cid", "embedding", "d2"),
-                    F.struct("d2", "cid"),
-                ).alias("best")
-            )
-            .select("vec_id", "best.embedding", "best.cid", "best.d2")
+    if not cents:  # empty-input contract: no vectors, no clusters
+        return spark.createDataFrame(
+            [], "cid long, n_members long, inertia double"
         )
 
-    a1 = assign(e, c0)
-    comp = a1.select(
-        "cid", F.posexplode("embedding").alias("i", "x")
-    ).select(
-        "cid",
-        "i",
-        F.floor(F.col("x").cast("double") * 1e9 + 0.5)
-        .cast("decimal(38,0)")
-        .alias("x"),
-    )
-    m = comp.groupBy("cid", "i").agg(
-        (F.sum("x").cast("double") / F.count("*") / F.lit(1e9)).alias("v")
-    )
-    c1 = m.groupBy("cid").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("i", "v"))), lambda s: s.v
-        ).alias("ce")
-    )
-    a2 = assign(e, c1)
+    a1 = _km_assign_lit(e, cents)
+    c1 = _km_means_collect(a1)
+    a2 = _km_assign_lit(e, c1)
     return a2.groupBy("cid").agg(
         F.count("*").cast("long").alias("n_members"),
         (
@@ -871,60 +935,33 @@ def ml_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor-quantized nano-units (no round() anywhere — see
     ml_kmeans_lloyd on the 1-ulp tie class it avoids).
 
-    Scale: per round, assignment broadcasts K×dim centroids (map-side
-    argmin, zero corpus shuffle) and the mean recompute shuffles K×dim
-    partial sums — per-round cost is ONE corpus scan regardless of K
-    or rounds; centroids localCheckpoint so round N's plan doesn't
-    embed rounds 1..N-1.
+    Scale: centroids are K×dim BOUNDED METADATA — each round collects
+    them to the driver and embeds them as literals in the next round's
+    plan (the MLlib KMeans shape; see ml_kmeans_lloyd's scale note on
+    why this beats the broadcast-crossJoin + min_by formulation: the
+    struct-keyed min_by planned as SortAggregate, and the per-round
+    localCheckpoint added a materialization job). Per round: ONE job
+    (the means collect), ONE exchange (K×dim map-side-combined decimal
+    partial sums), zero corpus shuffles, and no lineage growth —
+    literal centroids truncate lineage by construction.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", "embedding")
-    cents = e.filter(F.col("vec_id") < _KM_K).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    cents = sorted(
+        (r["cid"], r["ce"])
+        for r in e.filter(F.col("vec_id") < _KM_K)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+        .collect()
     )
-    cents = cents.localCheckpoint(eager=True)
-
-    d2 = _dist2(F.col("embedding"), F.col("ce"))
-
-    def assign(points, cs):
-        # min_by argmin (see ml_kmeans_lloyd): map-side combine keeps
-        # the per-round exchange at N rows instead of N×K — adopted in
-        # r14 after the larger-K probe (wash at K=64, min_by faster at
-        # K=8 and K=256, never slower); the unique (d2, cid) key makes
-        # tie-breaks deterministic and oracle-identical
-        return (
-            points.crossJoin(F.broadcast(cs))
-            .withColumn("d2", d2)
-            .groupBy("vec_id")
-            .agg(
-                F.min_by(
-                    F.struct("cid", "embedding", "d2"),
-                    F.struct("d2", "cid"),
-                ).alias("best")
-            )
-            .select("vec_id", "best.embedding", "best.cid", "best.d2")
+    if not cents:  # empty-input contract: no vectors, no clusters
+        return spark.createDataFrame(
+            [], "cid long, n_members long, inertia double"
         )
 
     for _ in range(_KMC_ROUNDS):
-        a = assign(e, cents).select("vec_id", "embedding", "cid")
-        comp = a.select("cid", F.posexplode("embedding").alias("i", "x")).select(
-            "cid",
-            "i",
-            F.floor(F.col("x").cast("double") * 1e9 + 0.5)
-        .cast("decimal(38,0)")
-        .alias("x"),
-        )
-        m = comp.groupBy("cid", "i").agg(
-            (F.sum("x").cast("double") / F.count("*") / F.lit(1e9)).alias("v")
-        )
-        cents = m.groupBy("cid").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "v"))), lambda s: s.v
-            ).alias("ce")
-        )
-        cents = cents.localCheckpoint(eager=True)
+        cents = _km_means_collect(_km_assign_lit(e, cents))
 
-    final = assign(e, cents).select("vec_id", "cid", "d2")
+    final = _km_assign_lit(e, cents).select("vec_id", "cid", "d2")
     return final.groupBy("cid").agg(
         F.count("*").cast("long").alias("n_members"),
         (

@@ -711,17 +711,24 @@ class TestR14Plans:
         assert "Join" not in body
         assert body.count("Exchange hashpartitioning") == 1
 
-    def test_kmeans_assignment_is_minby_not_window(
+    def test_kmeans_assignment_is_literal_projection(
         self, spark, sf_dir, queries
     ):
-        """The r14 adoption: argmin via min_by hash agg (map-side
-        combine, N-row exchange) — the row_number window over the N×K
-        cross join (N×K-row exchange + sort) must be gone."""
+        """The r15 adoption: centroids are driver-held literals, so
+        assignment is a pure map-side projection (least() over
+        (d2, cid) structs). The row_number window (N×K exchange +
+        sort), the min_by formulation (SortAggregate on both sides of
+        an exchange — struct buffers are not hash-aggregable), and the
+        centroid crossJoin must all be gone; the one exchange left is
+        the final per-cluster summary aggregate."""
         plan = plan_of(spark, sf_dir, queries, "ml_kmeans_lloyd")
         assert "row_number" not in plan
-        assert "min_by" in plan
-        # centroids still broadcast into the scored cross join
-        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+        assert "min_by" not in plan
+        assert "SortAggregate" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "array_min(transform(" in plan
+        body = plan.split("AdaptiveSparkPlan")[-1]
+        assert body.count("Exchange hashpartitioning") == 1
 
 
 class TestR15Plans:
