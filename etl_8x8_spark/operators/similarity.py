@@ -620,7 +620,10 @@ def _km_sql_vec(vals) -> str:
     round-trip decimal, and Spark's SQL parser converts it back to the
     nearest double — the collected value survives bit-exactly."""
     return "array({})".format(
-        ",".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in vals)
+        ",".join(
+            "CAST(NULL AS DOUBLE)" if v is None else f"CAST('{float(v)!r}' AS DOUBLE)"
+            for v in vals
+        )
     )
 
 
@@ -769,7 +772,9 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = emb.select("vec_id", "embedding")
     cents = sorted(
         (r["cid"], r["ce"])
-        for r in e.filter(F.col("vec_id") < _KM_K)
+        for r in e.filter(
+            (F.col("vec_id") < _KM_K) & F.col("embedding").isNotNull()
+        )
         .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
         .collect()
     )
@@ -949,7 +954,9 @@ def ml_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = emb.select("vec_id", "embedding")
     cents = sorted(
         (r["cid"], r["ce"])
-        for r in e.filter(F.col("vec_id") < _KM_K)
+        for r in e.filter(
+            (F.col("vec_id") < _KM_K) & F.col("embedding").isNotNull()
+        )
         .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
         .collect()
     )
@@ -959,7 +966,10 @@ def ml_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     for _ in range(_KMC_ROUNDS):
-        cents = _km_means_collect(_km_assign_lit(e, cents))
+        nxt = _km_means_collect(_km_assign_lit(e, cents))
+        if not nxt:  # all-null corpus: no component rows to average
+            break
+        cents = nxt
 
     final = _km_assign_lit(e, cents).select("vec_id", "cid", "d2")
     return final.groupBy("cid").agg(
