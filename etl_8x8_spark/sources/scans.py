@@ -3388,22 +3388,108 @@ def sink_txn_log_delete_vectors(
         )
         open(done, "w").close()
 
+    # Single-pass multi-version read-back (r15 optimization round,
+    # guide §2.4/§6): the naive shape — one `_dv_read(...).agg(...)`
+    # subtree per version, unioned — scanned every live file once PER
+    # VERSION (12 scans), built 8 per-file broadcast anti-joins, and
+    # paid 4 separate aggregate exchanges. Version membership is a
+    # row property derivable in ONE pass: scan each data file once,
+    # left-join ONE broadcast membership relation (the union of all
+    # deletion vectors, tagged by vector path, grouped to a per-row
+    # vector set), emit the row's version list as an array filter,
+    # explode, and aggregate by version in a single exchange. Values
+    # are identical by construction: row ∈ version v ⟺ its file is
+    # live at v and the row's position is not in v's vector — exactly
+    # the per-version anti-join predicate — and the decimal dsum is
+    # summation-order-proof.
     cols = ["o_orderkey", "o_totalprice"]
-    out: list[DataFrame] = []
-    for v in (1, 2, 3, 4):
-        live, dv = _dv_fold(log_dir, upto=v)
-        out.append(
-            _dv_read(spark, base, live, dv, cols).agg(
-                F.count("*").cast("long").alias("n"),
-                dsum("o_totalprice", "sum_price"),
-            ).select(
-                F.lit(v).cast("long").alias("version"), "n", "sum_price"
-            )
+    versions = (1, 2, 3, 4)
+    file_versions: dict[str, list[tuple[int, str | None]]] = {}
+    vec_paths: list[str] = []
+    for v in versions:
+        live_v, dv_v = _dv_fold(log_dir, upto=v)
+        for f in live_v:
+            vp = dv_v.get(f)
+            file_versions.setdefault(f, []).append((v, vp))
+            if vp is not None and vp not in vec_paths:
+                vec_paths.append(vp)
+    vparts = [
+        spark.read.parquet(os.path.join(base, vp)).select(
+            "_fp", "_ri", F.lit(vp).alias("vp")
         )
-    res = out[0]
-    for o in out[1:]:
-        res = res.unionByName(o)
-    return res.orderBy("version")
+        for vp in vec_paths
+    ]
+    vflags = None
+    if vparts:
+        tagged = vparts[0]
+        for p in vparts[1:]:
+            tagged = tagged.unionByName(p)
+        vflags = tagged.groupBy("_fp", "_ri").agg(
+            F.collect_set("vp").alias("vps")
+        )
+    dv_files = [
+        f
+        for f, vlist in file_versions.items()
+        if any(vp is not None for _, vp in vlist)
+    ]
+    plain_files = [f for f in file_versions if f not in dv_files]
+    parts: list[DataFrame] = []
+    if dv_files and vflags is not None:
+        # ONE multi-path scan covers every vectored file; the row's
+        # file identity rides along in _metadata.file_path, so the
+        # per-version membership condition is an OR over that
+        # version's live vectored files — one broadcast join total.
+        data = (
+            spark.read.parquet(
+                *(os.path.join(base, f) for f in dv_files)
+            )
+            .select(
+                *cols,
+                F.col("_metadata.file_path").alias("_fp"),
+                F.col("_metadata.row_index").alias("_ri"),
+            )
+            .join(F.broadcast(vflags), ["_fp", "_ri"], "left")
+        )
+        by_version: dict[int, list[tuple[str, str | None]]] = {}
+        for f in dv_files:
+            for v, vp in file_versions[f]:
+                by_version.setdefault(v, []).append((f, vp))
+        terms = []
+        for v in sorted(by_version):
+            ent = by_version[v]
+            if len(ent) == len(dv_files) and all(
+                vp is None for _, vp in ent
+            ):
+                terms.append(F.lit(v).cast("long"))
+                continue
+            cond = None
+            for f, vp in ent:
+                c = F.col("_fp").contains(f"/{f}/")
+                if vp is not None:
+                    c = c & ~F.coalesce(
+                        F.array_contains("vps", F.lit(vp)), F.lit(False)
+                    )
+                cond = c if cond is None else (cond | c)
+            terms.append(F.when(cond, F.lit(v).cast("long")))
+        vers = F.filter(F.array(*terms), lambda x: x.isNotNull())
+        parts.append(data.select(F.explode(vers).alias("version"), *cols))
+    for f in plain_files:
+        pdata = spark.read.parquet(os.path.join(base, f)).select(*cols)
+        pvers = F.array(
+            *[F.lit(v).cast("long") for v, _ in file_versions[f]]
+        )
+        parts.append(pdata.select(F.explode(pvers).alias("version"), *cols))
+    res = parts[0]
+    for p in parts[1:]:
+        res = res.unionByName(p)
+    return (
+        res.groupBy("version")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            dsum("o_totalprice", "sum_price"),
+        )
+        .orderBy("version")
+    )
 
 
 # ---------------------------------------------------------------------------

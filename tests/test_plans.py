@@ -737,16 +737,23 @@ class TestR15Plans:
     def test_dv_read_broadcasts_vectors_never_smj(
         self, spark, sf_dir, queries
     ):
-        """Merge-on-read applies each file's deletion vector as a
-        BROADCAST left-anti hash join on the _metadata positions — the
-        data side must never shuffle or sort for the vector (an SMJ
-        would move the file to apply a KB-sized bitmap)."""
+        """Merge-on-read applies deletion vectors via a BROADCAST hash
+        join on the _metadata positions — the data side must never
+        shuffle or sort for the vector (an SMJ would move the file to
+        apply a KB-sized bitmap). Since the r15 single-pass rewrite
+        the four versioned snapshots share ONE multi-path scan over
+        the vectored files + one scan of the compacted file + one
+        scan per vector (6 scans total, vs 12 data scans in the
+        per-version shape) and ONE version-tagged aggregate exchange
+        plus the vector-membership aggregate — not four."""
         plan = plan_of(
             spark, sf_dir, queries, "sink_txn_log_delete_vectors"
         )
         assert "SortMergeJoin" not in plan
         assert "BroadcastHashJoin" in plan
-        assert "LeftAnti" in plan
+        body = plan.split("AdaptiveSparkPlan")[-1]
+        assert body.count("Scan parquet") == 6
+        assert body.count("Exchange hashpartitioning") == 2
 
     def test_schema_evolution_groups_generations_not_files(
         self, spark, sf_dir, queries
