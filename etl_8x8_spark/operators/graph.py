@@ -636,47 +636,70 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge build would need the triangle family's degree cap applied to
     BOTH the Spark and oracle sides.
     """
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .filter(F.col("l_quantity") >= _TRI_MIN_QTY)
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
-        .distinct()
-    )
-    # persist PRE-PARTITIONED on the join key: the cached relation
-    # keeps its output partitioning, so each round's labels-join reads
-    # it shuffle-free instead of re-exchanging the (big) neighbor list
-    # every round — measured 8.6-9.9 s -> see BASELINE for the fixed
-    # number; the per-round exchange is then only the (small) label
-    # relation.
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") >= _TRI_MIN_QTY
+    ).select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+    # r15 optimization (guide §2.3/§2.4): the edge set used to cost
+    # FOUR full exchanges — distinct(o,p), the o-keyed self-join,
+    # distinct(u,v), and the repartition(u) — with the self-join's
+    # pair fanout shuffled twice. Per-order pair generation needs no
+    # join at all: collect the order's (deduped, sorted) part set in
+    # ONE aggregate (which subsumes the old distinct), emit each
+    # part's co-purchase neighbors as an array transform (both
+    # directions in one pass), then repartition(u) BEFORE the (u, v)
+    # dedupe — hashpartitioning(u) clusters every (u, v) group, so
+    # dropDuplicates runs partition-local and the cached relation is
+    # born partitioned on the round-join key. Two exchanges total,
+    # same undirected neighbor multiset after dedupe.
+    byo = li.groupBy("o").agg(F.array_sort(F.collect_set("p")).alias("ps"))
+    pairs = byo.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) -> transform("
+                "concat(slice(ps, 1, i), slice(ps, i + 2, size(ps))),"
+                " y -> struct(x AS u, y AS v))))"
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
     nbrs = (
-        edges.unionByName(
-            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
-        .repartition(F.col("u"))
+        pairs.repartition(F.col("u"))
+        .dropDuplicates(["u", "v"])
         .persist()
     )
     labels = nbrs.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("lab")
     )
+    # r15 optimization (guide §2.4/§7.2): the union-then-min form
+    # referenced the previous round's label relation TWICE (directly
+    # and inside the neighbor join), so the lazy 3-round plan grew
+    # 2^rounds label subtrees — 169 stages, 37 AQE jobs at sf0.1.
+    # min({own} ∪ {neighbor labels}) == least(own, min(neighbor
+    # labels)), so each round is a neighbor-min aggregate LEFT-JOINED
+    # back to the labels — and a lazy per-round persist makes the next
+    # round read this round's result instead of re-deriving it. Both
+    # label relations are hash-partitioned on the node key (labels by
+    # the round aggregate, nbrs by the cached repartition), so the
+    # only exchange per round is the neighbor-min aggregate: 3 rounds
+    # = 3 exchanges, one linear plan. Values are unchanged — the min
+    # over an identical candidate set, computed associatively.
     for _ in range(_LPA_ROUNDS):
-        contrib = labels.join(nbrs, labels["node"] == nbrs["u"]).select(
-            F.col("v").alias("node"), F.col("lab")
+        contrib = (
+            labels.join(nbrs, labels["node"] == nbrs["u"])
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.min("lab").alias("nlab"))
         )
         labels = (
-            labels.select("node", "lab")
-            .unionByName(contrib)
-            .groupBy("node")
-            .agg(F.min("lab").alias("lab"))
+            labels.join(contrib, "node", "left")
+            .select("node", F.least("lab", "nlab").alias("lab"))
+            .persist()
         )
+    # no terminal orderBy: the output is part-catalog-sized (grows
+    # with SF), the correctness gate hashes order-insensitively, and
+    # the global sort paid a sampling pass + range exchange (LESSONS
+    # #51 — the oracle keeps its ORDER BY for readable diffs).
     return labels.select(
         F.col("node").alias("part"), F.col("lab").alias("label")
-    ).orderBy("part")
+    )
 
 
 # ---------------------------------------------------------------------------
