@@ -154,20 +154,26 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cited pattern: Suri & Vassilvitskii, "Counting Triangles and the
     Curse of the Last Reducer" (WWW'11).
     """
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .filter(F.col("l_quantity") >= _TRI_MIN_QTY)
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    a = li.alias("a")
-    b = li.alias("b")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") >= _TRI_MIN_QTY
+    ).select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+    # r15 optimization (guide §2.3/§2.4): per-order pair generation
+    # replaces the o-keyed self-join — one collect_set aggregate per
+    # order (subsumes the first distinct), ordered pairs from an array
+    # transform, then one (u, v) dedupe. Two exchanges where the old
+    # shape paid three plus the join fan-out. Same edge set.
+    byo = li.groupBy("o").agg(F.array_sort(F.collect_set("p")).alias("ps"))
     edges = (
-        a.join(
-            b,
-            (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")),
+        byo.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> transform("
+                    "slice(ps, i + 2, size(ps)),"
+                    " y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("e")
         )
-        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .select("e.u", "e.v")
         .distinct()
     )
     deg = (
@@ -359,6 +365,12 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # key the candidate self-join shuffles on, so the exchange is
     # reused, and the WindowGroupLimit pushdown truncates hub parts
     # to K rows per partition BEFORE they fan out.
+    # NOT rewritten to array pair-generation in r15: with the 32-wide
+    # capped sets, the higher-order transform/flatten pair expansion
+    # runs interpreted (HOFs are outside whole-stage codegen) and
+    # A/B-measured 2x SLOWER warm than the codegen'd self-join
+    # (6.1-6.2 s vs 2.9-3.6 s at sf0.1) — the opposite of the
+    # LPA/triangle co-purchase graphs, whose per-order sets are small.
     w_cap = Window.partitionBy("p").orderBy("s")
     sp = (
         sp_all.withColumn("rk", F.row_number().over(w_cap))
