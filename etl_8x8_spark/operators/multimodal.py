@@ -605,36 +605,46 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary modality).
     """
     docs = load_table(spark, sf_dir, "documents")
-    s = phash_payload(F.col("text"))
     # UNROLLED, not higher-order functions: a transform lambda that
     # references the outer total aggregate re-derives it PER ELEMENT
     # (LESSONS #4 — measured 5.2 s warm for 5000 rows). The payload is
     # always exactly _PHASH_PREFIX bytes after cycling, so the loop
-    # unrolls into plain substr/ascii/sum expressions — BUT in one
-    # projection each of the 60 whens embeds the whole 60-term total
-    # subtree by value (3600 nodes: codegen bails, interpreted eval).
-    # The persist barrier materializes (s, total) so stage 2's bit-sum
-    # references them as plain attributes: small tree, codegen'd, and
-    # the band self-join's two sides read the cache instead of
-    # recomputing the fingerprint pass (LESSONS #5).
-    codes = [
-        F.ascii(F.substring(s, i + 1, 1)).cast("long")
+    # unrolls into plain substr/ascii/sum expressions. The persist
+    # barrier materializes (s, total) so stage 2's bit-sum references
+    # them as plain attributes: small tree, codegen'd, and the band
+    # self-join's two sides read the cache instead of recomputing the
+    # fingerprint pass (LESSONS #5). r15 optimization (k-means
+    # lesson): the unrolled trees are assembled as SINGLE SQL
+    # expression strings — the Column-algebra form cost one py4j
+    # round trip per node (~400 calls, 2.2 s of pure plan-build time
+    # per bench run at sf0.1); the strings parse JVM-side in one call
+    # each, to the same expressions. The payload lands in its own
+    # projection so `total`'s 60 terms reference the `s` ATTRIBUTE
+    # (CollapseProject keeps non-cheap multiply-referenced aliases),
+    # not 60 inlined copies of the repeat/substring subtree.
+    pay_sql = (
+        "substring(repeat(coalesce(nullif(text, ''), ' '), "
+        f"cast(ceil({_PHASH_PREFIX}.0d / "
+        "length(coalesce(nullif(text, ''), ' '))) as int)), "
+        f"1, {_PHASH_PREFIX})"
+    )
+    total_sql = " + ".join(
+        f"cast(ascii(substring(s, {i + 1}, 1)) as bigint)"
         for i in range(_PHASH_PREFIX)
-    ]
-    total = codes[0]
-    for c in codes[1:]:
-        total = total + c
-    pre = docs.select(
-        "doc_id", s.alias("s"), total.alias("total")
-    ).persist()
-    fp = F.lit(0).cast("long")
-    for i in range(_PHASH_PREFIX):
-        c = F.ascii(F.substring(F.col("s"), i + 1, 1)).cast("long")
-        fp = fp + F.when(
-            F.lit(_PHASH_PREFIX) * c > F.col("total"),
-            F.lit(1 << (_PHASH_PREFIX - 1 - i)).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-    fps = pre.select("doc_id", fp.alias("fp"))
+    )
+    pre = (
+        docs.select("doc_id", F.expr(pay_sql).alias("s"))
+        .select("doc_id", "s", F.expr(total_sql).alias("total"))
+        .persist()
+    )
+    fp_sql = "cast(0 as bigint) + " + " + ".join(
+        f"(case when {_PHASH_PREFIX} * "
+        f"cast(ascii(substring(s, {i + 1}, 1)) as bigint) > total "
+        f"then cast({1 << (_PHASH_PREFIX - 1 - i)} as bigint) "
+        "else cast(0 as bigint) end)"
+        for i in range(_PHASH_PREFIX)
+    )
+    fps = pre.select("doc_id", F.expr(fp_sql).alias("fp"))
     bands_all = fps.select(
         "doc_id",
         "fp",
