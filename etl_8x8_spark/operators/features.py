@@ -1752,22 +1752,38 @@ def ml_logistic_regression_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .persist()
     )
-    w = spark.range(1).select(
-        F.lit(0).cast("long").alias("wq"),
-        F.lit(0).cast("long").alias("wd"),
-        F.lit(0).cast("long").alias("b"),
-    )
+    # r15 optimization (guide §1.2/§5.4, the k-means literal-centroid
+    # pattern): the weights are BOUNDED METADATA (three longs). The
+    # old loop chained a lazy 1-row weight relation through all three
+    # rounds (each round crossJoin-broadcasting the previous round's
+    # full derivation) and unioned the three round snapshots — a
+    # 929-line physical plan with 78 Exchanges and 110 broadcast
+    # nodes for arithmetic on three longs. Now each round runs ONE
+    # aggregate job over the persisted level table with the weights
+    # inlined as integer literals, collects the 1-row exact-decimal
+    # gradient, and replays the weight update on the driver with the
+    # IDENTICAL IEEE-754 operations in the identical order (decimal →
+    # double round-half-even casts, double divides, floor — bit-exact
+    # across the JVM and CPython). The sigmoid (the one libm call)
+    # stays in the JVM inside the aggregate, so per-level scores are
+    # byte-identical to the old plan's.
+    import math
+
+    wq = wd = b = 0
+    out_rows: list[tuple[int, int, int, int, int]] = []
     ndec = F.col("n").cast("decimal(38,0)")
-    rows = []
     for r in range(1, _LOGIT_ROUNDS + 1):
-        j = lvl.crossJoin(F.broadcast(w))
-        z = F.col("wq") * F.col("q") + F.col("wd") * F.col("d") + F.col("b")
+        z = (
+            F.lit(wq) * F.col("q")
+            + F.lit(wd) * F.col("d")
+            + F.lit(b)
+        )
         s = F.floor(
             F.lit(1e6)
             / (F.lit(1.0) + F.exp(-z.cast("double") / F.lit(1e6)))
             + 0.5
         ).cast("long")
-        scored = j.withColumn("s", s)
+        scored = lvl.withColumn("s", s)
         resid = F.col("s") - F.col("y") * F.lit(1000000)
         g = scored.agg(
             F.sum(ndec).alias("nn"),
@@ -1780,37 +1796,25 @@ def ml_logistic_regression_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("s") > 500000) == (F.col("y") == 1), 1
                 ).otherwise(0)
             ).alias("ok"),
+        ).collect()[0]
+        if g["nn"] is None:
+            # empty level table: every round's acc is NULL and the old
+            # plan's IS NOT NULL filter dropped all rows
+            break
+        fnn = float(g["nn"])
+        step = lambda gc: math.floor(  # noqa: E731
+            float(gc) / fnn / _LR_DIV + 0.5
         )
-        step = lambda gc: F.floor(  # noqa: E731
-            gc.cast("double") / F.col("nn").cast("double") / _LR_DIV + 0.5
-        ).cast("long")
-        w = g.crossJoin(F.broadcast(w)).select(
-            (F.col("wq") - step(F.col("gq"))).alias("wq"),
-            (F.col("wd") - step(F.col("gd"))).alias("wd"),
-            (F.col("b") - step(F.col("g0"))).alias("b"),
-            F.floor(
-                F.col("ok").cast("double")
-                / F.col("nn").cast("double")
-                * 1e6
-                + 0.5
-            )
-            .cast("long")
-            .alias("acc"),
-        )
-        rows.append(
-            w.select(
-                F.lit(r).cast("long").alias("round"),
-                F.col("wq").alias("wq_micro"),
-                F.col("wd").alias("wd_micro"),
-                F.col("b").alias("bias_micro"),
-                F.col("acc").alias("acc_micro"),
-            )
-        )
-        w = w.select("wq", "wd", "b")
-    out = rows[0]
-    for r_df in rows[1:]:
-        out = out.unionByName(r_df)
-    return out.filter(F.col("acc_micro").isNotNull()).orderBy("round")
+        wq -= step(g["gq"])
+        wd -= step(g["gd"])
+        b -= step(g["g0"])
+        acc = math.floor(float(g["ok"]) / fnn * 1e6 + 0.5)
+        out_rows.append((r, wq, wd, b, acc))
+    return spark.createDataFrame(
+        out_rows,
+        "round long, wq_micro long, wd_micro long, "
+        "bias_micro long, acc_micro long",
+    ).orderBy("round")
 
 
 # --------------------------------------------------------------------------
@@ -1964,83 +1968,79 @@ def ml_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(d38("x3") * F.col("x3")).alias("s33"),
     )
 
-    def cv(sij: str, si: str, sj: str):
-        n = F.col("n")
-        return F.col(sij).cast("double") / n - (
-            F.col(si).cast("double") / n
-        ) * (F.col(sj).cast("double") / n)
+    # r15 optimization (the k-means literal-centroid pattern, guide
+    # §1.2 step 1): the ten power sums are BOUNDED METADATA (one row),
+    # so the five projection-chained power-iteration rounds moved to
+    # the driver — the old 1-row withColumns chain inlined every
+    # previous round via CollapseProject into a geometrically growing
+    # expression tree (~1.4 s of warm plan-build/analysis per bench
+    # pass) for arithmetic on SIX doubles. The Python replay performs
+    # the IDENTICAL IEEE-754 operations in the identical order
+    # (+ , * , / , correctly-rounded sqrt, floor — all bit-exact
+    # across the JVM and CPython), with the same per-round
+    # micro-quantization sync points, so the values are unchanged;
+    # the distributed part stays the one exact decimal aggregate.
+    import math
 
-    cov = sums.select(
-        cv("s11", "s1", "s1").alias("c11"),
-        cv("s12", "s1", "s2").alias("c12"),
-        cv("s13", "s1", "s3").alias("c13"),
-        cv("s22", "s2", "s2").alias("c22"),
-        cv("s23", "s2", "s3").alias("c23"),
-        cv("s33", "s3", "s3").alias("c33"),
+    _schema = (
+        "v1_micro long, v2_micro long, v3_micro long, "
+        "lambda_micro long, evr_micro long"
     )
-    # iteration state rides along as extra columns on the 1-row cov
-    # relation — no joins, just chained projections
-    it = cov.withColumns(
-        {
-            "v1": F.lit(1000000).cast("long"),
-            "v2": F.lit(0).cast("long"),
-            "v3": F.lit(0).cast("long"),
-        }
-    )
+    row = sums.collect()[0]
+    if not row["n"]:
+        # zero-row input: SUM() is NULL and every derived value
+        # null-propagates — the same single all-NULL row the old
+        # in-plan chain produced
+        return spark.createDataFrame([(None,) * 5], _schema)
+    nf = float(row["n"])
+    sv = {
+        k: float(int(row[k]))
+        for k in ("s1", "s2", "s3", "s11", "s12", "s13", "s22", "s23", "s33")
+    }
+
+    def cvv(sij: str, si: str, sj: str) -> float:
+        return sv[sij] / nf - (sv[si] / nf) * (sv[sj] / nf)
+
+    c11, c12, c13 = cvv("s11", "s1", "s1"), cvv("s12", "s1", "s2"), cvv("s13", "s1", "s3")
+    c22, c23, c33 = cvv("s22", "s2", "s2"), cvv("s23", "s2", "s3"), cvv("s33", "s3", "s3")
+    v1, v2, v3 = 1000000, 0, 0
     for _ in range(_PCA_ROUNDS):
-        p1 = F.col("v1").cast("double") / 1e6
-        p2 = F.col("v2").cast("double") / 1e6
-        p3 = F.col("v3").cast("double") / 1e6
-        stepped = it.withColumns(
-            {
-                "u1": (F.col("c11") * p1 + F.col("c12") * p2)
-                + F.col("c13") * p3,
-                "u2": (F.col("c12") * p1 + F.col("c22") * p2)
-                + F.col("c23") * p3,
-                "u3": (F.col("c13") * p1 + F.col("c23") * p2)
-                + F.col("c33") * p3,
-            }
+        p1, p2, p3 = v1 / 1e6, v2 / 1e6, v3 / 1e6
+        u1 = (c11 * p1 + c12 * p2) + c13 * p3
+        u2 = (c12 * p1 + c22 * p2) + c23 * p3
+        u3 = (c13 * p1 + c23 * p2) + c33 * p3
+        nrm = math.sqrt((u1 * u1 + u2 * u2) + u3 * u3)
+        if nrm == 0.0:  # NULLIF(..., 0): the degenerate null cascade
+            return spark.createDataFrame([(None,) * 5], _schema)
+        sg = -1.0 if u1 < 0 else 1.0
+        v1 = math.floor(sg * u1 / nrm * 1e6 + 0.5)
+        v2 = math.floor(sg * u2 / nrm * 1e6 + 0.5)
+        v3 = math.floor(sg * u3 / nrm * 1e6 + 0.5)
+    p1, p2, p3 = v1 / 1e6, v2 / 1e6, v3 / 1e6
+    av1 = (c11 * p1 + c12 * p2) + c13 * p3
+    av2 = (c12 * p1 + c22 * p2) + c23 * p3
+    av3 = (c13 * p1 + c23 * p2) + c33 * p3
+    den = (p1 * p1 + p2 * p2) + p3 * p3
+    trace = (c11 + c22) + c33
+    if den == 0.0 or trace == 0.0:
+        lam_m = (
+            None
+            if den == 0.0
+            else math.floor(((p1 * av1 + p2 * av2) + p3 * av3) / den * 1e6 + 0.5)
         )
-        nrm = F.nullif(
-            F.sqrt(
-                (
-                    F.col("u1") * F.col("u1")
-                    + F.col("u2") * F.col("u2")
-                )
-                + F.col("u3") * F.col("u3")
-            ),
-            F.lit(0.0),
-        )
-        sg = F.when(F.col("u1") < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
-        it = stepped.withColumns(
-            {
-                "v1": F.floor(sg * F.col("u1") / nrm * 1e6 + 0.5).cast(
-                    "long"
-                ),
-                "v2": F.floor(sg * F.col("u2") / nrm * 1e6 + 0.5).cast(
-                    "long"
-                ),
-                "v3": F.floor(sg * F.col("u3") / nrm * 1e6 + 0.5).cast(
-                    "long"
-                ),
-            }
-        ).drop("u1", "u2", "u3")
-    p1 = F.col("v1").cast("double") / 1e6
-    p2 = F.col("v2").cast("double") / 1e6
-    p3 = F.col("v3").cast("double") / 1e6
-    av1 = (F.col("c11") * p1 + F.col("c12") * p2) + F.col("c13") * p3
-    av2 = (F.col("c12") * p1 + F.col("c22") * p2) + F.col("c23") * p3
-    av3 = (F.col("c13") * p1 + F.col("c23") * p2) + F.col("c33") * p3
-    lam = ((p1 * av1 + p2 * av2) + p3 * av3) / F.nullif(
-        (p1 * p1 + p2 * p2) + p3 * p3, F.lit(0.0)
-    )
-    trace = F.nullif((F.col("c11") + F.col("c22")) + F.col("c33"), F.lit(0.0))
-    return it.select(
-        F.col("v1").alias("v1_micro"),
-        F.col("v2").alias("v2_micro"),
-        F.col("v3").alias("v3_micro"),
-        F.floor(lam * 1e6 + 0.5).cast("long").alias("lambda_micro"),
-        F.floor(lam / trace * 1e6 + 0.5).cast("long").alias("evr_micro"),
+        return spark.createDataFrame([(v1, v2, v3, lam_m, None)], _schema)
+    lam = ((p1 * av1 + p2 * av2) + p3 * av3) / den
+    return spark.createDataFrame(
+        [
+            (
+                v1,
+                v2,
+                v3,
+                math.floor(lam * 1e6 + 0.5),
+                math.floor(lam / trace * 1e6 + 0.5),
+            )
+        ],
+        _schema,
     )
 
 
