@@ -93,6 +93,37 @@ _TRI_MIN_QTY = 25  # edge = two parts co-purchased at quantity >= this
 _TRI_TOP = 100
 
 
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct co-purchase edges (u < v) of the part graph — shared
+    by triangle count, degree distribution, and k-core.
+
+    r15 optimization (guide §2.3/§2.4): per-order pair generation
+    replaces the o-keyed self-join — one collect_set aggregate per
+    order (subsumes the first distinct), ordered pairs from an array
+    transform over the sorted per-order part set, then one (u, v)
+    dedupe. Two exchanges where the old shape paid three plus the
+    join fan-out; A/B'd in-process (alternating forms) for the
+    triangle edge build. Same edge set.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") >= _TRI_MIN_QTY
+    ).select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+    byo = li.groupBy("o").agg(F.array_sort(F.collect_set("p")).alias("ps"))
+    return (
+        byo.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> transform("
+                    "slice(ps, i + 2, size(ps)),"
+                    " y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .distinct()
+    )
+
+
 @register(
     "graph_triangle_count",
     oracle=f"""
@@ -154,28 +185,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cited pattern: Suri & Vassilvitskii, "Counting Triangles and the
     Curse of the Last Reducer" (WWW'11).
     """
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_quantity") >= _TRI_MIN_QTY
-    ).select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-    # r15 optimization (guide §2.3/§2.4): per-order pair generation
-    # replaces the o-keyed self-join — one collect_set aggregate per
-    # order (subsumes the first distinct), ordered pairs from an array
-    # transform, then one (u, v) dedupe. Two exchanges where the old
-    # shape paid three plus the join fan-out. Same edge set.
-    byo = li.groupBy("o").agg(F.array_sort(F.collect_set("p")).alias("ps"))
-    edges = (
-        byo.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ps, (x, i) -> transform("
-                    "slice(ps, i + 2, size(ps)),"
-                    " y -> struct(x AS u, y AS v))))"
-                )
-            ).alias("e")
-        )
-        .select("e.u", "e.v")
-        .distinct()
-    )
+    edges = _copurchase_edges(spark, sf_dir)
     deg = (
         edges.select(F.col("u").alias("n"))
         .unionAll(edges.select(F.col("v").alias("n")))
@@ -259,8 +269,8 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tail of this histogram is what decides whether skew handling
     (salting, hub splitting) is needed before ANY other graph op.
 
-    Plan: distinct (order, part) pairs → per-order self-join bounded
-    by basket size → per-vertex degree count → degree histogram. The
+    Plan: per-order part sets → array pair generation bounded by
+    basket size → per-vertex degree count → degree histogram. The
     histogram input is |V| rows and the output is the distinct-degree
     domain; both shrink relative to the edge set, so each successive
     shuffle is smaller than the last. No vertex ever needs its
@@ -268,18 +278,7 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost nothing special here — unlike the triangle pass this runs
     BEFORE orientation decisions.
     """
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .filter(F.col("l_quantity") >= _TRI_MIN_QTY)
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
-        .distinct()
-    )
+    edges = _copurchase_edges(spark, sf_dir)
     endpoints = edges.select(F.col("u").alias("n")).unionByName(
         edges.select(F.col("v").alias("n"))
     )
@@ -779,18 +778,7 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     (node-id lists are narrow) and degrade to shuffle joins beyond —
     Catalyst/AQE picks per round from live sizes.
     """
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .filter(F.col("l_quantity") >= _TRI_MIN_QTY)
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
-        .distinct()
-    )
+    edges = _copurchase_edges(spark, sf_dir)
     und = (
         edges.unionByName(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -1015,16 +1003,37 @@ def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long").alias("d"),
         )
     )
+    # r15 optimization (guide §2.4/§7.2, the LPA linearization): the
+    # union-then-min form referenced the previous round's distance
+    # relation TWICE (in the frontier join and in the union), so the
+    # lazy 3-round plan grew 2^rounds distance subtrees — 131 stages,
+    # 27 AQE jobs at sf0.1. min({prev} ∪ {contrib}) == least(prev,
+    # min(contrib)) with least's null-skip covering nodes present on
+    # only one side, so each round is a neighbor-min aggregate
+    # FULL-OUTER-joined back to the distances (full outer, not LPA's
+    # left join: the BFS frontier GROWS, newly reached nodes exist
+    # only on the contrib side) — and a lazy per-round persist makes
+    # the next round read this round's result instead of re-deriving
+    # it. Both relations arrive hash-partitioned on the node key (the
+    # contrib aggregate by its groupBy, dist by the previous round's
+    # join), so the only exchange per round is the contrib aggregate:
+    # one linear plan. Values are unchanged — the same min over the
+    # same candidate multiset, computed associatively.
     for _ in range(_BFS_ROUNDS):
-        contrib = dist.join(edges, dist["node"] == edges["u"]).select(
-            F.col("v").alias("node"), (F.col("d") + 1).alias("d")
+        cagg = (
+            dist.join(edges, dist["node"] == edges["u"])
+            .groupBy(F.col("v").alias("node"))
+            .agg((F.min("d") + 1).alias("nd"))
         )
         dist = (
-            dist.select("node", "d")
-            .unionByName(contrib)
-            .groupBy("node")
-            .agg(F.min("d").alias("d"))
+            dist.join(cagg, "node", "full")
+            .select("node", F.least("d", "nd").alias("d"))
+            .persist()
         )
+    # no terminal orderBy: the output is supplier-catalog-sized (grows
+    # with SF), the correctness gate hashes order-insensitively, and
+    # the global sort paid a sampling pass + range exchange (LESSONS
+    # #51 — the oracle keeps its ORDER BY for readable diffs).
     return dist.select(
         F.col("node").alias("supplier"), F.col("d").alias("dist")
-    ).orderBy("supplier")
+    )
