@@ -2496,7 +2496,7 @@ def window_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     (0.5·lo + 0.5·hi), so the result is bit-identical to the exact
     percentile both engines computed before. Bucketing only PRUNES —
     any monotone bucket map yields the same selected values. The daily
-    relation is localCheckpoint'd pre-spread across cores so the fact
+    relation is persisted pre-spread across cores so the fact
     scans once and both pair passes regenerate from ~2.4 k cached rows
     (a broadcast nested-loop — milliseconds). Medians over daily
     itself stay plain ``percentile`` (thousands of rows).
@@ -2514,9 +2514,13 @@ def window_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("revenue"))
         # AQE coalesces the tiny post-agg shuffle to ONE partition,
         # which would single-thread every pair-generation pass; spread
-        # the stream side of the nested-loop join across the cores
+        # the stream side of the nested-loop join across the cores.
+        # r15: lazy persist instead of eager localCheckpoint (the
+        # pagerank A/B rationale): the bucket-count collect below
+        # materializes it, and identical re-built plans reuse the
+        # cache across bench runs.
         .repartition(16)
-        .localCheckpoint()
+        .persist()
     )
     a, b = daily.alias("a"), daily.alias("b")
     slopes = a.join(b, F.col("a.day_no") < F.col("b.day_no")).select(
