@@ -112,12 +112,18 @@ class TestBucketedJoin:
         large-large join uses at scale, where nothing broadcasts) is
         the one under test; the only exchange left is the final
         small-key aggregation."""
+        # preferSortMergeJoin pinned back to true for this test: the
+        # session default is now false (r15, guide §9), and the
+        # bucketed large-large path pinned here is the sort-merge one.
         prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        prev_smj = spark.conf.get("spark.sql.join.preferSortMergeJoin")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.join.preferSortMergeJoin", "true")
         try:
             plan = plan_of(spark, sf_dir, queries, "join_bucketed_colocated")
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.conf.set("spark.sql.join.preferSortMergeJoin", prev_smj)
         assert "Bucketed: true" in plan
         assert "SortMergeJoin" in plan
         join_subtree = plan.split("SortMergeJoin")[1]
@@ -388,7 +394,10 @@ class TestR3Plans:
     ):
         """The Bloom probe must sit in the lineitem SCAN stage —
         xxhash64(l_orderkey, ...) appears in a Filter BELOW the
-        sort-merge join's Exchange, so the pruned rows never shuffle."""
+        shuffle join's Exchange, so the pruned rows never shuffle.
+        (The exact join may plan as SortMergeJoin or — with the r15
+        preferSortMergeJoin=false default — ShuffledHashJoin; the
+        pinned property holds for either.)"""
         plan = plan_of(spark, sf_dir, queries, "join_bloom_pruned")
         lines = plan.splitlines()
         # the probe lands as the broadcast-nested-loop condition over
@@ -397,7 +406,8 @@ class TestR3Plans:
             i for i, l in enumerate(lines) if "xxhash64(l_orderkey" in l
         )
         merge_line = next(
-            i for i, l in enumerate(lines) if "SortMergeJoin" in l
+            i for i, l in enumerate(lines)
+            if "SortMergeJoin" in l or "ShuffledHashJoin" in l
         )
         shuffle_line = next(
             i for i, l in enumerate(lines)
