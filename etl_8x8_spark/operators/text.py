@@ -1559,11 +1559,16 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda a, b: F.concat_ws(" ", a, b),
     )
     big = docs.select("doc_id", F.explode(bigrams).alias("bigram"))
+    # r15 (guide §2.4, the basket-affinity persist rationale): FOUR
+    # consumers (bigram counts, first-word marginal, vocab, and the
+    # scoring join) aggregate on DIFFERENT keys, so exchange reuse
+    # never applies and the regex tokenize + bigram explode ran four
+    # times. One persist = one tokenization pass.
     split = big.select(
         "doc_id",
         "bigram",
         F.split(F.col("bigram"), " ").getItem(0).alias("w1"),
-    )
+    ).persist()
     bf = split.groupBy("bigram").agg(F.count("*").alias("c12"))
     uf = split.groupBy("w1").agg(F.count("*").alias("c1"))
     v = split.agg(F.countDistinct("w1").alias("vocab"))
