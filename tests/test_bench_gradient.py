@@ -2,9 +2,13 @@
 
 Round 14 caught three throttle-degraded bench records by hand-running a
 per-chunk median-drift diagnostic; ``bench.gradient_check`` automates
-it. These tests feed synthetic run/record pairs — no Spark involved —
-and pin the three statuses: a rising ramp is rejected, flat drift (even
-uniformly slow) is not, and sparse overlap refuses to adjudicate.
+it. Round 15 hit the second throttle shape — a run started after hours
+of sustained load is throttled from chunk 0, flat 1.3-1.6x drift with
+a quiet ambient_load — and added the uniform-throttle breadth check.
+These tests feed synthetic run/record pairs — no Spark involved — and
+pin the statuses: a rising ramp is rejected, broad flat drift is
+rejected, a NARROW regression passes through to the per-query
+regression gate, and sparse overlap refuses to adjudicate.
 """
 
 from __future__ import annotations
@@ -33,11 +37,24 @@ def test_gradient_ramp_rejected():
     assert [c["median_drift"] for c in chunks] == ramp
 
 
-def test_flat_slow_run_is_not_a_gradient():
-    # a uniformly 1.3x run is a regression (or a loaded host), not the
-    # throttle — the regression gate owns that case, not this one
+def test_flat_broad_slow_run_rejected_as_uniform_throttle():
+    # r15 specimen: a run started on a residually-throttled host
+    # drifts ~1.3-1.6x across EVERYTHING with no ramp (the throttle
+    # was already at depth when chunk 0 ran) and a quiet ambient_load.
+    # Breadth is the tell — no code change moves 100% of 180
+    # independent queries at once.
     names = _names(180)
     timings = {n: 1.3 for n in names}
+    status, _ = bench.gradient_check(timings, _prev(names), names)
+    assert status == "degraded_host"
+
+
+def test_narrow_regression_passes_through():
+    # 20 of 180 queries at 3x (a real per-query regression cluster):
+    # breadth is low, so this is NOT quarantined — the per-query
+    # regression gate owns it and flags each offender individually.
+    names = _names(180)
+    timings = {n: (3.0 if i < 20 else 1.0) for i, n in enumerate(names)}
     status, _ = bench.gradient_check(timings, _prev(names), names)
     assert status == "ok"
 
