@@ -735,10 +735,17 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (different exchange keys, so no reuse); per-norm groups are
     # tiny so the window sort is free.
     wdedup = Window.partitionBy("norm").orderBy("doc_id")
+    # r15 (guide §2.4): `kept` feeds three consumers (the rate
+    # aggregate, its min, and the sampled join) whose keys differ, so
+    # only the norm-keyed dedup exchange was reused — the window sort
+    # + dedup filter re-ran per consumer. Persisting the narrow
+    # (doc_id, lang, had_pii, n_tokens) relation runs it once:
+    # in-process A/B 2.3-2.7 s warm → 1.3-1.5 s at sf0.1.
     kept = (
         gated.withColumn("rn", F.row_number().over(wdedup))
         .filter(F.col("rn") == 1)
         .select("doc_id", "lang", "had_pii", F.size("toks").cast("long").alias("n_tokens"))
+        .persist()
     )
     rates = kept.groupBy("lang").agg(F.count("*").alias("cnt"))
     mn = rates.agg(F.min("cnt").alias("mn"))

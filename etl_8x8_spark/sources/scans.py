@@ -956,11 +956,20 @@ def scan_manifest_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     lake, manifest = build_manifest_lake(spark, sf_dir)
     lo = f"{_MANIFEST_LO} 00:00:00"
     hi = f"{_MANIFEST_HI} 23:59:59.999999"
-    lo_us, hi_us = (
-        spark.sql(
-            f"SELECT unix_micros(TIMESTAMP '{lo}'), unix_micros(TIMESTAMP '{hi}')"
-        ).first()
-    )
+    # r15: the window bounds are CONSTANTS (session TZ pinned UTC), so
+    # compute the epoch-micros on the driver instead of paying a
+    # 1-row Spark job per build (×3 bench runs).
+    import calendar
+    from datetime import datetime
+
+    def _us(ts: str) -> int:
+        dt = datetime.strptime(ts, "%Y-%m-%d %H:%M:%S.%f" if "." in ts
+                               else "%Y-%m-%d %H:%M:%S")
+        # integer arithmetic end-to-end: float seconds would round the
+        # .999999 microsecond tail
+        return calendar.timegm(dt.timetuple()) * 1_000_000 + dt.microsecond
+
+    lo_us, hi_us = _us(lo), _us(hi)
     dirs, _total = manifest_pruned_dirs(spark, lake, manifest, lo_us, hi_us)
     if not dirs:
         # nothing intersects the window (or the table is empty): the
