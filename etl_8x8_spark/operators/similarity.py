@@ -1997,23 +1997,25 @@ def embed_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast matrix column.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    sign_cols = [
-        F.array(*[F.lit(s) for s in _JL_SIGNS[j]]) for j in range(_JL_M)
-    ]
-    proj = F.array(
-        *[
-            F.aggregate(
-                F.zip_with(
-                    F.col("embedding"),
-                    sign_cols[j],
-                    lambda x, s: x.cast("double") * s,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            / F.lit(4.0)
-            for j in range(_JL_M)
-        ]
+    # The identical expression tree assembled as ONE SQL string
+    # instead of ~1k chained Column ops (16 sign rows x 64 F.lit +
+    # 32 lambda HOFs = ~1s of py4j round-trips per build — the
+    # multimodal_phash_dedup finding, guide §4.4): same analyzed
+    # plan, 1 py4j call. `D` suffixes pin every literal to DOUBLE so
+    # the fold arithmetic is bit-identical to the old F.lit(±1.0)
+    # form.
+    def _jl_row_sql(j: int) -> str:
+        row = ", ".join(
+            f"{'1.0' if s > 0 else '-1.0'}D" for s in _JL_SIGNS[j]
+        )
+        return (
+            "aggregate(zip_with(embedding, "
+            f"array({row}), (x, s) -> CAST(x AS DOUBLE) * s), "
+            "0.0D, (acc, v) -> acc + v) / 4.0D"
+        )
+
+    proj = F.expr(
+        "array(" + ", ".join(_jl_row_sql(j) for j in range(_JL_M)) + ")"
     )
     p = emb.select(
         "vec_id",

@@ -65,9 +65,14 @@ class TestLogisticGd:
         )
         assert [r["round"] for r in df.collect()] == [1, 2, 3]
         plan = df._jdf.queryExecution().executedPlan().toString()
-        # the level table is persisted: every GD round reads the
-        # InMemoryRelation, never re-scans the fact
-        assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+        # r15 rewrite: each GD round is ONE aggregate job over the
+        # persisted level table (run during the builder call), and the
+        # weight updates replay on the driver — the returned relation
+        # is the driver-held round history, so the terminal plan must
+        # contain no fact re-scan at all (stronger than the old
+        # InMemoryRelation pin: zero scans of any parquet source).
+        assert "Scan parquet" not in plan
+        assert "ExistingRDD" in plan or "LocalTableScan" in plan
 
 
 class TestPcaPowerIteration:
