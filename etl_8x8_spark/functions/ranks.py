@@ -220,12 +220,31 @@ def histogram_global_rank_multi(
     specs to bucket +``buckets`` (ranked last — DESC NULLS LAST),
     deterministic by tiebreak in both cases.
     """
+    # r15 (guide §4.4, the multimodal_phash_dedup / embed_jl_project
+    # finding): every expression below is assembled as a SQL STRING
+    # and shipped through selectExpr/F.expr — the identical expression
+    # tree in ~10 py4j round-trips instead of several hundred chained
+    # Column ops (the helper was ~60% of agg_rfm_segments' ~1 s plan-
+    # construction cost). Semantics are pinned by the same oracle
+    # hashes as the Column form it replaces.
     cids = list(range(len(specs)))
-    sagg = []
-    for c, (v, _, desc) in enumerate(specs):
-        src = (-F.col(v)) if desc else F.col(v)
-        sagg += [F.min(src).alias(f"_hm_mn{c}"), F.max(src).alias(f"_hm_mx{c}")]
-    stats = df.agg(*sagg)
+
+    def q(name: str) -> str:
+        return f"`{name}`"
+
+    def src_sql(v: str, desc: bool) -> str:
+        return f"(- {q(v)})" if desc else q(v)
+
+    stats = df.selectExpr(
+        *[
+            s
+            for c, (v, _, desc) in enumerate(specs)
+            for s in (
+                f"min({src_sql(v, desc)}) AS _hm_mn{c}",
+                f"max({src_sql(v, desc)}) AS _hm_mx{c}",
+            )
+        ]
+    )
 
     # The explode carries EVERY df column (k identical copies): the
     # regroup then restores them with first() instead of a join-back
@@ -233,36 +252,32 @@ def histogram_global_rank_multi(
     # with a k-times payload multiply through the probe shuffle
     # (cheap: this helper's inputs are collapsed, narrow relations).
     payload = [c for c in df.columns if c not in key]
-    e = df.select(
-        *df.columns,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("cid"),
-                        ((-F.col(v)) if desc else F.col(v)).alias("val"),
-                    )
-                    for c, (v, _, desc) in enumerate(specs)
-                ]
-            )
-        ).alias("_hm"),
-    ).select(
-        *df.columns,
-        F.col("_hm.cid").alias("_hm_cid"),
-        F.col("_hm.val").alias("_hm_v"),
+    structs = ", ".join(
+        f"struct({c} AS cid, {src_sql(v, desc)} AS val)"
+        for c, (v, _, desc) in enumerate(specs)
+    )
+    e = df.selectExpr(
+        *[q(c) for c in df.columns],
+        f"explode(array({structs})) AS _hm",
+    ).selectExpr(
+        *[q(c) for c in df.columns],
+        "_hm.cid AS _hm_cid",
+        "_hm.val AS _hm_v",
     )
     e = e.crossJoin(F.broadcast(stats))
 
-    def pick(prefix: str) -> Column:
-        expr = F.col(f"{prefix}0")
-        for c in cids[1:]:
-            expr = F.when(F.col("_hm_cid") == c, F.col(f"{prefix}{c}")).otherwise(
-                expr
-            )
-        return expr
+    def pick(prefix: str) -> str:
+        whens = " ".join(
+            f"WHEN _hm_cid = {c} THEN {prefix}{c}" for c in cids[1:]
+        )
+        return (
+            f"(CASE {whens} ELSE {prefix}0 END)" if whens else f"{prefix}0"
+        )
 
     mn, mx = pick("_hm_mn"), pick("_hm_mx")
-    width = (mx.cast("double") - mn.cast("double")) / F.lit(float(buckets))
+    width = (
+        f"((CAST({mx} AS DOUBLE) - CAST({mn} AS DOUBLE)) / {float(buckets)!r}D)"
+    )
     # NULLs: per-spec sentinel bucket (never the silent NULL-bucket
     # drop — see the single-column form). Ascending specs route NULLs
     # to bucket -1 (ranked first — Spark's ASC NULLS FIRST default);
@@ -270,56 +285,52 @@ def histogram_global_rank_multi(
     # Spark's DESC NULLS LAST default and the single-column form's
     # behavior). Without the split, the negation trick would rank
     # NULLs FIRST for descending specs too (r8 advice).
-    null_bucket = F.lit(-1)
     desc_cids = [c for c, (_, _, d) in enumerate(specs) if d]
+    null_bucket = "-1"
     if desc_cids:
+        in_list = ", ".join(str(c) for c in desc_cids)
         null_bucket = (
-            F.when(F.col("_hm_cid").isin(desc_cids), F.lit(buckets))
-            .otherwise(F.lit(-1))
+            f"(CASE WHEN _hm_cid IN ({in_list}) THEN {buckets} ELSE -1 END)"
         )
     bidx = (
-        F.when(F.col("_hm_v").isNull(), null_bucket)
-        .when(width <= 0, F.lit(0))
-        .otherwise(
-            F.least(
-                F.floor(
-                    (F.col("_hm_v").cast("double") - mn.cast("double")) / width
-                ),
-                F.lit(buckets - 1),
-            )
-        )
-        .cast("int")
+        "CAST(CASE WHEN _hm_v IS NULL THEN "
+        + null_bucket
+        + f" WHEN {width} <= 0 THEN 0 ELSE least(floor("
+        + f"(CAST(_hm_v AS DOUBLE) - CAST({mn} AS DOUBLE)) / {width}"
+        + f"), {buckets - 1}) END AS INT)"
     )
-    e = e.withColumn("_hm_b", bidx).drop(
-        *[f"_hm_mn{c}" for c in cids], *[f"_hm_mx{c}" for c in cids]
+    e = e.selectExpr(
+        *[q(c) for c in df.columns],
+        "_hm_cid",
+        "_hm_v",
+        f"{bidx} AS _hm_b",
     )
 
     bstats = e.groupBy("_hm_cid", "_hm_b").agg(F.count("*").alias("_hm_cnt"))
-    wcid = Window.partitionBy("_hm_cid")
-    woff = wcid.orderBy(F.col("_hm_b").asc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    offsets = bstats.select(
+    offsets = bstats.selectExpr(
         "_hm_cid",
         "_hm_b",
-        (F.sum("_hm_cnt").over(woff) - F.col("_hm_cnt")).alias("_hm_coff"),
-        F.sum("_hm_cnt").over(wcid).alias("_hm_n"),
+        "SUM(_hm_cnt) OVER (PARTITION BY _hm_cid ORDER BY _hm_b ASC"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - _hm_cnt"
+        " AS _hm_coff",
+        "SUM(_hm_cnt) OVER (PARTITION BY _hm_cid) AS _hm_n",
     )
     e = e.join(F.broadcast(offsets), ["_hm_cid", "_hm_b"])
 
-    win = Window.partitionBy("_hm_cid", "_hm_b").orderBy(
-        F.col("_hm_v").asc(), *[F.col(k).asc() for k in key]
-    )
-    ranked = e.select(
-        *df.columns,
+    order_keys = ", ".join(["_hm_v ASC"] + [f"{q(k)} ASC" for k in key])
+    ranked = e.selectExpr(
+        *[q(c) for c in df.columns],
         "_hm_cid",
-        (F.col("_hm_coff") + F.row_number().over(win)).cast("long").alias("_hm_i"),
-        F.col("_hm_n").cast("long").alias("_hm_nn"),
+        "CAST(_hm_coff + ROW_NUMBER() OVER (PARTITION BY _hm_cid, _hm_b"
+        f" ORDER BY {order_keys}) AS BIGINT) AS _hm_i",
+        "CAST(_hm_n AS BIGINT) AS _hm_nn",
     )
     return ranked.groupBy(*key).agg(
-        *[F.first(c).alias(c) for c in payload],
+        *[F.expr(f"first({q(c)})").alias(c) for c in payload],
         *[
-            F.max(F.when(F.col("_hm_cid") == c, F.col("_hm_i"))).alias(rank_col)
+            F.expr(f"max(CASE WHEN _hm_cid = {c} THEN _hm_i END)").alias(
+                rank_col
+            )
             for c, (_, rank_col, _) in enumerate(specs)
         ],
         F.max("_hm_nn").alias(total_col),
@@ -346,4 +357,25 @@ def ntile_from_rank(i: Column, n: Column, t: int) -> Column:
         F.when(i <= cut, F.lit(1) + idiv(i - 1, q + 1))
         .otherwise(F.lit(1) + r + idiv(i - 1 - cut, F.greatest(q, F.lit(1))))
         .cast("int")
+    )
+
+
+def ntile_from_rank_sql(i: str, n: str, t: int) -> str:
+    """SQL-string twin of ``ntile_from_rank`` (guide §4.4: assemble
+    hot-path expression trees as strings, not chained Column ops).
+    ``i``/``n`` are SQL expressions; the emitted text reproduces the
+    Column form's arithmetic operation-for-operation (int literals,
+    double ``/`` then CAST AS BIGINT, greatest-guarded divisor), so
+    results are bit-identical — pinned by the same oracle hashes."""
+
+    def idiv(a: str, b: str) -> str:
+        return f"CAST((({a}) - ({a}) % ({b})) / ({b}) AS BIGINT)"
+
+    qq = idiv(n, str(t))
+    r = f"CAST(({n}) % {t} AS BIGINT)"
+    cut = f"({r} * ({qq} + 1))"
+    lo = f"(1 + {idiv(f'({i}) - 1', f'({qq} + 1)')})"
+    hi = f"(1 + {r} + {idiv(f'({i}) - 1 - {cut}', f'greatest({qq}, 1)')})"
+    return (
+        f"CAST(CASE WHEN ({i}) <= {cut} THEN {lo} ELSE {hi} END AS INT)"
     )

@@ -441,7 +441,10 @@ def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ties break on custkey so quintile boundaries are deterministic in
     both engines; monetary is integer-cent exact.
     """
-    from ..functions.ranks import histogram_global_rank_multi, ntile_from_rank
+    from ..functions.ranks import (
+        histogram_global_rank_multi,
+        ntile_from_rank_sql,
+    )
     orders = load_table(spark, sf_dir, "orders")
     # One scan + one exchange: collapse to per-customer (last order,
     # count, cents) first; the global reference date is then a 1-row
@@ -478,29 +481,21 @@ def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["custkey"],
         total_col="_n",
     )
-    for rank_col, score, flip in (
-        ("_ri", "r_score", True),
-        ("_fi", "f_score", False),
-        ("_mi", "m_score", False),
-    ):
-        tile = ntile_from_rank(F.col(rank_col), F.col("_n"), 5)
-        scored = scored.withColumn(
-            score, (F.lit(6) - tile) if flip else tile
-        ).drop(rank_col)
-    scored = scored.drop("_n").select(
+    # r15 (guide §4.4): the three quintile scores as SQL strings in
+    # ONE projection — the chained withColumn/ntile loop was ~0.6 s of
+    # py4j plan-construction per build. Identical integer arithmetic
+    # (ntile_from_rank_sql is the operation-for-operation twin).
+    return scored.selectExpr(
         "custkey",
         "recency_days",
         "frequency",
-        (F.col("monetary_u").cast("double") / 1e2).alias("monetary"),
-        "r_score",
-        "f_score",
-        "m_score",
-    )
-    return scored.select(
+        "CAST(monetary_u AS DOUBLE) / 100.0D AS monetary",
+        f"(6 - {ntile_from_rank_sql('_ri', '_n', 5)}) AS r_score",
+        f"{ntile_from_rank_sql('_fi', '_n', 5)} AS f_score",
+        f"{ntile_from_rank_sql('_mi', '_n', 5)} AS m_score",
+    ).selectExpr(
         "*",
-        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"))
-        .cast("int")
-        .alias("rfm_cell"),
+        "CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS rfm_cell",
     ).orderBy("custkey")
 
 
