@@ -34,6 +34,25 @@ def cosine(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
     return dot(a, b) / (norm_a * norm_b)
 
 
+def dot_sql(a: str, b: str) -> str:
+    """Spark-SQL string twin of :func:`dot` — the IDENTICAL left fold
+    assembled as one expression string instead of two lambda
+    higher-order-function Column ops (guide §4.4: each F.zip_with /
+    F.aggregate lambda costs multiple py4j round-trips per build;
+    the string form costs none). Same analyzed plan, bit-identical
+    doubles."""
+    return (
+        f"aggregate(zip_with({a}, {b},"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " 0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def norm_sql(a: str) -> str:
+    """Spark-SQL string twin of :func:`norm` (same fold order)."""
+    return f"sqrt({dot_sql(a, a)})"
+
+
 def oracle_dot(a: str, b: str) -> str:
     """DuckDB twin of :func:`dot` — left fold via ``list_reduce``."""
     return (

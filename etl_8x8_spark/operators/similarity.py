@@ -1285,25 +1285,16 @@ def _pq_subspaces(
     df: DataFrame, idcol: str, veccol: str, subname: str
 ) -> DataFrame:
     """Explode a vector column into (id, s, subvector) rows — one per
-    PQ subspace."""
-    return df.select(
-        idcol,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("s"),
-                        F.slice(
-                            F.col(veccol), s * _PQ_SUB + 1, _PQ_SUB
-                        ).alias(subname),
-                    )
-                    for s in range(_PQ_M)
-                ]
-            )
-        ).alias("_sp"),
-    ).select(
-        idcol, F.col("_sp.s").alias("s"), F.col(f"_sp.{subname}").alias(subname)
+    PQ subspace. Assembled as SQL strings (guide §4.4) — identical
+    expression tree, a handful of py4j calls."""
+    structs = ", ".join(
+        f"struct({s} AS s, slice(`{veccol}`, {s * _PQ_SUB + 1},"
+        f" {_PQ_SUB}) AS {subname})"
+        for s in range(_PQ_M)
     )
+    return df.selectExpr(
+        f"`{idcol}`", f"explode(array({structs})) AS _sp"
+    ).selectExpr(f"`{idcol}`", "_sp.s AS s", f"_sp.{subname} AS {subname}")
 
 
 def _pq_codes_packed(emb: DataFrame) -> DataFrame:
@@ -1314,7 +1305,7 @@ def _pq_codes_packed(emb: DataFrame) -> DataFrame:
     expanded rows map-side). r9 verdict item 4: the earlier shape
     carried M rows per vector through a second (s, cid)-join regroup
     of N·Q rows; packed codes make ADC scoring join-free."""
-    from etl_8x8_spark.functions.vectors import dot
+    from etl_8x8_spark.functions.vectors import dot_sql
 
     cents = emb.filter(F.col("vec_id") < _PQ_K).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
@@ -1322,22 +1313,18 @@ def _pq_codes_packed(emb: DataFrame) -> DataFrame:
     csubs = _pq_subspaces(cents, "cid", "cvec", "csub")
     e = _pq_subspaces(emb, "vec_id", "embedding", "sub")
     d2 = (
-        dot(F.col("sub"), F.col("sub"))
-        - 2 * dot(F.col("sub"), F.col("csub"))
-        + dot(F.col("csub"), F.col("csub"))
+        f"({dot_sql('sub', 'sub')} - 2 * {dot_sql('sub', 'csub')}"
+        f" + {dot_sql('csub', 'csub')})"
     )
-    ej = e.join(F.broadcast(csubs), "s").select(
-        "vec_id", "s", "cid", d2.alias("d2")
+    ej = e.join(F.broadcast(csubs), "s").selectExpr(
+        "vec_id", "s", "cid", f"{d2} AS d2"
+    )
+    pack = ", ".join(
+        f"min(CASE WHEN s = {s} THEN struct(d2, cid) END).cid"
+        for s in range(_PQ_M)
     )
     return ej.groupBy("vec_id").agg(
-        F.array(
-            *[
-                F.min(
-                    F.when(F.col("s") == s, F.struct(F.col("d2"), F.col("cid")))
-                ).getField("cid")
-                for s in range(_PQ_M)
-            ]
-        ).alias("codes")
+        F.expr(f"array({pack})").alias("codes")
     )
 
 
@@ -1444,18 +1431,14 @@ def _pq_adc_tables(spark: SparkSession, base_vecs: dict) -> DataFrame:
 
 
 def _pq_adc_admicro():
-    """ADC distance = M exact long lookups summed: tabs[s][codes[s]]."""
-    lookup = [
-        F.element_at(
-            F.element_at(F.col("tabs"), s + 1),
-            (F.element_at(F.col("codes"), s + 1) + 1).cast("int"),
-        )
+    """ADC distance = M exact long lookups summed: tabs[s][codes[s]].
+    One SQL string (guide §4.4), identical expression tree."""
+    terms = " + ".join(
+        f"element_at(element_at(tabs, {s + 1}),"
+        f" CAST(element_at(codes, {s + 1}) + 1 AS INT))"
         for s in range(_PQ_M)
-    ]
-    admicro = lookup[0]
-    for term in lookup[1:]:
-        admicro = admicro + term
-    return admicro
+    )
+    return F.expr(f"({terms})")
 
 
 @register(
@@ -1634,29 +1617,28 @@ def sim_search_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-partitioned join, one window — nothing pairwise, nothing
     quadratic.
     """
-    from etl_8x8_spark.functions.vectors import cosine, norm
+    from etl_8x8_spark.functions.vectors import dot_sql, norm_sql
 
     emb = load_table(spark, sf_dir, "embeddings")
-    normed = emb.select(
-        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    normed = emb.selectExpr(
+        "vec_id", "embedding", f"{norm_sql('embedding')} AS nrm"
     )
     coarse = normed.filter(F.col("vec_id") < _IVF_K).select(
         F.col("vec_id").alias("ccid"),
         F.col("embedding").alias("ce"),
         F.col("nrm").alias("cn"),
     )
-    sim = cosine(F.col("embedding"), F.col("ce"), F.col("nrm"), F.col("cn"))
     # argmax cosine, ties to the smallest cell id, in ONE exchange
     # (min of (-sim, ccid) struct — negation is exact for doubles)
     cells = (
         normed.crossJoin(F.broadcast(coarse))
-        .select("vec_id", (-sim).alias("ns"), "ccid")
-        .groupBy("vec_id")
-        .agg(
-            F.min(F.struct(F.col("ns"), F.col("ccid")))
-            .getField("ccid")
-            .alias("cell")
+        .selectExpr(
+            "vec_id",
+            f"(- ({dot_sql('embedding', 'ce')} / (nrm * cn))) AS ns",
+            "ccid",
         )
+        .groupBy("vec_id")
+        .agg(F.expr("min(struct(ns, ccid)).ccid").alias("cell"))
     )
     fact = _pq_codes_packed(emb).join(cells, "vec_id")
 
