@@ -11,10 +11,12 @@ cross-engine hash parity, per functions/parity.py).
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 
 from etl_8x8_spark.registry import register
-from etl_8x8_spark.sources.readers import load_table
+from etl_8x8_spark.sources.readers import load_table, pin_session_confs
 
 _VIEW_TABLES = [
     "region",
@@ -26,10 +28,36 @@ _VIEW_TABLES = [
     "lineitem",
 ]
 
+#: Sessions whose temp views are already registered, mapped to the
+#: sf_dir they were registered for. Weak keys: a stopped/collected
+#: session drops out, and a NEW session object always re-registers.
+_VIEWS_READY: "weakref.WeakKeyDictionary[SparkSession, str]" = (
+    weakref.WeakKeyDictionary()
+)
+
 
 def _register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register the seven TPC-H views once per (session, sf_dir).
+
+    r15 (guide §4.4 measurement): every ``spark.sql`` builder paid
+    ~0.45 s re-running seven ``spark.read.parquet`` +
+    ``createOrReplaceTempView`` py4j round-trip chains per BUILD —
+    ~10 s across the 22 TPC-H shapes alone — for catalog metadata
+    that is identical within one session. The memo is session-scoped
+    METADATA (never query results): each bench chunk's fresh session
+    re-registers, an sf_dir switch re-registers, and the only other
+    writers of these view names (join_existence_mark etc.) register
+    the identical ``load_table`` plan, so a hit can never serve
+    different content. Session confs are still re-pinned on every
+    call — they are the one mutation a foreign builder could legally
+    have changed.
+    """
+    pin_session_confs(spark)
+    if _VIEWS_READY.get(spark) == sf_dir:
+        return
     for t in _VIEW_TABLES:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    _VIEWS_READY[spark] = sf_dir
 
 
 # TPC-H Q3 shape (shipping priority): the testdata lacks o_shippriority,

@@ -597,3 +597,39 @@ def test_avro_null_union_roundtrip(tmp_path):
     write_container(p, fields, recs, records_per_block=50)
     got = [r for block, ok in read_container(p, fields) for r in block]
     assert got == recs
+
+
+class TestViewRegistrationMemo:
+    """r15 optimization: _register_views memoizes per (session,
+    sf_dir). Pins that the memo NEVER changes which data a SQL-shape
+    query reads: a repeat build serves the same rows, and switching
+    sf_dir re-registers the views."""
+
+    def test_sf_switch_reregisters(self, spark):
+        from etl_8x8_spark.registry import all_queries
+
+        q = all_queries()["sql_tpch_q6_shape"].builder
+        a = q(spark, "/root/testdata/sf0.001").collect()
+        b = q(spark, "/root/testdata/sf0.01").collect()
+        c = q(spark, "/root/testdata/sf0.001").collect()
+        assert a == c  # memo hit serves identical content
+        assert a != b  # sf switch re-registered, not served stale
+
+    def test_foreign_overwrite_same_content(self, spark):
+        """The only other writers of these view names register the
+        identical load_table plan — an interleaved build must keep
+        the SQL shapes correct."""
+        from etl_8x8_spark.registry import all_queries
+
+        qs = all_queries()
+        before = qs["sql_tpch_q6_shape"].builder(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        # join_existence_mark re-registers customer/orders
+        qs["join_existence_mark"].builder(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        after = qs["sql_tpch_q6_shape"].builder(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert before == after
