@@ -105,6 +105,14 @@ def tokens(col=None):
 
 _TOKENS_SQL = f"string_split({_NORM_SQL}, ' ')"
 
+# Spark-SQL string twin of tokens() (guide §4.4: the dedup family's
+# expression stacks are assembled as SQL strings at the hot call
+# sites — identical trees, a handful of py4j calls instead of
+# hundreds of chained Column/lambda ops). '\\s+' unescapes to the
+# same \s+ pattern the Column form passes verbatim.
+_NORM_SQLX = r"lower(trim(regexp_replace(text, '\\s+', ' ')))"
+_TOKENS_SQLX = f"split({_NORM_SQLX}, ' ')"
+
 
 def shingles(tok_col: Column, n: int = 3) -> Column:
     """Word n-gram shingle set (distinct).
@@ -134,6 +142,20 @@ def _shingles_sql(toks: str, n: int = 3) -> str:
         f"generate_series(1, greatest(len({toks}) - {n - 1}, 1)),"
         f" i -> array_to_string(({toks})[i:i+{n - 1}], ' ')))"
     )
+
+
+def _shingles_sqlx(toks: str, n: int = 3) -> str:
+    """Spark-SQL string twin of :func:`shingles` — the same shifted-
+    slice zip_with fold, token expression referenced O(n) times per
+    row (never per element)."""
+    m = f"greatest(size({toks}) - {n - 1}, 1)"
+    acc = f"slice({toks}, 1, {m})"
+    for k in range(2, n + 1):
+        acc = (
+            f"zip_with({acc}, slice({toks}, {k}, {m}),"
+            " (a, b) -> concat_ws(' ', a, b))"
+        )
+    return f"array_distinct({acc})"
 
 
 # ---------------------------------------------------------------------------
@@ -193,6 +215,9 @@ def _block_key() -> Column:
     return F.substring(normalized(), 1, 32)
 
 
+_BLOCK_KEY_SQLX = f"substring({_NORM_SQLX}, 1, 32)"
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
@@ -235,8 +260,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and tools/verify_queries.py both do).
     sh = corpus.select(
         "doc_id",
-        _block_key().alias("block_key"),
-        shingles(tokens()).alias("sset"),
+        F.expr(_BLOCK_KEY_SQLX).alias("block_key"),
+        F.expr(_shingles_sqlx(_TOKENS_SQLX)).alias("sset"),
     ).persist()
     a = sh.alias("a")
     b = sh.alias("b")
@@ -339,8 +364,8 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (lifecycle: see the persist-barrier note in dedup_ngram_jaccard)
     sh = corpus.select(
         "doc_id",
-        _block_key().alias("block_key"),
-        shingles(tokens()).alias("sset"),
+        F.expr(_BLOCK_KEY_SQLX).alias("block_key"),
+        F.expr(_shingles_sqlx(_TOKENS_SQLX)).alias("sset"),
     ).persist()
     a = sh.alias("a")
     b = sh.alias("b")
@@ -409,6 +434,16 @@ def token_hashes(tok_col: Column) -> Column:
     )
 
 
+def _token_hashes_sqlx(toks: str) -> str:
+    """Spark-SQL string twin of :func:`token_hashes`."""
+    return (
+        f"transform({toks}, t -> aggregate("
+        "transform(split(t, ''), c -> CAST(ascii(c) AS BIGINT)),"
+        " CAST(0 AS BIGINT),"
+        f" (acc, v) -> (acc * {_PH_CHAR_MUL} + v) % {_PH_P}))"
+    )
+
+
 def _token_hashes_sql(toks: str) -> str:
     """DuckDB twin of :func:`token_hashes` (string_split(t, '') splits
     into characters in DuckDB, matching Spark's split(t, ''))."""
@@ -435,6 +470,19 @@ def shingle_hashes(th: Column, n: int = 3) -> Column:
             lambda a, b: F.when(b.isNull(), a).otherwise(
                 (a * _PH_TOK_MUL + b) % _PH_P
             ),
+        )
+    return acc
+
+
+def _shingle_hashes_sqlx(th: str, n: int = 3) -> str:
+    """Spark-SQL string twin of :func:`shingle_hashes`."""
+    m = f"greatest(size({th}) - {n - 1}, 1)"
+    acc = f"slice({th}, 1, {m})"
+    for k in range(2, n + 1):
+        acc = (
+            f"zip_with({acc}, slice({th}, {k}, {m}), (a, b) ->"
+            f" CASE WHEN b IS NULL THEN a"
+            f" ELSE (a * {_PH_TOK_MUL} + b) % {_PH_P} END)"
         )
     return acc
 
@@ -483,6 +531,18 @@ def minhash_signature(sh: Column) -> Column:
     )
 
 
+def _minhash_signature_sqlx(sh: str) -> str:
+    """Spark-SQL string twin of :func:`minhash_signature`."""
+    init = f"array_repeat(CAST({1 << 62} AS BIGINT), {_MINHASH_FUNCS})"
+    idx = f"sequence(0, {_MINHASH_FUNCS - 1})"
+    pairs = f"transform({sh}, a -> array(a, (a * {_PH_B_MUL}) % {_PH_B_MOD}))"
+    return (
+        f"aggregate({pairs}, {init}, (acc, p) -> zip_with(acc, {idx},"
+        f" (m, i) -> least(m,"
+        f" (element_at(p, 1) + i * element_at(p, 2)) % {_PH_P})))"
+    )
+
+
 def _minhash_signature_sql(sh: str) -> str:
     """DuckDB twin of :func:`minhash_signature`. The accumulator and
     the (a, b) pairs are both BIGINT lists so list_reduce's
@@ -511,6 +571,21 @@ def band_hashes(sig: Column) -> Column:
             h = (h * _PH_TOK_MUL + F.element_at(sig, b * _ROWS_PER_BAND + r + 1)) % _PH_P
         bands.append(h)
     return F.array(*bands)
+
+
+def _band_hashes_sqlx(sig: str) -> str:
+    """Spark-SQL string twin of :func:`band_hashes`."""
+    bands = []
+    for b in range(_BANDS):
+        h = "CAST(0 AS BIGINT)"
+        for r in range(_ROWS_PER_BAND):
+            h = (
+                f"(({h}) * {_PH_TOK_MUL}"
+                f" + element_at({sig}, {b * _ROWS_PER_BAND + r + 1}))"
+                f" % {_PH_P}"
+            )
+        bands.append(h)
+    return f"array({', '.join(bands)})"
 
 
 def _band_hash_sql(sig: str, band_idx: str) -> str:
@@ -594,19 +669,21 @@ def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-char fold if handed the raw expression.
     sig_df = corpus.select(
         "doc_id",
-        shingles(tokens()).alias("sset"),
-        token_hashes(tokens()).alias("th"),
+        F.expr(_shingles_sqlx(_TOKENS_SQLX)).alias("sset"),
+        F.expr(_token_hashes_sqlx(_TOKENS_SQLX)).alias("th"),
     ).select(
         "doc_id",
         "sset",
-        minhash_signature(shingle_hashes(F.col("th"))).alias("sig"),
+        F.expr(_minhash_signature_sqlx(_shingle_hashes_sqlx("th"))).alias(
+            "sig"
+        ),
     ).persist()  # lifecycle: see the persist-barrier note in dedup_ngram_jaccard
     sh = sig_df.select("doc_id", "sset")
     # Bucket rows carry ONLY (doc_id, band): the shingle arrays must
     # not ride through the bucket shuffle and pair-dedup exchange.
     buckets = sig_df.select(
         "doc_id",
-        F.posexplode(band_hashes(F.col("sig"))).alias("band_idx", "band_hash"),
+        F.posexplode(F.expr(_band_hashes_sqlx("sig"))).alias("band_idx", "band_hash"),
     )
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -1412,8 +1489,8 @@ def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         hashed.filter(F.col("rn") == 1)
         .select(
             "doc_id",
-            _block_key().alias("block_key"),
-            shingles(tokens()).alias("sset"),
+            F.expr(_BLOCK_KEY_SQLX).alias("block_key"),
+            F.expr(_shingles_sqlx(_TOKENS_SQLX)).alias("sset"),
         )
         .persist()
     )
@@ -1647,6 +1724,20 @@ def positional_shingles(tok_col: Column, k: int) -> Column:
     return acc
 
 
+def _positional_shingles_sqlx(toks: str, k: int) -> str:
+    """Spark-SQL string twin of :func:`positional_shingles` — same
+    shifted-slice zip_with fold (no greatest: caller guarantees
+    size >= k, exactly the Column form's contract)."""
+    m = f"(size({toks}) - {k - 1})"
+    acc = f"slice({toks}, 1, {m})"
+    for j in range(2, k + 1):
+        acc = (
+            f"zip_with({acc}, slice({toks}, {j}, {m}),"
+            " (a, b) -> concat_ws(' ', a, b))"
+        )
+    return acc
+
+
 @register(
     "dedup_substring_span",
     oracle=f"""
@@ -1728,7 +1819,7 @@ def dedup_substring_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh = long_docs.select(
         "doc_id",
-        F.posexplode(positional_shingles(F.col("tk"), _SPAN_K)).alias(
+        F.posexplode(F.expr(_positional_shingles_sqlx("tk", _SPAN_K))).alias(
             "pos0", "s"
         ),
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "s")
@@ -1857,7 +1948,7 @@ def dedup_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     long_docs = toks.filter(F.size("tk") >= _SPAN_K)
     sh = long_docs.select(
         "doc_id",
-        F.posexplode(positional_shingles(F.col("tk"), _SPAN_K)).alias(
+        F.posexplode(F.expr(_positional_shingles_sqlx("tk", _SPAN_K))).alias(
             "pos0", "s"
         ),
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "s")
@@ -2035,13 +2126,15 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             corpus.select(
                 "doc_id",
-                shingles(tokens()).alias("sset"),
-                token_hashes(tokens()).alias("th"),
+                F.expr(_shingles_sqlx(_TOKENS_SQLX)).alias("sset"),
+                F.expr(_token_hashes_sqlx(_TOKENS_SQLX)).alias("th"),
             )
             .select(
                 "doc_id",
                 "sset",
-                minhash_signature(shingle_hashes(F.col("th"))).alias("sig"),
+                F.expr(
+                    _minhash_signature_sqlx(_shingle_hashes_sqlx("th"))
+                ).alias("sig"),
             )
             .persist()  # both the band explode and the sset re-attach
         )
@@ -2052,7 +2145,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     def buckets(sig_df: DataFrame) -> DataFrame:
         return sig_df.select(
             "doc_id",
-            F.posexplode(band_hashes(F.col("sig"))).alias(
+            F.posexplode(F.expr(_band_hashes_sqlx("sig"))).alias(
                 "band_idx", "band_hash"
             ),
         )
@@ -2333,7 +2426,7 @@ def dedup_incremental_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.size("tk") >= _SPAN_K)
             .select(
                 F.explode(
-                    positional_shingles(F.col("tk"), _SPAN_K)
+                    F.expr(_positional_shingles_sqlx("tk", _SPAN_K))
                 ).alias("s")
             )
             .distinct()
@@ -2348,7 +2441,7 @@ def dedup_incremental_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bsh = btk.select(
         "doc_id",
-        F.posexplode(positional_shingles(F.col("tk"), _SPAN_K)).alias(
+        F.posexplode(F.expr(_positional_shingles_sqlx("tk", _SPAN_K))).alias(
             "pos0", "s"
         ),
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "s")
