@@ -878,52 +878,44 @@ def fn_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipelines geohash-bucket at scan speed before any spatial join.
     """
     events = load_table(spark, sf_dir, "events")
-    lat = (F.col("user_id") % 18000).cast("double") / 100 - 90
-    lon = (F.col("event_id") % 36000).cast("double") / 100 - 180
-    lat_q = F.least(
-        F.floor((lat + 90) / 180 * 32768).cast("long"), F.lit(32767)
-    )
-    lon_q = F.least(
-        F.floor((lon + 180) / 360 * 32768).cast("long"), F.lit(32767)
-    )
-    cell = F.lit(0).cast("long")
+    # r15 (guide §4.4): the ~150 unrolled shift/mask Column ops were
+    # ~0.5 s of py4j per build; the IDENTICAL unrolled expression text
+    # now ships as one SQL projection (it already existed as text —
+    # the DuckDB oracle uses the same unrolled arithmetic).
+    lat = "(CAST(user_id % 18000 AS DOUBLE) / 100 - 90)"
+    lon = "(CAST(event_id % 36000 AS DOUBLE) / 100 - 180)"
+    lat_q = f"least(CAST(floor(({lat} + 90) / 180 * 32768) AS BIGINT), 32767)"
+    lon_q = f"least(CAST(floor(({lon} + 180) / 360 * 32768) AS BIGINT), 32767)"
+    cell = "CAST(0 AS BIGINT)"
     for k in range(_GEO_BITS):
         src_shift = _GEO_BITS - 1 - k
-        cell = cell + F.shiftleft(
-            F.shiftright(lon_q, src_shift) % 2, 2 * (_GEO_BITS - 1 - k) + 1
+        cell = (
+            f"({cell} + shiftleft(shiftright({lon_q}, {src_shift}) % 2,"
+            f" {2 * (_GEO_BITS - 1 - k) + 1}))"
         )
-        cell = cell + F.shiftleft(
-            F.shiftright(lat_q, src_shift) % 2, 2 * (_GEO_BITS - 1 - k)
+        cell = (
+            f"({cell} + shiftleft(shiftright({lat_q}, {src_shift}) % 2,"
+            f" {2 * (_GEO_BITS - 1 - k)}))"
         )
-    gh = F.concat(
-        *[
-            F.substring(
-                F.lit(_GEO_ALPHA),
-                (F.shiftright(cell, 25 - 5 * i) % 32).cast("int") + 1,
-                1,
-            )
-            for i in range(6)
-        ]
-    )
-    rlat, rlon = F.radians(lat), F.radians(lon)
+    gh = "concat(" + ", ".join(
+        f"substring('{_GEO_ALPHA}',"
+        f" CAST(shiftright({cell}, {25 - 5 * i}) % 32 AS INT) + 1, 1)"
+        for i in range(6)
+    ) + ")"
+    rlat, rlon = f"radians({lat})", f"radians({lon})"
     hav = (
-        F.lit(2.0)
-        * F.lit(6371.0)
-        * F.asin(
-            F.sqrt(
-                F.sin(rlat / 2) * F.sin(rlat / 2)
-                + F.cos(rlat) * F.sin(rlon / 2) * F.sin(rlon / 2)
-            )
-        )
+        f"(2.0D * 6371.0D * asin(sqrt("
+        f"sin({rlat} / 2) * sin({rlat} / 2)"
+        f" + cos({rlat}) * sin({rlon} / 2) * sin({rlon} / 2))))"
     )
     # no output orderBy: the driver's compare is order-insensitive,
     # and sorting 100k wide rows costs a range exchange + sort the
     # pure-map contract shouldn't pay (the oracle keeps ORDER BY for
     # readable diffs only)
-    return events.select(
+    return events.selectExpr(
         "event_id",
-        F.floor(lat * 1e6 + 0.5).cast("long").alias("lat_micro"),
-        F.floor(lon * 1e6 + 0.5).cast("long").alias("lon_micro"),
-        F.floor(hav * 1000 + 0.5).cast("long").alias("dist_m"),
-        gh.alias("geohash6"),
+        f"CAST(floor({lat} * 1e6 + 0.5) AS BIGINT) AS lat_micro",
+        f"CAST(floor({lon} * 1e6 + 0.5) AS BIGINT) AS lon_micro",
+        f"CAST(floor({hav} * 1000 + 0.5) AS BIGINT) AS dist_m",
+        f"{gh} AS geohash6",
     )

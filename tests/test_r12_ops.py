@@ -29,7 +29,7 @@ class TestBpeTokenCount:
         df = spark.createDataFrame(
             [("the",), ("ing",), ("and",), ("another",), ("xyz",)],
             "w string",
-        ).select("w", bpe_symbols(F.col("w")).alias("s"))
+        ).select("w", bpe_symbols("w").alias("s"))
         got = {r["w"]: r["s"] for r in df.collect()}
         assert got["the"] == ["the"]
         assert got["ing"] == ["ing"]
@@ -44,7 +44,7 @@ class TestBpeTokenCount:
 
         df = spark.createDataFrame(
             [("ththth",), ("erer",), ("tthh",)], "w string"
-        ).select("w", bpe_symbols(F.col("w")).alias("s"))
+        ).select("w", bpe_symbols("w").alias("s"))
         got = {r["w"]: r["s"] for r in df.collect()}
         assert got["ththth"] == ["th", "th", "th"]
         assert got["erer"] == ["er", "er"]
