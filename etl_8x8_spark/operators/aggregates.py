@@ -3459,11 +3459,36 @@ def agg_roc_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     s = s.withColumn("ct", F.col("cp") + F.col("cn"))
-    ranked = histogram_global_rank(s, "value", [], cumsums=["ct"])
-    totals = s.agg(
+    # r16 (guide §2.4 "one pass instead of N"): the class totals are
+    # sums over the SAME distinct-value grid the rank probe already
+    # aggregates, so fold them into the final aggregate instead of a
+    # separate totals branch. The old shape re-derived `s` per
+    # consumer — 5 full scans of events + 4 groupBy exchanges (column
+    # pruning makes each consumer's exchange structurally different,
+    # so ReuseExchange never applied; plans/r16/agg_roc_auc_rank_
+    # before.txt) — plus a broadcast crossJoin of the totals. Folding
+    # totals into the finale removes one whole scan+aggregate branch
+    # and the crossJoin; `persist=True` on the rank input collapses
+    # the remaining stats/buckets/probe derivations to one (the
+    # documented non-exchange-reusable case in ranks.py).
+    ranked = histogram_global_rank(
+        s, "value", [], cumsums=["ct"], persist=True
+    )
+    r1_x2 = F.sum(
+        F.col("cp") * (2 * (F.col("cum_ct") - F.col("ct")) + F.col("ct") + 1)
+    ).cast("long")
+    agg = ranked.agg(
         F.sum("cp").cast("long").alias("n_pos"),
         F.sum("cn").cast("long").alias("n_neg"),
+        r1_x2.alias("r1x2"),
     )
+    # The global aggregate emits one row even over an empty grid
+    # (all sums NULL) where the old groupBy form emitted none —
+    # reproduce the empty result, and do it BEFORE the guards (a NULL
+    # n_pos would route the guard CASE into its raise_error branch;
+    # the old shape never evaluated the guard on empty input because
+    # the crossJoin had no left rows).
+    agg = agg.where(F.col("n_pos").isNotNull())
     # Two int64 guards (r8 + r9 advice). The U DENOMINATOR needs
     # n_pos*n_neg < 2^62; but the rank-sum NUMERATOR r1_x2 is bounded
     # by ~2*n_pos*(n_pos+n_neg), not the product — with imbalanced
@@ -3472,28 +3497,23 @@ def agg_roc_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (n_pos+n_neg)^2 < 2^62 gives r1_x2 <= 2*n_pos*n < 2*n^2 < 2^63,
     # inside int64. Both checks are embedded in n_pos (used
     # downstream) so Catalyst cannot prune them.
-    totals = _guard_product_fits_int64(totals, "n_pos", "n_neg", "agg_roc_auc_rank")
-    totals = _guard_sum_sq_fits_int64(totals, "n_pos", "n_neg", "agg_roc_auc_rank")
-    r1_x2 = F.sum(
-        F.col("cp") * (2 * (F.col("cum_ct") - F.col("ct")) + F.col("ct") + 1)
-    ).cast("long")
-    return (
-        ranked.crossJoin(F.broadcast(totals))
-        .groupBy("n_pos", "n_neg")
-        .agg(
-            (
-                (r1_x2 - F.col("n_pos") * (F.col("n_pos") + 1)) / 2
+    agg = _guard_product_fits_int64(agg, "n_pos", "n_neg", "agg_roc_auc_rank")
+    agg = _guard_sum_sq_fits_int64(agg, "n_pos", "n_neg", "agg_roc_auc_rank")
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        ((F.col("r1x2") - F.col("n_pos") * (F.col("n_pos") + 1)) / 2)
+        .cast("double")
+        .alias("u_stat"),
+        F.floor(
+            (F.col("r1x2") - F.col("n_pos") * (F.col("n_pos") + 1)).cast(
+                "double"
             )
-            .cast("double")
-            .alias("u_stat"),
-            F.floor(
-                (r1_x2 - F.col("n_pos") * (F.col("n_pos") + 1)).cast("double")
-                * 1e6
-                / (2 * F.col("n_pos") * F.col("n_neg"))
-            )
-            .cast("long")
-            .alias("auc_micro"),
+            * 1e6
+            / (2 * F.col("n_pos") * F.col("n_neg"))
         )
+        .cast("long")
+        .alias("auc_micro"),
     )
 
 

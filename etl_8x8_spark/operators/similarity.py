@@ -1067,15 +1067,29 @@ def embed_mrl_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fm = F.floor(cos_full * 1e6 + 0.5).cast("long")
     tm = F.floor(cos_trunc * 1e6 + 0.5).cast("long")
-    return (
-        a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + 1)
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            fm.alias("cos_full_micro"),
-            tm.alias("cos_trunc_micro"),
-            F.abs(fm - tm).alias("delta_micro"),
-        )
+    # r16: project the two micro-cosines ONCE, then derive the delta
+    # from the projected columns. The single-projection form evaluated
+    # every fold TWICE per pair (delta_micro re-derived both cosines;
+    # the copies carry distinct lambda exprIds, so codegen
+    # subexpression elimination cannot unify them — verified in
+    # plans/r16/embed_mrl_truncate_before.txt). CollapseProject keeps
+    # the split: the aliases are non-cheap and referenced twice.
+    # delta = abs(fm - tm) over the identical longs — bit-identical
+    # result, half the per-pair fold work (guide §1.2 step 2).
+    pairs = a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + 1).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        fm.alias("cos_full_micro"),
+        tm.alias("cos_trunc_micro"),
+    )
+    return pairs.select(
+        "vec_a",
+        "vec_b",
+        "cos_full_micro",
+        "cos_trunc_micro",
+        F.abs(F.col("cos_full_micro") - F.col("cos_trunc_micro")).alias(
+            "delta_micro"
+        ),
     )
 
 
@@ -1165,71 +1179,65 @@ def embed_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     code per vector. Encoding 100 TB of embeddings is one linear
     pass.
     """
+    # r16 (guide §2.4 + VERDICT r15 item 8): ONE exchange instead of
+    # two. The old shape aggregated twice — groupBy (vec_id, s) for
+    # the per-subspace argmin, then groupBy (vec_id) to pivot codes
+    # and sum the error — shuffling the M-expanded rows twice. The
+    # packed-agg idiom (_pq_codes_packed, r9) folds both into a
+    # single groupBy(vec_id): per-subspace argmin via
+    # min(CASE WHEN s=k THEN struct(d2, cid) END) (smallest distance,
+    # ties to the smallest centroid id — identical to the old
+    # max(struct(-d2,-cid)) negation form), codes and the
+    # micro-quantized error terms then derived in a post-projection.
+    # Expression trees ride the §4.4 SQL-string helpers
+    # (_pq_subspaces / dot_sql) like the rest of the PQ family.
     emb = load_table(spark, sf_dir, "embeddings")
+    from etl_8x8_spark.functions.vectors import dot_sql
+
     cents = emb.filter(F.col("vec_id") < _PQ_K).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
     )
-    subs = F.array(
+    csubs = _pq_subspaces(cents, "cid", "cvec", "csub")
+    e = _pq_subspaces(emb, "vec_id", "embedding", "sub")
+    d2 = (
+        f"({dot_sql('sub', 'sub')} - 2 * {dot_sql('sub', 'csub')}"
+        f" + {dot_sql('csub', 'csub')})"
+    )
+    ej = e.join(F.broadcast(csubs), "s").selectExpr(
+        "vec_id", "s", "cid", f"{d2} AS d2"
+    )
+    # Argmin keeps the old negation form max(struct(-d2, -cid)) —
+    # NOT min(struct(d2, cid)): struct ordering is NULLS-FIRST per
+    # field, so a NULL d2 (null centroid embedding against a real
+    # vector) would WIN a min but lose a max — the negation form
+    # matches the old two-agg plan and the oracle's NULLS LAST
+    # ORDER BY d2 ASC on that edge.
+    packed = ej.groupBy("vec_id").agg(
         *[
-            F.struct(
-                F.lit(s).alias("s"),
-                F.slice(F.col("embedding"), s * _PQ_SUB + 1, _PQ_SUB).alias(
-                    "sub"
-                ),
-            )
+            F.expr(
+                f"max(CASE WHEN s = {s}"
+                " THEN struct((- d2) AS nd, (- cid) AS nc) END)"
+            ).alias(f"_m{s}")
             for s in range(_PQ_M)
         ]
     )
-    e = emb.select(
-        "vec_id", F.explode(subs).alias("_sp")
-    ).select("vec_id", F.col("_sp.s").alias("s"), F.col("_sp.sub").alias("sub"))
-    csubs = cents.select(
-        "cid",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("s"),
-                        F.slice(
-                            F.col("cvec"), s * _PQ_SUB + 1, _PQ_SUB
-                        ).alias("csub"),
-                    )
-                    for s in range(_PQ_M)
-                ]
-            )
-        ).alias("_cp"),
-    ).select("cid", F.col("_cp.s").alias("s"), F.col("_cp.csub").alias("csub"))
-    from etl_8x8_spark.functions.vectors import dot
-
-    d2 = (
-        dot(F.col("sub"), F.col("sub"))
-        - 2 * dot(F.col("sub"), F.col("csub"))
-        + dot(F.col("csub"), F.col("csub"))
-    )
-    # argmin via max(struct(-d2, -cid)): smallest distance wins, ties
-    # to the smallest centroid id; map-side partial agg collapses the
-    # K-expanded rows before the exchange (the semdedup idiom).
-    assigned = (
-        e.join(F.broadcast(csubs), "s")
-        .withColumn("d2", d2)
-        .groupBy("vec_id", "s")
-        .agg(F.max(F.struct((-F.col("d2")).alias("nd"), (-F.col("cid")).alias("nc"))).alias("m"))
-        .select(
-            "vec_id",
-            "s",
-            (-F.col("m.nc")).cast("long").alias("cid"),
-            # per-subspace micro-quantize BEFORE the cross-subspace
-            # sum: 4 doubles summed in shuffle order would be
-            # order-dependent; 4 longs are exact in any order.
-            F.floor((-F.col("m.nd")) * 1e6 + 0.5).cast("long").alias("derr"),
-        )
-    )
-    return assigned.groupBy("vec_id").agg(
-        *[
-            F.max(F.when(F.col("s") == s, F.col("cid"))).alias(f"code_{s}")
-            for s in range(_PQ_M)
-        ],
-        F.sum("derr").cast("long").alias("recon_err_micro"),
+    # per-subspace micro-quantize BEFORE the cross-subspace sum: 4
+    # doubles summed in shuffle order would be order-dependent; 4
+    # longs are exact in any order. The CASE reproduces F.sum's
+    # NULL-skip semantics exactly (NULL only when every term is NULL
+    # — the all-null-embedding row), matching the old two-agg form
+    # and the DuckDB oracle's SUM.
+    terms = [
+        f"CAST(FLOOR((- _m{s}.nd) * 1e6 + 0.5) AS BIGINT)"
+        for s in range(_PQ_M)
+    ]
+    all_null = " AND ".join(f"{t} IS NULL" for t in terms)
+    total = " + ".join(f"coalesce({t}, CAST(0 AS BIGINT))" for t in terms)
+    return packed.selectExpr(
+        "vec_id",
+        *[f"CAST((- _m{s}.nc) AS BIGINT) AS code_{s}" for s in range(_PQ_M)],
+        f"CASE WHEN {all_null} THEN CAST(NULL AS BIGINT)"
+        f" ELSE ({total}) END AS recon_err_micro",
     )
 
 
