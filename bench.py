@@ -20,6 +20,16 @@ samples showed GC outliers on a long suite), so per-query numbers are
 comparable across rounds regardless of HEADLINE order or which query
 pays the cold parquet-footer read; cold totals are reported separately
 as "cold_seconds".
+
+r16 measurement fix (VERDICT r15 item 3, declared in
+OPTIMIZATION_r16.md): the cache is cleared BETWEEN the runs of a
+query, not only between queries, so a builder-side persist() is paid
+by every run — warm numbers measure per-run work, never run 1's
+cached blocks served back to runs 2-3. Timing methodology is
+otherwise unchanged (same env-var contract, same JSON line, same
+best-warm-of-3); warm numbers for the persisted iterative builders
+(LPA, BFS, pagerank, perplexity, pretrain corpus) are NOT comparable
+to pre-r16 records — the r16 record re-baselines them.
 """
 
 from __future__ import annotations
@@ -652,6 +662,16 @@ def main() -> None:
                 df = qs[name](spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
                 per_run.append(round(time.time() - t0, 3))
+                # Honest warm runs (r16, VERDICT r15 item 3): drop
+                # whatever the builder persisted BETWEEN the runs of a
+                # query, so warm runs 2-3 re-pay the builder's own
+                # materialization instead of reading run 1's cached
+                # blocks (identical analyzed plans hit the
+                # CacheManager otherwise — the r15 warm numbers for
+                # the persisted iterative builders measured cache
+                # reuse, not per-run work). The clear sits OUTSIDE the
+                # timed region; the JVM stays warm.
+                spark.catalog.clearCache()
             cold[name] = per_run[0]
             timings[name] = min(per_run[1:])
             # warm-pair spread: a same-session repeat differing >30%
@@ -662,6 +682,9 @@ def main() -> None:
             )
         except Exception as exc:  # noqa: BLE001 — survive any query
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            # the failed run skipped its in-loop clear — drop whatever
+            # it persisted so the next query starts clean
+            spark.catalog.clearCache()
         # Stream one compact line per query so a stdout-tail window
         # truncates the OLDEST results, never the final summary line
         # (BENCH_r04 kept only the last 67 of 136 queries because the
@@ -673,12 +696,10 @@ def main() -> None:
             )
         elif name in errors:
             print(json.dumps({"q": name, "err": errors[name][:120]}), flush=True)
-        # queries that persist internal relations (minhash, CC, knn)
-        # would otherwise accumulate cached blocks across the suite —
-        # by query 30 the session is under memory pressure and timings
-        # drift. Each query pays its own persist cost inside its own
-        # timing; nothing is shared between queries.
-        spark.catalog.clearCache()
+        # The per-run clearCache above already freed cached blocks
+        # (queries that persist internal relations — minhash, CC, knn
+        # — would otherwise accumulate across the suite and drift
+        # timings by query 30); what remains is the heap hygiene:
         # clearCache misses localCheckpoint/broadcast blocks, which are
         # only freed when their DataFrame is GC'd — on a 130-query
         # suite the stragglers squeeze execution memory and inflate
