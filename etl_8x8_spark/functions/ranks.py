@@ -230,7 +230,9 @@ def histogram_global_rank_multi(
     cids = list(range(len(specs)))
 
     def q(name: str) -> str:
-        return f"`{name}`"
+        # backtick-escape (r16 ADVICE): a column name containing a
+        # backtick would otherwise break out of the quoted identifier
+        return "`{}`".format(name.replace("`", "``"))
 
     def src_sql(v: str, desc: bool) -> str:
         return f"(- {q(v)})" if desc else q(v)

@@ -375,7 +375,9 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     the combined (flag, status) level, which neither rollup nor cube
     can express. Executes as one Expand + single shuffle, same as
     rollup (never one job per set)."""
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    from etl_8x8_spark.operators.sql_queries import register_table_views
+
+    register_table_views(spark, sf_dir, ["lineitem"])
     return spark.sql(
         f"""
         SELECT l_returnflag,

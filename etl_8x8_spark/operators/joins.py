@@ -1027,10 +1027,9 @@ def join_existence_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the join, so the exchange is keys-only at any scale. Plan
     pinned in tests/test_plans.py (ExistenceJoin, no nested loop).
     """
-    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
-        "customer"
-    )
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    from etl_8x8_spark.operators.sql_queries import register_table_views
+
+    register_table_views(spark, sf_dir, ["customer", "orders"])
     return spark.sql(_EXISTENCE_SQL)
 
 
@@ -1056,10 +1055,9 @@ def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows regardless of order volume. Pinned in tests/test_plans.py;
     deterministic via the o_orderkey tie-break.
     """
-    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
-        "customer"
-    )
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    from etl_8x8_spark.operators.sql_queries import register_table_views
+
+    register_table_views(spark, sf_dir, ["customer", "orders"])
     return spark.sql(_LATERAL_TOPK_SQL)
 
 

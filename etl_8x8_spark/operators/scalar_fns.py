@@ -792,6 +792,9 @@ def fn_net(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _GEO_ALPHA = "0123456789bcdefghjkmnpqrstuvwxyz"  # standard geohash base32
+# embedded unescaped in single-quoted SQL literals on both engines —
+# pin the safe charset (r16 ADVICE item 4)
+assert _GEO_ALPHA.isalnum(), "geohash alphabet must stay alphanumeric"
 _GEO_BITS = 15  # per-coordinate quantization bits -> 30-bit cell, 6 chars
 
 

@@ -36,6 +36,26 @@ _VIEWS_READY: "weakref.WeakKeyDictionary[SparkSession, str]" = (
 )
 
 
+def register_table_views(
+    spark: SparkSession, sf_dir: str, tables: list[str]
+) -> None:
+    """Register a subset of the shared TPC-H view names for a builder
+    outside this module (join_existence_mark, join_lateral_topk,
+    agg_grouping_sets). ALL writers of the shared names route through
+    here so the _register_views memo can never serve stale content
+    (r16 ADVICE item 1): a foreign registration with a DIFFERENT
+    sf_dir overwrites some of the seven views, so it must drop the
+    memo — the next sql_* builder re-registers all seven for its own
+    sf_dir. A same-sf_dir foreign registration re-creates the
+    identical ``load_table`` plan and the memo stays valid.
+    """
+    pin_session_confs(spark)
+    if _VIEWS_READY.get(spark) != sf_dir:
+        _VIEWS_READY.pop(spark, None)
+    for t in tables:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
 def _register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register the seven TPC-H views once per (session, sf_dir).
 
@@ -45,12 +65,12 @@ def _register_views(spark: SparkSession, sf_dir: str) -> None:
     ~10 s across the 22 TPC-H shapes alone — for catalog metadata
     that is identical within one session. The memo is session-scoped
     METADATA (never query results): each bench chunk's fresh session
-    re-registers, an sf_dir switch re-registers, and the only other
-    writers of these view names (join_existence_mark etc.) register
-    the identical ``load_table`` plan, so a hit can never serve
-    different content. Session confs are still re-pinned on every
-    call — they are the one mutation a foreign builder could legally
-    have changed.
+    re-registers, an sf_dir switch re-registers, and every other
+    writer of these view names routes through
+    :func:`register_table_views`, which drops the memo on a foreign
+    sf_dir (r16) — a hit can never serve different content. Session
+    confs are still re-pinned on every call — they are the one
+    mutation a foreign builder could legally have changed.
     """
     pin_session_confs(spark)
     if _VIEWS_READY.get(spark) == sf_dir:

@@ -2474,6 +2474,14 @@ _BPE_MERGES = [
     ("a", "r"), ("o", "u"), ("in", "g"), ("an", "d"),
 ]
 
+# The merge symbols are embedded UNESCAPED in single-quoted SQL
+# string literals (both engines) — pin the safe charset so a future
+# rule containing a quote/backslash fails loudly at import instead of
+# silently changing the generated query (r16 ADVICE item 4).
+assert all(
+    (a + b).isalnum() for a, b in _BPE_MERGES
+), "BPE merge symbols must stay alphanumeric (embedded in SQL literals)"
+
 
 def bpe_symbols(word):
     """Apply every merge rule in rank order to a word column and

@@ -42,9 +42,17 @@ def pin_session_confs(spark: SparkSession) -> None:
       physically TIMESTAMP(NANOS), which Spark's reader otherwise
       rejects; it is read as nanos-since-epoch and floor-converted to
       micros (the same truncation DuckDB 1.x applies on read).
+    - ``spark.sql.parser.escapedStringLiterals=false`` (r16 ADVICE):
+      the SQL-string expression twins (dedup._NORM_SQLX regexes, the
+      BPE merge literals in text.py) encode ``'\\\\s+'``-style escapes
+      that unescape correctly only under the default parser; a
+      driver-supplied session with the legacy conf set would silently
+      flip them to literal-backslash matches and diverge from the
+      Column forms and the oracle.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "false")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -633,3 +633,25 @@ class TestViewRegistrationMemo:
             spark, "/root/testdata/sf0.001"
         ).collect()
         assert before == after
+
+    def test_foreign_overwrite_other_sf_invalidates(self, spark):
+        """r16 ADVICE item 1: a foreign registration with a DIFFERENT
+        sf_dir overwrites shared views, so the memo must invalidate —
+        the next sql_* build at the original sf_dir must re-register
+        and read its OWN data, not the foreign overwrite."""
+        from etl_8x8_spark.registry import all_queries
+
+        qs = all_queries()
+        # q3 reads customer/orders/lineitem — the views the foreign
+        # builder overwrites
+        a = qs["sql_tpch_q3_shape"].builder(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        # foreign writer registers customer/orders for ANOTHER sf_dir
+        qs["join_lateral_topk"].builder(
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+        b = qs["sql_tpch_q3_shape"].builder(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert a == b  # memo dropped, views re-registered for sf0.001
