@@ -41,6 +41,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from etl_8x8_spark.functions.iterative import bound_round_lineage
 from etl_8x8_spark.functions.udfs import widen_for_python
 from etl_8x8_spark.functions.vectors import cosine, norm, oracle_dot, oracle_norm
 from etl_8x8_spark.registry import register
@@ -1103,7 +1104,7 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    for _ in range(_CC_MAX_ITERS):
+    for _rnd in range(1, _CC_MAX_ITERS + 1):
         # Converged iff no edge joins two labels: min-label fixpoint
         # means label(a) == label(b) on every edge. With broadcast
         # labels this check is fully narrow (no shuffle) — and in the
@@ -1126,12 +1127,14 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         prop = edges.join(
             bc(labels), edges.b == labels.doc_id, "inner"
         ).select(F.col("a").alias("doc_id"), "label")
-        labels = (
+        # r16: bound_round_lineage = the r15 lazy persist plus the
+        # checkpoint-every-N escape hatch (functions/iterative.py)
+        labels = bound_round_lineage(
             labels.unionByName(prop)
             .repartition(p, "doc_id")
             .groupBy("doc_id")
-            .agg(F.min("label").alias("label"))
-            .persist()
+            .agg(F.min("label").alias("label")),
+            _rnd,
         )
     full = (
         corpus.select("doc_id")

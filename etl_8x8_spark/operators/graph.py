@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from etl_8x8_spark.functions.iterative import bound_round_lineage
 from etl_8x8_spark.registry import register
 from etl_8x8_spark.sources.readers import load_table
 
@@ -546,8 +547,11 @@ def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-built plans hit the cache instead of re-materializing a fresh
     # checkpoint RDD. In-process alternating A/B (3 blocks × best-of-2
     # warm): checkpoint 7.30/4.47/15.2 s vs persist 2.70/1.22/3.14 s.
+    # bound_round_lineage = per-round lazy persist, with the
+    # checkpoint-every-N escape hatch for long production loops
+    # (functions/iterative.py; r16, VERDICT items 5/9)
     ranks = ranks.persist()
-    for _ in range(_PR_ROUNDS):
+    for _rnd in range(1, _PR_ROUNDS + 1):
         # fold the division into the NODE-sized relation: one
         # rank_u div deg per source node, broadcast into the cached
         # edge fan-out — per-edge work is then a plain sum
@@ -569,7 +573,7 @@ def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rank_u"),
         )
         # bound lineage so round N's plan reads round N-1's cache
-        ranks = ranks.persist()
+        ranks = bound_round_lineage(ranks, _rnd)
     return (
         ranks.select(
             "node",
@@ -700,16 +704,17 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # only exchange per round is the neighbor-min aggregate: 3 rounds
     # = 3 exchanges, one linear plan. Values are unchanged — the min
     # over an identical candidate set, computed associatively.
-    for _ in range(_LPA_ROUNDS):
+    for _rnd in range(1, _LPA_ROUNDS + 1):
         contrib = (
             labels.join(nbrs, labels["node"] == nbrs["u"])
             .groupBy(F.col("v").alias("node"))
             .agg(F.min("lab").alias("nlab"))
         )
-        labels = (
-            labels.join(contrib, "node", "left")
-            .select("node", F.least("lab", "nlab").alias("lab"))
-            .persist()
+        labels = bound_round_lineage(
+            labels.join(contrib, "node", "left").select(
+                "node", F.least("lab", "nlab").alias("lab")
+            ),
+            _rnd,
         )
     # no terminal orderBy: the output is part-catalog-sized (grows
     # with SF), the correctness gate hashes order-insensitively, and
@@ -793,7 +798,7 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(F.col("u"))
         .persist()
     )
-    for _ in range(_KCORE_ROUNDS):
+    for _rnd in range(1, _KCORE_ROUNDS + 1):
         deg = und.groupBy("u").agg(F.count("*").alias("d"))
         # r15: lazy persist instead of the eager localCheckpoint (the
         # pagerank A/B, same rationale): the two semi-joins still
@@ -801,7 +806,10 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 2^rounds, but there is no per-round barrier job and
         # identical re-built plans hit the cache across bench runs.
         # Blocks are reclaimed by the bench's per-query clearCache.
-        keep = deg.filter(F.col("d") >= _KCORE_K).select("u").persist()
+        # r16: bound_round_lineage adds the checkpoint-every-N hatch.
+        keep = bound_round_lineage(
+            deg.filter(F.col("d") >= _KCORE_K).select("u"), _rnd
+        )
         und = und.join(keep, "u", "left_semi").join(
             keep.select(F.col("u").alias("v")), "v", "left_semi"
         )
@@ -1028,16 +1036,17 @@ def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join), so the only exchange per round is the contrib aggregate:
     # one linear plan. Values are unchanged — the same min over the
     # same candidate multiset, computed associatively.
-    for _ in range(_BFS_ROUNDS):
+    for _rnd in range(1, _BFS_ROUNDS + 1):
         cagg = (
             dist.join(edges, dist["node"] == edges["u"])
             .groupBy(F.col("v").alias("node"))
             .agg((F.min("d") + 1).alias("nd"))
         )
-        dist = (
-            dist.join(cagg, "node", "full")
-            .select("node", F.least("d", "nd").alias("d"))
-            .persist()
+        dist = bound_round_lineage(
+            dist.join(cagg, "node", "full").select(
+                "node", F.least("d", "nd").alias("d")
+            ),
+            _rnd,
         )
     # no terminal orderBy: the output is supplier-catalog-sized (grows
     # with SF), the correctness gate hashes order-insensitively, and
