@@ -593,6 +593,29 @@ def gradient_check(
     return ("degraded_host" if degraded else "ok"), per_chunk
 
 
+def record_target(
+    sf: float, cpus: int, prev_cpus: int | None, gradient_status: str
+) -> str:
+    """Which sidecar this run's full record may write.
+
+    Only a canonical-SF run at the committed record's core count may
+    overwrite ``BENCH_LOCAL.json`` (the regression-gate baseline):
+    off-SF runs go to the smoke sidecar, different-core runs (the
+    driver's scaling pass — which overwrote the canonical record
+    after r15 and poisoned the gate) to the scaling sidecar, and a
+    throttle-degraded run is quarantined regardless.
+    """
+    if sf != 0.1:
+        name = "BENCH_SMOKE.json"
+    elif prev_cpus is not None and prev_cpus != cpus:
+        name = "BENCH_SCALING.json"
+    else:
+        name = "BENCH_LOCAL.json"
+    if gradient_status == "degraded_host":
+        name = "BENCH_DEGRADED.json"
+    return name
+
+
 def _sf_from_dir(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -723,15 +746,21 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
     )
     regressions: dict[str, dict[str, float]] = {}
+    prev_cpus: int | None = None
     try:
         with open(sidecar) as fh:
             prev_full = json.load(fh)
-        # Only a same-SF record is comparable: an sf0.001 smoke run
-        # against the committed sf0.1 record flags phantom ratios (and
-        # vice versa hides real ones).
+        prev_cpus = prev_full.get("cpus")
+        # Only a same-SF, same-core record is comparable: an sf0.001
+        # smoke run against the committed sf0.1 record flags phantom
+        # ratios (and vice versa hides real ones), and an 8-core
+        # scaling run against a 32-core record mis-adjudicates every
+        # query (r16: the r15 driver's low-core scaling run overwrote
+        # the canonical record and poisoned the gate baseline).
         prev = (
             prev_full.get("queries", {})
             if prev_full.get("sf") == _sf_from_dir(sf_dir)
+            and (prev_cpus is None or prev_cpus == int(cpus))
             else {}
         )
     except (OSError, ValueError):
@@ -806,15 +835,10 @@ def main() -> None:
     # baseline record: a local sf0.001 smoke run clobbering the sf0.1
     # record destroyed the regression-gate baseline twice in r8 —
     # off-SF runs persist to a separate smoke sidecar instead.
-    record_name = "BENCH_LOCAL.json"
-    if full["sf"] != 0.1:
-        record_name = "BENCH_SMOKE.json"
-        sidecar = os.path.join(os.path.dirname(sidecar), record_name)
-    if gradient_status == "degraded_host":
-        # quarantine the degraded record: keep every number for the
-        # adjudication note, but the committed baseline stays intact
-        record_name = "BENCH_DEGRADED.json"
-        sidecar = os.path.join(os.path.dirname(sidecar), record_name)
+    record_name = record_target(
+        full["sf"], int(cpus), prev_cpus, gradient_status
+    )
+    sidecar = os.path.join(os.path.dirname(sidecar), record_name)
     with open(sidecar, "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
         fh.write("\n")

@@ -45,7 +45,7 @@ from etl_8x8_spark.functions.iterative import bound_round_lineage
 from etl_8x8_spark.functions.udfs import widen_for_python
 from etl_8x8_spark.functions.vectors import cosine, norm, oracle_dot, oracle_norm
 from etl_8x8_spark.registry import register
-from etl_8x8_spark.sources.readers import load_table
+from etl_8x8_spark.sources.readers import load_table, widen_scan
 
 # ---------------------------------------------------------------------------
 # corpus seeding — deterministic duplicate planting
@@ -1815,7 +1815,16 @@ def dedup_substring_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     collision rate 2^-64 per pair) — kept as the raw string here so
     the DuckDB oracle is bit-exact.
     """
-    corpus = _seeded_span_corpus(load_table(spark, sf_dir, "documents"))
+    # r16 (guide §2.5 input skew): the fixture scan is one row group →
+    # one task, serializing the dominant per-row work (tokenize + K−1
+    # shingle folds) on a single core; widen_scan spreads it across
+    # the session's slots and is a no-op on properly-split inputs.
+    # Downstream is all key-based (distinct/groupBy/per-doc window) —
+    # row order is immaterial. A/B at sf0.1: warm 1.9–2.5 → 1.3–1.7 s,
+    # cold 7.1 → 2.9 s.
+    corpus = widen_scan(
+        _seeded_span_corpus(load_table(spark, sf_dir, "documents"))
+    )
     tk = tokens()
     long_docs = corpus.select("doc_id", tk.alias("tk")).filter(
         F.size("tk") >= _SPAN_K
@@ -1945,7 +1954,13 @@ def dedup_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeper rule (global-min doc id per shingle) is the same
     single-pass min aggregate it is here.
     """
-    corpus = _seeded_span_corpus(load_table(spark, sf_dir, "documents"))
+    # r16: widen the single-row-group scan like dedup_substring_span
+    # (the shingle fold is the dominant per-row term; key-based
+    # downstream, so order is immaterial — cutpos is consumed by
+    # membership only)
+    corpus = widen_scan(
+        _seeded_span_corpus(load_table(spark, sf_dir, "documents"))
+    )
     tk = tokens()
     toks = corpus.select("doc_id", tk.alias("tk"))
     long_docs = toks.filter(F.size("tk") >= _SPAN_K)
@@ -2425,7 +2440,7 @@ def dedup_incremental_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(os.path.join(idx_path, "_SUCCESS")):
         tk = tokens()
         (
-            docs.select("doc_id", tk.alias("tk"))
+            widen_scan(docs).select("doc_id", tk.alias("tk"))
             .filter(F.size("tk") >= _SPAN_K)
             .select(
                 F.explode(

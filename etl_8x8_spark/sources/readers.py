@@ -89,6 +89,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
+def widen_scan(df: DataFrame) -> DataFrame:
+    """Spread a narrow scan across the session's cores when the input
+    has fewer partitions than the cluster has slots (guide §2.5
+    "input skew: one huge unsplittable file ... repartition
+    immediately after the read").
+
+    The sf fixtures are one parquet row group each, so a scan is ONE
+    task; an operator whose per-row compute dominates (tokenize +
+    shingle folds) then runs single-threaded however many cores the
+    session has. The repartition is CONDITIONAL: at real scale the
+    input already carries >= slots partitions and this is a no-op —
+    no extra exchange is ever added to a properly-split input. Only
+    callers whose downstream is key-based (distinct/groupBy/window
+    per key) may use it: a round-robin repartition changes row order.
+    """
+    sc = df.sparkSession.sparkContext
+    slots = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < slots:
+        return df.repartition(slots)
+    return df
+
+
 def read_json_lines(
     spark: SparkSession, path: str, schema: T.StructType
 ) -> DataFrame:

@@ -89,3 +89,21 @@ def test_no_committed_record_is_insufficient():
     status, chunks = bench.gradient_check(timings, {}, names)
     assert status == "insufficient"
     assert chunks == []
+
+
+def test_record_target_gating():
+    """r16: only a canonical-SF run at the committed record's core
+    count may overwrite BENCH_LOCAL.json — the r15 driver's 8-core
+    scaling pass overwrote the 32-core record and poisoned the gate."""
+    assert bench.record_target(0.1, 32, 32, "ok") == "BENCH_LOCAL.json"
+    assert bench.record_target(0.1, 32, None, "ok") == "BENCH_LOCAL.json"
+    assert bench.record_target(0.1, 8, 32, "ok") == "BENCH_SCALING.json"
+    assert bench.record_target(0.001, 4, 32, "ok") == "BENCH_SMOKE.json"
+    assert (
+        bench.record_target(0.1, 32, 32, "degraded_host")
+        == "BENCH_DEGRADED.json"
+    )
+    assert (
+        bench.record_target(0.1, 8, 32, "degraded_host")
+        == "BENCH_DEGRADED.json"
+    )
