@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from etl_8x8_spark.functions.vectors import cosine, norm, oracle_dot, oracle_norm
 from etl_8x8_spark.registry import register
-from etl_8x8_spark.sources.readers import load_table
+from etl_8x8_spark.sources.readers import load_table, widen_scan
 
 _N_QUERIES = 8  # vec_id < 8 are the query vectors
 _TOP_K = 10
@@ -1210,7 +1210,11 @@ def embed_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
     )
     csubs = _pq_subspaces(cents, "cid", "cvec", "csub")
-    e = _pq_subspaces(emb, "vec_id", "embedding", "sub")
+    # r16 (guide §2.5): the M*K-expanded distance folds are the
+    # dominant per-row work and the fixture scan is one task -
+    # widen_scan spreads them across the session's slots (no-op
+    # on properly-split inputs)
+    e = _pq_subspaces(widen_scan(emb), "vec_id", "embedding", "sub")
     d2 = (
         f"({dot_sql('sub', 'sub')} - 2 * {dot_sql('sub', 'csub')}"
         f" + {dot_sql('csub', 'csub')})"
@@ -1331,7 +1335,11 @@ def _pq_codes_packed(emb: DataFrame) -> DataFrame:
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
     )
     csubs = _pq_subspaces(cents, "cid", "cvec", "csub")
-    e = _pq_subspaces(emb, "vec_id", "embedding", "sub")
+    # r16 (guide §2.5): the M*K-expanded distance folds are the
+    # dominant per-row work and the fixture scan is one task -
+    # widen_scan spreads them across the session's slots (no-op
+    # on properly-split inputs)
+    e = _pq_subspaces(widen_scan(emb), "vec_id", "embedding", "sub")
     d2 = (
         f"({dot_sql('sub', 'sub')} - 2 * {dot_sql('sub', 'csub')}"
         f" + {dot_sql('csub', 'csub')})"

@@ -24,7 +24,7 @@ from etl_8x8_spark.operators.dedup import (
     tokens,
 )
 from etl_8x8_spark.registry import register
-from etl_8x8_spark.sources.readers import load_table
+from etl_8x8_spark.sources.readers import load_table, widen_scan
 
 # A small function-word list: quality scoring + language ID both key on
 # it. Deliberately tiny and inlined in the oracles.
@@ -344,7 +344,9 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n_overlap > 0) are emitted, which at 100 TB is the difference
     between a report and a full-corpus dump.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # r16 (guide §2.5): widen the one-row-group fixture scan so the
+    # per-row token work runs on every core (no-op on split inputs)
+    docs = widen_scan(load_table(spark, sf_dir, "documents"))
     sh = docs.select(
         "doc_id", F.explode(shingles(tokens())).alias("g")
     )
@@ -704,6 +706,10 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     — each on a bounded or hash-distributed key, so the composition
     adds nothing beyond its parts.
     """
+    # r16: widen_scan A/B-measured a LOSS here (alternating blocks:
+    # pmi 1.32 plain vs 1.89 widened; pretrain ~tie) — the distinct /
+    # window exchange right after tokenize already spreads the work,
+    # so the extra raw-text exchange only adds cost. Left unwidened.
     docs = load_table(spark, sf_dir, "documents")
     corpus = seeded_pii_corpus(docs, keep=("lang",))
     red = F.regexp_replace(
@@ -1315,6 +1321,10 @@ def text_pmi_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc, term) relation. PMI is ln() of an exact-integer ratio,
     floor-quantized — deterministic across engines.
     """
+    # r16: widen_scan A/B-measured a LOSS here (alternating blocks:
+    # pmi 1.32 plain vs 1.89 widened; pretrain ~tie) — the distinct /
+    # window exchange right after tokenize already spreads the work,
+    # so the extra raw-text exchange only adds cost. Left unwidened.
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(tokens()).alias("term")).distinct()
     df = toks.groupBy("term").agg(F.count("*").alias("df"))
@@ -1557,7 +1567,9 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln() terms floor-quantize to integer micro-units and the per-doc
     mean divides two exact integers — order-proof across engines.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # r16 (guide §2.5): widen the one-row-group fixture scan so the
+    # per-row token work runs on every core (no-op on split inputs)
+    docs = widen_scan(load_table(spark, sf_dir, "documents"))
     toks = tokens()
     m = F.greatest(F.size(toks) - 1, F.lit(0))
     bigrams = F.zip_with(
@@ -1693,7 +1705,9 @@ def text_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-row token array (whole-stage codegen, no UDF, no
     shuffle). At 100 TB this is a pure map over the corpus scan.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # r16 (guide §2.5): widen the one-row-group fixture scan so the
+    # per-row token work runs on every core (no-op on split inputs)
+    docs = widen_scan(load_table(spark, sf_dir, "documents"))
     df = docs.select("doc_id", "lang", tokens().alias("toks"))
     n = F.size("toks")
     len_sum = F.aggregate(
@@ -2420,7 +2434,9 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality gates (gopher/ccnet), and the same plan shape holds for a
     real model by swapping the literal for a broadcast array.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # r16 (guide §2.5): widen the one-row-group fixture scan so the
+    # per-row token work runs on every core (no-op on split inputs)
+    docs = widen_scan(load_table(spark, sf_dir, "documents"))
     w_arr = F.array(*[F.lit(w).cast("long") for w in _QC_W_MICRO])
     th = token_hashes(tokens())
     z = F.aggregate(
@@ -2686,7 +2702,9 @@ def pipeline_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate. Adding a gate to the funnel adds a WHEN branch, not a
     pass.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # r16 (guide §2.5): widen the one-row-group fixture scan so the
+    # per-row token work runs on every core (no-op on split inputs)
+    docs = widen_scan(load_table(spark, sf_dir, "documents"))
     toks = tokens()
     th = token_hashes(toks)
     w_arr = F.array(*[F.lit(w).cast("long") for w in _QC_W_MICRO])
