@@ -3470,12 +3470,13 @@ def agg_roc_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so ReuseExchange never applied; plans/r16/agg_roc_auc_rank_
     # before.txt) — plus a broadcast crossJoin of the totals. Folding
     # totals into the finale removes one whole scan+aggregate branch
-    # and the crossJoin; `persist=True` on the rank input collapses
-    # the remaining stats/buckets/probe derivations to one (the
-    # documented non-exchange-reusable case in ranks.py).
-    ranked = histogram_global_rank(
-        s, "value", [], cumsums=["ct"], persist=True
-    )
+    # and the crossJoin. persist on the rank input was A/B'd under the
+    # honest per-run cache clear and LOSES (alternating blocks:
+    # unpersisted 1.74/0.95 s vs persisted 2.40/2.04 s — the r8
+    # agg_abc finding again: materialization sits serial on the
+    # stats→offsets→probe critical path, re-derivation from the tiny
+    # collapsed relation is cheaper), so the default stays.
+    ranked = histogram_global_rank(s, "value", [], cumsums=["ct"])
     r1_x2 = F.sum(
         F.col("cp") * (2 * (F.col("cum_ct") - F.col("ct")) + F.col("ct") + 1)
     ).cast("long")

@@ -105,6 +105,14 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedupe. Two exchanges where the old shape paid three plus the
     join fan-out; A/B'd in-process (alternating forms) for the
     triangle edge build. Same edge set.
+
+    r16: widen_scan on the lineitem side was A/B'd (alternating
+    blocks, honest per-run cache clears) across the four consumers
+    and measured a WASH to slight loss (e.g. triangle 2.15 widened vs
+    2.22 plain, k-core 2.31 vs 2.30, LPA 3.48 vs 3.41 warm) — the
+    per-order collect_set partials on the scan task are NOT the
+    dominant term here (the pair explosion + distinct downstream
+    already runs post-exchange). Left unwidened.
     """
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_quantity") >= _TRI_MIN_QTY
