@@ -3235,8 +3235,18 @@ def _guard_product_fits_int64(
     multiplies in double on the 1-row totals relation (the double
     rounding slack near 2^62 is ~512 — irrelevant at a 2-sided margin
     of 2x). raise_error is embedded in the ``a`` column itself so
-    Catalyst cannot prune it."""
+    Catalyst cannot prune it.
+
+    NULL totals pass through un-raised (r16): on EMPTY input the
+    1-row global aggregate carries NULL sums, and AQE may materialize
+    the guarded broadcast side before empty-stream propagation
+    cancels the join — the old NULL→otherwise CASE then raised
+    spuriously (a scheduling race: agg_ks_test_two_sample failed
+    call 2 of the empty-table sweep under load, passed isolated).
+    Nothing real is guarded at n=0; the empty crossJoin output is
+    unchanged."""
     ok = F.col(a).cast("double") * F.col(b).cast("double") < F.lit(float(2**62))
+    ok = F.col(a).isNull() | F.col(b).isNull() | ok
     return totals.withColumn(
         a,
         F.when(ok, F.col(a)).otherwise(
@@ -3264,11 +3274,14 @@ def _guard_sum_sq_fits_int64(
     with imbalanced classes (a=2^33, b=2^20) the product guard passes
     while the numerator wraps at ~2^67. (a+b)^2 < 2^62 gives
     2·a·(a+b) <= 2·(a+b)^2 < 2^63, inside int64. Embedded in ``a``
-    (used downstream) so Catalyst cannot prune it."""
+    (used downstream) so Catalyst cannot prune it. NULL totals pass
+    through un-raised (r16) — see _guard_product_fits_int64."""
     tot = F.col(a).cast("double") + F.col(b).cast("double")
+    ok = tot * tot < F.lit(float(2**62))
+    ok = F.col(a).isNull() | F.col(b).isNull() | ok
     return totals.withColumn(
         a,
-        F.when(tot * tot < F.lit(float(2**62)), F.col(a)).otherwise(
+        F.when(ok, F.col(a)).otherwise(
             F.raise_error(
                 F.concat(
                     F.lit(

@@ -61,3 +61,47 @@ class TestCheckpointEscapeHatch:
         plan = df._jdf.queryExecution().optimizedPlan().toString()
         assert "LogicalRDD" in plan or "ExistingRDD" in plan
         spark.catalog.clearCache()
+
+
+class TestInt64GuardsNullTransparent:
+    """r16: on EMPTY input the 1-row totals aggregate carries NULL
+    sums; the guards must pass NULL through instead of raising —
+    AQE can materialize the guarded broadcast side before the
+    empty-stream propagation cancels the join (the flaky
+    agg_ks_test_two_sample empty-sweep failure)."""
+
+    def test_null_totals_do_not_raise(self, spark):
+        from pyspark.sql import functions as F
+
+        from etl_8x8_spark.operators.aggregates import (
+            _guard_product_fits_int64,
+            _guard_sum_sq_fits_int64,
+        )
+
+        empty = spark.range(0).select(
+            F.col("id").alias("a"), F.col("id").alias("b")
+        )
+        totals = empty.agg(
+            F.sum("a").cast("long").alias("a"),
+            F.sum("b").cast("long").alias("b"),
+        )
+        g = _guard_product_fits_int64(totals, "a", "b", "t")
+        g = _guard_sum_sq_fits_int64(g, "a", "b", "t")
+        rows = g.collect()  # the 1-row NULL relation must NOT raise
+        assert rows[0]["a"] is None
+
+    def test_oversized_totals_still_raise(self, spark):
+        import pytest
+        from pyspark.sql import functions as F
+
+        from etl_8x8_spark.operators.aggregates import (
+            _guard_product_fits_int64,
+        )
+
+        big = spark.range(1).select(
+            F.lit(2**33).cast("long").alias("a"),
+            F.lit(2**33).cast("long").alias("b"),
+        )
+        g = _guard_product_fits_int64(big, "a", "b", "t")
+        with pytest.raises(Exception, match="2\\^62"):
+            g.collect()
